@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Settings chosen for oracle parity and scale (SURVEY.md §4):
+  *   - UTC session timezone: DuckDB treats parquet timestamps as naive; so
+  *     must we, or every date function diverges.
+  *   - AQE on (default in 4.x, made explicit): runtime re-planning,
+  *     skew-join splitting, dynamic coalescing of shuffle partitions — the
+  *     features we rely on at 100 TB instead of hand-tuned partition counts.
+  *   - shuffle.partitions defaults to the core count locally; on a real
+  *     cluster AQE coalescing makes the initial number mostly irrelevant.
+  */
+object GraftSession {
+  def local(cores: Int = 32, extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so
+      // read as long and convert in Tables.events (µs-aligned data → lossless)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
