@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All registered query specs, by module. */
   def specs: Seq[QuerySpec] =
-    RelationalQueries.all
+    RelationalQueries.all ++ TimeSeriesQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's canonical interaction (README.md:68-79): top

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+import graft.core.OracleCompat._
+import graft.operators.TimeSeries
+
+/** SURVEY.md §2.5 window functions + the composite time-series operators
+  * (§7.3): lag/lead features, rolling stats, per-group top-k, sequence
+  * windows, resampling, min-max scaling, as-of alignment (vs DuckDB's
+  * native ASOF JOIN as oracle), gap-fill interpolation, sessionization,
+  * and the AUC rank-statistic metric.
+  */
+object TimeSeriesQueries {
+
+  /** W1: lag features per site (reference README.md:43). */
+  private val w1 = QuerySpec(
+    "q_w1_lag",
+    """SELECT event_id, user_id, value,
+      |       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+      .orderBy("event_id")
+  }
+
+  /** W2: trailing moving average, row frame (reference README.md:44).
+    * Exact decimal window sum / window count — order-independent. */
+  private val w2 = QuerySpec(
+    "q_w2_moving_avg",
+    """SELECT event_id, user_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(27,2))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mov_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (sum(col("value").cast(DecimalType(27, 2))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("mov_avg"))
+      .orderBy("event_id")
+  }
+
+  /** W3: rolling failure rate over a 7-day time-range frame
+    * (reference README.md:44 "rate of failure"); integer sums → exact. */
+  private val w3 = QuerySpec(
+    "q_w3_rolling_rate",
+    """SELECT event_id, user_id,
+      |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER w AS DOUBLE)
+      |         / (COUNT(*) OVER w) AS err_rate_7d
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      |             RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(unix_millis(col("ts")))
+      .rangeBetween(-604800000L, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (sum(when(col("event_type") === "error", 1).otherwise(0)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("err_rate_7d"))
+      .orderBy("event_id")
+  }
+
+  /** W5+T3: per-group top-k by aggregate (reference README.md:61,71-75
+    * "ranks urgency … top-3 per zone"). */
+  private val w5 = QuerySpec(
+    "q_w5_topk_pergroup",
+    """WITH tot AS (
+      |  SELECT event_type, user_id,
+      |         CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY event_type, user_id)
+      |SELECT event_type, user_id, total_value, rnk FROM (
+      |  SELECT event_type, user_id, total_value,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY total_value DESC, user_id) AS BIGINT) AS rnk
+      |  FROM tot) t
+      |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin) { (s, d) =>
+    val tot = Tables.events(s, d).groupBy("event_type", "user_id")
+      .agg(dsum(col("value")).as("total_value"))
+    val w = Window.partitionBy("event_type").orderBy(col("total_value").desc, col("user_id").asc)
+    tot.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy("event_type", "rnk")
+  }
+
+  /** W6: trailing-k sequences for sequence-model input
+    * (reference README.md:47) — arrays built in frame order. */
+  private val w6 = QuerySpec(
+    "q_w6_sequence",
+    """SELECT event_id, user_id,
+      |       list(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        collect_list(col("event_id")).over(w).as("seq"))
+      .orderBy("event_id")
+  }
+
+  /** W7: lead / inter-arrival delta (reference README.md:36-37). */
+  private val w7 = QuerySpec(
+    "q_w7_lead",
+    """SELECT event_id, user_id,
+      |       epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_ms(ts) AS ms_to_next
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (unix_millis(lead(col("ts"), 1).over(w)) - unix_millis(col("ts"))).as("ms_to_next"))
+      .orderBy("event_id")
+  }
+
+  /** A2: resample to tumbling 1-hour buckets (reference README.md:37);
+    * epoch-aligned so DuckDB's date_trunc is the oracle. */
+  private val a2 = QuerySpec(
+    "q_a2_resample",
+    """SELECT event_type, epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS bucket_ms,
+      |       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket_ms""".stripMargin) { (s, d) =>
+    TimeSeries.resample(Tables.events(s, d), Seq("event_type"), "ts", "1 hour",
+      Seq(count(lit(1)).as("n"), dsum(col("value")).as("val_sum")))
+      .select(col("event_type"), unix_millis(col("bucket_start")).as("bucket_ms"),
+        col("n"), col("val_sum"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  /** A3: per-key min-max scaling via whole-partition window
+    * (reference README.md:38 "Scaling"). */
+  private val a3 = QuerySpec(
+    "q_a3_minmax_scale",
+    """SELECT event_id,
+      |       (value - MIN(value) OVER (PARTITION BY user_id))
+      |         / NULLIF(MAX(value) OVER (PARTITION BY user_id) - MIN(value) OVER (PARTITION BY user_id), 0) AS vnorm
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("event_id"),
+        ((col("value") - min(col("value")).over(w)) /
+          nullif(max(col("value")).over(w) - min(col("value")).over(w), lit(0))).as("vnorm"))
+      .orderBy("event_id")
+  }
+
+  /** J5: as-of alignment — our union+window operator vs DuckDB's native
+    * ASOF JOIN as the oracle (reference README.md:37). Each purchase is
+    * aligned to the most recent prior error of the same user. */
+  private val j5 = QuerySpec(
+    "q_j5_asof_join",
+    """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+      |       epoch_ms(e.ts) AS err_ts_ms,
+      |       epoch_ms(p.ts) - epoch_ms(e.ts) AS lag_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts")
+    TimeSeries.asOfJoin(purchases, errors, Seq("user_id"), "ts", "ts", Nil)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(col("_asof_ts")).as("err_ts_ms"),
+        (unix_millis(col("ts")) - unix_millis(col("_asof_ts"))).as("lag_ms"))
+      .orderBy("event_id")
+  }
+
+  /** W4: gap-fill + linear interpolation on an hourly grid
+    * (reference README.md:37) — the composite grid/window operator. */
+  private val w4 = QuerySpec(
+    "q_w4_interpolate",
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('hour', min(ts))::TIMESTAMP AS gs,
+      |         date_trunc('hour', max(ts))::TIMESTAMP AS ge
+      |  FROM events GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(gs, ge, INTERVAL 1 HOUR)) AS g FROM b),
+      |obs AS (
+      |  SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS g,
+      |         CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / COUNT(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT grid.user_id, grid.g, obs.v FROM grid
+      |  LEFT JOIN obs ON obs.user_id = grid.user_id AND obs.g = grid.g),
+      |w AS (
+      |  SELECT user_id, g, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN g END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY g ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN g END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY g ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM j)
+      |SELECT user_id, epoch_ms(g) AS g_ms,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |         pv + (nv - pv) * CAST(epoch_ms(g) - epoch_ms(pt) AS DOUBLE)
+      |                        / CAST(epoch_ms(nt) - epoch_ms(pt) AS DOUBLE)
+      |       WHEN pv IS NOT NULL THEN pv ELSE nv END AS value_interp
+      |FROM w ORDER BY user_id, g_ms""".stripMargin) { (s, d) =>
+    TimeSeries.interpolate(Tables.events(s, d), "user_id", "ts", "value")
+      .select(col("user_id"), unix_millis(col("grid_ts")).as("g_ms"), col("value_interp"))
+      .orderBy("user_id", "g_ms")
+  }
+
+  /** ST4 (batch form): session windows over alarm bursts (reference
+    * README.md:32,9) — Spark session_window vs DuckDB gaps-and-islands. */
+  private val st4 = QuerySpec(
+    "q_st4_sessionize",
+    """WITH x AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |y AS (SELECT user_id, ts, value,
+      |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM x)
+      |SELECT user_id, epoch_ms(min(ts)) AS start_ms, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS val_sum
+      |FROM y GROUP BY user_id, sid
+      |ORDER BY user_id, start_ms""".stripMargin) { (s, d) =>
+    TimeSeries.sessionize(Tables.events(s, d), "user_id", "ts", "30 minutes",
+      Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("val_sum")))
+      .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+        col("n_events"), col("val_sum"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  /** A9b: AUC via the Mann-Whitney rank statistic (reference
+    * README.md:53) — tie-corrected with average ranks; all sums are over
+    * dyadic rationals so double addition is exact and order-free. */
+  private val auc = QuerySpec(
+    "q_a9_auc",
+    """WITH s AS (
+      |  SELECT value AS score, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS lab
+      |  FROM events),
+      |r AS (
+      |  SELECT lab, AVG(rn) OVER (PARTITION BY score) AS ar
+      |  FROM (SELECT lab, score, ROW_NUMBER() OVER (ORDER BY score) AS rn FROM s) t)
+      |SELECT
+      |  CAST(SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+      |  CAST(SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nneg,
+      |  (SUM(CASE WHEN lab = 1 THEN ar ELSE 0 END)
+      |    - SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) * (SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+      |    / (SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) * SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END)) AS auc
+      |FROM r""".stripMargin) { (s, d) =>
+    val scored = Tables.events(s, d).select(
+      col("value").as("score"),
+      when(col("event_type") === "error", 1).otherwise(0).as("lab"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(Window.orderBy("score")))
+      .withColumn("ar", avg(col("rn")).over(Window.partitionBy("score")))
+    val npos = sum(when(col("lab") === 1, 1).otherwise(0))
+    val nneg = sum(when(col("lab") === 0, 1).otherwise(0))
+    ranked.agg(
+      npos.cast("long").as("npos"),
+      nneg.cast("long").as("nneg"),
+      ((sum(when(col("lab") === 1, col("ar")).otherwise(0.0)) -
+        npos * (npos + lit(1)) / 2.0) / (npos * nneg)).as("auc"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(w1, w2, w3, w5, w6, w7, a2, a3, j5, w4, st4, auc)
+}
