@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered query specs, by module. */
   def specs: Seq[QuerySpec] =
-    RelationalQueries.all ++ TimeSeriesQueries.all
+    RelationalQueries.all ++ TimeSeriesQueries.all ++
+      TextVectorQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's canonical interaction (README.md:68-79): top

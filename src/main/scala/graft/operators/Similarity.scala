@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns — J8/X1 in SURVEY.md §2.3,
+  * §2.10 (reference README.md:52; harness north-star "similarity
+  * search").
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact k-NN; corpus broadcast + per-query
+  *    window rank. Correct baseline, O(|Q|·|C|) — fine when one side
+  *    broadcasts (corpus ≤ O(100 MB)), the oracle-checkable path.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — the 100 TB path.
+  *    Candidates come from an equi-join on bucket signature (hash
+  *    shuffle, no cross product ever materialized); rank within
+  *    candidates. Deterministic: hyperplanes derive from xxhash64, not
+  *    an RNG.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine. `queries`/`corpus` need (id, vec) columns.
+    * Output: q_id, c_id, rnk (1..k), cos. Ties broken by c_id. */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("q_id"), asDouble(col(qVec)).as("_qv"))
+    val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    q.crossJoin(broadcast(c))
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id", "rnk", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-1, 1]. Same formula on both sides of the
+    * bucket join — no RNG state to ship. */
+  private def planeWeight(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane * 64 + dim), lit(2001)) - 1000).cast("double") / 1000.0
+
+  /** Sign-bit bucket signature of a vector under `nPlanes` hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => x * planeWeight(p, j)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, 1L).otherwise(0L)
+      }),
+      lit(0L), (acc, b) => acc * 2 + b)
+
+  /** Approximate top-k: candidates share an LSH bucket, with multi-probe
+    * on the query side (the exact bucket plus every bucket at Hamming
+    * distance 1 — nPlanes+1 probes). Cost scales with the probed corpus
+    * fraction ≈ (nPlanes+1)/2^nPlanes.
+    *
+    * Recall caveat, measured on the harness embeddings: the vectors are
+    * isotropic (max pairwise cos ≈ 0.5), and on near-random data ANN
+    * recall cannot exceed the probed fraction (plus the self-match) —
+    * there is no cluster structure for the hash to exploit. Clustered
+    * real-world embedding corpora behave far better. SimilaritySpec
+    * asserts recall vs [[bruteForceTopK]] accordingly. */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      nPlanes: Int = 4): DataFrame = {
+    val probes: Column = {
+      val base = lshBucket(col("_qv"), nPlanes)
+      array((base +: (0 until nPlanes).map(p =>
+        base.bitwiseXOR(lit(1L << p)))): _*)
+    }
+    val q = queries.select(col(qId).as("q_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_bucket", explode(probes))
+    val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_bucket", lshBucket(col("_cv"), nPlanes))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    q.join(c, "_bucket")
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id", "rnk", "cos")
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
+    * Brute pairwise with the smaller side broadcast; the LSH bucket join
+    * above is the drop-in scale path. */
+  def nearDupPairs(
+      df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("a_id"), asDouble(col(vec)).as("_av"))
+    val b = df.select(col(id).as("b_id"), asDouble(col(vec)).as("_bv"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("_av"), col("_bv")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+}

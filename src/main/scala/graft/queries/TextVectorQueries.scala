@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Harness north-star surface (BASELINE.json): deduplication, similarity
+  * search, and text analysis over `documents` / `embeddings`.
+  *
+  * Oracle strategy: the Spark side uses candidate-generation (LSH bands,
+  * prefix filtering, bucket joins) that never materializes O(n²) pairs;
+  * the DuckDB oracle is the straightforward full-pairwise SQL. Matching
+  * results prove the scalable plan computes the exact answer.
+  */
+object TextVectorQueries {
+
+  // ---- text analysis (F8) ---------------------------------------------
+
+  private val tokenize = QuerySpec(
+    "q_f8_tokenize",
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_regex,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(TextAnalysis.wsTokens(col("text"))).cast("long").as("n_ws"),
+      size(TextAnalysis.regexTokens(col("text"))).cast("long").as("n_regex"),
+      size(Dedup.tokenSet(col("text"))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  private val quality = QuerySpec(
+    "q_text_quality",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len,
+      |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+      |  (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.25 END) * 0.5 +
+      |  (CASE WHEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(toks) > 0.05 THEN 1.0 ELSE 0.5 END) * 0.5 AS quality
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = TextAnalysis.wsTokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      TextAnalysis.avgTokenLen(toks).as("avg_token_len"),
+      TextAnalysis.stopwordRatio(toks).as("stop_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val langid = QuerySpec(
+    "q_text_langid",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and'], t))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(toks, t -> list_contains(['el','la','de','los'], t))) AS BIGINT) AS s_es,
+      |  CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und'], t))) AS BIGINT) AS s_de,
+      |  CAST(len(list_filter(toks, t -> list_contains(['le','la','et','les'], t))) AS BIGINT) AS s_fr
+      |FROM t)
+      |SELECT doc_id, s_en, s_es, s_de, s_fr,
+      |  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+      |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+      |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+      |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+      |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+      |       ELSE 'unknown' END AS predicted
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = TextAnalysis.wsTokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.langScore(toks, "en").as("s_en"),
+      TextAnalysis.langScore(toks, "es").as("s_es"),
+      TextAnalysis.langScore(toks, "de").as("s_de"),
+      TextAnalysis.langScore(toks, "fr").as("s_fr"),
+      TextAnalysis.langId(col("text")).as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  private val fingerprint = QuerySpec(
+    "q_text_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_concat([0]::BIGINT[],
+      |      list_transform(string_split(text, ' '), t -> (unicode(substr(t,1,1)) * 31 + length(t))::BIGINT)),
+      |    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.rollingFingerprint(TextAnalysis.wsTokens(col("text"))).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ---- dedup suite (X4 / harness north-star) --------------------------
+
+  private val dedupFingerprint = QuerySpec(
+    "q_dedup_fingerprint",
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+      |       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents
+      |GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    Dedup.fingerprintGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("fingerprint")
+  }
+
+  private val dedupMinhash = QuerySpec(
+    "q_dedup_minhash",
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       len(list_intersect(a.toks, b.toks))::DOUBLE
+      |         / len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+      |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.9)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dedupNgram = QuerySpec(
+    "q_dedup_ngram_jaccard",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_distinct(list_transform(range(1, len(toks) - 1),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |      FROM t)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       len(list_intersect(a.sh, b.sh))::DOUBLE
+      |         / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash needs xxhash64, which DuckDB lacks → no SQL oracle; the
+    * recall property (every fingerprint-dup pair has Hamming 0) is
+    * asserted in DedupSpec. */
+  private val dedupSimhash = QuerySpec.noOracle("q_dedup_simhash") { (s, d) =>
+    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  private val dedupEmbedding = QuerySpec(
+    "q_dedup_embedding",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       list_dot_product(a.v, b.v)
+      |         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
+  // ---- similarity search (J8/X1) --------------------------------------
+
+  private val simTopk = QuerySpec(
+    "q_x1_sim_topk",
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
+      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings)
+      |SELECT q_id, c_id, rnk, cos FROM (
+      |  SELECT q_id, c_id,
+      |         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |           ORDER BY list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS BIGINT) AS rnk
+      |  FROM q CROSS JOIN c) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 100), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** LSH-bucketed ANN — the 100 TB path; approximate, so no hash oracle.
+    * Recall vs brute force is asserted in SimilaritySpec. */
+  private val simLsh = QuerySpec.noOracle("q_sim_lsh_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(
+      emb.filter(col("vec_id") < 100), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4)
+      .orderBy("q_id", "rnk")
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    tokenize, quality, langid, fingerprint,
+    dedupFingerprint, dedupMinhash, dedupNgram, dedupSimhash, dedupEmbedding,
+    simTopk, simLsh)
+}

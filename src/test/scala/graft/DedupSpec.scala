@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSession.{spark, sfDir}
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("exact dedup is idempotent") {
+    val once = Dedup.exact(docs, Seq("text"))
+    assert(once.count() === Dedup.exact(once, Seq("text")).count())
+  }
+
+  test("fingerprint dup groups have >1 member and exist in this corpus") {
+    val groups = Dedup.fingerprintGroups(docs, "doc_id", "text").collect()
+    assert(groups.nonEmpty, "corpus is known to contain token-set duplicates")
+    assert(groups.forall(_.getAs[Long]("n_docs") > 1))
+  }
+
+  test("minhash finds every identical-token-set pair (recall 1.0 at J=1)") {
+    // identical sets => identical signatures => guaranteed band collision
+    val fpPairs = {
+      val f = Dedup.withFingerprint(docs, "text").select("doc_id", "fingerprint")
+      val a = f.select(col("doc_id").as("a_id"), col("fingerprint"))
+      val b = f.select(col("doc_id").as("b_id"), col("fingerprint"))
+      a.join(b, "fingerprint").filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val mhPairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fpPairs.nonEmpty)
+    assert(fpPairs.subsetOf(mhPairs))
+  }
+
+  test("simhash: identical token sets are at Hamming distance 0") {
+    val f = Dedup.withFingerprint(docs, "text").select("doc_id", "fingerprint")
+    val a = f.select(col("doc_id").as("a_id"), col("fingerprint"))
+    val b = f.select(col("doc_id").as("b_id"), col("fingerprint"))
+    val fpPairs = a.join(b, "fingerprint").filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(fpPairs.subsetOf(sh))
+  }
+
+  test("ngram prefix-filter join returns exactly the full-pairwise answer") {
+    import spark.implicits._
+    val sample = docs.filter(col("doc_id") < 100)
+    val viaPrefix = Dedup.ngramJaccardPairs(sample, "doc_id", "text", 3, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute-force reference on the same 100 docs
+    val g = sample.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val a = g.select(col("doc_id").as("a_id"), col("sh").as("ash"))
+    val b = g.select(col("doc_id").as("b_id"), col("sh").as("bsh"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("j", size(array_intersect(col("ash"), col("bsh"))).cast("double") /
+        size(array_union(col("ash"), col("bsh"))))
+      .filter(col("j") >= 0.8).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(viaPrefix === brute)
+  }
+}

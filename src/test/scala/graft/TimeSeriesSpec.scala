@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+import graft.core.OracleCompat.dsum
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin never picks a future row, matches hand-computed result") {
+    val left = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, "a", ts("2024-01-01 12:00:00")),
+      (3L, "b", ts("2024-01-01 09:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts("2024-01-01 09:30:00"), 10.0),
+      ("a", ts("2024-01-01 11:00:00"), 20.0),
+      ("a", ts("2024-01-01 13:00:00"), 99.0), // future for both left rows
+      ("b", ts("2024-01-01 09:00:00"), 7.0)   // exactly simultaneous
+    ).toDF("k", "rts", "v")
+    val out = TimeSeries.asOfJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .select("id", "v_asof").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(out(1L) === 10.0) // 09:30 row, not 11:00
+    assert(out(2L) === 20.0) // 11:00 row, not 13:00
+    assert(out(3L) === 7.0)  // simultaneous right row is visible
+  }
+
+  test("asOfJoin yields null when no prior right row exists") {
+    val left = Seq((1L, "a", ts("2024-01-01 08:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(("a", ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "rts", "v")
+    val out = TimeSeries.asOfJoin(left, right, Seq("k"), "ts", "rts", Seq("v")).collect()
+    assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("v_asof")))
+  }
+
+  test("interpolate is identity on a gap-free hourly series") {
+    val df = (0 until 5).map(h => ("a", ts(f"2024-01-01 0$h:00:00"), h * 10.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.interpolate(df, "k", "ts", "v")
+      .orderBy("grid_ts").select("value_interp").as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 10.0, 20.0, 30.0, 40.0))
+  }
+
+  test("interpolate fills an interior gap linearly and edges by carry") {
+    // observations at hours 0 and 3 only; hours 1,2 interpolate linearly
+    val df = Seq(("a", ts("2024-01-01 00:00:00"), 0.0),
+      ("a", ts("2024-01-01 03:00:00"), 30.0)).toDF("k", "ts", "v")
+    val out = TimeSeries.interpolate(df, "k", "ts", "v")
+      .orderBy("grid_ts").select("value_interp").as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 10.0, 20.0, 30.0))
+  }
+
+  test("sessionize merges within gap and splits across it") {
+    val df = Seq(
+      ("u", ts("2024-01-01 10:00:00"), 1.0),
+      ("u", ts("2024-01-01 10:10:00"), 1.0), // same session (10 min gap)
+      ("u", ts("2024-01-01 11:30:00"), 1.0)  // new session (80 min gap)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.sessionize(df, "user_id", "ts", "30 minutes",
+      Seq(count(lit(1)).as("n"), dsum(col("value")).as("s")))
+      .orderBy("session_start").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n") === 2)
+    assert(out(1).getAs[Long]("n") === 1)
+  }
+
+  test("sequenceWindows emits only complete windows, in order") {
+    val df = (1 to 5).map(i => ("a", ts(f"2024-01-01 0$i:00:00"), i.toDouble))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.sequenceWindows(df, "k", "ts", "v", k = 3)
+      .orderBy("ts").select("seq").as[Seq[Double]].collect()
+    assert(out.length === 3)
+    assert(out.head === Seq(1.0, 2.0, 3.0))
+    assert(out.last === Seq(3.0, 4.0, 5.0))
+  }
+
+  test("rolling average of a constant series is constant (resample)") {
+    val df = (0 until 24).map(h => ("a", ts(f"2024-01-01 $h%02d:30:00"), 5.0))
+      .toDF("k", "ts", "v")
+    val out = TimeSeries.resample(df, Seq("k"), "ts", "1 hour",
+      Seq(dsum(col("v")).as("s"), count(lit(1)).as("n")))
+    assert(out.select("s").as[Double].collect().forall(_ === 5.0))
+  }
+}
