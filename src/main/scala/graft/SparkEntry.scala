@@ -14,14 +14,15 @@ object SparkEntry {
   /** All registered query specs, by module. */
   def specs: Seq[QuerySpec] =
     RelationalQueries.all ++ TimeSeriesQueries.all ++
-      TextVectorQueries.all ++ MultimodalQueries.all
+      TextVectorQueries.all ++ MultimodalQueries.all ++ DomainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's canonical interaction (README.md:68-79): top
-    * predicted items with dimension context — scan → broadcast dim join →
-    * agg → top-k. */
+    * EP1, the reference's canonical interaction (README.md:68-79):
+    * "top-3 predicted outages for <date> in <zone>, with root cause,
+    * resolution and FME plan" — pushed predicates → broadcast dim joins
+    * → TakeOrderedAndProject. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_j1_dim_join")(spark, "/root/testdata/sf0.001")
+    queries("q_ep1_chat_top_outages")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

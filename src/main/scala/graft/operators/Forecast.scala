@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+
+/** Outage-forecast pipeline — the data contract around the reference's
+  * LSTM (README.md:46-53), with an MLlib logistic-regression stand-in
+  * (SURVEY.md §7.4.5: porting model weights is out of scope; the engine
+  * contract is feature table in → `outage_forecasts`-shaped table out,
+  * README.md:95-103).
+  */
+object Forecast {
+
+  /** Feature engineering per reference README.md:40-44: per (site, day)
+    * aggregates + temporal features + lag features + rolling failure
+    * rate. One shuffle for the daily agg, one window pass for lags. */
+  def dailyFeatures(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        avg(col("value")).as("val_avg"),
+        max(when(col("event_type") === "error", 1.0).otherwise(0.0)).as("had_error"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    daily
+      .withColumn("dow", dayofweek(col("day")).cast("double"))
+      .withColumn("prev_n", lag(col("n_events"), 1, 0.0).over(w))
+      .withColumn("prev_err", lag(col("had_error"), 1, 0.0).over(w))
+      .withColumn("err_rate_7d",
+        avg(col("had_error")).over(w.rowsBetween(-6, 0)))
+  }
+
+  /** Train on days before `splitDay`, score the rest; emit the reference
+    * forecast schema (README.md:95-103). Seeded, but LBFGS parallel
+    * reduction is not bit-reproducible → verified by properties
+    * (ForecastSpec), not by hash oracle. */
+  def trainAndScore(events: DataFrame, splitDay: String): DataFrame = {
+    val feats = dailyFeatures(events).cache()
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("n_events", "val_avg", "dow", "prev_n", "prev_err", "err_rate_7d"))
+      .setOutputCol("features")
+    val train = assembler.transform(feats.filter(col("day") < lit(splitDay).cast("date")))
+      .withColumnRenamed("had_error", "label")
+    val test = assembler.transform(feats.filter(col("day") >= lit(splitDay).cast("date")))
+    val model = new LogisticRegression()
+      .setMaxIter(20).setRegParam(0.01).setLabelCol("label").fit(train)
+    val prob1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    model.transform(test)
+      .select(
+        concat(lit("S"), col("user_id") + 1).as("site_code"),
+        col("day").as("prediction_date"),
+        prob1(col("probability")).as("outage_probability"),
+        when(col("prev_err") === 1.0, "repeat-failure").otherwise("load-spike").as("root_cause"),
+        lit("dispatch-fme").as("fme_plan"),
+        lit("inspect-site").as("resolution"),
+        col("had_error").as("actual"))
+  }
+
+  /** Model-quality metrics (reference README.md:53,141): RMSE + AUC of
+    * the scored output — inputs for drift alerting (ST6). */
+  def metrics(scored: DataFrame): DataFrame = {
+    val ranked = scored
+      .select(col("outage_probability").as("score"), col("actual").as("lab"))
+      .withColumn("rn", row_number().over(Window.orderBy("score")))
+      .withColumn("ar", avg(col("rn")).over(Window.partitionBy("score")))
+    val npos = sum(when(col("lab") === 1.0, 1).otherwise(0))
+    val nneg = sum(when(col("lab") === 0.0, 1).otherwise(0))
+    ranked.agg(
+      sqrt(avg(pow(col("score") - col("lab"), 2))).as("rmse"),
+      ((sum(when(col("lab") === 1.0, col("ar")).otherwise(0.0)) -
+        npos * (npos + lit(1)) / 2.0) / (npos * nneg)).as("auc"),
+      count(lit(1)).as("n"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — SURVEY.md §2.9 (reference README.md:24,
+  * 26: Celery micro-batch pipeline over continuously arriving sensor/
+  * alarm feeds; README.md:139-141: real-time alerting).
+  *
+  * Each op is a DataFrame→DataFrame transform usable on a streaming
+  * input (MemoryStream in tests, Kafka/file source in production). The
+  * event-time column is `ts`, keyed by `user_id` (stand-in for site).
+  */
+object StreamingOps {
+
+  /** ST1: tolerate late arrivals up to `delay` before finalizing. */
+  def withLateness(df: DataFrame, delay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", delay)
+
+  /** ST2: tumbling per-window per-key aggregation. */
+  def tumblingCounts(df: DataFrame, width: String = "1 hour"): DataFrame =
+    withLateness(df)
+      .groupBy(window(col("ts"), width), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("val_sum"))
+      .select(col("window.start").as("bucket_start"), col("user_id"), col("n"), col("val_sum"))
+
+  /** ST3: sliding-window rolling stats maintained continuously. */
+  def slidingStats(df: DataFrame, width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    withLateness(df)
+      .groupBy(window(col("ts"), width, slide), col("user_id"))
+      .agg(avg(col("value")).as("val_avg"))
+      .select(col("window.start").as("bucket_start"), col("user_id"), col("val_avg"))
+
+  /** ST4: session windows — an alarm burst is one outage episode. */
+  def sessions(df: DataFrame, gap: String = "30 minutes"): DataFrame =
+    withLateness(df)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n"))
+
+  /** ST5: exactly-once handling of redelivered events (Celery retries):
+    * state for the dedup key is dropped once the watermark passes. */
+  def dedupWithinWatermark(df: DataFrame, delay: String = "10 minutes"): DataFrame =
+    df.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
+  /** ST8: enrich the stream with a static dimension (broadcast). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  // ---- ST6: stateful threshold alerting -------------------------------
+
+  final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class Alert(user_id: Long, ts: java.sql.Timestamp, kind: String, value: Double)
+  final case class BreachState(inBreach: Boolean)
+
+  /** Per-key state machine (reference README.md:141 "Alerts for …
+    * threshold breaches"): emit BREACH on upward crossing, RECOVER on
+    * downward crossing; state is one boolean per key. Late events within
+    * the watermark re-enter their key group ordered by micro-batch, which
+    * matches the at-least-once alerting contract. */
+  def thresholdAlerts(
+      readings: Dataset[Reading],
+      threshold: Double): Dataset[Alert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BreachState, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Reading], state: GroupState[BreachState]) =>
+          var s = state.getOption.getOrElse(BreachState(inBreach = false))
+          val alerts = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+            val breach = r.value >= threshold
+            val out =
+              if (breach && !s.inBreach) Some(Alert(r.user_id, r.ts, "BREACH", r.value))
+              else if (!breach && s.inBreach) Some(Alert(r.user_id, r.ts, "RECOVER", r.value))
+              else None
+            s = BreachState(breach)
+            out
+          }
+          state.update(s)
+          alerts.iterator
+      }
+  }
+}

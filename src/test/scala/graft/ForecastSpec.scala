@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.operators.Forecast
+
+class ForecastSpec extends AnyFunSuite {
+  import TestSession.{spark, sfDir}
+
+  lazy val scored = Forecast.trainAndScore(Tables.events(spark, sfDir), "2024-01-20").cache()
+
+  test("forecast output matches the reference outage_forecasts shape") {
+    val cols = scored.columns.toSet
+    // reference README.md:95-103 columns (id assigned at sink time)
+    assert(Set("site_code", "prediction_date", "outage_probability",
+      "root_cause", "fme_plan", "resolution").subsetOf(cols))
+    assert(scored.count() > 0)
+  }
+
+  test("probabilities are valid and metrics computable") {
+    import org.apache.spark.sql.functions._
+    val bad = scored.filter(col("outage_probability") < 0 || col("outage_probability") > 1).count()
+    assert(bad === 0)
+    val m = Forecast.metrics(scored).collect().head
+    val auc = m.getAs[Double]("auc")
+    val rmse = m.getAs[Double]("rmse")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(rmse >= 0.0 && rmse <= 1.0)
+  }
+}

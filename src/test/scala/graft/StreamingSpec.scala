@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Alert, Reading}
+
+/** ST1-ST8 driven through MemoryStream with manual event-time
+  * advancement (SURVEY.md §5.2.5). */
+class StreamingSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("ST1+ST2: watermark finalizes tumbling buckets; late row within watermark counted") {
+    val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
+    val agg = StreamingOps.tumblingCounts(df, "1 hour")
+    val q = agg.writeStream.format("memory").queryName("st2").outputMode("append").start()
+    in.addData((1L, ts("2024-01-01 10:05:00"), 1.0, 7L),
+      (2L, ts("2024-01-01 10:50:00"), 2.0, 7L))
+    q.processAllAvailable()
+    // late-but-within-watermark event for the 10:00 bucket, then advance
+    // event time far enough (11:00 bucket end + 10 min) to close 10:00
+    in.addData((3L, ts("2024-01-01 10:59:00"), 4.0, 7L))
+    in.addData((4L, ts("2024-01-01 12:30:00"), 8.0, 7L))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("st2").collect()
+    val b10 = out.find(_.getAs[Timestamp]("bucket_start") == ts("2024-01-01 10:00:00")).get
+    assert(b10.getAs[Long]("n") === 3)
+    assert(b10.getAs[Double]("val_sum") === 7.0)
+  }
+
+  test("ST4: streaming session window merges a burst and splits on quiet gap") {
+    val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
+    val q = StreamingOps.sessions(df, "30 minutes")
+      .writeStream.format("memory").queryName("st4").outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 5L),
+      (2L, ts("2024-01-01 10:10:00"), 1.0, 5L), // same burst
+      (3L, ts("2024-01-01 12:00:00"), 1.0, 5L)) // new burst
+    in.addData((4L, ts("2024-01-01 15:00:00"), 1.0, 5L)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("st4").filter(col("n") > 0).collect()
+    val first = sessions.find(_.getAs[Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+    assert(first.exists(_.getAs[Long]("n") === 2))
+    assert(sessions.exists(_.getAs[Timestamp]("session_start") == ts("2024-01-01 12:00:00")))
+  }
+
+  test("ST5: duplicate event_id within watermark is dropped exactly once") {
+    val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
+    val q = StreamingOps.dedupWithinWatermark(df)
+      .writeStream.format("memory").queryName("st5").outputMode("append").start()
+    in.addData((1L, ts("2024-01-01 10:00:00"), 1.0, 5L))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:00:00"), 1.0, 5L), // redelivery
+      (2L, ts("2024-01-01 10:01:00"), 2.0, 5L))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("st5").count() === 2)
+  }
+
+  test("ST6: breach/recover state machine emits one alert per crossing") {
+    val in = MemoryStream[Reading](spark)
+    val q = StreamingOps.thresholdAlerts(in.toDS(), threshold = 50.0)
+      .writeStream.format("memory").queryName("st6").outputMode("append").start()
+    in.addData(
+      Reading(1L, ts("2024-01-01 10:00:00"), 10.0),
+      Reading(1L, ts("2024-01-01 10:01:00"), 60.0), // BREACH
+      Reading(1L, ts("2024-01-01 10:02:00"), 70.0)) // still in breach: no alert
+    q.processAllAvailable()
+    in.addData(Reading(1L, ts("2024-01-01 10:03:00"), 20.0)) // RECOVER (state persists across batches)
+    q.processAllAvailable(); q.stop()
+    val alerts = spark.table("st6").as[Alert].collect().sortBy(_.ts.getTime)
+    assert(alerts.map(_.kind).toSeq === Seq("BREACH", "RECOVER"))
+  }
+
+  test("ST8: stream-static broadcast enrichment") {
+    val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
+    val dim = Seq((5L, "north"), (6L, "south")).toDF("user_id", "zone")
+    val q = StreamingOps.enrichWithDim(df, dim, "user_id")
+      .writeStream.format("memory").queryName("st8").outputMode("append").start()
+    in.addData((1L, ts("2024-01-01 10:00:00"), 1.0, 5L),
+      (2L, ts("2024-01-01 10:00:00"), 1.0, 9L))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("st8").collect()
+    assert(out.find(_.getAs[Long]("event_id") == 1L).get.getAs[String]("zone") === "north")
+    assert(out.find(_.getAs[Long]("event_id") == 2L).get.isNullAt(out.head.fieldIndex("zone")))
+  }
+
+  test("ST3+ST7: sliding windows in update mode emit refreshed aggregates") {
+    val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
+    val q = StreamingOps.slidingStats(df, "1 hour", "15 minutes")
+      .writeStream.format("memory").queryName("st3").outputMode("update").start()
+    in.addData((1L, ts("2024-01-01 10:20:00"), 10.0, 5L))
+    q.processAllAvailable(); q.stop()
+    // a single event at 10:20 belongs to 4 sliding windows (09:30..10:15 starts)
+    assert(spark.table("st3").count() === 4)
+  }
+}
