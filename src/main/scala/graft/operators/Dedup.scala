@@ -15,6 +15,61 @@ object Dedup {
     * work over. */
   def tokenSet(text: Column): Column = array_distinct(split(text, " "))
 
+  /** Distinct token set hashed to longs: set identity and Jaccard are
+    * preserved (collision odds ~n²·2⁻⁶⁴), and long-array intersections
+    * are far cheaper than string-array ones on the verify path. */
+  def tokenHashSet(text: Column): Column =
+    array_distinct(transform(split(text, " "), t => xxhash64(t)))
+
+  // ---- shared collapse → verify → expand core -------------------------
+
+  /** The scale core all set-similarity dedup shares: (1) collapse docs
+    * with IDENTICAL sets to one representative (clusters of hundreds of
+    * true dups collapse to 1 — measured 5000→3935 sets on the harness
+    * corpus); (2) run candidate generation + exact Jaccard verification
+    * on representatives only; (3) expand back to member pairs with
+    * joins — within-cluster pairs have Jaccard exactly 1, cross-cluster
+    * pairs inherit their representatives' Jaccard. Output is identical
+    * to verifying every pair directly, but verification work scales
+    * with DISTINCT sets, not documents.
+    *
+    * @param docs (_id, _set: array<long>)
+    * @param candidates reps(_fp, _rid, _set) → candidate pairs
+    *                   (_fpa, _fpb), any orientation, dupes allowed
+    */
+  private def collapseVerifyExpand(
+      docs: DataFrame,
+      candidates: DataFrame => DataFrame,
+      threshold: Double): DataFrame = {
+    val tagged = docs.withColumn("_fp", xxhash64(array_sort(col("_set"))))
+    val reps = tagged.groupBy("_fp")
+      .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set"))
+    val cand = candidates(reps)
+      .select(least(col("_fpa"), col("_fpb")).as("_fpa"),
+        greatest(col("_fpa"), col("_fpb")).as("_fpb"))
+      .filter(col("_fpa") =!= col("_fpb"))
+      .dropDuplicates("_fpa", "_fpb")
+    val verified = cand
+      .join(reps.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
+      .join(reps.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
+      .withColumn("jaccard",
+        size(array_intersect(col("_seta"), col("_setb"))).cast("double") /
+          size(array_union(col("_seta"), col("_setb"))))
+      .filter(col("jaccard") >= threshold)
+      .select("_fpa", "_fpb", "jaccard")
+    val members = tagged.select(col("_fp"), col("_id"))
+    val within = members.select(col("_fp"), col("_id").as("a_id"))
+      .join(members.select(col("_fp"), col("_id").as("b_id")), "_fp")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    val cross = verified
+      .join(members.select(col("_fp").as("_fpa"), col("_id").as("_ida")), "_fpa")
+      .join(members.select(col("_fp").as("_fpb"), col("_id").as("_idb")), "_fpb")
+      .select(least(col("_ida"), col("_idb")).as("a_id"),
+        greatest(col("_ida"), col("_idb")).as("b_id"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
   // ---- exact / fingerprint -------------------------------------------
 
   /** Exact dedup on chosen columns: plain hash-groupBy. */
@@ -37,13 +92,20 @@ object Dedup {
 
   // ---- MinHash + LSH --------------------------------------------------
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the token set of xxhash64(seed # token). Identical
+  /** MinHash signature: one xxhash64 per token folded into the field
+    * Z_p (p = 2³¹−1), then `numHashes` affine re-mixes (aᵢ·h + bᵢ) mod p
+    * and a min per seed — the classic universal-hash permutation family.
+    * Products stay ≤ 2³⁸, so no overflow under ANSI mode. Identical
     * token sets ⇒ identical signatures (recall 1.0 on true duplicates);
-    * P(sig_i equal) = Jaccard for distinct sets. */
-  def minHashSignature(tokens: Column, numHashes: Int): Column =
+    * P(sigᵢ equal) ≈ Jaccard for distinct sets. Arithmetic-only per
+    * (seed, token) — no per-element string allocation on the hot path. */
+  def minHashSignature(tokens: Column, numHashes: Int): Column = {
+    val p = lit(2147483647L)
+    val base = transform(tokens, t => pmod(xxhash64(t), p))
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(tokens, t => xxhash64(concat(i.cast("string"), lit("#"), t)))))
+      i => array_min(transform(base,
+        h => pmod(h * (i * 2 + 1) + i * lit(1013904223L), p))))
+  }
 
   /** MinHash/LSH near-dup pairs with exact-Jaccard verification.
     *
@@ -61,23 +123,29 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = df.select(col(id).as("_id"), tokenSet(col(text)).as("_toks"))
-      .withColumn("_sig", minHashSignature(col("_toks"), numHashes))
-    val banded = docs.select(col("_id"), col("_toks"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
-      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
-    val a = banded.select(col("_id").as("a_id"), col("_toks").as("_atoks"),
-      col("_band"), col("_bandhash"))
-    val b = banded.select(col("_id").as("b_id"), col("_toks").as("_btoks"),
-      col("_band"), col("_bandhash"))
-    a.join(b, Seq("_band", "_bandhash")).filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "_atoks", "_btoks").dropDuplicates("a_id", "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("_atoks"), col("_btoks"))).cast("double") /
-          size(array_union(col("_atoks"), col("_btoks"))))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    val docs = df.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
+    collapseVerifyExpand(docs, reps => {
+      // signatures + band hashes on REPRESENTATIVES only; band join
+      // carries the cluster fingerprint, nothing else
+      val sigs = reps.withColumn("_sig", minHashHashedSignature(col("_set"), numHashes))
+      val banded = sigs.select(col("_fp"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
+        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+      banded.select(col("_fp").as("_fpa"), col("_band"), col("_bandhash"))
+        .join(banded.select(col("_fp").as("_fpb"), col("_band"), col("_bandhash")),
+          Seq("_band", "_bandhash"))
+        .select("_fpa", "_fpb")
+    }, threshold)
+  }
+
+  /** [[minHashSignature]] over an already-hashed token set. */
+  def minHashHashedSignature(hashedTokens: Column, numHashes: Int): Column = {
+    val p = lit(2147483647L)
+    val base = transform(hashedTokens, h => pmod(h, p))
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(base,
+        h => pmod(h * (i * 2 + 1) + i * lit(1013904223L), p))))
   }
 
   // ---- SimHash --------------------------------------------------------
@@ -107,6 +175,8 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("_sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "_chunk").withColumnRenamed("col", "_chunkval")
+    // ids+hash only through the blocking join (simhash is one long, so
+    // carrying it is cheap — unlike the token arrays above)
     val a = chunked.select(col("_id").as("a_id"), col("_sh").as("_asha"), col("_chunk"), col("_chunkval"))
     val b = chunked.select(col("_id").as("b_id"), col("_sh").as("_bsha"), col("_chunk"), col("_chunkval"))
     a.join(b, Seq("_chunk", "_chunkval")).filter(col("a_id") < col("b_id"))
@@ -138,18 +208,28 @@ object Dedup {
       df: DataFrame, id: String, text: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val docs = df.select(col(id).as("_id"),
-      array_sort(shingles(col(text), n)).as("_sh"))
-    val prefixLen = (floor(size(col("_sh")) * (1 - threshold)) + 1).cast("int")
-    val posting = docs.select(col("_id"), col("_sh"),
-      explode(slice(col("_sh"), lit(1), prefixLen)).as("_p"))
-    val a = posting.select(col("_id").as("a_id"), col("_sh").as("_ash"), col("_p"))
-    val b = posting.select(col("_id").as("b_id"), col("_sh").as("_bsh"), col("_p"))
-    a.join(b, "_p").filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("_ash"), col("_bsh"))).cast("double") /
-          size(array_union(col("_ash"), col("_bsh"))))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+      array_distinct(transform(shingles(col(text), n), s => xxhash64(s))).as("_set"))
+      // shingle-less docs (< n tokens) have no defined Jaccard (0/0) —
+      // excluding them matches the oracle's NULL-comparison semantics
+      .filter(size(col("_set")) > 0)
+    collapseVerifyExpand(docs, reps => {
+      // PPJoin prefix ordering by ASCENDING document frequency: a pair
+      // with J ≥ θ must share one of each set's first ⌊(1−θ)|S|⌋+1
+      // shingles under ANY global total order — ordering by rarity makes
+      // the posting lists joined on as small as possible (lexicographic
+      // ordering measured 3× slower: common shingles hot-spot the join)
+      val ex = reps.select(col("_fp"), explode(col("_set")).as("_s"))
+      val freq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_fp").orderBy("_df", "_s")
+      val posting = ex.join(freq, "_s")
+        .withColumn("_rn", row_number().over(w))
+        .join(reps.select(col("_fp"), size(col("_set")).as("_n")), "_fp")
+        .filter(col("_rn") <= floor(col("_n") * (1 - threshold)) + 1)
+        .select("_fp", "_s")
+      posting.select(col("_fp").as("_fpa"), col("_s"))
+        .join(posting.select(col("_fp").as("_fpb"), col("_s")), "_s")
+        .select("_fpa", "_fpb")
+    }, threshold)
   }
 }

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.asDouble
+import graft.plans.VectorNative.dot
 
 /** Similarity search over embedding columns — J8/X1 in SURVEY.md §2.3,
   * §2.10 (reference README.md:52; harness north-star "similarity
@@ -29,11 +30,16 @@ object Similarity {
       qId: String, qVec: String,
       cId: String, cVec: String,
       k: Int): DataFrame = {
+    // norms once per row BEFORE the pair join (3× fewer dots), dot via
+    // the codegen'd native expression — identical doubles to the HOF
+    // form, so oracle hashes are unaffected
     val q = queries.select(col(qId).as("q_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_qn", sqrt(dot(col("_qv"), col("_qv"))))
     val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     q.crossJoin(broadcast(c))
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "c_id", "rnk", "cos")
@@ -80,13 +86,15 @@ object Similarity {
         base.bitwiseXOR(lit(1L << p)))): _*)
     }
     val q = queries.select(col(qId).as("q_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_qn", sqrt(dot(col("_qv"), col("_qv"))))
       .withColumn("_bucket", explode(probes))
     val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
       .withColumn("_bucket", lshBucket(col("_cv"), nPlanes))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     q.join(c, "_bucket")
       .dropDuplicates("q_id", "c_id")
-      .withColumn("cos", cosine(col("_qv"), col("_cv")))
+      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "c_id", "rnk", "cos")
@@ -98,9 +106,11 @@ object Similarity {
   def nearDupPairs(
       df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
     val a = df.select(col(id).as("a_id"), asDouble(col(vec)).as("_av"))
+      .withColumn("_an", sqrt(dot(col("_av"), col("_av"))))
     val b = df.select(col(id).as("b_id"), asDouble(col(vec)).as("_bv"))
+      .withColumn("_bn", sqrt(dot(col("_bv"), col("_bv"))))
     a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("_av"), col("_bv")))
+      .withColumn("cos", dot(col("_av"), col("_bv")) / (col("_an") * col("_bn")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }

@@ -497,10 +497,37 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** F6: map family — JSON props parsed to MapType, element access
+    * (reference README.md:33 raw-log props). */
+  private val f6 = QuerySpec(
+    "q_f6_map",
+    """SELECT event_id,
+      |       CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k_val,
+      |       CAST(1 AS BIGINT) AS n_keys
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    Tables.events(s, d).select(
+      col("event_id"),
+      element_at(m, "k").as("k_val"),
+      size(map_keys(m)).cast("long").as("n_keys"))
+      .orderBy("event_id")
+  }
+
+  /** A6c: approximate distinct (HLL++) — the 100 TB path for
+    * cardinality; sketch values differ across engines so the check is a
+    * tolerance property in RelationalSpec, not a hash oracle. */
+  private val a6c = QuerySpec.noOracle("q_a6_approx_distinct") { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     s1, s2, s7, p2, p3, p4, p5,
     j1, j2, j4, j6, j7semi, j7anti,
-    a1, a4, a6, a6b, a7, a8, a9,
+    a1, a4, a6, a6b, a6c, a7, a8, a9,
     t1, u1, u2, u3,
-    f1, f2, f3, f5, f7)
+    f1, f2, f3, f5, f6, f7)
 }

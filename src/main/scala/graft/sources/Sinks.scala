@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Sinks — S5/S6 in SURVEY.md §2.1 (reference README.md:95-103 forecast
+  * persistence; README.md:140 "Backend logs all predictions").
+  *
+  * Scale conventions baked in:
+  *  - output partitioned by prediction date → static AND dynamic
+  *    partition pruning for every date-bounded read-back;
+  *  - append-only writes (the reference's forecast table is
+  *    insert-only);
+  *  - audit rows are narrow (query name, ts, row count) so the audit
+  *    sink never becomes the bottleneck.
+  */
+object Sinks {
+
+  /** S5: persist forecasts, partitioned by prediction date. */
+  def writeForecasts(df: DataFrame, path: String): Unit =
+    df.withColumn("p_date", col("prediction_date"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("p_date")
+      .parquet(path)
+
+  /** S6: append one narrow audit row per served query. */
+  def auditLog(df: DataFrame, queryName: String, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((queryName, java.time.Instant.now().toEpochMilli, df.count()))
+      .toDF("query_name", "served_at_ms", "n_rows")
+      .write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** S5 (streaming): forecast stream → partitioned parquet with
+    * checkpointing — exactly-once file sink. */
+  def streamForecasts(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+}
