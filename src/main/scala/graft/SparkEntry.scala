@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered query specs, by module. */
   def specs: Seq[QuerySpec] =
     RelationalQueries.all ++ TimeSeriesQueries.all ++
-      TextVectorQueries.all ++ MultimodalQueries.all ++ DomainQueries.all
+      TextVectorQueries.all ++ MultimodalQueries.all ++ DomainQueries.all ++
+      AdvancedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * EP1, the reference's canonical interaction (README.md:68-79):

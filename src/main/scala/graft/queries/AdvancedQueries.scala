@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.OracleCompat._
+
+/** Catalyst-feature queries rounding out SURVEY.md §4: deterministic
+  * stddev, pivot, correlated scalar subquery (decorrelation rewrite),
+  * and cube grouping sets.
+  */
+object AdvancedQueries {
+
+  /** A8b: sample stddev via exact decimal moments — the explicit
+    * formula is engine-portable where built-in stddev_samp is not
+    * (accumulation-order differences). */
+  private val stddev = QuerySpec(
+    "q_a8_stddev",
+    """SELECT event_type, COUNT(value) AS n,
+      |       SQRT((CAST(COUNT(value) AS DOUBLE) * CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
+      |             - CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE))
+      |            / (CAST(COUNT(value) AS DOUBLE) * (CAST(COUNT(value) AS DOUBLE) - 1.0))) AS sd
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(count(col("value")).as("n"), dstddev(col("value")).as("sd"))
+      .orderBy("event_type")
+  }
+
+  /** A10: pivot — per-user event-type counts as columns. The oracle is
+    * the portable conditional-aggregate form; Spark's pivot plans to
+    * the same single-pass aggregate. */
+  private val pivot = QuerySpec(
+    "q_a10_pivot",
+    """SELECT user_id,
+      |       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      |       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      |       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      |       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      |       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  /** SQ1: correlated scalar subquery — "readings above their site's own
+    * average" (SURVEY.md §4: RewriteCorrelatedScalarSubquery). Through
+    * the SQL surface to exercise the decorrelation rule explicitly. */
+  private val scalarSubquery = QuerySpec(
+    "q_sq_correlated",
+    """SELECT e.event_id, e.user_id, e.value
+      |FROM events e
+      |WHERE e.value > (SELECT CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*)
+      |                 FROM events i WHERE i.user_id = e.user_id)
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("events_sq")
+    s.sql(
+      """SELECT e.event_id, e.user_id, e.value
+        |FROM events_sq e
+        |WHERE e.value > (SELECT CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*)
+        |                 FROM events_sq i WHERE i.user_id = e.user_id)
+        |ORDER BY e.event_id""".stripMargin)
+  }
+
+  /** A7b: cube — all grouping-set combinations in one Expand pass. */
+  private val cube = QuerySpec(
+    "q_a7_cube",
+    """SELECT COALESCE(n_name, 'ALL') AS nation_name, COALESCE(c_mktsegment, 'ALL') AS segment,
+      |       COUNT(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE(n_name, c_mktsegment)
+      |ORDER BY nation_name, segment""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer_cb")
+    Tables.nation(s, d).createOrReplaceTempView("nation_cb")
+    s.sql(
+      """SELECT COALESCE(n_name, 'ALL') AS nation_name, COALESCE(c_mktsegment, 'ALL') AS segment,
+        |       COUNT(*) AS n
+        |FROM customer_cb JOIN nation_cb ON c_nationkey = n_nationkey
+        |GROUP BY CUBE(n_name, c_mktsegment)
+        |ORDER BY nation_name, segment""".stripMargin)
+  }
+
+  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube)
+}
