@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  test("graft_dot is registered on the SQL surface via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+  }
+
+  test("graft_dot matches the HOF composition on real embeddings") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    import graft.plans.VectorNative
+    val v = col("embedding").cast("array<double>")
+    val diff = graft.core.Tables.embeddings(spark, TestSession.sfDir)
+      .select((VectorNative.dot(v, v) - VectorFunctions.dot(v, v)).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff === 0) // bit-identical, not just close
+  }
+}

@@ -33,11 +33,17 @@ class StreamingSpec extends AnyFunSuite {
     // event time far enough (11:00 bucket end + 10 min) to close 10:00
     in.addData((3L, ts("2024-01-01 10:59:00"), 4.0, 7L))
     in.addData((4L, ts("2024-01-01 12:30:00"), 8.0, 7L))
+    q.processAllAvailable()
+    // ST7 drop semantics: watermark is now 12:20; an hours-late event
+    // for the closed 10:00 bucket must be DROPPED, not re-emitted
+    in.addData((5L, ts("2024-01-01 10:01:00"), 100.0, 7L))
+    in.addData((6L, ts("2024-01-01 14:00:00"), 1.0, 7L))
     q.processAllAvailable(); q.stop()
     val out = spark.table("st2").collect()
-    val b10 = out.find(_.getAs[Timestamp]("bucket_start") == ts("2024-01-01 10:00:00")).get
-    assert(b10.getAs[Long]("n") === 3)
-    assert(b10.getAs[Double]("val_sum") === 7.0)
+    val b10 = out.filter(_.getAs[Timestamp]("bucket_start") == ts("2024-01-01 10:00:00"))
+    assert(b10.length === 1, "closed bucket must not re-emit for too-late data")
+    assert(b10.head.getAs[Long]("n") === 3)
+    assert(b10.head.getAs[Double]("val_sum") === 7.0)
   }
 
   test("ST4: streaming session window merges a burst and splits on quiet gap") {
