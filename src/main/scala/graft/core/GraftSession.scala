@@ -28,6 +28,10 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); Spark has no ns type, so
       // read as long and convert in Tables.events (µs-aligned data → lossless)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (bucketed writes) land outside the repo; override
+      // in production
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -49,12 +49,16 @@ object Dedup {
         greatest(col("_fpa"), col("_fpb")).as("_fpb"))
       .filter(col("_fpa") =!= col("_fpb"))
       .dropDuplicates("_fpa", "_fpb")
+    // Union-free exact Jaccard: |A∪B| = |A|+|B|−|A∩B| (sets by
+    // construction) — same integers, same double, half the per-pair
+    // array work. Verification dominated the profile (21 s for 5.3M
+    // candidates of which 0.5% survive at sf0.1).
     val verified = cand
       .join(reps.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
       .join(reps.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
+      .withColumn("_i", size(array_intersect(col("_seta"), col("_setb"))))
       .withColumn("jaccard",
-        size(array_intersect(col("_seta"), col("_setb"))).cast("double") /
-          size(array_union(col("_seta"), col("_setb"))))
+        col("_i").cast("double") / (size(col("_seta")) + size(col("_setb")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("_fpa", "_fpb", "jaccard")
     val members = tagged.select(col("_fp"), col("_id"))

@@ -82,5 +82,19 @@ object AdvancedQueries {
         |ORDER BY nation_name, segment""".stripMargin)
   }
 
-  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube)
+  /** SK1: salted two-phase aggregation — identical results to direct
+    * GROUP BY (the oracle), shaped to survive a pathologically hot key
+    * (operators.Skew; ARCHITECTURE.md skew notes). */
+  private val saltedAgg = QuerySpec(
+    "q_skew_salted_agg",
+    """SELECT user_id, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    graft.operators.Skew.saltedSumCount(
+      Tables.events(s, d), "user_id", saltBuckets = 8,
+      Seq("val_sum" -> col("value")))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg)
 }

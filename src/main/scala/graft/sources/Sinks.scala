@@ -34,6 +34,18 @@ object Sinks {
       .write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Bucketed table write: pre-shuffles ONCE at write time so every
+    * subsequent equi-join/aggregation on `key` is co-located —
+    * shuffle-free reads forever after (SURVEY.md §4 "Partitioning &
+    * shuffle"; asserted plan-level in BucketedJoinSpec). The number of
+    * buckets is the write-time parallelism contract: pick ~2× target
+    * cluster cores at production scale. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table) // managed table under spark.sql.warehouse.dir
+
   /** S5 (streaming): forecast stream → partitioned parquet with
     * checkpointing — exactly-once file sink. */
   def streamForecasts(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
