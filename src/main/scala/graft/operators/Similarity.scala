@@ -100,6 +100,53 @@ object Similarity {
       .select("q_id", "c_id", "rnk", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path
+    * besides [[lshTopK]]. Centroids are a deterministic hash-seeded
+    * sample of the corpus (the `nCells` vectors with smallest
+    * xxhash64(id) — no RNG, no training step; swap in k-means centroids
+    * for clustered corpora). Every corpus vector is assigned to its
+    * max-cosine cell once; each query probes its `nProbe` best cells,
+    * so the search cost is ~nProbe/nCells of brute force. The cell
+    * assignment IS the partitioning at 100 TB: each cell is a
+    * partition-local scan.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
+    val centroids = c
+      .withColumn("_h", xxhash64(col("c_id")))
+      .orderBy("_h").limit(nCells)
+      .select(col("c_id").as("_cell"), col("_cv").as("_cellv"), col("_cn").as("_celln"))
+    // corpus → best cell (one small crossJoin against nCells rows)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("_sim", dot(col("_cv"), col("_cellv")) / (col("_cn") * col("_celln")))
+      .groupBy("c_id")
+      .agg(expr("max_by(_cell, struct(_sim, -_cell))").as("_cell"),
+        first(col("_cv")).as("_cv"), first(col("_cn")).as("_cn"))
+    // query → nProbe best cells
+    val q = queries.select(col(qId).as("q_id"), asDouble(col(qVec)).as("_qv"))
+      .withColumn("_qn", sqrt(dot(col("_qv"), col("_qv"))))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_sim", dot(col("_qv"), col("_cellv")) / (col("_qn") * col("_celln")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("_sim").desc, col("_cell").asc)))
+      .filter(col("_pr") <= nProbe)
+      .select("q_id", "_qv", "_qn", "_cell")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    probes.join(assigned, "_cell")
+      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id", "rnk", "cos")
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup detection).
     * Brute pairwise with the smaller side broadcast; the LSH bucket join
     * above is the drop-in scale path. */

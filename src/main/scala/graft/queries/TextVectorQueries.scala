@@ -192,8 +192,18 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF ANN — second approximate scale path; recall asserted in
+    * SimilaritySpec (approximate → no hash oracle). */
+  private val simIvf = QuerySpec.noOracle("q_sim_ivf_topk") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < 100), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint,
     dedupFingerprint, dedupMinhash, dedupNgram, dedupSimhash, dedupEmbedding,
-    simTopk, simLsh)
+    simTopk, simLsh, simIvf)
 }

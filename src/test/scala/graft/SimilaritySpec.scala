@@ -33,6 +33,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.35, s"recall $recall")
   }
 
+  test("IVF multiprobe: recall floor and self-cell containment") {
+    val ivf = Similarity.ivfTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+    val bf = brute.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val got = ivf.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    // probing 4/16 cells on isotropic vectors → recall ≈ self-match +
+    // ~probed fraction (same argument as LSH; see Similarity scaladoc)
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("LSH cosines agree with brute-force cosines on shared pairs") {
     val lsh = Similarity.lshTopK(
       queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4)
