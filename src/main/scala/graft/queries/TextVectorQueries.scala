@@ -93,6 +93,42 @@ object TextVectorQueries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top terms per document — the classic relevance weighting,
+    * fully relational: explode → tf per (doc, term) → df per term →
+    * ln(N/df) → per-doc rank. Ranked on the ROUNDED score in both
+    * engines so libm ulp differences in ln() cannot flip ranks. */
+  private val tfidf = QuerySpec(
+    "q_text_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, tfidf, rnk FROM (
+      |  SELECT doc_id, term, tfidf,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("_n") / col("df")), 6))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tfidf", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   // ---- dedup suite (X4 / harness north-star) --------------------------
 
   private val dedupFingerprint = QuerySpec(
@@ -203,7 +239,7 @@ object TextVectorQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    tokenize, quality, langid, fingerprint,
+    tokenize, quality, langid, fingerprint, tfidf,
     dedupFingerprint, dedupMinhash, dedupNgram, dedupSimhash, dedupEmbedding,
     simTopk, simLsh, simIvf)
 }

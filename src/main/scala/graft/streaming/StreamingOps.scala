@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface — SURVEY.md §2.9 (reference README.md:24,
   * 26: Celery micro-batch pipeline over continuously arriving sensor/
@@ -60,6 +61,47 @@ object StreamingOps {
     * downward crossing; state is one boolean per key. Late events within
     * the watermark re-enter their key group ordered by micro-batch, which
     * matches the at-least-once alerting contract. */
+  /** ST6 on the Spark 4 `transformWithState` API: same breach/recover
+    * semantics as [[thresholdAlerts]], state as a typed ValueState in
+    * the RocksDB state store (required by this API — the session must
+    * set the RocksDBStateStoreProvider). New code should prefer this
+    * form: TTL, timers and multiple typed state variables come for
+    * free; [[thresholdAlerts]] remains for pre-4.x-style deployments. */
+  class BreachProcessor(threshold: Double)
+      extends StatefulProcessor[Long, Reading, Alert] {
+    @transient private var inBreach: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      inBreach = getHandle.getValueState[Boolean](
+        "inBreach", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Reading], tv: TimerValues): Iterator[Alert] = {
+      var breached = inBreach.exists() && inBreach.get()
+      val alerts = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+        val now = r.value >= threshold
+        val out =
+          if (now && !breached) Some(Alert(r.user_id, r.ts, "BREACH", r.value))
+          else if (!now && breached) Some(Alert(r.user_id, r.ts, "RECOVER", r.value))
+          else None
+        breached = now
+        out
+      }
+      inBreach.update(breached)
+      alerts.iterator
+    }
+  }
+
+  def thresholdAlertsTWS(
+      readings: Dataset[Reading],
+      threshold: Double): Dataset[Alert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .groupByKey(_.user_id)
+      .transformWithState(new BreachProcessor(threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def thresholdAlerts(
       readings: Dataset[Reading],
       threshold: Double): Dataset[Alert] = {

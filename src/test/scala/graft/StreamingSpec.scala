@@ -91,6 +91,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(alerts.map(_.kind).toSeq === Seq("BREACH", "RECOVER"))
   }
 
+  test("ST6 via transformWithState: same alerts on the new stateful API") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Reading](spark)
+      val q = StreamingOps.thresholdAlertsTWS(in.toDS(), threshold = 50.0)
+        .writeStream.format("memory").queryName("st6tws").outputMode("append").start()
+      in.addData(
+        Reading(2L, ts("2024-01-01 10:00:00"), 10.0),
+        Reading(2L, ts("2024-01-01 10:01:00"), 60.0))
+      q.processAllAvailable()
+      in.addData(Reading(2L, ts("2024-01-01 10:03:00"), 20.0))
+      q.processAllAvailable(); q.stop()
+      val alerts = spark.table("st6tws").as[Alert].collect().sortBy(_.ts.getTime)
+      assert(alerts.map(_.kind).toSeq === Seq("BREACH", "RECOVER"))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
