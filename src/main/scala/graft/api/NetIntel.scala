@@ -19,8 +19,7 @@ object NetIntel {
   def chatTopOutages(
       spark: SparkSession, dir: String,
       date: String, zone: String, k: Int = 3): DataFrame = {
-    val f = DomainTables.forecasts(spark, dir)
-      .filter(col("prediction_date") === lit(date).cast("date"))
+    val f = DomainTables.forecastsForDate(spark, dir, date)
     val s = DomainTables.sites(spark, dir).filter(col("zone") === zone)
     val kb = DomainTables.knowledgeBase(spark, dir)
     f.join(broadcast(s), "site_code")
@@ -36,9 +35,8 @@ object NetIntel {
   def forecastsFor(
       spark: SparkSession, dir: String,
       date: String, minProbability: Double): DataFrame =
-    DomainTables.forecasts(spark, dir)
-      .filter(col("prediction_date") === lit(date).cast("date") &&
-        col("outage_probability") >= minProbability)
+    DomainTables.forecastsForDate(spark, dir, date)
+      .filter(col("outage_probability") >= minProbability)
       .orderBy(col("outage_probability").desc, col("id").asc)
 
   /** EP3 (reference README.md:87,60-63): recommended FME deployments —
@@ -48,8 +46,7 @@ object NetIntel {
   def schedule(
       spark: SparkSession, dir: String,
       date: String, perZone: Int = 5): DataFrame = {
-    val f = DomainTables.forecasts(spark, dir)
-      .filter(col("prediction_date") === lit(date).cast("date"))
+    val f = DomainTables.forecastsForDate(spark, dir, date)
     val urgency = f.groupBy("site_code")
       .agg(max(col("outage_probability")).as("urgency"))
     // "open ticket" = an error-root-cause forecast for the site that day

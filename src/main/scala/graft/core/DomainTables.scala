@@ -33,6 +33,33 @@ object DomainTables {
       (col("value") / 100).as("outage_probability"),
       col("event_type").as("root_cause"))
 
+  /** Date-bounded forecasts with REAL parquet pushdown: `events.ts` is
+    * int64 nanos on disk (Spark has no ns type), so a predicate on the
+    * converted timestamp cannot prune row groups — but the equivalent
+    * range on the raw long can. UTC day [d, d+1) in ns ⟺
+    * CAST(ts AS DATE) = d, since the data is µs-aligned and positive.
+    * At 100 TB this is the difference between scanning one day and
+    * scanning the table. */
+  def forecastsForDate(s: SparkSession, dir: String, date: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = Tables.load(s, dir, "events")
+    val startNs = java.time.LocalDate.parse(date).toEpochDay * 86400L * 1000000000L
+    val endNs = startNs + 86400L * 1000000000L
+    val bounded =
+      if (raw.schema("ts").dataType == LongType)
+        raw.filter(col("ts") >= startNs && col("ts") < endNs)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        raw.filter(col("ts") >= lit(date).cast("timestamp") &&
+          col("ts") < date_add(lit(date).cast("date"), 1).cast("timestamp"))
+    bounded.select(
+      col("event_id").as("id"),
+      concat(lit("S"), col("user_id") + 1).as("site_code"),
+      to_date(col("ts")).as("prediction_date"),
+      (col("value") / 100).as("outage_probability"),
+      col("event_type").as("root_cause"))
+  }
+
   /** knowledge_base(root_cause, resolution, fme_plan) — J3 broadcast dim
     * (reference README.md:11,57-58). */
   def knowledgeBase(s: SparkSession, dir: String): DataFrame =
