@@ -20,6 +20,41 @@ object ProfileDedup {
     }
     val df = Tables.documents(spark, sfDir)
     time("warmup")(df.count())
+    if (args.contains("--bench-history")) {
+      // replay the queries Bench runs before the dedup ops, to expose
+      // session-state effects on their timings
+      SparkEntry.queries.toSeq.sortBy(_._1).takeWhile(_._1 != "q_dedup_minhash")
+        .foreach { case (n, fn) =>
+          time(s"history $n")(fn(spark, sfDir).count())
+        }
+    }
+    if (args.contains("--repeat-ngram")) {
+      val stages = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+          stages += ((si.stageId, si.numTasks, wall, si.name.take(60)))
+        }
+      })
+      (1 to 3).foreach { i =>
+        stages.clear()
+        time(s"ngram run $i")(
+          println("  npairs=" + Dedup.ngramJaccardPairs(df, "doc_id", "text").count()))
+        stages.sortBy(-_._3).take(5).foreach { case (id, n, ms, nm) =>
+          println(f"    stage $id%4d tasks=$n%3d wall=${ms / 1000.0}%7.2fs $nm")
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    // fresh-session timings FIRST: later staged counts leave reusable
+    // shuffle files that make re-timings of the full operators misleading
+    time("FRESH minhash operator")(
+      println("  pairs=" + Dedup.minHashPairs(df, "doc_id", "text").count()))
+    time("FRESH ngram operator")(
+      println("  npairs=" + Dedup.ngramJaccardPairs(df, "doc_id", "text").count()))
     val docs = df.select(col("doc_id").as("_id"), Dedup.tokenHashSet(col("text")).as("_set"))
     val tagged = docs.withColumn("_fp", xxhash64(array_sort(col("_set"))))
     time("collapse (reps count)")(
@@ -49,6 +84,32 @@ object ProfileDedup {
     time("verify")(println("  verified=" + verified.count()))
     time("full operator")(
       println("  pairs=" + Dedup.minHashPairs(df, "doc_id", "text").count()))
+
+    // ---- ngram stages ----
+    val ndocs = df.select(col("doc_id").as("_id"),
+      array_distinct(transform(Dedup.shingles(col("text"), 3), x => xxhash64(x))).as("_set"))
+      .filter(size(col("_set")) > 0)
+    val ntagged = ndocs.withColumn("_fp", xxhash64(array_sort(col("_set"))))
+    time("ngram collapse")(
+      println("  nreps=" + ntagged.select("_fp").distinct().count()))
+    val nreps = ntagged.groupBy("_fp")
+      .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set"))
+    val ex = nreps.select(col("_fp"), explode(col("_set")).as("_s"))
+    val freq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp").orderBy("_df", "_s")
+    val posting = ex.join(freq, "_s")
+      .withColumn("_rn", row_number().over(w))
+      .join(nreps.select(col("_fp"), size(col("_set")).as("_n")), "_fp")
+      .filter(col("_rn") <= floor(col("_n") * 0.2) + 1)
+      .select("_fp", "_s")
+    time("ngram postings")(println("  postings=" + posting.count()))
+    val ncand = posting.select(col("_fp").as("_fpa"), col("_s"))
+      .join(posting.select(col("_fp").as("_fpb"), col("_s")), "_s")
+      .filter(col("_fpa") < col("_fpb")).select("_fpa", "_fpb")
+    time("ngram cand raw")(println("  nraw=" + ncand.count()))
+    time("ngram cand distinct")(println("  ncand=" + ncand.dropDuplicates("_fpa", "_fpb").count()))
+    time("ngram full operator")(
+      println("  npairs=" + Dedup.ngramJaccardPairs(df, "doc_id", "text").count()))
     spark.stop()
   }
 }

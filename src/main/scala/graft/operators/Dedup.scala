@@ -41,9 +41,17 @@ object Dedup {
       docs: DataFrame,
       candidates: DataFrame => DataFrame,
       threshold: Double): DataFrame = {
-    val tagged = docs.withColumn("_fp", xxhash64(array_sort(col("_set"))))
+    // Both frames fan out to 3+ branches of the DAG (candidates, two
+    // verify joins, member expansion); without persistence Spark
+    // recomputes the tokenize→hash→sort subtree per branch, which
+    // profiled as ~70% of the whole operator. They are small — O(docs ×
+    // set size) — and evictable (MEMORY_AND_DISK).
+    val tagged = docs
+      .withColumn("_fp", xxhash64(array_sort(col("_set"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = tagged.groupBy("_fp")
       .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidates(reps)
       .select(least(col("_fpa"), col("_fpb")).as("_fpa"),
         greatest(col("_fpa"), col("_fpb")).as("_fpb"))
@@ -127,7 +135,12 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val docs = df.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
+    // spread the RAW rows before the tokenize/hash projection: a small
+    // corpus is one parquet split, and without this the whole expensive
+    // projection runs as a single task (profiled at 8-9 s serial — and
+    // hypersensitive to one slow core)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val docs = spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
     collapseVerifyExpand(docs, reps => {
       // signatures + band hashes on REPRESENTATIVES only; band join
       // carries the cluster fingerprint, nothing else
@@ -174,7 +187,11 @@ object Dedup {
     * chunks guarantees it for ≤ 3 flipped bits), then verify Hamming. */
   def simHashPairs(
       df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val docs = df.select(col(id).as("_id"), simHash(tokenSet(col(text))).as("_sh"))
+    // spread raw rows first — the 64-bit vote computation is the most
+    // expensive per-row projection in the suite (same single-split
+    // argument as minHashPairs)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val docs = spread.select(col(id).as("_id"), simHash(tokenSet(col(text))).as("_sh"))
     val chunked = docs.select(col("_id"), col("_sh"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("_sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -211,7 +228,10 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: String, text: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val docs = df.select(col(id).as("_id"),
+    // spread raw rows before shingling — same single-split argument as
+    // minHashPairs
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val docs = spread.select(col(id).as("_id"),
       array_distinct(transform(shingles(col(text), n), s => xxhash64(s))).as("_set"))
       // shingle-less docs (< n tokens) have no defined Jaccard (0/0) —
       // excluding them matches the oracle's NULL-comparison semantics
