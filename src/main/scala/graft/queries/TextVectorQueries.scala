@@ -198,6 +198,46 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** The north-star composite: a full corpus-cleaning pass — quality
+    * filter → exact near-dup removal (keep lowest doc_id per token-set
+    * fingerprint) → per-language corpus stats. One declarative plan:
+    * filter + window dedup + aggregate, no intermediate materialization. */
+  private val corpusClean = QuerySpec(
+    "q_pipeline_corpus_clean",
+    """WITH scored AS (
+      |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
+      |         md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents),
+      |quality AS (
+      |  SELECT * FROM scored
+      |  WHERE len(toks) BETWEEN 20 AND 2000
+      |    AND len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it'], t)))::DOUBLE / len(toks) > 0.05),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, lang, toks,
+      |           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM quality) t WHERE rn = 1)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+      |       CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS total_distinct_tokens
+      |FROM dedup GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val quality = Tables.documents(s, d)
+      .withColumn("toks", toks)
+      .filter(size(col("toks")).between(20, 2000) &&
+        TextAnalysis.stopwordRatio(col("toks")) > 0.05)
+    val deduped = Dedup.withFingerprint(quality, "text")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fingerprint").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    deduped.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks"))).cast("long").as("total_tokens"),
+        sum(size(array_distinct(col("toks")))).cast("long").as("total_distinct_tokens"))
+      .orderBy("lang")
+  }
+
   // ---- similarity search (J8/X1) --------------------------------------
 
   private val simTopk = QuerySpec(
@@ -239,7 +279,7 @@ object TextVectorQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    tokenize, quality, langid, fingerprint, tfidf,
+    tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     dedupFingerprint, dedupMinhash, dedupNgram, dedupSimhash, dedupEmbedding,
     simTopk, simLsh, simIvf)
 }
