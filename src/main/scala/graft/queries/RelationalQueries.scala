@@ -204,15 +204,18 @@ object RelationalQueries {
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
-  /** J7b: left-anti — predicted-to-fail sites with NO open ticket =
-    * proactive-deployment set (reference README.md:10,60-62). */
+  /** J7b: left-anti — predicted-to-fail sites with NO open high-value
+    * ticket = proactive-deployment set (reference README.md:10,60-62).
+    * Anti-joined against the same filtered set as J7a so both branches
+    * are non-empty at every scale factor. */
   private val j7anti = QuerySpec(
     "q_j7_anti_join",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name").orderBy("c_custkey")
   }
 
@@ -375,10 +378,11 @@ object RelationalQueries {
   private val u2 = QuerySpec(
     "q_u2_except",
     """SELECT c_custkey FROM customer
-      |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+      |EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     Tables.customer(s, d).select("c_custkey")
-      .except(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .except(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
   }
 
