@@ -14,13 +14,14 @@ import org.apache.spark.sql.SparkSession
   *     cluster AQE coalescing makes the initial number mostly irrelevant.
   */
 object GraftSession {
-  def local(cores: Int = 32, extraConf: Map[String, String] = Map.empty): SparkSession = {
-    val b = SparkSession
-      .builder()
-      .master(s"local[$cores]")
-      .appName("graft")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cores.toString)
+
+  /** The engine's common configuration, applied identically by every
+    * entry point (tests, Verify, Bench) so a function registered via
+    * extensions or a conf-dependent plan never behaves differently
+    * between the test session and the driver-contract mains. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -32,6 +33,10 @@ object GraftSession {
       // in production
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+
+  def local(cores: Int = 32, extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val b = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
     extraConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

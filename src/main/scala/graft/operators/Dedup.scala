@@ -36,6 +36,12 @@ object Dedup {
     * @param docs (_id, _set: array<long>)
     * @param candidates reps(_fp, _rid, _set) → candidate pairs
     *                   (_fpa, _fpb), any orientation, dupes allowed
+    *
+    * Note: two small frames are persisted per invocation and stay
+    * cached for the session (they back the lazily-returned result).
+    * Long-lived sessions issuing many dedup calls should
+    * `spark.catalog.clearCache()` after materializing results — Bench
+    * and Verify do.
     */
   private def collapseVerifyExpand(
       docs: DataFrame,
@@ -111,13 +117,8 @@ object Dedup {
     * token sets ⇒ identical signatures (recall 1.0 on true duplicates);
     * P(sigᵢ equal) ≈ Jaccard for distinct sets. Arithmetic-only per
     * (seed, token) — no per-element string allocation on the hot path. */
-  def minHashSignature(tokens: Column, numHashes: Int): Column = {
-    val p = lit(2147483647L)
-    val base = transform(tokens, t => pmod(xxhash64(t), p))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(base,
-        h => pmod(h * (i * 2 + 1) + i * lit(1013904223L), p))))
-  }
+  def minHashSignature(tokens: Column, numHashes: Int): Column =
+    minHashHashedSignature(transform(tokens, t => xxhash64(t)), numHashes)
 
   /** MinHash/LSH near-dup pairs with exact-Jaccard verification.
     *
@@ -246,10 +247,15 @@ object Dedup {
       val freq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("_fp").orderBy("_df", "_s")
+      // Required prefix is |S| − ⌈θ|S|⌉ + 1. Computed as
+      // n − floor(θ·n) + 1 (≥ required since floor ≤ ceil): errs toward
+      // a LONGER prefix under any floating-point rounding of θ·n, so
+      // completeness survives e.g. θ=0.8, n=10 where
+      // floor(n·(1−θ)) = floor(2.0000000000000004−ε) could land on 1.
       val posting = ex.join(freq, "_s")
         .withColumn("_rn", row_number().over(w))
         .join(reps.select(col("_fp"), size(col("_set")).as("_n")), "_fp")
-        .filter(col("_rn") <= floor(col("_n") * (1 - threshold)) + 1)
+        .filter(col("_rn") <= col("_n") - floor(col("_n") * threshold) + 1)
         .select("_fp", "_s")
       posting.select(col("_fp").as("_fpa"), col("_s"))
         .join(posting.select(col("_fp").as("_fpb"), col("_s")), "_s")

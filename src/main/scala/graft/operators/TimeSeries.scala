@@ -59,14 +59,20 @@ object TimeSeries {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val withAsof = valueCols.foldLeft(
-      u.withColumn("_asof_ts",
-        last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))) {
+    // One struct per right ROW (non-null even when carried values are
+    // null) so timestamp and values always come from the SAME matched
+    // row — per-column ignoreNulls would otherwise mix rows when a
+    // value column is null (true as-of returns the latest row as-is).
+    val rowStruct = struct((col("_ts").as("_asof_ts") +:
+      valueCols.map(c => col(s"$c$suffix"))): _*)
+    val matched = u.withColumn("_asof_row",
+      last(when(col("_side") === 0, rowStruct), ignoreNulls = true).over(w))
+    val projected = valueCols.foldLeft(
+      matched.withColumn("_asof_ts", col("_asof_row").getField("_asof_ts"))) {
       case (df, c) =>
-        df.withColumn(s"$c$suffix",
-          last(when(col("_side") === 0, col(s"$c$suffix")), ignoreNulls = true).over(w))
+        df.withColumn(s"$c$suffix", col("_asof_row").getField(s"$c$suffix"))
     }
-    withAsof.filter(col("_side") === 1).drop("_ts", "_side")
+    projected.filter(col("_side") === 1).drop("_ts", "_side", "_asof_row")
   }
 
   /** Resample to a fixed grid: tumbling-bucket aggregation — A2 in

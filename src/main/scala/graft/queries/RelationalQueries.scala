@@ -53,7 +53,10 @@ object RelationalQueries {
   private val s7 = QuerySpec(
     "q_s7_recent_logs",
     """SELECT event_id, epoch_ms(ts) AS ts_ms, event_type, value
-      |FROM events ORDER BY ts DESC, event_id DESC LIMIT 25""".stripMargin) { (s, d) =>
+      |FROM events ORDER BY epoch_ms(ts) DESC, event_id DESC LIMIT 25""".stripMargin) { (s, d) =>
+    // both engines order on the SAME ms-truncated key + id tiebreak —
+    // ordering on raw ts would let DuckDB's ns precision pick a
+    // different top-25 when two events share a millisecond
     Tables.events(s, d)
       .select(col("event_id"), epochMs(col("ts")).as("ts_ms"), col("event_type"), col("value"))
       .orderBy(col("ts_ms").desc, col("event_id").desc)

@@ -205,13 +205,16 @@ object TimeSeriesQueries {
   }
 
   /** ST4 (batch form): session windows over alarm bursts (reference
-    * README.md:32,9) — Spark session_window vs DuckDB gaps-and-islands. */
+    * README.md:32,9) — Spark session_window vs DuckDB gaps-and-islands.
+    * Boundary semantics aligned: Spark's session [t, t+gap) EXCLUDES an
+    * event at exactly t+gap, so the oracle breaks on `gap >= interval`,
+    * not strictly greater. */
   private val st4 = QuerySpec(
     "q_st4_sessionize",
     """WITH x AS (
       |  SELECT user_id, ts, value,
       |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+      |              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS brk
       |  FROM events),
       |y AS (SELECT user_id, ts, value,

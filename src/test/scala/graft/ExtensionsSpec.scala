@@ -12,6 +12,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r === 32.0)
   }
 
+  test("graft_dot returns NULL on length mismatch, like the HOF form") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(1.0D, 2.0D, 3.0D)) AS d").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("graft_dot matches the HOF composition on real embeddings") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions

@@ -30,6 +30,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(3L) === 7.0)  // simultaneous right row is visible
   }
 
+  test("asOfJoin returns the latest right ROW even when its value is null") {
+    // regression: per-column ignoreNulls used to mix the timestamp of
+    // one right row with the value of an earlier one
+    val left = Seq((1L, "a", ts("2024-01-01 12:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", ts("2024-01-01 10:00:00"), Some(5.0)),
+      ("a", ts("2024-01-01 11:00:00"), None: Option[Double])).toDF("k", "rts", "v")
+    val out = TimeSeries.asOfJoin(left, right, Seq("k"), "ts", "rts", Seq("v")).collect().head
+    assert(out.getAs[Timestamp]("_asof_ts") === ts("2024-01-01 11:00:00"))
+    assert(out.isNullAt(out.fieldIndex("v_asof")), "value must come from the SAME (latest) row")
+  }
+
   test("asOfJoin yields null when no prior right row exists") {
     val left = Seq((1L, "a", ts("2024-01-01 08:00:00"))).toDF("id", "k", "ts")
     val right = Seq(("a", ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "rts", "v")

@@ -37,7 +37,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        spark_files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not spark_files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
