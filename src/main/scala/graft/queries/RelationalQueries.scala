@@ -194,6 +194,28 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** J6b: holiday-calendar broadcast join (reference README.md:41
+    * "holiday" temporal feature) — tiny literal dim, left join on the
+    * date key, boolean feature out. */
+  private val j6holiday = QuerySpec(
+    "q_j6_holiday_join",
+    """SELECT e.event_id, CAST(e.ts AS DATE) AS day,
+      |       (h.holiday_date IS NOT NULL) AS is_holiday
+      |FROM events e
+      |LEFT JOIN (SELECT CAST(x AS DATE) AS holiday_date
+      |           FROM (VALUES ('2024-01-01'), ('2024-01-15')) t(x)) h
+      |  ON CAST(e.ts AS DATE) = h.holiday_date
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val holidays = Seq("2024-01-01", "2024-01-15").toDF("x")
+      .select(col("x").cast("date").as("holiday_date"))
+    Tables.events(s, d)
+      .select(col("event_id"), to_date(col("ts")).as("day"))
+      .join(broadcast(holidays), col("day") === col("holiday_date"), "left")
+      .select(col("event_id"), col("day"), col("holiday_date").isNotNull.as("is_holiday"))
+      .orderBy("event_id")
+  }
+
   /** J7a: left-semi — sites WITH open tickets (reference README.md:61-63
     * dispatch dedup); EXISTS shape, no row multiplication. */
   private val j7semi = QuerySpec(
@@ -533,7 +555,7 @@ object RelationalQueries {
 
   val all: Seq[QuerySpec] = Seq(
     s1, s2, s7, p2, p3, p4, p5,
-    j1, j2, j4, j6, j7semi, j7anti,
+    j1, j2, j4, j6, j6holiday, j7semi, j7anti,
     a1, a4, a6, a6b, a6c, a7, a8, a9,
     t1, u1, u2, u3,
     f1, f2, f3, f5, f6, f7)
