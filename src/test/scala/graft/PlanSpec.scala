@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-property regression gate (SURVEY.md §4): the scale-critical
+  * physical-plan properties asserted in CI, not just eyeballed. Each
+  * query executes first so the AQE-final plan (codegen ids, join
+  * choices) is what's inspected. */
+class PlanSpec extends AnyFunSuite {
+  import TestSession.{spark, sfDir}
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val p = finalPlan("q_s1_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("column pruning: scan reads only projected columns") {
+    val p = finalPlan("q_s1_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_shipdate:timestamp"))
+  }
+
+  test("dim chain plans as broadcast hash joins") {
+    val p = finalPlan("q_j1_dim_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("global top-k fuses into TakeOrderedAndProject (no full sort)") {
+    val p = finalPlan("q_t1_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship EP1: pushed ns-range date bound + broadcast dims + fused top-k") {
+    val p = finalPlan("q_ep1_chat_top_outages")
+    assert(p.contains("GreaterThanOrEqual(ts,"), "date bound must push as int64 ns range")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen is active on the aggregation path") {
+    val p = finalPlan("q_a1_groupby_pricing")
+    assert(p.contains("codegen id :"))
+  }
+
+  test("semi/anti joins plan as such (no row multiplication)") {
+    assert(finalPlan("q_j7_semi_join").contains("LeftSemi"))
+    assert(finalPlan("q_j7_anti_join").contains("LeftAnti"))
+  }
+}
