@@ -73,7 +73,63 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Intersection cardinality of two SORTED long arrays — the dedup
+  * verify hot path (millions of candidate pairs × ~70-element sets).
+  * Two-pointer merge in generated code: O(n+m), zero allocation, vs
+  * the hash-set build array_intersect does per call. Same integer
+  * result as size(array_intersect(a,b)) for duplicate-free sorted
+  * inputs (asserted in ExtensionsSpec), so oracle-neutral.
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sorted_intersect_size"
+}
+
 object VectorNative {
+
+  /** Codegen'd |A ∩ B| for sorted, duplicate-free array<long> Columns. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectSize(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   /** Codegen'd dot product of two Columns castable to array<double>. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(

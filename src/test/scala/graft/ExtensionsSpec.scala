@@ -18,6 +18,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("sortedIntersectSize equals size(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    import graft.plans.VectorNative
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id"), array_sort(Dedup.tokenHashSet(col("text"))).as("s"))
+    val a = docs.select(col("doc_id").as("a_id"), col("s").as("sa")).filter(col("a_id") < 50)
+    val b = docs.select(col("doc_id").as("b_id"), col("s").as("sb")).filter(col("b_id") < 50)
+    val diff = a.crossJoin(b)
+      .withColumn("fast", VectorNative.sortedIntersectSize(col("sa"), col("sb")))
+      .withColumn("ref", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0)
+  }
+
   test("graft_dot matches the HOF composition on real embeddings") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
