@@ -227,6 +227,19 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Hashed distinct n-gram shingle set, built WITHOUT materializing
+    * shingle strings: tokens hash once, each shingle identity is the
+    * xxhash64 of the n-tuple of token hashes. Bijective with the string
+    * shingle set modulo ~2⁻⁶⁴ collisions, so Jaccard values are
+    * unchanged — but the hot loop is pure long arithmetic. */
+  def shingleHashSet(text: Column, n: Int): Column = {
+    val th = transform(split(text, " "), t => xxhash64(t))
+    when(size(th) >= n,
+      array_distinct(transform(sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(o => element_at(th, i + o)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   /** n-gram Jaccard near-dup pairs via prefix filtering (PPJoin-style):
     * under a global shingle order, any pair with J ≥ θ must share one of
     * each document's first ⌊(1−θ)·|S|⌋+1 sorted shingles. Candidates are
@@ -238,8 +251,7 @@ object Dedup {
     // spread raw rows before shingling — same single-split argument as
     // minHashPairs
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val docs = spread.select(col(id).as("_id"),
-      array_distinct(transform(shingles(col(text), n), s => xxhash64(s))).as("_set"))
+    val docs = spread.select(col(id).as("_id"), shingleHashSet(col(text), n).as("_set"))
       // shingle-less docs (< n tokens) have no defined Jaccard (0/0) —
       // excluding them matches the oracle's NULL-comparison semantics
       .filter(size(col("_set")) > 0)
