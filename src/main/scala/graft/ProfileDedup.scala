@@ -77,19 +77,22 @@ object ProfileDedup {
     val verified = candD
       .join(reps.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
       .join(reps.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
+      .withColumn("_i", graft.plans.VectorNative.sortedIntersectSize(
+        array_sort(col("_seta")), array_sort(col("_setb"))))
       .withColumn("jaccard",
-        size(array_intersect(col("_seta"), col("_setb"))).cast("double") /
-          size(array_union(col("_seta"), col("_setb"))))
+        col("_i").cast("double") / (size(col("_seta")) + size(col("_setb")) - col("_i")))
       .filter(col("jaccard") >= 0.9)
     time("verify")(println("  verified=" + verified.count()))
     time("full operator")(
       println("  pairs=" + Dedup.minHashPairs(df, "doc_id", "text").count()))
 
-    // ---- ngram stages ----
+    // ---- ngram stages (mirrors the SHIPPED pipeline: hashed shingle
+    // tuples + sorted sets + two-pointer verify) ----
     val ndocs = df.select(col("doc_id").as("_id"),
-      array_distinct(transform(Dedup.shingles(col("text"), 3), x => xxhash64(x))).as("_set"))
+      Dedup.shingleHashSet(col("text"), 3).as("_set"))
       .filter(size(col("_set")) > 0)
-    val ntagged = ndocs.withColumn("_fp", xxhash64(array_sort(col("_set"))))
+    val ntagged = ndocs.withColumn("_set", array_sort(col("_set")))
+      .withColumn("_fp", xxhash64(col("_set")))
     time("ngram collapse")(
       println("  nreps=" + ntagged.select("_fp").distinct().count()))
     val nreps = ntagged.groupBy("_fp")

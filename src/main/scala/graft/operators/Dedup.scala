@@ -67,11 +67,12 @@ object Dedup {
         greatest(col("_fpa"), col("_fpb")).as("_fpb"))
       .filter(col("_fpa") =!= col("_fpb"))
       .dropDuplicates("_fpa", "_fpb")
-    // Union-free exact Jaccard with the two-pointer codegen intersect
-    // (sets arrive sorted from tokenHashSet/shingle hashing + the
-    // array_sort in _fp): |A∪B| = |A|+|B|−|A∩B| — same integers as
-    // size(array_intersect)/size(array_union), same double, a fraction
-    // of the per-pair work. Verification dominated the profile.
+    // Union-free exact Jaccard with the two-pointer codegen intersect.
+    // Sortedness is established by THIS function's array_sort at entry
+    // (tokenHashSet/shingleHashSet outputs are encounter-ordered, NOT
+    // sorted) — do not remove that sort. |A∪B| = |A|+|B|−|A∩B| — same
+    // integers as size(array_intersect)/size(array_union), same double,
+    // a fraction of the per-pair work.
     val verified = cand
       .join(reps.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
       .join(reps.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")

@@ -78,7 +78,9 @@ case class DotProduct(left: Expression, right: Expression)
   * Two-pointer merge in generated code: O(n+m), zero allocation, vs
   * the hash-set build array_intersect does per call. Same integer
   * result as size(array_intersect(a,b)) for duplicate-free sorted
-  * inputs (asserted in ExtensionsSpec), so oracle-neutral.
+  * inputs (asserted in ExtensionsSpec). PRECONDITION: callers must
+  * array_sort the inputs — Dedup.collapseVerifyExpand does so at its
+  * entry; unsorted inputs silently undercount.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -126,10 +128,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
 object VectorNative {
 
-  /** Codegen'd |A ∩ B| for sorted, duplicate-free array<long> Columns. */
+  /** Codegen'd |A ∩ B| for sorted, duplicate-free array<long> Columns.
+    * The cast guards against int-typed arrays reaching getLong. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectSize(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      ColumnBridge.expression(a.cast("array<bigint>")),
+      ColumnBridge.expression(b.cast("array<bigint>"))))
   /** Codegen'd dot product of two Columns castable to array<double>. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
