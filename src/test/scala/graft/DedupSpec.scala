@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite {
     assert(fpPairs.subsetOf(sh))
   }
 
+  test("cross-cluster verify path: near-identical (J<1) pair found with exact jaccard") {
+    import spark.implicits._
+    // 10 shared tokens + 1 unique each => J = 10/12; distinct fps, so the
+    // pair MUST flow through banding + the two-pointer verify (the
+    // within-cluster J=1 fast path cannot produce it)
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$shared aaa"),
+      (2L, s"$shared bbb"),
+      (3L, "completely different words here entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("a_id") === 1L && pairs.head.getAs[Long]("b_id") === 2L)
+    assert(math.abs(pairs.head.getAs[Double]("jaccard") - 10.0 / 12.0) < 1e-12)
+  }
+
   test("ngram prefix-filter join returns exactly the full-pairwise answer") {
     import spark.implicits._
     val sample = docs.filter(col("doc_id") < 100)
