@@ -62,4 +62,54 @@ object NetIntel {
     ranked.select("zone", "deploy_rank", "site_code", "urgency", "region")
       .orderBy("zone", "deploy_rank")
   }
+
+  /** EP3 with the README.md:61-declared LOCATION CLUSTERING stage:
+    * sites are grouped into `k` geographic clusters with MLlib KMeans
+    * and FME deployments ranked per cluster (one crew route per
+    * cluster) rather than per administrative zone.
+    *
+    * The harness tables carry no lat/lon, so coordinates are a
+    * deterministic stand-in derived from the site's region (all sites
+    * of a region share a base coordinate — regions ARE geography here)
+    * plus a small per-site jitter; swap [[pseudoCoords]] for real
+    * coordinates in production. KMeans is seeded, so assignments are
+    * reproducible; clustering has no SQL oracle (iterative ML) — it is
+    * property-tested in ForecastSpec. */
+  def scheduleClustered(
+      spark: SparkSession, dir: String,
+      date: String, k: Int = 4, perCluster: Int = 5): DataFrame = {
+    val f = DomainTables.forecastsForDate(spark, dir, date)
+    val urgency = f.groupBy("site_code")
+      .agg(max(col("outage_probability")).as("urgency"))
+    val ticketed = f.filter(col("root_cause") === "error").select("site_code")
+    val s = DomainTables.sites(spark, dir)
+    val sites = urgency
+      .join(ticketed, Seq("site_code"), "left_anti")
+      .join(broadcast(s), "site_code")
+      .withColumn("_x", pseudoCoord("x", col("region"), col("site_code")))
+      .withColumn("_y", pseudoCoord("y", col("region"), col("site_code")))
+    val feats = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("_x", "_y")).setOutputCol("_loc")
+      .transform(sites)
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42L).setFeaturesCol("_loc").setPredictionCol("cluster")
+      .fit(feats)
+    val ranked = model.transform(feats)
+      .withColumn("cluster", col("cluster").cast("long"))
+      .withColumn("deploy_rank",
+        row_number().over(Window.partitionBy("cluster")
+          .orderBy(col("urgency").desc, col("site_code").asc)).cast("long"))
+      .filter(col("deploy_rank") <= perCluster)
+    ranked.select("cluster", "deploy_rank", "site_code", "urgency", "zone", "region")
+      .orderBy("cluster", "deploy_rank")
+  }
+
+  /** Deterministic pseudo-coordinate: region base point (hash of the
+    * region name on a 10×10 grid) + per-site jitter ≤ 0.011 — two sites
+    * of one region are always far closer to each other than distinct
+    * region bases are likely to be. */
+  private def pseudoCoord(axis: String, region: org.apache.spark.sql.Column,
+      site: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(lit(axis), region), lit(1000)) / 100.0 +
+      pmod(xxhash64(lit(axis), site), lit(100)) / 10000.0
 }

@@ -199,20 +199,37 @@ object Dedup {
     // expensive per-row projection in the suite (same single-split
     // argument as minHashPairs)
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Collapse docs sharing an IDENTICAL simhash before the chunk join —
+    // the same trick [[collapseVerifyExpand]] applies to token sets. A
+    // dense cluster of k true duplicates otherwise inflates every chunk
+    // bucket it lands in by k, and the blocking join by k². Hamming
+    // depends only on the simhash, so within-fingerprint pairs are
+    // exactly 0 and cross-fingerprint pairs inherit the representative
+    // distance — output is identical to the uncollapsed join.
     val docs = spread.select(col(id).as("_id"), simHash(tokenSet(col(text))).as("_sh"))
-    val chunked = docs.select(col("_id"), col("_sh"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = docs.groupBy("_sh").agg(min(col("_id")).as("_rid"))
+    val chunked = reps.select(col("_sh"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("_sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "_chunk").withColumnRenamed("col", "_chunkval")
-    // ids+hash only through the blocking join (simhash is one long, so
-    // carrying it is cheap — unlike the token arrays above)
-    val a = chunked.select(col("_id").as("a_id"), col("_sh").as("_asha"), col("_chunk"), col("_chunkval"))
-    val b = chunked.select(col("_id").as("b_id"), col("_sh").as("_bsha"), col("_chunk"), col("_chunkval"))
-    a.join(b, Seq("_chunk", "_chunkval")).filter(col("a_id") < col("b_id"))
-      .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", expr("bit_count(_asha ^ _bsha)").cast("long"))
+    val a = chunked.select(col("_sh").as("_sha"), col("_chunk"), col("_chunkval"))
+    val b = chunked.select(col("_sh").as("_shb"), col("_chunk"), col("_chunkval"))
+    val verified = a.join(b, Seq("_chunk", "_chunkval"))
+      .filter(col("_sha") < col("_shb"))
+      .dropDuplicates("_sha", "_shb")
+      .withColumn("hamming", expr("bit_count(_sha ^ _shb)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+    val within = docs.select(col("_sh"), col("_id").as("a_id"))
+      .join(docs.select(col("_sh"), col("_id").as("b_id")), "_sh")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0L).as("hamming"))
+    val cross = verified
+      .join(docs.select(col("_sh").as("_sha"), col("_id").as("_ida")), "_sha")
+      .join(docs.select(col("_sh").as("_shb"), col("_id").as("_idb")), "_shb")
+      .select(least(col("_ida"), col("_idb")).as("a_id"),
+        greatest(col("_ida"), col("_idb")).as("b_id"), col("hamming"))
+    within.unionByName(cross)
   }
 
   // ---- n-gram Jaccard with prefix filtering ---------------------------
@@ -263,21 +280,42 @@ object Dedup {
       // the posting lists joined on as small as possible (lexicographic
       // ordering measured 3× slower: common shingles hot-spot the join)
       val ex = reps.select(col("_fp"), explode(col("_set")).as("_s"))
+      // Only shingles shared by ≥ 2 representatives need a real df: a
+      // df=1 shingle can never produce a candidate, and under the
+      // (df, s) order all df=1 shingles tie at the front regardless of
+      // exact count — so the broadcast side is the REPEATED vocabulary
+      // only, a small fraction of the full one.
       val freq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("_fp").orderBy("_df", "_s")
+        .filter(col("_df") >= 2)
+      // Prefix selection is IN-ROW: broadcast the repeated-shingle df
+      // onto the exploded rows (no posting-list shuffle), regroup once
+      // per representative, array_sort the (df, s) structs and slice.
+      // This replaces the previous shuffle-join + window-sort + join-back
+      // over the full posting list (profiled at ~65% of the operator
+      // under driver bench conditions) with ONE posting-list shuffle.
+      // At vocab scales past broadcast (~100s of MB) drop the hint and
+      // the same plan degrades gracefully to a shuffle join.
       // Required prefix is |S| − ⌈θ|S|⌉ + 1. Computed as
       // n − floor(θ·n) + 1 (≥ required since floor ≤ ceil): errs toward
       // a LONGER prefix under any floating-point rounding of θ·n, so
       // completeness survives e.g. θ=0.8, n=10 where
       // floor(n·(1−θ)) = floor(2.0000000000000004−ε) could land on 1.
-      val posting = ex.join(freq, "_s")
-        .withColumn("_rn", row_number().over(w))
-        .join(reps.select(col("_fp"), size(col("_set")).as("_n")), "_fp")
-        .filter(col("_rn") <= col("_n") - floor(col("_n") * threshold) + 1)
-        .select("_fp", "_s")
-      posting.select(col("_fp").as("_fpa"), col("_s"))
-        .join(posting.select(col("_fp").as("_fpb"), col("_s")), "_s")
+      val posting = ex.join(broadcast(freq), Seq("_s"), "left_outer")
+        .groupBy("_fp")
+        .agg(collect_list(struct(coalesce(col("_df"), lit(1L)).as("_df"),
+          col("_s"))).as("_dfs"))
+        .select(col("_fp"), size(col("_dfs")).as("_n"),
+          explode(expr("transform(" +
+            s"slice(array_sort(_dfs), 1, cast(size(_dfs) - floor(size(_dfs) * $threshold) + 1 as int)), " +
+            "x -> x._s)")).as("_s"))
+      // PPJoin length filter: J ≥ θ ⟹ θ·max(|A|,|B|) ≤ |A∩B| ≤
+      // min(|A|,|B|), so each side must be ≥ θ× the other. The 1e-9
+      // slack keeps boundary pairs (e.g. |A|=8, |B|=10, θ=0.8, J=0.8
+      // exactly) safe from θ's binary-fraction rounding.
+      posting.select(col("_fp").as("_fpa"), col("_n").as("_na"), col("_s"))
+        .join(posting.select(col("_fp").as("_fpb"), col("_n").as("_nb"), col("_s")), "_s")
+        .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
+          col("_nb") >= col("_na") * threshold - 1e-9)
         .select("_fpa", "_fpb")
     }, threshold)
   }

@@ -47,12 +47,14 @@ object Forecast {
     val test = assembler.transform(feats.filter(col("day") >= lit(splitDay).cast("date")))
     val model = new LogisticRegression()
       .setMaxIter(20).setRegParam(0.01).setLabelCol("label").fit(train)
-    val prob1 = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+    // vector_to_array is a built-in (codegen-friendly) — no UDF in the
+    // scoring plan
     model.transform(test)
       .select(
         concat(lit("S"), col("user_id") + 1).as("site_code"),
         col("day").as("prediction_date"),
-        prob1(col("probability")).as("outage_probability"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability"))
+          .getItem(1).as("outage_probability"),
         when(col("prev_err") === 1.0, "repeat-failure").otherwise("load-spike").as("root_cause"),
         lit("dispatch-fme").as("fme_plan"),
         lit("inspect-site").as("resolution"),
@@ -60,18 +62,16 @@ object Forecast {
   }
 
   /** Model-quality metrics (reference README.md:53,141): RMSE + AUC of
-    * the scored output — inputs for drift alerting (ST6). */
+    * the scored output — inputs for drift alerting (ST6). AUC uses the
+    * distributed tie-averaged rank ([[Ranks.aucStats]]) — no global
+    * single-task sort in the plan. */
   def metrics(scored: DataFrame): DataFrame = {
-    val ranked = scored
+    val base = scored
       .select(col("outage_probability").as("score"), col("actual").as("lab"))
-      .withColumn("rn", row_number().over(Window.orderBy("score")))
-      .withColumn("ar", avg(col("rn")).over(Window.partitionBy("score")))
-    val npos = sum(when(col("lab") === 1.0, 1).otherwise(0))
-    val nneg = sum(when(col("lab") === 0.0, 1).otherwise(0))
-    ranked.agg(
+    val basic = base.agg(
       sqrt(avg(pow(col("score") - col("lab"), 2))).as("rmse"),
-      ((sum(when(col("lab") === 1.0, col("ar")).otherwise(0.0)) -
-        npos * (npos + lit(1)) / 2.0) / (npos * nneg)).as("auc"),
       count(lit(1)).as("n"))
+    val auc = Ranks.aucStats(base, col("score"), col("lab") === 1.0)
+    basic.crossJoin(auc).select("rmse", "auc", "n")
   }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed rank statistics (A9 in SURVEY.md §2; reference
+  * README.md:53 model-quality metrics).
+  *
+  * The naive Mann-Whitney AUC needs a global rank — a
+  * `row_number() OVER (ORDER BY score)` with no partitioning, which
+  * physically is a single-task sort of the whole input: fine at sf0.1,
+  * a scale-killer at 100 TB. This operator computes the SAME
+  * tie-averaged ranks fully distributed:
+  *
+  *  1. aggregate rows per distinct score (map-side combinable; the
+  *     distinct-score table is orders of magnitude smaller than rows);
+  *  2. range-partition the score table, so partition order follows
+  *     score order and equal scores co-locate;
+  *  3. per-partition row totals → each partition's global row offset
+  *     via a triangular broadcast self-join over one row per partition
+  *     (P² pairs of a P-row frame — trivial at any P, and window-free
+  *     so the plan contains NO unpartitioned window at all);
+  *  4. a per-PARTITION running sum (windowed by partition id — every
+  *     partition is an independent window group) plus the offset gives
+  *     each score's "rows strictly below" count; the tie-averaged rank
+  *     is then `below + (cnt+1)/2`.
+  *
+  * All sums involved are integers or dyadic rationals (granularity ½)
+  * far under 2⁵³, so double arithmetic is exact and order-free — the
+  * result hash-matches the oracle's per-row `AVG(rn) OVER (PARTITION BY
+  * score)` formulation bit-for-bit.
+  */
+object Ranks {
+
+  /** Tie-averaged-rank table per distinct score: (_score, _cnt, _npos,
+    * _ar) where _ar is the average global rank of that score's tie
+    * group and _npos the positive-label count in it. */
+  def tieAveragedRanks(df: DataFrame, score: Column, isPos: Column): DataFrame = {
+    val byScore = df
+      .select(score.as("_score"), isPos.cast("long").as("_p"))
+      .groupBy("_score")
+      .agg(count(lit(1)).as("_cnt"), sum(col("_p")).as("_npos"))
+    val ranged = byScore
+      .repartitionByRange(col("_score"))
+      .withColumn("_pid", spark_partition_id())
+    val ptot = ranged.groupBy("_pid").agg(sum(col("_cnt")).as("_pcnt"))
+    val offs = ptot.select(col("_pid"))
+      .join(broadcast(ptot.select(col("_pid").as("_q"), col("_pcnt"))),
+        col("_q") < col("_pid"), "left_outer")
+      .groupBy("_pid")
+      .agg(coalesce(sum(col("_pcnt")), lit(0L)).as("_off"))
+    val w = Window.partitionBy("_pid").orderBy("_score")
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn("_below", col("_off") + sum(col("_cnt")).over(w) - col("_cnt"))
+      .withColumn("_ar", col("_below") + (col("_cnt") + lit(1)) / lit(2.0))
+      .select("_score", "_cnt", "_npos", "_ar")
+  }
+
+  /** One-row (npos: long, nneg: long, auc: double) via the tie-corrected
+    * Mann-Whitney statistic over [[tieAveragedRanks]]. */
+  def aucStats(df: DataFrame, score: Column, isPos: Column): DataFrame = {
+    val ranks = tieAveragedRanks(df, score, isPos)
+    val npos = sum(col("_npos"))
+    val nneg = sum(col("_cnt") - col("_npos"))
+    ranks.agg(
+      npos.cast("long").as("npos"),
+      nneg.cast("long").as("nneg"),
+      ((sum(col("_npos") * col("_ar")) - npos * (npos + lit(1)) / 2.0) /
+        (npos * nneg)).as("auc"))
+  }
+}

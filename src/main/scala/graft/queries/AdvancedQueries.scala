@@ -31,11 +31,11 @@ object AdvancedQueries {
   private val pivot = QuerySpec(
     "q_a10_pivot",
     """SELECT user_id,
-      |       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      |       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      |       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      |       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      |       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy("user_id")

@@ -62,5 +62,12 @@ object DomainQueries {
     Forecast.trainAndScore(Tables.events(s, d), splitDay = "2024-01-20")
   }
 
-  val all: Seq[QuerySpec] = Seq(ep1, ep2, ep3, ml)
+  /** EP3 + the README.md:61 location-clustering stage (seeded KMeans —
+    * iterative ML, not SQL-oracle-able; property-checked in
+    * ForecastSpec). */
+  private val ep3Clustered = QuerySpec.noOracle("q_ep3_schedule_clustered") { (s, d) =>
+    NetIntel.scheduleClustered(s, d, "2024-01-15", k = 4, perCluster = 5)
+  }
+
+  val all: Seq[QuerySpec] = Seq(ep1, ep2, ep3, ep3Clustered, ml)
 }

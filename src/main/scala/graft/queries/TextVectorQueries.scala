@@ -198,6 +198,15 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Banded hyperplane-LSH approximate embedding near-dup — the true
+    * 100 TB path next to the exact block-bucketed q_dedup_embedding.
+    * Probabilistic recall → no hash oracle; recall vs the exact pairs
+    * is asserted in SimilaritySpec. */
+  private val dedupEmbeddingLsh = QuerySpec.noOracle("q_dedup_embedding_lsh") { (s, d) =>
+    Similarity.nearDupPairsBanded(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
   /** The north-star composite: a full corpus-cleaning pass — quality
     * filter → exact near-dup removal (keep lowest doc_id per token-set
     * fingerprint) → per-language corpus stats. One declarative plan:
@@ -281,5 +290,5 @@ object TextVectorQueries {
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     dedupFingerprint, dedupMinhash, dedupNgram, dedupSimhash, dedupEmbedding,
-    simTopk, simLsh, simIvf)
+    dedupEmbeddingLsh, simTopk, simLsh, simIvf)
 }

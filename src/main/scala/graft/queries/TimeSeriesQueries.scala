@@ -87,17 +87,20 @@ object TimeSeriesQueries {
   }
 
   /** W6: trailing-k sequences for sequence-model input
-    * (reference README.md:47) — arrays built in frame order. */
+    * (reference README.md:47) — arrays built in frame order. The array is
+    * projected to a comma-joined string on both sides because the driver's
+    * pandas-based hash compare cannot hash array cells; the join preserves
+    * element identity and order, so equality is unchanged. */
   private val w6 = QuerySpec(
     "q_w6_sequence",
     """SELECT event_id, user_id,
-      |       list(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS seq
+      |       array_to_string(list(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), ',') AS seq
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
     Tables.events(s, d)
       .select(col("event_id"), col("user_id"),
-        collect_list(col("event_id")).over(w).as("seq"))
+        array_join(collect_list(col("event_id")).over(w), ",").as("seq"))
       .orderBy("event_id")
   }
 
@@ -249,19 +252,13 @@ object TimeSeriesQueries {
       |    - SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) * (SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
       |    / (SUM(CASE WHEN lab = 1 THEN 1 ELSE 0 END) * SUM(CASE WHEN lab = 0 THEN 1 ELSE 0 END)) AS auc
       |FROM r""".stripMargin) { (s, d) =>
-    val scored = Tables.events(s, d).select(
-      col("value").as("score"),
-      when(col("event_type") === "error", 1).otherwise(0).as("lab"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(Window.orderBy("score")))
-      .withColumn("ar", avg(col("rn")).over(Window.partitionBy("score")))
-    val npos = sum(when(col("lab") === 1, 1).otherwise(0))
-    val nneg = sum(when(col("lab") === 0, 1).otherwise(0))
-    ranked.agg(
-      npos.cast("long").as("npos"),
-      nneg.cast("long").as("nneg"),
-      ((sum(when(col("lab") === 1, col("ar")).otherwise(0.0)) -
-        npos * (npos + lit(1)) / 2.0) / (npos * nneg)).as("auc"))
+    // Distributed tie-averaged ranks (operators.Ranks): same statistic
+    // as the oracle's global ROW_NUMBER window, but with no single-task
+    // global sort in the plan — exact (dyadic sums), so it hash-matches.
+    graft.operators.Ranks.aucStats(
+      Tables.events(s, d),
+      col("value"),
+      col("event_type") === "error")
   }
 
   val all: Seq[QuerySpec] = Seq(w1, w2, w3, w5, w6, w7, a2, a3, j5, w4, st4, auc)

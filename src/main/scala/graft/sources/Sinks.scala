@@ -25,12 +25,17 @@ object Sinks {
       .partitionBy("p_date")
       .parquet(path)
 
-  /** S6: append one narrow audit row per served query. */
-  def auditLog(df: DataFrame, queryName: String, path: String): Unit = {
-    val spark = df.sparkSession
+  /** S6: append one narrow audit row per served query. The row count is
+    * the CALLER's, from the result it already materialized to serve —
+    * auditing must never re-execute the served query's DAG (an earlier
+    * form took the DataFrame and called `.count()`, silently running the
+    * whole query a second time per audit row). */
+  def auditLog(spark: org.apache.spark.sql.SparkSession, queryName: String,
+      nRows: Long, path: String): Unit = {
     import spark.implicits._
-    Seq((queryName, java.time.Instant.now().toEpochMilli, df.count()))
+    Seq((queryName, java.time.Instant.now().toEpochMilli, nRows))
       .toDF("query_name", "served_at_ms", "n_rows")
+      .coalesce(1)
       .write.mode(SaveMode.Append).parquet(path)
   }
 

@@ -102,6 +102,66 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[BreachProcessor]] + EVENT-TIME STATE EVICTION: each batch slides
+    * a per-key timer to `lastEventTime + ttlMs`; when the watermark
+    * passes it, [[handleExpiredTimer]] drops the key's state. Without
+    * this, a site that goes silent (decommissioned, renamed) holds its
+    * boolean forever — at 100 TB × months of sites, unbounded state is
+    * an operational leak. A key that reappears after eviction starts
+    * fresh (a high reading re-alerts BREACH even if it was in breach
+    * when evicted — the at-least-once alerting contract). */
+  class EvictingBreachProcessor(threshold: Double, ttlMs: Long)
+      extends StatefulProcessor[Long, Reading, Alert] {
+    @transient private var inBreach: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      inBreach = getHandle.getValueState[Boolean](
+        "inBreach", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Reading], tv: TimerValues): Iterator[Alert] = {
+      val rs = rows.toSeq.sortBy(_.ts.getTime)
+      var breached = inBreach.exists() && inBreach.get()
+      val alerts = rs.flatMap { r =>
+        val now = r.value >= threshold
+        val out =
+          if (now && !breached) Some(Alert(r.user_id, r.ts, "BREACH", r.value))
+          else if (!now && breached) Some(Alert(r.user_id, r.ts, "RECOVER", r.value))
+          else None
+        breached = now
+        out
+      }
+      inBreach.update(breached)
+      // slide the eviction timer: one timer per key, at last-seen + TTL
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(rs.map(_.ts.getTime).max + ttlMs)
+      alerts.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Alert] = {
+      inBreach.clear()
+      Iterator.empty
+    }
+  }
+
+  /** ST6 with bounded state: requires a watermark (event-time timers
+    * fire as it advances). `lateness` is the watermark delay; `ttlMs`
+    * the silent-key state lifetime in event time. */
+  def thresholdAlertsEvicting(
+      readings: Dataset[Reading],
+      threshold: Double,
+      lateness: String = "10 minutes",
+      ttlMs: Long = 3600000L): Dataset[Alert] = {
+    import readings.sparkSession.implicits._
+    readings
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new EvictingBreachProcessor(threshold, ttlMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   def thresholdAlerts(
       readings: Dataset[Reading],
       threshold: Double): Dataset[Alert] = {

@@ -64,6 +64,32 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 10.0 / 12.0) < 1e-12)
   }
 
+  test("simhash collapse: dense duplicate cluster yields exactly the direct-join pairs") {
+    import spark.implicits._
+    // 30 identical docs (one collapsed representative), one near-dup, one
+    // unrelated — the collapse must not change the output pair set
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = ((1L to 30L).map(i => (i, base)) ++ Seq(
+      (31L, base + " lambda"),
+      (32L, "totally different text with other words entirely here")))
+      .toDF("doc_id", "text")
+    val collapsed = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSet
+    // ground truth: brute-force Hamming over the simhash values (blocking
+    // loses nothing at maxHamming ≤ 3 by pigeonhole over the 4 chunks)
+    val sh = corpus.select(col("doc_id"), Dedup.simHash(Dedup.tokenSet(col("text"))).as("sh"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(brute.count(_._3 == 0L) >= 435, "fixture must contain the dense cluster")
+    assert(collapsed === brute)
+  }
+
   test("ngram prefix-filter join returns exactly the full-pairwise answer") {
     import spark.implicits._
     val sample = docs.filter(col("doc_id") < 100)

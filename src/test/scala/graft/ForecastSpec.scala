@@ -17,6 +17,25 @@ class ForecastSpec extends AnyFunSuite {
     assert(scored.count() > 0)
   }
 
+  test("EP3 location clustering: bounded clusters, contiguous ranks, regions stay whole") {
+    val out = graft.api.NetIntel
+      .scheduleClustered(spark, sfDir, "2024-01-15", k = 4, perCluster = 5)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("cluster")).toSet.subsetOf((0L until 4L).toSet))
+    out.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("deploy_rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length), s"ranks not contiguous: $ranks")
+      assert(ranks.length <= 5)
+    }
+    // pseudo-coords put all sites of a region within jitter distance →
+    // a region must never split across clusters
+    val regionClusters = out.groupBy(_.getAs[String]("region"))
+      .view.mapValues(_.map(_.getAs[Long]("cluster")).toSet)
+    assert(regionClusters.values.forall(_.size == 1),
+      s"region split across clusters: ${regionClusters.filter(_._2.size > 1)}")
+  }
+
   test("probabilities are valid and metrics computable") {
     import org.apache.spark.sql.functions._
     val bad = scored.filter(col("outage_probability") < 0 || col("outage_probability") > 1).count()

@@ -54,4 +54,18 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan("q_j7_semi_join").contains("LeftSemi"))
     assert(finalPlan("q_j7_anti_join").contains("LeftAnti"))
   }
+
+  test("AUC rank is distributed: no unpartitioned (single-task) window in the plan") {
+    val p = finalPlan("q_a9_auc")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty, "expected the per-partition running-sum window")
+    assert(winLines.forall(_.contains("_pid")),
+      s"found a window not partitioned by _pid:\n${winLines.mkString("\n")}")
+  }
+
+  test("embedding near-dup is block-bucketed: no broadcast cross product") {
+    val p = finalPlan("q_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) broadcast theta-join in plan")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+  }
 }

@@ -15,7 +15,8 @@ class RelationalSpec extends AnyFunSuite {
     // the only approximate / non-portable-hash ops
     assert(noOracle === Set(
       "q_dedup_simhash", "q_sim_lsh_topk", "q_sim_ivf_topk",
-      "q_x3_ml_forecast", "q_a6_approx_distinct"))
+      "q_x3_ml_forecast", "q_a6_approx_distinct",
+      "q_dedup_embedding_lsh", "q_ep3_schedule_clustered"))
   }
 
   test("approx_count_distinct within 5% of exact on events") {

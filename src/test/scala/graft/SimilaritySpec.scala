@@ -45,6 +45,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("block-bucketed near-dup pairs equal the brute-force pairwise answer") {
+    import spark.implicits._
+    val threshold = 0.3
+    val blocked = Similarity.nearDupPairs(emb, "vec_id", "embedding", threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val v = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val a = v.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = v.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val brute = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", graft.plans.VectorNative.dot(col("av"), col("bv")) /
+        (sqrt(graft.plans.VectorNative.dot(col("av"), col("av"))) *
+          sqrt(graft.plans.VectorNative.dot(col("bv"), col("bv")))))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "threshold 0.3 should catch some pairs on this corpus")
+  }
+
+  test("banded near-dup: subset of exact on real data; ~full recall on planted near-dups") {
+    import spark.implicits._
+    // subset property on the real corpus: banding only prunes candidates,
+    // the exact-cosine verify is shared
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val banded = Similarity.nearDupPairsBanded(emb, "vec_id", "embedding", 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(banded.subsetOf(exact))
+    // planted fixture: 50 deterministic base vectors + a tiny-perturbation
+    // copy of each (cos ≈ 0.999) — banding must recall nearly all of them
+    val planted = (0 until 50).flatMap { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 31 + j * 7).toFloat)
+      val near = base.zipWithIndex.map { case (x, j) => x + 0.001f * math.cos(j + i).toFloat }
+      Seq((i.toLong, base), (i.toLong + 1000L, near))
+    }.toDF("vec_id", "embedding")
+    val found = Similarity.nearDupPairsBanded(planted, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val recall = (0 until 50).count(i => found.contains((i.toLong, i.toLong + 1000L))) / 50.0
+    assert(recall >= 0.95, s"planted near-dup recall $recall")
+  }
+
   test("LSH cosines agree with brute-force cosines on shared pairs") {
     val lsh = Similarity.lshTopK(
       queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4)

@@ -27,14 +27,37 @@ class SinksSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || plan.contains("p_date"))
   }
 
-  test("audit sink appends one narrow row per query") {
+  test("audit sink appends one narrow row per query without re-executing it") {
     val out = Files.createTempDirectory("graft_audit").toString
     val f = DomainTables.forecasts(spark, sfDir).limit(10)
-    Sinks.auditLog(f, "q_test_1", out)
-    Sinks.auditLog(f, "q_test_2", out)
+    // the serving path materializes once; the audit row reuses that count
+    val served = f.count()
+    // gate: nothing executed while auditing may touch a file scan — the
+    // audit write must plan from a local relation only
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Sinks.auditLog(spark, "q_test_1", served, out)
+      Sinks.auditLog(spark, "q_test_2", served, out)
+      // listener delivery is async; wait for both write executions
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    assert(plans.asScala.nonEmpty)
+    assert(plans.asScala.forall(p => !p.contains("FileScan")),
+      "audit write re-executed a source scan")
     val audit = spark.read.parquet(out)
     assert(audit.count() === 2)
     assert(audit.columns.toSeq.sorted === Seq("n_rows", "query_name", "served_at_ms"))
+    assert(audit.select("n_rows").collect().forall(_.getLong(0) === served))
   }
 
   test("streaming file sink writes exactly-once with AvailableNow") {

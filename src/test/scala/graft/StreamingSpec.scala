@@ -115,6 +115,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ST6 eviction: silent key's state drops past watermark+TTL; reappearance starts fresh") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Reading](spark)
+      // TTL 30 min of event time, watermark delay 10 min
+      val q = StreamingOps.thresholdAlertsEvicting(in.toDS(), threshold = 50.0,
+        lateness = "10 minutes", ttlMs = 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("st6evict").outputMode("append").start()
+      // key 3 breaches, then goes silent; key 4 keeps the stream alive
+      in.addData(Reading(3L, ts("2024-01-01 10:00:00"), 60.0),
+        Reading(4L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // advance event time so the watermark (12:00-10min=11:50) passes
+      // key 3's timer (10:00+30min=10:30)...
+      in.addData(Reading(4L, ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // ...and one more batch under the advanced watermark so the timer fires
+      in.addData(Reading(4L, ts("2024-01-01 12:05:00"), 1.0))
+      q.processAllAvailable()
+      // key 3 reappears still above threshold: evicted state means a FRESH
+      // BREACH (un-evicted state would say "already in breach" → no alert)
+      in.addData(Reading(3L, ts("2024-01-01 12:30:00"), 70.0))
+      q.processAllAvailable(); q.stop()
+      val alerts = spark.table("st6evict").as[Alert].collect()
+        .filter(_.user_id == 3L).sortBy(_.ts.getTime)
+      assert(alerts.map(_.kind).toSeq === Seq("BREACH", "BREACH"),
+        s"expected re-BREACH after eviction, got ${alerts.toSeq}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
