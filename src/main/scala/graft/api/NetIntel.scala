@@ -91,8 +91,11 @@ object NetIntel {
     val feats = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(Array("_x", "_y")).setOutputCol("_loc")
       .transform(sites)
+    // random init (seeded): kmeans|| costs several extra jobs for no
+    // quality gain on well-separated region base points
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(42L).setFeaturesCol("_loc").setPredictionCol("cluster")
+      .setK(k).setSeed(42L).setInitMode("random").setMaxIter(10)
+      .setFeaturesCol("_loc").setPredictionCol("cluster")
       .fit(feats)
     val ranked = model.transform(feats)
       .withColumn("cluster", col("cluster").cast("long"))
