@@ -86,8 +86,10 @@ object ProfileDedup {
     time("full operator")(
       println("  pairs=" + Dedup.minHashPairs(df, "doc_id", "text").count()))
 
-    // ---- ngram stages (mirrors the SHIPPED pipeline: hashed shingle
-    // tuples + sorted sets + two-pointer verify) ----
+    // ---- ngram stages (mirrors the SHIPPED round-2 pipeline: broadcast
+    // df≥2 attach → one regroup → in-row array_sort/slice prefixes →
+    // length-filtered candidate join; prefix k = n − floor(θ·n) + 1,
+    // θ = 0.8) ----
     val ndocs = df.select(col("doc_id").as("_id"),
       Dedup.shingleHashSet(col("text"), 3).as("_set"))
       .filter(size(col("_set")) > 0)
@@ -99,16 +101,22 @@ object ProfileDedup {
       .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set"))
     val ex = nreps.select(col("_fp"), explode(col("_set")).as("_s"))
     val freq = ex.groupBy("_s").agg(count(lit(1)).as("_df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("_fp").orderBy("_df", "_s")
-    val posting = ex.join(freq, "_s")
-      .withColumn("_rn", row_number().over(w))
-      .join(nreps.select(col("_fp"), size(col("_set")).as("_n")), "_fp")
-      .filter(col("_rn") <= floor(col("_n") * 0.2) + 1)
-      .select("_fp", "_s")
+      .filter(col("_df") >= 2)
+    time("ngram repeated-df vocab")(println("  vocab=" + freq.count()))
+    val posting = ex.join(broadcast(freq), Seq("_s"), "left_outer")
+      .groupBy("_fp")
+      .agg(collect_list(struct(coalesce(col("_df"), lit(1L)).as("_df"),
+        col("_s"))).as("_dfs"))
+      .select(col("_fp"), size(col("_dfs")).as("_n"),
+        explode(expr("transform(" +
+          "slice(array_sort(_dfs), 1, cast(size(_dfs) - floor(size(_dfs) * 0.8) + 1 as int)), " +
+          "x -> x._s)")).as("_s"))
     time("ngram postings")(println("  postings=" + posting.count()))
-    val ncand = posting.select(col("_fp").as("_fpa"), col("_s"))
-      .join(posting.select(col("_fp").as("_fpb"), col("_s")), "_s")
-      .filter(col("_fpa") < col("_fpb")).select("_fpa", "_fpb")
+    val ncand = posting.select(col("_fp").as("_fpa"), col("_n").as("_na"), col("_s"))
+      .join(posting.select(col("_fp").as("_fpb"), col("_n").as("_nb"), col("_s")), "_s")
+      .filter(col("_fpa") < col("_fpb") &&
+        col("_na") >= col("_nb") * 0.8 - 1e-9 && col("_nb") >= col("_na") * 0.8 - 1e-9)
+      .select("_fpa", "_fpb")
     time("ngram cand raw")(println("  nraw=" + ncand.count()))
     time("ngram cand distinct")(println("  ncand=" + ncand.dropDuplicates("_fpa", "_fpb").count()))
     time("ngram full operator")(

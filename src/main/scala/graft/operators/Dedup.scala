@@ -208,7 +208,8 @@ object Dedup {
     // distance — output is identical to the uncollapsed join.
     val docs = spread.select(col(id).as("_id"), simHash(tokenSet(col(text))).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = docs.groupBy("_sh").agg(min(col("_id")).as("_rid"))
+    // the chunk join consumes only the fingerprint — distinct IS the collapse
+    val reps = docs.select("_sh").distinct()
     val chunked = reps.select(col("_sh"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("_sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))

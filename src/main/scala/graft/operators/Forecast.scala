@@ -63,15 +63,24 @@ object Forecast {
 
   /** Model-quality metrics (reference README.md:53,141): RMSE + AUC of
     * the scored output — inputs for drift alerting (ST6). AUC uses the
-    * distributed tie-averaged rank ([[Ranks.aucStats]]) — no global
-    * single-task sort in the plan. */
+    * distributed tie-averaged rank ([[Ranks.tieAveragedRanks]] — no
+    * global single-task sort), and RMSE folds over the SAME per-score
+    * table (labels are 0/1, so Σ(score−lab)² = npos·(score−1)² +
+    * (cnt−npos)·score² per distinct score) — the scoring pipeline
+    * executes exactly once per metrics() call. */
   def metrics(scored: DataFrame): DataFrame = {
-    val base = scored
-      .select(col("outage_probability").as("score"), col("actual").as("lab"))
-    val basic = base.agg(
-      sqrt(avg(pow(col("score") - col("lab"), 2))).as("rmse"),
-      count(lit(1)).as("n"))
-    val auc = Ranks.aucStats(base, col("score"), col("lab") === 1.0)
-    basic.crossJoin(auc).select("rmse", "auc", "n")
+    val ranks = Ranks.tieAveragedRanks(
+      scored.select(col("outage_probability").as("score"), col("actual").as("lab")),
+      col("score"), col("lab") === 1.0)
+    val npos = sum(col("_npos"))
+    val nneg = sum(col("_cnt") - col("_npos"))
+    val n = sum(col("_cnt"))
+    val sqErr = sum(col("_npos") * pow(col("_score") - 1.0, 2) +
+      (col("_cnt") - col("_npos")) * pow(col("_score"), 2))
+    ranks.agg(
+      sqrt(sqErr / n).as("rmse"),
+      ((sum(col("_npos") * col("_ar")) - npos * (npos + lit(1)) / 2.0) /
+        (npos * nneg)).as("auc"),
+      n.as("n"))
   }
 }

@@ -41,9 +41,20 @@ object Ranks {
       .select(score.as("_score"), isPos.cast("long").as("_p"))
       .groupBy("_score")
       .agg(count(lit(1)).as("_cnt"), sum(col("_p")).as("_npos"))
+    // PERSISTED: _pid is only meaningful if every DAG branch below reads
+    // the SAME materialized exchange. Unpersisted, the offsets branch and
+    // the final join branch each re-evaluate the range exchange with
+    // independently sampled boundaries (and independent AQE coalescing),
+    // label partitions differently, and the inner join on _pid silently
+    // drops rows — measured at ~200k distinct scores: npos+nneg collapsed
+    // to half the input. Same session-lifetime cache convention as
+    // Dedup.collapseVerifyExpand (Bench/Verify clearCache() per query).
+    // RanksSpec stress-tests exactly this cardinality against the
+    // single-window reference.
     val ranged = byScore
       .repartitionByRange(col("_score"))
       .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ptot = ranged.groupBy("_pid").agg(sum(col("_cnt")).as("_pcnt"))
     val offs = ptot.select(col("_pid"))
       .join(broadcast(ptot.select(col("_pid").as("_q"), col("_pcnt"))),

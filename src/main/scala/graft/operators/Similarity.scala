@@ -70,10 +70,17 @@ object Similarity {
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
     signBucket(vec, hyperplanes(nPlanes, dim))
 
-  /** Vector width, read from the first row — the hyperplane literals
-    * need the exact dimensionality (corpus must be non-empty). */
+  /** Vector width, read from the first non-null vector (one tiny eager
+    * job at plan-build time — the hyperplane literals need the exact
+    * dimensionality). An empty/all-null corpus returns 1 so construction
+    * stays total (every downstream join is empty anyway). NOTE: queries
+    * must share the corpus dimensionality — a mismatched dot() is null,
+    * which codegen'd comparisons treat as false, so mismatched rows
+    * drop rather than error (documented, matches the HOF-form
+    * semantics). */
   private def dimOf(df: DataFrame, vec: String): Int =
-    df.select(size(col(vec))).first().getInt(0)
+    df.select(size(col(vec)).as("_d")).filter(col("_d").isNotNull)
+      .head(1).headOption.map(_.getInt(0)).filter(_ > 0).getOrElse(1)
 
   /** Approximate top-k: candidates share an LSH bucket, with multi-probe
     * on the query side (the exact bucket plus every bucket at Hamming

@@ -69,16 +69,18 @@ object StreamingOps {
     * free; [[thresholdAlerts]] remains for pre-4.x-style deployments. */
   class BreachProcessor(threshold: Double)
       extends StatefulProcessor[Long, Reading, Alert] {
-    @transient private var inBreach: ValueState[Boolean] = _
+    @transient protected var inBreach: ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       inBreach = getHandle.getValueState[Boolean](
         "inBreach", Encoders.scalaBoolean, TTLConfig.NONE)
 
-    override def handleInputRows(
-        key: Long, rows: Iterator[Reading], tv: TimerValues): Iterator[Alert] = {
+    /** The breach/recover fold over one batch's event-time-sorted rows —
+      * shared verbatim with [[EvictingBreachProcessor]] so the two can
+      * never diverge semantically. */
+    protected final def foldAlerts(rs: Seq[Reading]): Seq[Alert] = {
       var breached = inBreach.exists() && inBreach.get()
-      val alerts = rows.toSeq.sortBy(_.ts.getTime).flatMap { r =>
+      val alerts = rs.flatMap { r =>
         val now = r.value >= threshold
         val out =
           if (now && !breached) Some(Alert(r.user_id, r.ts, "BREACH", r.value))
@@ -88,8 +90,12 @@ object StreamingOps {
         out
       }
       inBreach.update(breached)
-      alerts.iterator
+      alerts
     }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Reading], tv: TimerValues): Iterator[Alert] =
+      foldAlerts(rows.toSeq.sortBy(_.ts.getTime)).iterator
   }
 
   def thresholdAlertsTWS(
@@ -111,30 +117,20 @@ object StreamingOps {
     * fresh (a high reading re-alerts BREACH even if it was in breach
     * when evicted — the at-least-once alerting contract). */
   class EvictingBreachProcessor(threshold: Double, ttlMs: Long)
-      extends StatefulProcessor[Long, Reading, Alert] {
-    @transient private var inBreach: ValueState[Boolean] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      inBreach = getHandle.getValueState[Boolean](
-        "inBreach", Encoders.scalaBoolean, TTLConfig.NONE)
+      extends BreachProcessor(threshold) {
 
     override def handleInputRows(
         key: Long, rows: Iterator[Reading], tv: TimerValues): Iterator[Alert] = {
       val rs = rows.toSeq.sortBy(_.ts.getTime)
-      var breached = inBreach.exists() && inBreach.get()
-      val alerts = rs.flatMap { r =>
-        val now = r.value >= threshold
-        val out =
-          if (now && !breached) Some(Alert(r.user_id, r.ts, "BREACH", r.value))
-          else if (!now && breached) Some(Alert(r.user_id, r.ts, "RECOVER", r.value))
-          else None
-        breached = now
-        out
-      }
-      inBreach.update(breached)
-      // slide the eviction timer: one timer per key, at last-seen + TTL
-      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(rs.map(_.ts.getTime).max + ttlMs)
+      val alerts = foldAlerts(rs)
+      // slide the eviction timer FORWARD only: a batch of late-but-valid
+      // rows (older than the key's previous max event time) must not pull
+      // the timer back and evict earlier than last-seen + TTL
+      val existing = getHandle.listTimers().toList
+      val target = math.max(rs.map(_.ts.getTime).max + ttlMs,
+        if (existing.isEmpty) Long.MinValue else existing.max)
+      existing.filter(_ != target).foreach(getHandle.deleteTimer)
+      if (!existing.contains(target)) getHandle.registerTimer(target)
       alerts.iterator
     }
 

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Ranks
+
+/** The distributed tie-averaged rank must equal the single-window
+  * reference BIT-FOR-BIT (all sums are dyadic-exact). The fixture is
+  * deliberately high-cardinality (~180k distinct scores over 200k rows):
+  * with that many distinct scores, an unpersisted range exchange gets
+  * re-evaluated per DAG branch with independently sampled partition
+  * boundaries, the _pid join drops rows, and npos+nneg collapses — the
+  * regression this spec pins down. */
+class RanksSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  test("distributed AUC ≡ global-window reference at ~200k distinct scores") {
+    val df = spark.range(200000).select(
+      (pmod(xxhash64(col("id")), lit(180001)) / lit(1000.0)).as("score"),
+      pmod(xxhash64(col("id"), lit(7)), lit(2)).cast("int").as("lab"))
+    val got = Ranks.aucStats(df, col("score"), col("lab") === 1).collect().head
+
+    val ranked = df
+      .withColumn("rn", row_number().over(Window.orderBy("score")))
+      .withColumn("ar", avg(col("rn")).over(Window.partitionBy("score")))
+    val npos = sum(when(col("lab") === 1, 1).otherwise(0))
+    val nneg = sum(when(col("lab") === 0, 1).otherwise(0))
+    val ref = ranked.agg(
+      npos.cast("long").as("npos"),
+      nneg.cast("long").as("nneg"),
+      ((sum(when(col("lab") === 1, col("ar")).otherwise(0.0)) -
+        npos * (npos + lit(1)) / 2.0) / (npos * nneg)).as("auc"))
+      .collect().head
+
+    assert(got.getAs[Long]("npos") === ref.getAs[Long]("npos"))
+    assert(got.getAs[Long]("nneg") === ref.getAs[Long]("nneg"))
+    assert(got.getAs[Long]("npos") + got.getAs[Long]("nneg") === 200000L,
+      "offset join dropped rows")
+    assert(got.getAs[Double]("auc") === ref.getAs[Double]("auc"))
+    spark.catalog.clearCache()
+  }
+}
