@@ -56,12 +56,13 @@ object ProfileDedup {
     time("FRESH ngram operator")(
       println("  npairs=" + Dedup.ngramJaccardPairs(df, "doc_id", "text").count()))
     val docs = df.select(col("doc_id").as("_id"), Dedup.tokenHashSet(col("text")).as("_set"))
-    val tagged = docs.withColumn("_fp", xxhash64(array_sort(col("_set"))))
+    val tagged = docs.withColumn("_fp", xxhash64(col("_set"))) // _set arrives sorted
     time("collapse (reps count)")(
       println("  reps=" + tagged.select("_fp").distinct().count()))
     val reps = tagged.groupBy("_fp")
       .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set"))
-    val sigs = reps.withColumn("_sig", Dedup.minHashHashedSignature(col("_set"), 64))
+    val sigs = reps.withColumn("_sig",
+      graft.plans.TextHashNative.minHashSig(col("_set"), 64))
     time("signatures")(sigs.select(sum(element_at(col("_sig"), 1))).count())
     val banded = sigs.select(col("_fp"),
       posexplode(transform(sequence(lit(0), lit(15)),
@@ -93,8 +94,7 @@ object ProfileDedup {
     val ndocs = df.select(col("doc_id").as("_id"),
       Dedup.shingleHashSet(col("text"), 3).as("_set"))
       .filter(size(col("_set")) > 0)
-    val ntagged = ndocs.withColumn("_set", array_sort(col("_set")))
-      .withColumn("_fp", xxhash64(col("_set")))
+    val ntagged = ndocs.withColumn("_fp", xxhash64(col("_set"))) // sorted already
     time("ngram collapse")(
       println("  nreps=" + ntagged.select("_fp").distinct().count()))
     val nreps = ntagged.groupBy("_fp")

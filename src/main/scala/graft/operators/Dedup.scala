@@ -17,9 +17,13 @@ object Dedup {
 
   /** Distinct token set hashed to longs: set identity and Jaccard are
     * preserved (collision odds ~n²·2⁻⁶⁴), and long-array intersections
-    * are far cheaper than string-array ones on the verify path. */
+    * are far cheaper than string-array ones on the verify path.
+    * Imperative single-pass eval (plans.TextHashNative) — value-equal to
+    * `array_sort(array_distinct(transform(split(text," "), xxhash64)))`,
+    * asserted per-row in ExtensionsSpec; output is SORTED (the canonical
+    * order the verify path needs anyway). */
   def tokenHashSet(text: Column): Column =
-    array_distinct(transform(split(text, " "), t => xxhash64(t)))
+    graft.plans.TextHashNative.tokenHashSet(text)
 
   // ---- shared collapse → verify → expand core -------------------------
 
@@ -49,14 +53,17 @@ object Dedup {
       threshold: Double): DataFrame = {
     // Both frames fan out to 3+ branches of the DAG (candidates, two
     // verify joins, member expansion); without persistence Spark
-    // recomputes the tokenize→hash→sort subtree per branch, which
-    // profiled as ~70% of the whole operator. They are small — O(docs ×
-    // set size) — and evictable (MEMORY_AND_DISK).
-    // _set is canonicalized to SORTED order here, once: the fingerprint
-    // needs canonical order anyway, and the verify stage's two-pointer
-    // codegen intersect REQUIRES sorted inputs
+    // recomputes the tokenize→hash subtree per branch, which profiled
+    // as ~70% of the whole operator. They are small — O(docs × set
+    // size) — and evictable (MEMORY_AND_DISK).
+    // PRECONDITION: _set must arrive SORTED (canonical order) — the
+    // fingerprint below needs a canonical order and the verify stage's
+    // two-pointer codegen intersect requires sorted inputs. Both
+    // producers ([[tokenHashSet]], [[shingleHashSet]]) emit sorted sets
+    // by construction (plans.TextHashNative sorts in its single pass);
+    // a new caller with unsorted sets must array_sort first or the
+    // verify silently undercounts.
     val tagged = docs
-      .withColumn("_set", array_sort(col("_set")))
       .withColumn("_fp", xxhash64(col("_set")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = tagged.groupBy("_fp")
@@ -151,8 +158,11 @@ object Dedup {
     val docs = spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
     collapseVerifyExpand(docs, reps => {
       // signatures + band hashes on REPRESENTATIVES only; band join
-      // carries the cluster fingerprint, nothing else
-      val sigs = reps.withColumn("_sig", minHashHashedSignature(col("_set"), numHashes))
+      // carries the cluster fingerprint, nothing else. Signature eval is
+      // the imperative loop (value-equal to minHashHashedSignature —
+      // ExtensionsSpec), k×|set| arithmetic without per-element lambdas.
+      val sigs = reps.withColumn("_sig",
+        graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
       val banded = sigs.select(col("_fp"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
@@ -206,7 +216,10 @@ object Dedup {
     // depends only on the simhash, so within-fingerprint pairs are
     // exactly 0 and cross-fingerprint pairs inherit the representative
     // distance — output is identical to the uncollapsed join.
-    val docs = spread.select(col(id).as("_id"), simHash(tokenSet(col(text))).as("_sh"))
+    // imperative simhash eval (vote/bit layout identical to the HOF
+    // [[simHash]] — DedupSpec's collapse fixture cross-checks the two)
+    val docs = spread.select(col(id).as("_id"),
+      graft.plans.TextHashNative.simHash(col(text)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the chunk join consumes only the fingerprint — distinct IS the collapse
     val reps = docs.select("_sh").distinct()
@@ -250,14 +263,12 @@ object Dedup {
     * shingle strings: tokens hash once, each shingle identity is the
     * xxhash64 of the n-tuple of token hashes. Bijective with the string
     * shingle set modulo ~2⁻⁶⁴ collisions, so Jaccard values are
-    * unchanged — but the hot loop is pure long arithmetic. */
-  def shingleHashSet(text: Column, n: Int): Column = {
-    val th = transform(split(text, " "), t => xxhash64(t))
-    when(size(th) >= n,
-      array_distinct(transform(sequence(lit(1), size(th) - (n - 1)),
-        i => xxhash64((0 until n).map(o => element_at(th, i + o)): _*))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * unchanged. Imperative single-pass eval (plans.TextHashNative;
+    * value parity with the HOF form asserted in ExtensionsSpec) — this
+    * projection was the dominant cost of the whole n-gram operator when
+    * composed from interpreted per-element HOFs. Output is SORTED. */
+  def shingleHashSet(text: Column, n: Int): Column =
+    graft.plans.TextHashNative.shingleHashSet(text, n)
 
   /** n-gram Jaccard near-dup pairs via prefix filtering (PPJoin-style):
     * under a global shingle order, any pair with J ≥ θ must share one of

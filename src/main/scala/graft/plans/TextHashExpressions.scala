@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftops.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass imperative eval for the dedup suite's per-row text
+  * projections (SURVEY.md §4 "custom Expression" tier).
+  *
+  * The composed-HOF forms (`array_distinct(transform(split(...),
+  * xxhash64))`, nested `transform`/`aggregate` for shingles, signatures
+  * and simhash votes) are semantically right but evaluate an
+  * interpreted lambda per ELEMENT — profiled as the dominant cost of
+  * every dedup operator at sf0.1 (the shingle projection alone ~10 s of
+  * n-gram's ~9-10 s cold runtime). These expressions do the identical
+  * computation in one tight JVM loop per ROW.
+  *
+  * Value parity is exact, not just set-equal: token/shingle hashes use
+  * catalyst's XXH64 with the SQL seed (42) and the SQL multi-argument
+  * chaining (`hash = hashLong(argᵢ, hash)`), so every value equals what
+  * the HOF form computes — asserted per-row against the HOF forms in
+  * ExtensionsSpec. Eval-only (CodegenFallback): the per-row virtual
+  * call is negligible next to the per-element interpretation it
+  * replaces.
+  */
+object TextHashNative {
+  /** Spark SQL's default xxhash64 seed. */
+  private val Seed = 42L
+
+  /** `split(text, " ")` (limit −1 — trailing empties kept, exactly like
+    * the SQL split) hashed per token. */
+  private[plans] def hashTokens(s: UTF8String): Array[Long] = {
+    val toks = s.toString.split(" ", -1)
+    val out = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), Seed)
+      i += 1
+    }
+    out
+  }
+
+  /** In-place sort + dedup (same SET as array_distinct, in sorted
+    * order — the canonical order collapseVerifyExpand wants anyway). */
+  private[plans] def sortedDistinct(a: Array[Long]): Array[Long] = {
+    if (a.length <= 1) return a
+    java.util.Arrays.sort(a)
+    var n = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) != a(i - 1)) { a(n) = a(i); n += 1 }
+      i += 1
+    }
+    if (n == a.length) a else java.util.Arrays.copyOf(a, n)
+  }
+
+  def tokenHashSet(text: Column): Column =
+    ColumnBridge.column(TokenHashSetExpr(ColumnBridge.expression(text)))
+
+  def shingleHashSet(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashSetExpr(ColumnBridge.expression(text), n))
+
+  def minHashSig(hashedSet: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(
+      ColumnBridge.expression(hashedSet.cast("array<bigint>")), numHashes))
+
+  def simHash(text: Column): Column =
+    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+}
+
+/** Sorted distinct xxhash64 token set of a space-separated string. */
+case class TokenHashSetExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(TextHashNative.sortedDistinct(
+      TextHashNative.hashTokens(input.asInstanceOf[UTF8String])))
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_token_hash_set"
+}
+
+/** Sorted distinct hashes of the contiguous word `n`-gram shingles:
+  * shingle identity = the SQL `xxhash64(h₁,…,hₙ)` chain over the token
+  * hashes. Documents shorter than `n` tokens yield the empty set. */
+case class ShingleHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val th = TextHashNative.hashTokens(input.asInstanceOf[UTF8String])
+    if (th.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = th.length - n + 1
+    val sh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      sh(i) = h
+      i += 1
+    }
+    new GenericArrayData(TextHashNative.sortedDistinct(sh))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle_hash_set"
+}
+
+/** MinHash signature over an already-hashed token set — the identical
+  * Z_(2³¹−1) affine family as Dedup.minHashHashedSignature
+  * (base = pmod(h, p); sigᵢ = min over (base·(2i+1) + i·1013904223) mod
+  * p), value-equal per slot. Null on an empty set (array_min of an
+  * empty array is null in the HOF form). */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData].toLongArray()
+    if (arr.isEmpty) return null
+    val P = 2147483647L
+    val base = new Array[Long](arr.length)
+    var i = 0
+    while (i < arr.length) { base(i) = ((arr(i) % P) + P) % P; i += 1 }
+    val sig = new Array[Long](k)
+    var s = 0
+    while (s < k) {
+      val a = s * 2L + 1L
+      val b = s * 1013904223L
+      var mn = Long.MaxValue
+      i = 0
+      while (i < base.length) {
+        val v = (base(i) * a + b) % P // operands ≤ 2³¹·127 + 2³⁶ — no overflow
+        if (v < mn) mn = v
+        i += 1
+      }
+      sig(s) = mn
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
+/** 64-bit SimHash of a space-separated string's distinct token set —
+  * same vote/bit layout as Dedup.simHash (bit j of each token hash
+  * votes ±1; a positive vote sets output bit 63−j). Distinctness is by
+  * token HASH here vs token STRING there — identical modulo ~2⁻⁶⁴
+  * collisions (cross-checked against the HOF form in DedupSpec's
+  * collapse-equivalence fixture and ExtensionsSpec). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = TextHashNative.sortedDistinct(
+      TextHashNative.hashTokens(input.asInstanceOf[UTF8String]))
+    var res = 0L
+    var j = 0
+    while (j < 64) {
+      var vote = 0L
+      var i = 0
+      while (i < hs.length) {
+        vote += (if (((hs(i) >>> j) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      if (vote > 0) res += 1L << (63 - j)
+      j += 1
+    }
+    res
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash64"
+}

@@ -33,6 +33,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("native token/shingle/minhash projections are value-equal to the HOF forms") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextHashNative
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir).limit(200)
+    // token hash set: sorted-distinct xxhash64 of the split tokens
+    val tokHof = array_sort(array_distinct(transform(split(col("text"), " "), t => xxhash64(t))))
+    assert(docs.select((TextHashNative.tokenHashSet(col("text")) === tokHof).as("ok"))
+      .filter(!col("ok")).count() === 0)
+    // shingle hash set: xxhash64 chain over each 3-tuple of token hashes
+    val th = transform(split(col("text"), " "), t => xxhash64(t))
+    val shHof = array_sort(when(size(th) >= 3,
+      array_distinct(transform(sequence(lit(1), size(th) - 2),
+        i => xxhash64(element_at(th, i), element_at(th, i + 1), element_at(th, i + 2)))))
+      .otherwise(array().cast("array<bigint>")))
+    assert(docs.select((TextHashNative.shingleHashSet(col("text"), 3) === shHof).as("ok"))
+      .filter(!col("ok")).count() === 0)
+    // minhash signature: per-slot equality with the affine-family HOF
+    val set = TextHashNative.tokenHashSet(col("text"))
+    val sigHof = graft.operators.Dedup.minHashHashedSignature(set, 16)
+    assert(docs.select((TextHashNative.minHashSig(set, 16) === sigHof).as("ok"))
+      .filter(!col("ok")).count() === 0)
+    // simhash: bit-identical to the HOF vote fold over distinct tokens
+    val simHof = graft.operators.Dedup.simHash(graft.operators.Dedup.tokenSet(col("text")))
+    assert(docs.select((TextHashNative.simHash(col("text")) === simHof).as("ok"))
+      .filter(!col("ok")).count() === 0)
+  }
+
   test("graft_dot matches the HOF composition on real embeddings") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
