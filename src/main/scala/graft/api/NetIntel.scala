@@ -88,9 +88,13 @@ object NetIntel {
       .join(broadcast(s), "site_code")
       .withColumn("_x", pseudoCoord("x", col("region"), col("site_code")))
       .withColumn("_y", pseudoCoord("y", col("region"), col("site_code")))
+    // cached: KMeans.fit makes several passes; uncached, each pass
+    // re-runs the scan→agg→anti-join→dim-join pipeline (same
+    // session-lifetime cache convention as the dedup core)
     val feats = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(Array("_x", "_y")).setOutputCol("_loc")
       .transform(sites)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // random init (seeded): kmeans|| costs several extra jobs for no
     // quality gain on well-separated region base points
     val model = new org.apache.spark.ml.clustering.KMeans()
