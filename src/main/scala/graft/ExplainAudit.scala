@@ -17,7 +17,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q_s1_scan_project", "q_p4_predicate", "q_j1_dim_join", "q_j2_fact_join",
       "q_t1_topk", "q_a1_groupby_pricing", "q_ep1_chat_top_outages",
-      "q_j5_asof_join", "q_dedup_minhash", "q_x1_sim_topk")
+      "q_j5_asof_join", "q_dedup_minhash", "q_x1_sim_topk",
+      "q_a9_auc", "q_dedup_embedding")
     val spark = graft.core.GraftSession.local(8)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)

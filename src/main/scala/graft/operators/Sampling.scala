@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting — the training-data
+  * pipeline's reproducibility primitives (harness north-star; the
+  * reference's train/validate cycle is README.md:46-53).
+  *
+  * Everything here is HASH-derived, never RNG-derived:
+  *  - reproducible across runs, engines, executor counts and
+  *    repartitioning (`sample()` with a seed is none of those — its
+  *    output changes with the partitioning);
+  *  - a row's assignment depends only on its key, so late-arriving or
+  *    re-processed data lands in the same split — exactly what
+  *    incremental training-corpus builds need;
+  *  - embarrassingly parallel: one projection, no shuffle, no state.
+  *
+  * The hash is the first 8 hex chars of md5(key) read as an integer —
+  * md5 is byte-identical in every engine, so the DuckDB oracle
+  * reproduces assignments exactly (('0x' || substring(md5(k),1,8))
+  * ::BIGINT). Resolution is 1/10000 (0.01%) of fraction granularity.
+  */
+object Sampling {
+
+  /** Number of hash buckets fractions are quantized to. */
+  val Buckets = 10000
+
+  /** Portable deterministic bucket in [0, [[Buckets]]) from a key. */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Assign each row a named split by cumulative hash-bucket ranges,
+    * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Splits
+    * are disjoint and exhaustive when weights sum to 1 (the final split
+    * absorbs rounding); weights are quantized to 0.01%. */
+  def withSplit(df: DataFrame, key: Column,
+      splits: Seq[(String, Double)], splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0))
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * Buckets)
+    }.tail
+    val b = hashBucket(key)
+    // last range is open-ended so rounding can never drop a row
+    val expr = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), els) =>
+      when(b < hi, name).otherwise(els)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff its hash bucket
+    * falls under its stratum's fraction (strata not listed keep
+    * `defaultFraction`). The kept set is a strict subset relation
+    * across fractions: raising a stratum's fraction only ADDS rows. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val b = hashBucket(key)
+    val thresh = fractions.foldRight(
+      lit(math.round(defaultFraction * Buckets)): Column) {
+      case ((s, f), els) => when(stratum === s, math.round(f * Buckets)).otherwise(els)
+    }
+    df.filter(b < thresh)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.OracleCompat._
+import graft.operators.Sampling
+
+/** Deterministic split / stratified-sample queries (training-pipeline
+  * reproducibility primitives — operators.Sampling). The md5-derived
+  * bucket is byte-identical across engines, so unlike RNG sampling
+  * these are fully hash-oracle-checkable: DuckDB reproduces the exact
+  * row assignment, not just approximate counts.
+  */
+object SamplingQueries {
+
+  private val bucketSqlDoc =
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+  private val bucketSqlEvent =
+    "CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000"
+
+  /** 80/10/10 train/val/test split of the document corpus, summarized
+    * per (split, language). */
+  private val split = QuerySpec(
+    "q_sample_split",
+    s"""WITH b AS (SELECT lang, text, $bucketSqlDoc AS bkt FROM documents),
+       |s AS (SELECT lang, text,
+       |        CASE WHEN bkt < 8000 THEN 'train'
+       |             WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+       |      FROM b)
+       |SELECT split, lang, COUNT(*) AS n_docs,
+       |       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+       |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, d) =>
+    Sampling.withSplit(Tables.documents(s, d), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  /** Per-event-type stratified sample (rebalancing a skewed corpus:
+    * keep all rare error rows, downsample the common types). */
+  private val stratified = QuerySpec(
+    "q_sample_stratified",
+    s"""WITH b AS (SELECT event_type, value, $bucketSqlEvent AS bkt FROM events),
+       |k AS (SELECT * FROM b WHERE bkt <
+       |        CASE event_type WHEN 'error' THEN 10000 WHEN 'click' THEN 5000
+       |                        WHEN 'purchase' THEN 2500 ELSE 1000 END)
+       |SELECT event_type, COUNT(*) AS n,
+       |       CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS val_sum
+       |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    Sampling.stratifiedSample(Tables.events(s, d),
+      col("event_id"), col("event_type"),
+      Map("error" -> 1.0, "click" -> 0.5, "purchase" -> 0.25),
+      defaultFraction = 0.1)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QuerySpec] = Seq(split, stratified)
+}

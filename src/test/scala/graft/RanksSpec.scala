@@ -40,4 +40,25 @@ class RanksSpec extends AnyFunSuite {
     assert(got.getAs[Double]("auc") === ref.getAs[Double]("auc"))
     spark.catalog.clearCache()
   }
+
+  test("all-tied scores rank to the midpoint: AUC is exactly 0.5") {
+    val df = spark.range(1000).select(
+      lit(7.5).as("score"),
+      pmod(col("id"), lit(3)).cast("int").as("lab")) // 334 positives
+    val got = Ranks.aucStats(df, col("score"), col("lab") === 0).collect().head
+    assert(got.getAs[Long]("npos") === 334L)
+    assert(got.getAs[Long]("nneg") === 666L)
+    assert(got.getAs[Double]("auc") === 0.5)
+    spark.catalog.clearCache()
+  }
+
+  test("perfectly separated classes: AUC is exactly 1.0") {
+    val df = spark.range(1000).select(
+      col("id").cast("double").as("score"),
+      (col("id") >= 500).cast("int").as("lab"))
+    val got = Ranks.aucStats(df, col("score"), col("lab") === 1).collect().head
+    assert(got.getAs[Long]("npos") === 500L)
+    assert(got.getAs[Double]("auc") === 1.0)
+    spark.catalog.clearCache()
+  }
 }

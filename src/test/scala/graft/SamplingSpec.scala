@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSession.{spark, sfDir}
+
+  lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("split is disjoint, exhaustive, and insensitive to partitioning") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.withSplit(docs, col("doc_id"), splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size === docs.count())
+    // same assignment after an arbitrary repartition (seeded sample()
+    // famously fails this)
+    val b = Sampling.withSplit(docs.repartition(7), col("doc_id"), splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // fractions land near their targets (hash uniformity)
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.03, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.03, frac.toString)
+  }
+
+  test("stratified sampling is monotone: raising a fraction only adds rows") {
+    val lo = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.2), defaultFraction = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.6), defaultFraction = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    assert(hi.size > lo.size)
+  }
+
+  test("fraction 1.0 keeps every row of its stratum; 0.0 drops all") {
+    val kept = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0), defaultFraction = 0.0)
+    val en = docs.filter(col("lang") === "en")
+    assert(kept.count() === en.count())
+    assert(kept.filter(col("lang") =!= "en").count() === 0)
+  }
+}
