@@ -66,4 +66,28 @@ object Sampling {
     }
     df.filter(b < thresh)
   }
+
+  /** Distributed sequence packing: assign each document to a
+    * fixed-token-budget pack for training-batch assembly. Documents
+    * hash into `shards` independent shards (the unit of parallelism —
+    * one window per shard, NEVER a global sort); within a shard, packs
+    * are cut by the running token count in deterministic key order.
+    * First-fit-contiguous: a pack may overflow `budget` by at most one
+    * document (the standard greedy guarantee); a document longer than
+    * the budget gets a pack of its own. Everything is integer
+    * arithmetic on a deterministic order → exactly reproducible and
+    * hash-oracle-checkable.
+    *
+    * Output adds (`shard`, `pack`, cumulative-exclusive `pack_offset`).
+    */
+  def packBudgeted(df: DataFrame, key: Column, tokens: Column,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("shard", hashBucket(key) % shards)
+      .withColumn("pack_offset", coalesce(sum(tokens).over(w), lit(0L)))
+      .withColumn("pack", floor(col("pack_offset") / budget).cast("long"))
+  }
 }

@@ -20,7 +20,7 @@ object SamplingQueries {
 
   /** 80/10/10 train/val/test split of the document corpus, summarized
     * per (split, language). */
-  private val split = QuerySpec(
+  private val splitQ = QuerySpec(
     "q_sample_split",
     s"""WITH b AS (SELECT lang, text, $bucketSqlDoc AS bkt FROM documents),
        |s AS (SELECT lang, text,
@@ -58,5 +58,28 @@ object SamplingQueries {
       .orderBy("event_type")
   }
 
-  val all: Seq[QuerySpec] = Seq(split, stratified)
+  /** Token-budget sequence packing over 8 hash shards: per-document
+    * (shard, pack, offset) assignment — the training-batch assembly
+    * step, exactly reproduced by the oracle's windowed running sum. */
+  private val pack = QuerySpec(
+    "q_sample_pack",
+    s"""WITH t AS (SELECT doc_id, $bucketSqlDoc % 8 AS shard,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM documents),
+       |p AS (SELECT doc_id, shard, n_tokens,
+       |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+       |      FROM t)
+       |SELECT doc_id, shard, n_tokens, pack_offset,
+       |       CAST(FLOOR(pack_offset / 2048.0) AS BIGINT) AS pack
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Sampling.packBudgeted(docs, col("doc_id"), col("n_tokens"),
+      budget = 2048L, shards = 8)
+      .select("doc_id", "shard", "n_tokens", "pack_offset", "pack")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(splitQ, stratified, pack)
 }

@@ -39,6 +39,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(hi.size > lo.size)
   }
 
+  test("packing: pack totals bounded by budget + one document; repartition-stable") {
+    val budget = 500L
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = Sampling.packBudgeted(toks, col("doc_id"), col("n_tokens"), budget, 4)
+      .select("doc_id", "shard", "pack", "n_tokens").cache()
+    // greedy-contiguous guarantee: a pack overflows by at most its last doc
+    val bad = packed.groupBy("shard", "pack")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+      .filter(col("tot") >= lit(budget) + col("mx"))
+      .count()
+    assert(bad === 0)
+    // deterministic under arbitrary physical layout
+    val again = Sampling.packBudgeted(toks.repartition(11), col("doc_id"),
+      col("n_tokens"), budget, 4)
+      .select("doc_id", "shard", "pack", "n_tokens")
+    assert(packed.except(again).count() === 0 && again.except(packed).count() === 0)
+    packed.unpersist()
+  }
+
   test("fraction 1.0 keeps every row of its stratum; 0.0 drops all") {
     val kept = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
       Map("en" -> 1.0), defaultFraction = 0.0)
