@@ -75,11 +75,11 @@ object Dedup {
       .filter(col("_fpa") =!= col("_fpb"))
       .dropDuplicates("_fpa", "_fpb")
     // Union-free exact Jaccard with the two-pointer codegen intersect.
-    // Sortedness is established by THIS function's array_sort at entry
-    // (tokenHashSet/shingleHashSet outputs are encounter-ordered, NOT
-    // sorted) — do not remove that sort. |A∪B| = |A|+|B|−|A∩B| — same
-    // integers as size(array_intersect)/size(array_union), same double,
-    // a fraction of the per-pair work.
+    // Sortedness comes from the entry PRECONDITION above (the native
+    // tokenHashSet/shingleHashSet producers emit sorted sets).
+    // |A∪B| = |A|+|B|−|A∩B| — same integers as
+    // size(array_intersect)/size(array_union), same double, a fraction
+    // of the per-pair work.
     val verified = cand
       .join(reps.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
       .join(reps.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
@@ -217,9 +217,12 @@ object Dedup {
     // exactly 0 and cross-fingerprint pairs inherit the representative
     // distance — output is identical to the uncollapsed join.
     // imperative simhash eval (vote/bit layout identical to the HOF
-    // [[simHash]] — DedupSpec's collapse fixture cross-checks the two)
+    // [[simHash]] — DedupSpec's collapse fixture cross-checks the two).
+    // coalesce restores the HOF form's null-text value: aggregate over a
+    // null token array folded each bit to 0 ⇒ simhash 0L, so null-text
+    // docs pair with each other; bare null would drop out of the joins.
     val docs = spread.select(col(id).as("_id"),
-      graft.plans.TextHashNative.simHash(col(text)).as("_sh"))
+      coalesce(graft.plans.TextHashNative.simHash(col(text)), lit(0L)).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the chunk join consumes only the fingerprint — distinct IS the collapse
     val reps = docs.select("_sh").distinct()

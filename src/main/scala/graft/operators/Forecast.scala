@@ -65,9 +65,14 @@ object Forecast {
     * the scored output — inputs for drift alerting (ST6). AUC uses the
     * distributed tie-averaged rank ([[Ranks.tieAveragedRanks]] — no
     * global single-task sort), and RMSE folds over the SAME per-score
-    * table (labels are 0/1, so Σ(score−lab)² = npos·(score−1)² +
-    * (cnt−npos)·score² per distinct score) — the scoring pipeline
-    * executes exactly once per metrics() call. */
+    * table, so the scoring pipeline executes exactly once per call.
+    *
+    * CONTRACT: `actual` must be BINARY 0.0/1.0 (it is — the scored
+    * output's `actual` is the had_error indicator from
+    * [[trainAndScore]]). The single-pass RMSE decomposition
+    * Σ(score−lab)² = npos·(score−1)² + (cnt−npos)·score² per distinct
+    * score holds ONLY for 0/1 labels; a caller with real-valued labels
+    * must compute RMSE row-wise instead. */
   def metrics(scored: DataFrame): DataFrame = {
     val ranks = Ranks.tieAveragedRanks(
       scored.select(col("outage_probability").as("score"), col("actual").as("lab")),

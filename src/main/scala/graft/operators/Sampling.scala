@@ -68,15 +68,18 @@ object Sampling {
   }
 
   /** Distributed sequence packing: assign each document to a
-    * fixed-token-budget pack for training-batch assembly. Documents
-    * hash into `shards` independent shards (the unit of parallelism —
-    * one window per shard, NEVER a global sort); within a shard, packs
-    * are cut by the running token count in deterministic key order.
-    * First-fit-contiguous: a pack may overflow `budget` by at most one
-    * document (the standard greedy guarantee); a document longer than
-    * the budget gets a pack of its own. Everything is integer
-    * arithmetic on a deterministic order → exactly reproducible and
-    * hash-oracle-checkable.
+    * token-budget pack for training-batch assembly. Documents hash into
+    * `shards` independent shards (the unit of parallelism — one window
+    * per shard, NEVER a global sort); within a shard each document's
+    * pack is `floor(exclusive-running-token-count / budget)` in
+    * deterministic key order — contiguous-offset bucketing, not
+    * first-fit. Consequences, precisely: a pack's token total is
+    * < budget + its largest document (asserted in SamplingSpec); a
+    * document longer than the budget joins the pack its offset falls in
+    * and pushes subsequent pack ids forward, so ids within a shard are
+    * increasing but may skip after oversized documents. Everything is
+    * integer arithmetic on a deterministic order → exactly reproducible
+    * and hash-oracle-checkable.
     *
     * Output adds (`shard`, `pack`, cumulative-exclusive `pack_offset`).
     */

@@ -79,8 +79,9 @@ object Similarity {
     * drop rather than error (documented, matches the HOF-form
     * semantics). */
   private def dimOf(df: DataFrame, vec: String): Int =
-    df.select(size(col(vec)).as("_d")).filter(col("_d").isNotNull)
-      .head(1).headOption.map(_.getInt(0)).filter(_ > 0).getOrElse(1)
+    df.select(size(col(vec)).as("_d"))
+      .filter(col("_d").isNotNull && col("_d") > 0) // skip null AND empty vectors
+      .head(1).headOption.map(_.getInt(0)).getOrElse(1)
 
   /** Approximate top-k: candidates share an LSH bucket, with multi-probe
     * on the query side (the exact bucket plus every bucket at Hamming

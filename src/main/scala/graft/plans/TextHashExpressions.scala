@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftops.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass imperative eval for the dedup suite's per-row text
@@ -70,11 +71,24 @@ object TextHashNative {
 
   def simHash(text: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+
+  /** Fail at ANALYSIS time on a non-string input, like the HOF forms
+    * these expressions replace would — without this, a mistyped column
+    * passes resolution and every task dies in a mid-job
+    * ClassCastException. (ExpectsInputTypes is off-limits outside
+    * catalyst — AbstractDataType is private[sql] — so the expressions
+    * override checkInputDataTypes directly.) */
+  private[plans] def requireString(e: Expression, name: String): TypeCheckResult =
+    if (e.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires a STRING column, got ${e.dataType.catalogString}")
 }
 
 /** Sorted distinct xxhash64 token set of a space-separated string. */
 case class TokenHashSetExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(TextHashNative.sortedDistinct(
@@ -90,6 +104,8 @@ case class TokenHashSetExpr(child: Expression)
 case class ShingleHashSetExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any = {
     val th = TextHashNative.hashTokens(input.asInstanceOf[UTF8String])
@@ -157,6 +173,8 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * collapse-equivalence fixture and ExtensionsSpec). */
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
     val hs = TextHashNative.sortedDistinct(

@@ -60,6 +60,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .filter(!col("ok")).count() === 0)
   }
 
+  test("native text projections reject non-string inputs at analysis time") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextHashNative
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(TextHashNative.tokenHashSet(col("doc_id"))).collect()
+    }
+    assert(e.getMessage.contains("graft_token_hash_set"))
+  }
+
   test("graft_dot matches the HOF composition on real embeddings") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions
