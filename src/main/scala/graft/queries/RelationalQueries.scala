@@ -352,6 +352,16 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** A8 at the 100 TB tier: approx_percentile — mergeable fixed-memory
+    * sketch vs the exact form's full value sort. Approximate → no hash
+    * oracle; RelationalSpec bounds its error against q_a8_percentile. */
+  private val a8approx = QuerySpec.noOracle("q_a8_approx_percentile") { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(value, 0.95, 1000)").as("p95"))
+      .orderBy("event_type")
+  }
+
   /** A9a: RMSE as exact-decimal aggregate (reference README.md:53). */
   private val a9 = QuerySpec(
     "q_a9_rmse",
@@ -556,7 +566,7 @@ object RelationalQueries {
   val all: Seq[QuerySpec] = Seq(
     s1, s2, s7, p2, p3, p4, p5,
     j1, j2, j4, j6, j6holiday, j7semi, j7anti,
-    a1, a4, a6, a6b, a6c, a7, a8, a9,
+    a1, a4, a6, a6b, a6c, a7, a8, a8approx, a9,
     t1, u1, u2, u3,
     f1, f2, f3, f5, f6, f7)
 }

@@ -50,6 +50,20 @@ object StreamingOps {
   def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming corpus dedup (ST5 × the batch fingerprint dedup): drop
+    * re-arriving documents whose TOKEN-SET fingerprint was already seen
+    * within the watermark — catches reordered/repeated-word near-copies
+    * that byte-exact event-id dedup misses, with the same bounded-state
+    * guarantee (fingerprint state evicts once the watermark passes).
+    * The fingerprint is operators.Dedup's md5 bag-of-words form, so a
+    * doc admitted here is exactly one the batch pipeline would keep. */
+  def dedupDocsWithinWatermark(
+      docs: DataFrame, textCol: String, tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame =
+    graft.operators.Dedup.withFingerprint(docs, textCol)
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

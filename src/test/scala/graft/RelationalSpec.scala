@@ -16,7 +16,8 @@ class RelationalSpec extends AnyFunSuite {
     assert(noOracle === Set(
       "q_dedup_simhash", "q_sim_lsh_topk", "q_sim_ivf_topk",
       "q_x3_ml_forecast", "q_a6_approx_distinct",
-      "q_dedup_embedding_lsh", "q_ep3_schedule_clustered"))
+      "q_dedup_embedding_lsh", "q_ep3_schedule_clustered",
+      "q_a8_approx_percentile"))
   }
 
   test("approx_count_distinct within 5% of exact on events") {
@@ -25,6 +26,20 @@ class RelationalSpec extends AnyFunSuite {
       val approx = r.getAs[Long]("approx_users").toDouble
       val exact = r.getAs[Long]("exact_users").toDouble
       assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+    }
+  }
+
+  test("approx_percentile tracks the exact percentiles") {
+    val exact = SparkEntry.queries("q_a8_percentile")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("q_a8_approx_percentile")(spark, sfDir).collect().foreach { r =>
+      val (p50, p95) = exact(r.getString(0))
+      // accuracy=1000 bounds RANK error at n/1000; the value error that
+      // implies depends on local density — 5% relative is conservative
+      assert(math.abs(r.getDouble(1) - p50) <= 0.05 * math.max(1.0, p50),
+        s"p50 ${r.getDouble(1)} vs $p50")
+      assert(math.abs(r.getDouble(2) - p95) <= 0.05 * math.max(1.0, p95),
+        s"p95 ${r.getDouble(2)} vs $p95")
     }
   }
 

@@ -152,6 +152,21 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming corpus dedup: re-arriving token-set duplicate is dropped") {
+    val in = MemoryStream[(Long, Timestamp, String)](spark)
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupDocsWithinWatermark(df, "text")
+      .writeStream.format("memory").queryName("stdocs").outputMode("append").start()
+    in.addData((1L, ts("2024-01-01 10:00:00"), "alpha beta gamma"))
+    q.processAllAvailable()
+    in.addData(
+      (2L, ts("2024-01-01 10:01:00"), "beta gamma alpha alpha"), // same token SET
+      (3L, ts("2024-01-01 10:02:00"), "entirely new content"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("stdocs").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L), s"reordered/repeated-word duplicate must drop: $kept")
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
