@@ -158,18 +158,26 @@ object Dedup {
     val docs = spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
     collapseVerifyExpand(docs, reps => {
       // signatures + band hashes on REPRESENTATIVES only; band join
-      // carries the cluster fingerprint, nothing else. Signature eval is
-      // the imperative loop (value-equal to minHashHashedSignature —
-      // ExtensionsSpec), k×|set| arithmetic without per-element lambdas.
+      // carries the cluster fingerprint and set size, nothing else.
+      // Signature eval is the imperative loop (value-equal to
+      // minHashHashedSignature — ExtensionsSpec), k×|set| arithmetic
+      // without per-element lambdas.
       val sigs = reps.withColumn("_sig",
         graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
-      val banded = sigs.select(col("_fp"),
+      val banded = sigs.select(col("_fp"), size(col("_set")).as("_n"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
-      banded.select(col("_fp").as("_fpa"), col("_band"), col("_bandhash"))
-        .join(banded.select(col("_fp").as("_fpb"), col("_band"), col("_bandhash")),
-          Seq("_band", "_bandhash"))
+      // length filter (exact, as in ngramJaccardPairs): J ≥ θ forces
+      // min(|A|,|B|) ≥ θ·max(|A|,|B|) — ambient band collisions between
+      // size-mismatched sets drop BEFORE the candidate distinct; the
+      // 1e-9 slack protects boundary ratios from θ's binary rounding
+      banded.select(col("_fp").as("_fpa"), col("_n").as("_na"),
+          col("_band"), col("_bandhash"))
+        .join(banded.select(col("_fp").as("_fpb"), col("_n").as("_nb"),
+          col("_band"), col("_bandhash")), Seq("_band", "_bandhash"))
+        .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
+          col("_nb") >= col("_na") * threshold - 1e-9)
         .select("_fpa", "_fpb")
     }, threshold)
   }
