@@ -51,6 +51,29 @@ object Dedup {
       docs: DataFrame,
       candidates: DataFrame => DataFrame,
       threshold: Double): DataFrame = {
+    val (tagged, verified) = collapseVerify(docs, candidates, threshold)
+    val members = tagged.select(col("_fp"), col("_id"))
+    val within = members.select(col("_fp"), col("_id").as("a_id"))
+      .join(members.select(col("_fp"), col("_id").as("b_id")), "_fp")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    val cross = verified
+      .join(members.select(col("_fp").as("_fpa"), col("_id").as("_ida")), "_fpa")
+      .join(members.select(col("_fp").as("_fpb"), col("_id").as("_idb")), "_fpb")
+      .select(least(col("_ida"), col("_idb")).as("a_id"),
+        greatest(col("_ida"), col("_idb")).as("b_id"), col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** Collapse + candidate + verify stages of [[collapseVerifyExpand]],
+    * without the member-pair expansion: returns (tagged docs with their
+    * set fingerprint, verified representative pairs). Cluster-level
+    * consumers ([[minHashClusters]]) work on this graph directly — a
+    * cluster of k true duplicates contributes ONE node, not k²/2 pairs. */
+  private[graft] def collapseVerify(
+      docs: DataFrame,
+      candidates: DataFrame => DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     // Both frames fan out to 3+ branches of the DAG (candidates, two
     // verify joins, member expansion); without persistence Spark
     // recomputes the tokenize→hash subtree per branch, which profiled
@@ -89,17 +112,7 @@ object Dedup {
         col("_i").cast("double") / (size(col("_seta")) + size(col("_setb")) - col("_i")))
       .filter(col("jaccard") >= threshold)
       .select("_fpa", "_fpb", "jaccard")
-    val members = tagged.select(col("_fp"), col("_id"))
-    val within = members.select(col("_fp"), col("_id").as("a_id"))
-      .join(members.select(col("_fp"), col("_id").as("b_id")), "_fp")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
-    val cross = verified
-      .join(members.select(col("_fp").as("_fpa"), col("_id").as("_ida")), "_fpa")
-      .join(members.select(col("_fp").as("_fpb"), col("_id").as("_idb")), "_fpb")
-      .select(least(col("_ida"), col("_idb")).as("a_id"),
-        greatest(col("_ida"), col("_idb")).as("b_id"), col("jaccard"))
-    within.unionByName(cross)
+    (tagged, verified)
   }
 
   // ---- exact / fingerprint -------------------------------------------
@@ -149,14 +162,21 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // spread the RAW rows before the tokenize/hash projection: a small
     // corpus is one parquet split, and without this the whole expensive
     // projection runs as a single task (profiled at 8-9 s serial — and
     // hypersensitive to one slow core)
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val docs = spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
-    collapseVerifyExpand(docs, reps => {
+    collapseVerifyExpand(docs, minHashCandidates(numHashes, bands, threshold), threshold)
+  }
+
+  /** MinHash/LSH candidate generation over collapsed representatives —
+    * shared by [[minHashPairs]] and [[minHashClusters]]. */
+  private[graft] def minHashCandidates(
+      numHashes: Int, bands: Int, threshold: Double): DataFrame => DataFrame = {
+    val r = numHashes / bands
+    reps => {
       // signatures + band hashes on REPRESENTATIVES only; band join
       // carries the cluster fingerprint and set size, nothing else.
       // Signature eval is the imperative loop (value-equal to
@@ -179,7 +199,49 @@ object Dedup {
         .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
           col("_nb") >= col("_na") * threshold - 1e-9)
         .select("_fpa", "_fpb")
-    }, threshold)
+    }
+  }
+
+  /** Near-duplicate CLUSTERS: the pair relation of [[minHashPairs]],
+    * closed transitively, with one canonical document per cluster — the
+    * form a corpus-cleaning pipeline actually consumes ("keep
+    * `cluster_rep`, drop the rest").
+    *
+    * Scale shape: connected components (alternating star algorithm,
+    * [[Components.connectedComponents]]) run on the COLLAPSED
+    * fingerprint graph — one node per distinct token set, one edge per
+    * verified representative pair — never on the expanded k²/2
+    * member-pair space. Members then inherit their fingerprint's
+    * component through one join, and labels finalize as the minimum
+    * member doc id via a single window.
+    *
+    * @return (doc_id, cluster_rep, cluster_size) for every document in
+    *         a cluster of ≥ 2; singletons are not duplicates and are
+    *         omitted, mirroring the pair queries.
+    */
+  def minHashClusters(
+      df: DataFrame, id: String, text: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val docs = spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
+    val (tagged, verified) =
+      collapseVerify(docs, minHashCandidates(numHashes, bands, threshold), threshold)
+    val fpComp = Components.connectedComponents(
+      verified.select("_fpa", "_fpb"), "_fpa", "_fpb")
+      .withColumnRenamed("node", "_fp")
+    // fingerprints with no cross-edge are their own component; their
+    // members still cluster with each other (identical sets, J = 1)
+    val labeled = tagged.select(col("_fp"), col("_id"))
+      .join(fpComp, Seq("_fp"), "left_outer")
+      .withColumn("_comp", coalesce(col("comp"), col("_fp")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_comp")
+    labeled
+      .select(col("_id").as("doc_id"),
+        min(col("_id")).over(w).as("cluster_rep"),
+        count(lit(1)).over(w).as("cluster_size"))
+      .filter(col("cluster_size") > 1)
   }
 
   /** [[minHashSignature]] over an already-hashed token set. */

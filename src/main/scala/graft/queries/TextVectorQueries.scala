@@ -157,6 +157,35 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Pairs → transitive clusters → canonical doc per cluster: the form
+    * a cleaning pipeline consumes. Spark runs connected components
+    * (alternating star rounds) on the collapsed fingerprint graph; the
+    * oracle closes the brute-force pair relation with a recursive CTE.
+    * Matching per-doc labels prove the collapsed-graph components equal
+    * the full doc-level transitive closure. */
+  private val dedupClusters = QuerySpec(
+    "q_dedup_clusters",
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+      |          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |walk(node, comp) AS (
+      |  SELECT u, u FROM e
+      |  UNION
+      |  SELECT e.u, walk.comp FROM e JOIN walk ON e.v = walk.node),
+      |labels AS (SELECT node AS doc_id, MIN(comp) AS cluster_rep FROM walk GROUP BY node)
+      |SELECT doc_id, cluster_rep,
+      |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+      |FROM labels ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.minHashClusters(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.9)
+      .orderBy("doc_id")
+  }
+
   private val dedupNgram = QuerySpec(
     "q_dedup_ngram_jaccard",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -289,6 +318,6 @@ object TextVectorQueries {
 
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
-    dedupFingerprint, dedupMinhash, dedupNgram, dedupSimhash, dedupEmbedding,
+    dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, simTopk, simLsh, simIvf)
 }

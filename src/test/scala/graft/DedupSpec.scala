@@ -105,4 +105,27 @@ class DedupSpec extends AnyFunSuite {
       .filter(col("j") >= 0.8).select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(viaPrefix === brute)
   }
+
+  test("minhash clusters = union-find closure of minhash pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // driver-side union-find over the pair relation
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val sizes = roots.values.groupBy(identity).map { case (r, g) => r -> g.size.toLong }
+    val expected = roots.map { case (d, r) => (d, r, sizes(r)) }.toSet
+    val got = Dedup.minHashClusters(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
 }
