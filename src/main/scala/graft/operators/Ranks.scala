@@ -68,6 +68,39 @@ object Ranks {
       .select("_score", "_cnt", "_npos", "_ar")
   }
 
+  /** Distributed `row_number() OVER (ORDER BY order…)` — the same
+    * range-partition + per-partition-window + broadcast-triangular-
+    * offset shape as [[tieAveragedRanks]], generalized to a composite
+    * sort key. The plan contains no unpartitioned window, so a global
+    * ordering over an arbitrarily large frame never collapses to one
+    * task.
+    *
+    * PRECONDITION: the composite key must be UNIQUE per row — range
+    * partitioning may split a tie group across partition boundaries,
+    * which would make tied rows' numbers partition-dependent. With a
+    * unique key the numbering is total and deterministic.
+    *
+    * Appends `outCol` (1-based, long). Same persist-the-range-exchange
+    * requirement and session-cache convention as [[tieAveragedRanks]].
+    */
+  def distributedRowNumber(
+      df: DataFrame, order: Seq[Column], outCol: String = "rn"): DataFrame = {
+    val ranged = df
+      .repartitionByRange(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ptot = ranged.groupBy("_pid").agg(count(lit(1)).as("_pcnt"))
+    val offs = ptot.select(col("_pid"))
+      .join(broadcast(ptot.select(col("_pid").as("_q"), col("_pcnt"))),
+        col("_q") < col("_pid"), "left_outer")
+      .groupBy("_pid")
+      .agg(coalesce(sum(col("_pcnt")), lit(0L)).as("_off"))
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
+    ranged.join(broadcast(offs), "_pid")
+      .withColumn(outCol, col("_off") + row_number().over(w).cast("long"))
+      .drop("_pid", "_off")
+  }
+
   /** One-row (npos: long, nneg: long, auc: double) via the tie-corrected
     * Mann-Whitney statistic over [[tieAveragedRanks]]. */
   def aucStats(df: DataFrame, score: Column, isPos: Column): DataFrame = {

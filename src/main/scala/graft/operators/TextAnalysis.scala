@@ -60,6 +60,67 @@ object TextAnalysis {
     }.otherwise("unknown")
   }
 
+  // ---- tokenizer-prep: vocabulary + encoding ---------------------------
+
+  /** Corpus vocabulary: one row per distinct token with total count,
+    * document frequency, and a 1-based id assigned by count-descending
+    * (token-ascending tiebreak). The ranking is [[Ranks.distributedRowNumber]]
+    * — no unpartitioned window, so a web-scale vocabulary (10⁷+ terms)
+    * still ranks without a single-task sort. */
+  def vocabulary(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id).as("_doc"), explode(wsTokens(col(text))).as("term"))
+    val counts = tok.groupBy("term")
+      .agg(count(lit(1)).as("n"), countDistinct(col("_doc")).as("df_docs"))
+    Ranks.distributedRowNumber(counts, Seq(col("n").desc, col("term").asc), "rank")
+  }
+
+  /** Token-id encoding against the top-`vocabSize` [[vocabulary]] ids;
+    * out-of-vocabulary tokens map to 0 — the tokenizer-prep step that
+    * turns a text corpus into model-ready id sequences.
+    *
+    * Scale shape: posexplode to keep token positions, ONE broadcast
+    * join against the (small, cutoff) vocabulary, one regroup per doc;
+    * order is restored in-row via array_sort over (pos, id) structs.
+    * Output ids are a comma-joined string — exact, hashable, and
+    * engine-portable (array columns aren't). */
+  def encodeTokens(df: DataFrame, id: String, text: String, vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(df, id, text)
+      .filter(col("rank") <= vocabSize)
+      .select(col("term"), col("rank"))
+    val tok = df.select(col(id).as(id), posexplode(wsTokens(col(text))))
+      .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "term")
+    tok.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy(id)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_pos"), coalesce(col("rank"), lit(0L)).as("_id")))),
+        s => s.getField("_id").cast("string")), ",").as("ids"))
+  }
+
+  /** Intra-document repetition metrics — the Gopher-style quality
+    * signals (Rae et al. 2021, §A1.1) for filtering boilerplate and
+    * degenerate text: duplicate-token ratio, most-frequent-token ratio,
+    * duplicate-bigram ratio. Per-token counts aggregate via
+    * explode→groupBy (scales to any document length); bigram stats are
+    * in-row set arithmetic. */
+  def repetitionStats(df: DataFrame, id: String, text: String): DataFrame = {
+    val perTerm = df.select(col(id).as(id), explode(wsTokens(col(text))).as("term"))
+      .groupBy(id, "term").agg(count(lit(1)).as("_c"))
+    val tokStats = perTerm.groupBy(id).agg(
+      sum(col("_c")).as("n_tokens"),
+      count(lit(1)).as("_n_distinct"),
+      max(col("_c")).as("_max_c"))
+    val biStats = df.select(col(id).as(id),
+      size(Dedup.shingles(col(text), 2)).as("_n_bi_distinct"),
+      (size(wsTokens(col(text))) - 1).cast("long").as("_n_bi"))
+    tokStats.join(biStats, Seq(id))
+      .select(col(id), col("n_tokens"),
+        (lit(1.0) - col("_n_distinct").cast("double") / col("n_tokens")).as("dup_token_ratio"),
+        (col("_max_c").cast("double") / col("n_tokens")).as("top_token_ratio"),
+        when(col("_n_bi") > 0,
+          lit(1.0) - col("_n_bi_distinct").cast("double") / col("_n_bi"))
+          .otherwise(0.0).as("dup_bigram_ratio"))
+  }
+
   /** Polynomial rolling-hash fingerprint over token codes, mod 1e9+7.
     * Pure integer arithmetic → portable across engines (unlike
     * xxhash64, this one is oracle-checkable in DuckDB via list_reduce). */

@@ -129,6 +129,59 @@ object TextVectorQueries {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Tokenizer-prep: corpus vocabulary with count/df/rank — ranked by
+    * the distributed row-number (no unpartitioned window), checked
+    * against DuckDB's global window form. */
+  private val vocabBuild = QuerySpec(
+    "q_vocab_build",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df_docs FROM tok GROUP BY term)
+      |SELECT term, n, df_docs,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+      |FROM c ORDER BY rank""".stripMargin) { (s, d) =>
+    TextAnalysis.vocabulary(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("rank")
+  }
+
+  /** Tokenizer-prep: docs → model-ready id sequences (top-16 vocab,
+    * OOV → 0). Spark restores order via in-row (pos, id) sort after a
+    * broadcast vocab join; the oracle encodes through a DuckDB MAP —
+    * two very different plans, same exact sequences. */
+  private val vocabEncode = QuerySpec(
+    "q_vocab_encode",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+      |v AS (SELECT term, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank FROM c QUALIFY rank <= 16),
+      |m AS (SELECT map(list(term ORDER BY rank), list(rank ORDER BY rank)) AS mm FROM v)
+      |SELECT d.doc_id,
+      |       array_to_string(list_transform(string_split(d.text, ' '),
+      |         t -> CAST(coalesce(map_extract(mm, t)[1], 0) AS BIGINT)), ',') AS ids
+      |FROM documents d CROSS JOIN m ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.encodeTokens(Tables.documents(s, d), "doc_id", "text", vocabSize = 16)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style intra-doc repetition quality signals. */
+  private val textRepetition = QuerySpec(
+    "q_text_repetition",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |pt AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY doc_id, term),
+      |ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |              COUNT(*) AS nd, MAX(c) AS mc FROM pt GROUP BY doc_id),
+      |bs AS (SELECT doc_id,
+      |         len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS nbd,
+      |         len(string_split(text, ' ')) - 1 AS nb
+      |       FROM documents)
+      |SELECT ts.doc_id, n_tokens,
+      |       1 - nd::DOUBLE / n_tokens AS dup_token_ratio,
+      |       mc::DOUBLE / n_tokens AS top_token_ratio,
+      |       CASE WHEN nb > 0 THEN 1 - nbd::DOUBLE / nb ELSE 0.0 END AS dup_bigram_ratio
+      |FROM ts JOIN bs ON ts.doc_id = bs.doc_id ORDER BY ts.doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   // ---- dedup suite (X4 / harness north-star) --------------------------
 
   private val dedupFingerprint = QuerySpec(
@@ -318,6 +371,7 @@ object TextVectorQueries {
 
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
+    vocabBuild, vocabEncode, textRepetition,
     dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, simTopk, simLsh, simIvf)
 }

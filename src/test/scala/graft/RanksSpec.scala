@@ -41,6 +41,33 @@ class RanksSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("distributed row_number ≡ global-window reference on a composite key at 200k rows") {
+    // unique composite key (n has heavy ties, term is unique)
+    val df = spark.range(200000).select(
+      pmod(xxhash64(col("id")), lit(997)).as("n"),
+      concat(lit("t"), col("id")).as("term"))
+    val order = Seq(col("n").desc, col("term").asc)
+    val got = Ranks.distributedRowNumber(df, order, "rank")
+    val ref = df.withColumn("rank",
+      row_number().over(Window.orderBy(order: _*)).cast("long"))
+    assert(got.select("n", "term", "rank").exceptAll(ref.select("n", "term", "rank")).isEmpty)
+    assert(got.count() === 200000L)
+    spark.catalog.clearCache()
+  }
+
+  test("distributed row_number plan has no unpartitioned window") {
+    val df = spark.range(1000).select(col("id").as("k"))
+    val plan = Ranks.distributedRowNumber(df, Seq(col("k").asc))
+      .queryExecution.optimizedPlan.toString
+    val windowSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toList
+    assert(windowSpecs.nonEmpty)
+    // every window spec must carry a partition expression before the
+    // ordering spec (unpartitioned = starts with the sort expr only)
+    windowSpecs.foreach(s => assert(s.contains("_pid"), s"unpartitioned window: $s"))
+    spark.catalog.clearCache()
+  }
+
   test("all-tied scores rank to the midpoint: AUC is exactly 0.5") {
     val df = spark.range(1000).select(
       lit(7.5).as("score"),
