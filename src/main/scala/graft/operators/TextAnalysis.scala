@@ -121,6 +121,44 @@ object TextAnalysis {
           .otherwise(0.0).as("dup_bigram_ratio"))
   }
 
+  // ---- corpus hygiene: contamination + composition ---------------------
+
+  /** Benchmark-contamination check (the GPT-3-style decontamination
+    * step): a corpus document is flagged when it shares at least one
+    * distinct word n-gram with any benchmark document. Returns
+    * (doc_id, n_shared_ngrams, n_bench_docs) for flagged docs only.
+    *
+    * Scale shape: shingles are hashed in one pass (no n-gram strings
+    * materialized), the benchmark side — an eval set, small by nature —
+    * broadcasts, and the only shuffle is the per-doc aggregation of
+    * matches. Never compares documents pairwise. */
+  def contamination(
+      corpus: DataFrame, bench: DataFrame, id: String, text: String, n: Int): DataFrame = {
+    val bsh = bench.select(col(id).as("_bid"),
+      explode(Dedup.shingleHashSet(col(text), n)).as("_sh"))
+    val csh = corpus.select(col(id).as(id),
+      explode(Dedup.shingleHashSet(col(text), n)).as("_sh"))
+    csh.join(broadcast(bsh), "_sh")
+      .groupBy(id)
+      .agg(countDistinct(col("_sh")).as("n_shared_ngrams"),
+        countDistinct(col("_bid")).as("n_bench_docs"))
+  }
+
+  /** Corpus composition: per-group document/token counts and each
+    * group's share of all tokens — the numbers a data-mixing policy
+    * consumes. Exact integer division into double (deterministic across
+    * engines). */
+  def corpusMix(df: DataFrame, text: String, keys: Seq[String]): DataFrame = {
+    val agg = df
+      .select(keys.map(col) :+ size(wsTokens(col(text))).cast("long").as("_n"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
+    val tot = agg.agg(sum(col("total_tokens")).cast("double").as("_tt"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("token_share", col("total_tokens").cast("double") / col("_tt"))
+      .drop("_tt")
+  }
+
   /** Polynomial rolling-hash fingerprint over token codes, mod 1e9+7.
     * Pure integer arithmetic → portable across engines (unlike
     * xxhash64, this one is oracle-checkable in DuckDB via list_reduce). */

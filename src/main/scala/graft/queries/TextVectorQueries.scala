@@ -182,6 +182,44 @@ object TextVectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Decontamination: corpus docs sharing any distinct 5-gram with the
+    * src0 "benchmark" slice. Spark joins hashed shingles with the
+    * benchmark broadcast; the oracle joins the n-gram strings. */
+  private val contamination = QuerySpec(
+    "q_contamination",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |g AS (SELECT doc_id, source,
+      |        unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+      |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS sh
+      |      FROM t),
+      |bench AS (SELECT doc_id AS b_id, sh FROM g WHERE source = 'src0'),
+      |corp AS (SELECT doc_id, sh FROM g WHERE source <> 'src0')
+      |SELECT c.doc_id,
+      |       CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_shared_ngrams,
+      |       CAST(COUNT(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs
+      |FROM corp c JOIN bench b ON c.sh = b.sh
+      |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    TextAnalysis.contamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus composition per (source, lang) — the data-mixing report. */
+  private val corpusMix = QuerySpec(
+    "q_corpus_mix",
+    """WITH a AS (SELECT source, lang, COUNT(*) AS n_docs,
+      |                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |           FROM documents GROUP BY source, lang),
+      |tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS tt FROM a)
+      |SELECT source, lang, n_docs, total_tokens, total_tokens / tt AS token_share
+      |FROM a CROSS JOIN tot ORDER BY source, lang""".stripMargin) { (s, d) =>
+    TextAnalysis.corpusMix(Tables.documents(s, d), "text", Seq("source", "lang"))
+      .orderBy("source", "lang")
+  }
+
   // ---- dedup suite (X4 / harness north-star) --------------------------
 
   private val dedupFingerprint = QuerySpec(
@@ -371,7 +409,7 @@ object TextVectorQueries {
 
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
-    vocabBuild, vocabEncode, textRepetition,
+    vocabBuild, vocabEncode, textRepetition, contamination, corpusMix,
     dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, simTopk, simLsh, simIvf)
 }

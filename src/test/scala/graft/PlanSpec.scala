@@ -68,4 +68,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) broadcast theta-join in plan")
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
   }
+
+  test("contamination check broadcasts the benchmark shingles") {
+    val p = finalPlan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side should broadcast")
+    assert(!p.contains("SortMergeJoin"), "shingle join should not shuffle the corpus side")
+  }
 }
