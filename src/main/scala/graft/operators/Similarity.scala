@@ -243,4 +243,35 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  /** Semantic-dedup cluster centroids: close the [[nearDupPairs]]
+    * relation transitively ([[Components.connectedComponents]]) and
+    * compute each cluster's element-wise mean embedding — the
+    * representative vector a semantic dedup keeps per group.
+    *
+    * Output is one row per (cluster_rep, dim): engine-portable and
+    * hashable (no array columns). The per-dimension sum folds
+    * member values LEFT-TO-RIGHT in vec-id order (in-row fold over a
+    * sorted collect), so the double is bit-identical to any engine's
+    * ordered list_sum — summation order is pinned, not left to
+    * partitioning. Work shape: pair graph → components on ids only,
+    * one explode of member vectors, one (cluster, dim) aggregation. */
+  def nearDupCentroids(
+      df: DataFrame, id: String, vec: String, threshold: Double,
+      blocks: Int = 8): DataFrame = {
+    val pairs = nearDupPairs(df, id, vec, threshold, blocks)
+    val comps = Components.connectedComponents(pairs, "a_id", "b_id")
+    val dims = df
+      .select(col(id).cast("long").as("_vid"), asDouble(col(vec)).as("_v"))
+      .join(comps.withColumnRenamed("node", "_vid"), "_vid")
+      .select(col("comp").as("cluster_rep"), col("_vid"), posexplode(col("_v")))
+    dims.groupBy("cluster_rep", "pos")
+      .agg(
+        aggregate(transform(
+          array_sort(collect_list(struct(col("_vid"), col("col").as("_x")))),
+          s => s.getField("_x")), lit(0.0), (a, x) => a + x).as("_sum"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_rep"), (col("pos") + 1).cast("long").as("dim"),
+        (col("_sum") / col("n_members")).as("centroid"), col("n_members"))
+  }
 }

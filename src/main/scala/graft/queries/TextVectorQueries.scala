@@ -318,6 +318,34 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Semantic-dedup centroids: embedding near-dup pairs closed into
+    * clusters (distributed components), element-wise mean per cluster.
+    * Sum order is pinned to vec-id order on both sides, so the doubles
+    * hash-match bit-for-bit. */
+  private val embedCentroids = QuerySpec(
+    "q_embed_centroids",
+    """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS u, b.vec_id AS w FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+      |  WHERE list_dot_product(a.vec, b.vec)
+      |          / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4),
+      |ed AS (SELECT u, w FROM p UNION SELECT w, u FROM p),
+      |walk(node, comp) AS (
+      |  SELECT u, u FROM ed
+      |  UNION
+      |  SELECT ed.u, walk.comp FROM ed JOIN walk ON ed.w = walk.node),
+      |lab AS (SELECT node, MIN(comp) AS cluster_rep FROM walk GROUP BY node),
+      |d AS (SELECT l.cluster_rep, g.i AS dim, e0.vec[g.i] AS x, e0.vec_id
+      |      FROM lab l JOIN e0 ON e0.vec_id = l.node
+      |      CROSS JOIN generate_series(1, 64) g(i))
+      |SELECT cluster_rep, CAST(dim AS BIGINT) AS dim,
+      |       list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS centroid,
+      |       CAST(COUNT(*) AS BIGINT) AS n_members
+      |FROM d GROUP BY cluster_rep, dim ORDER BY cluster_rep, dim""".stripMargin) { (s, d) =>
+    Similarity.nearDupCentroids(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      .orderBy("cluster_rep", "dim")
+  }
+
   /** Banded hyperplane-LSH approximate embedding near-dup — the true
     * 100 TB path next to the exact block-bucketed q_dedup_embedding.
     * Probabilistic recall → no hash oracle; recall vs the exact pairs
@@ -411,5 +439,5 @@ object TextVectorQueries {
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, corpusMix,
     dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
-    dedupEmbeddingLsh, simTopk, simLsh, simIvf)
+    dedupEmbeddingLsh, embedCentroids, simTopk, simLsh, simIvf)
 }
