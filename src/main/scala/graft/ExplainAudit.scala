@@ -18,7 +18,8 @@ object ExplainAudit {
       "q_s1_scan_project", "q_p4_predicate", "q_j1_dim_join", "q_j2_fact_join",
       "q_t1_topk", "q_a1_groupby_pricing", "q_ep1_chat_top_outages",
       "q_j5_asof_join", "q_dedup_minhash", "q_x1_sim_topk",
-      "q_a9_auc", "q_dedup_embedding")
+      "q_a9_auc", "q_dedup_embedding",
+      "q_dedup_clusters", "q_contamination", "q_vocab_build")
     val spark = graft.core.GraftSession.local(8)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)

@@ -216,6 +216,34 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** J9: range (point-in-interval) join — orders placed inside each
+    * line's shipping window [l_shipdate, l_shipdate + (l_partkey%14)+1
+    * days]. Spark plans the bare BETWEEN join as a nested loop; the
+    * operator bins the date domain and equi-joins on the bin
+    * (operators.RangeJoin), re-checking the exact predicate — gated in
+    * PlanSpec against nested-loop/cartesian plans. The oracle runs the
+    * plain BETWEEN join (DuckDB IEJoin). */
+  private val j9range = QuerySpec(
+    "q_j9_range_join",
+    """WITH iv AS (SELECT l_orderkey, l_linenumber,
+      |              CAST(l_shipdate AS DATE) AS w_start,
+      |              CAST(l_shipdate AS DATE) + ((l_partkey % 14 + 1)::INT) AS w_end
+      |            FROM lineitem WHERE l_quantity = 50)
+      |SELECT iv.l_orderkey, iv.l_linenumber, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM iv JOIN orders o ON CAST(o.o_orderdate AS DATE) BETWEEN iv.w_start AND iv.w_end
+      |GROUP BY iv.l_orderkey, iv.l_linenumber
+      |ORDER BY iv.l_orderkey, iv.l_linenumber""".stripMargin) { (s, d) =>
+    val iv = Tables.lineitem(s, d).filter(col("l_quantity") === 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("w_start"),
+        date_add(to_date(col("l_shipdate")), (col("l_partkey") % 14 + 1).cast("int")).as("w_end"))
+    val pts = Tables.orders(s, d).select(to_date(col("o_orderdate")).as("o_orderdate"))
+    graft.operators.RangeJoin.pointInInterval(pts, "o_orderdate", iv, "w_start", "w_end", 7)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** J7a: left-semi — sites WITH open tickets (reference README.md:61-63
     * dispatch dedup); EXISTS shape, no row multiplication. */
   private val j7semi = QuerySpec(
@@ -565,7 +593,7 @@ object RelationalQueries {
 
   val all: Seq[QuerySpec] = Seq(
     s1, s2, s7, p2, p3, p4, p5,
-    j1, j2, j4, j6, j6holiday, j7semi, j7anti,
+    j1, j2, j4, j6, j6holiday, j7semi, j7anti, j9range,
     a1, a4, a6, a6b, a6c, a7, a8, a8approx, a9,
     t1, u1, u2, u3,
     f1, f2, f3, f5, f6, f7)

@@ -51,6 +51,13 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got === Map(5L -> 5L, 6L -> 5L, 8L -> 5L))
   }
 
+  test("maxIter too small to converge fails loudly, never silently wrong") {
+    val edges = (0L until 32L).map(i => (i, i + 1L))
+    intercept[IllegalStateException] {
+      Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter = 1).collect()
+    }
+  }
+
   test("pseudo-random graph matches union-find") {
     // LCG-generated, fully deterministic: 300 edges over ~200 nodes
     var s = 12345L

@@ -69,6 +69,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
   }
 
+  test("range join is binned: no nested-loop or cartesian plan") {
+    val p = finalPlan("q_j9_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "BETWEEN join fell back to nested loop")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+  }
+
   test("contamination check broadcasts the benchmark shingles") {
     val p = finalPlan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark side should broadcast")
