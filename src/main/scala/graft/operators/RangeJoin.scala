@@ -32,10 +32,15 @@ object RangeJoin {
     require(binSizeDays > 0, "binSizeDays must be positive")
     val p = points.withColumn("_bin",
       floor(datediff(col(pointCol), epoch) / binSizeDays))
-    val iv = intervals.withColumn("_bin",
-      explode(sequence(
-        floor(datediff(col(startCol), epoch) / binSizeDays),
-        floor(datediff(col(endCol), epoch) / binSizeDays))))
+    // inverted intervals match nothing under BETWEEN; they must be
+    // dropped BEFORE the explode because Spark's sequence(a, b) counts
+    // DOWN when b < a — it would fabricate bins instead of none
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("_bin",
+        explode(sequence(
+          floor(datediff(col(startCol), epoch) / binSizeDays),
+          floor(datediff(col(endCol), epoch) / binSizeDays))))
     iv.join(p, Seq("_bin"))
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("_bin")

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  test("binned join equals brute-force BETWEEN, including boundaries and bin straddles") {
+    val intervals = Seq(
+      (1L, "2024-01-01", "2024-01-03"),  // within one bin
+      (2L, "2024-01-05", "2024-01-09"),  // straddles a 7-day bin edge
+      (3L, "2024-02-01", "2024-02-01"),  // single-day
+      (4L, "2024-03-10", "2024-03-01")   // inverted: matches nothing
+    ).toDF("iv_id", "s", "e")
+      .select(col("iv_id"), col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = (0 until 90).toDF("i")
+      .select(date_add(lit("2024-01-01").cast("date"), col("i")).as("p"))
+
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 7)
+      .select("iv_id", "p").as[(Long, java.sql.Date)].collect().toSet
+    val brute = intervals.crossJoin(points)
+      .filter(col("p").between(col("s"), col("e")))
+      .select("iv_id", "p").as[(Long, java.sql.Date)].collect().toSet
+
+    assert(got === brute)
+    assert(brute.exists(_._1 == 2L), "straddling interval must match")
+    assert(!got.exists(_._1 == 4L), "inverted interval must match nothing")
+    assert(got.count(_._1 == 3L) === 1, "single-day boundary is inclusive")
+  }
+}
