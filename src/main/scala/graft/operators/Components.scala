@@ -52,7 +52,7 @@ object Components {
     // sentinel: round 1 always runs and its signature both materializes
     // the round and seeds the fixpoint test — the raw input needs no
     // action of its own
-    var sig = (-1L, -1L)
+    var sig = (-1L, BigDecimal(-1))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -105,13 +105,18 @@ object Components {
 
   /** Order-independent multiset signature of an edge list, used as the
     * fixpoint test: (count, sum of per-edge hashes folded into
-    * Z_(2³¹−1) so the sum cannot overflow under ANSI mode). Both star
-    * steps are identity exactly on star-shaped edge sets, so signature
-    * equality (modulo a ~2⁻⁶⁰ collision) means the stars are final. */
-  private def signature(e: DataFrame): (Long, Long) = {
+    * Z_(2³¹−1)). The sum accumulates as DECIMAL(38,0) — headroom for
+    * ~10²⁸ edges, so it cannot overflow under ANSI mode at any scale
+    * the operator claims. Both star steps are identity exactly on
+    * star-shaped edge sets, so signature equality (modulo a ~2⁻⁶⁰
+    * collision) means the stars are final. */
+  private def signature(e: DataFrame): (Long, BigDecimal) = {
     val r = e.agg(
       count(lit(1)),
-      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(2147483647L))), lit(0L))).head()
-    (r.getLong(0), r.getLong(1))
+      coalesce(
+        sum(pmod(xxhash64(col("u"), col("v")), lit(2147483647L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+    (r.getLong(0), BigDecimal(r.getDecimal(1)))
   }
 }

@@ -162,13 +162,19 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // spread the RAW rows before the tokenize/hash projection: a small
-    // corpus is one parquet split, and without this the whole expensive
-    // projection runs as a single task (profiled at 8-9 s serial — and
-    // hypersensitive to one slow core)
+    collapseVerifyExpand(prepTokenDocs(df, id, text),
+      minHashCandidates(numHashes, bands, threshold), threshold)
+  }
+
+  /** Shared minhash entry prep: spread the RAW rows before the
+    * tokenize/hash projection — a small corpus is one parquet split,
+    * and without this the whole expensive projection runs as a single
+    * task (profiled at 8-9 s serial — and hypersensitive to one slow
+    * core) — then project to the (_id, _set) shape the collapse core
+    * consumes. */
+  private def prepTokenDocs(df: DataFrame, id: String, text: String): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val docs = spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
-    collapseVerifyExpand(docs, minHashCandidates(numHashes, bands, threshold), threshold)
+    spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
   }
 
   /** MinHash/LSH candidate generation over collapsed representatives —
@@ -224,10 +230,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val docs = spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
-    val (tagged, verified) =
-      collapseVerify(docs, minHashCandidates(numHashes, bands, threshold), threshold)
+    val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
+      minHashCandidates(numHashes, bands, threshold), threshold)
     val fpComp = Components.connectedComponents(
       verified.select("_fpa", "_fpb"), "_fpa", "_fpb")
       .withColumnRenamed("node", "_fp")

@@ -24,7 +24,13 @@ object RangeJoin {
   private val epoch = to_date(lit("1970-01-01"))
 
   /** Inner-join `points` rows onto every `intervals` row whose
-    * [startCol, endCol] (dates, inclusive) contains pointCol. */
+    * [startCol, endCol] (dates, inclusive) contains pointCol.
+    *
+    * Intervals are first CLAMPED to the observed point range — a free
+    * exactness-preserving step (points outside [min, max] cannot match
+    * anything), and the guard that stops open-ended sentinel intervals
+    * (the SCD `end = 9999-12-31` pattern) from exploding onto hundreds
+    * of thousands of bins each. */
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
@@ -32,15 +38,22 @@ object RangeJoin {
     require(binSizeDays > 0, "binSizeDays must be positive")
     val p = points.withColumn("_bin",
       floor(datediff(col(pointCol), epoch) / binSizeDays))
-    // inverted intervals match nothing under BETWEEN; they must be
-    // dropped BEFORE the explode because Spark's sequence(a, b) counts
-    // DOWN when b < a — it would fabricate bins instead of none
+    val bounds = points.agg(
+      min(col(pointCol)).as("_pmin"), max(col(pointCol)).as("_pmax"))
+    // clamped-inverted intervals ([start,end] disjoint from the point
+    // range, or inverted input) match nothing under BETWEEN; they must
+    // be dropped BEFORE the explode because Spark's sequence(a, b)
+    // counts DOWN when b < a — it would fabricate bins instead of none
     val iv = intervals
-      .filter(col(startCol) <= col(endCol))
+      .crossJoin(broadcast(bounds))
+      .withColumn("_cs", greatest(col(startCol), col("_pmin")))
+      .withColumn("_ce", least(col(endCol), col("_pmax")))
+      .filter(col("_cs") <= col("_ce"))
       .withColumn("_bin",
         explode(sequence(
-          floor(datediff(col(startCol), epoch) / binSizeDays),
-          floor(datediff(col(endCol), epoch) / binSizeDays))))
+          floor(datediff(col("_cs"), epoch) / binSizeDays),
+          floor(datediff(col("_ce"), epoch) / binSizeDays))))
+      .drop("_pmin", "_pmax", "_cs", "_ce")
     iv.join(p, Seq("_bin"))
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("_bin")

@@ -55,12 +55,7 @@ object Ranks {
       .repartitionByRange(col("_score"))
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ptot = ranged.groupBy("_pid").agg(sum(col("_cnt")).as("_pcnt"))
-    val offs = ptot.select(col("_pid"))
-      .join(broadcast(ptot.select(col("_pid").as("_q"), col("_pcnt"))),
-        col("_q") < col("_pid"), "left_outer")
-      .groupBy("_pid")
-      .agg(coalesce(sum(col("_pcnt")), lit(0L)).as("_off"))
+    val offs = partitionOffsets(ranged, sum(col("_cnt")))
     val w = Window.partitionBy("_pid").orderBy("_score")
     ranged.join(broadcast(offs), "_pid")
       .withColumn("_below", col("_off") + sum(col("_cnt")).over(w) - col("_cnt"))
@@ -89,16 +84,26 @@ object Ranks {
       .repartitionByRange(order: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ptot = ranged.groupBy("_pid").agg(count(lit(1)).as("_pcnt"))
-    val offs = ptot.select(col("_pid"))
-      .join(broadcast(ptot.select(col("_pid").as("_q"), col("_pcnt"))),
-        col("_q") < col("_pid"), "left_outer")
-      .groupBy("_pid")
-      .agg(coalesce(sum(col("_pcnt")), lit(0L)).as("_off"))
+    val offs = partitionOffsets(ranged, count(lit(1)))
     val w = Window.partitionBy("_pid").orderBy(order: _*)
     ranged.join(broadcast(offs), "_pid")
       .withColumn(outCol, col("_off") + row_number().over(w).cast("long"))
       .drop("_pid", "_off")
+  }
+
+  /** Per-partition global row offsets for a range-partitioned frame
+    * carrying `_pid`: each partition's offset is the sum of `weight`
+    * over all lower-id partitions, via the triangular broadcast
+    * self-join (P² pairs over one row per partition — trivial at any P,
+    * and window-free). Shared by both rank operators so the
+    * offset/persist subtleties live in one place. */
+  private def partitionOffsets(ranged: DataFrame, weight: Column): DataFrame = {
+    val ptot = ranged.groupBy("_pid").agg(weight.as("_pcnt"))
+    ptot.select(col("_pid"))
+      .join(broadcast(ptot.select(col("_pid").as("_q"), col("_pcnt"))),
+        col("_q") < col("_pid"), "left_outer")
+      .groupBy("_pid")
+      .agg(coalesce(sum(col("_pcnt")), lit(0L)).as("_off"))
   }
 
   /** One-row (npos: long, nneg: long, auc: double) via the tie-corrected

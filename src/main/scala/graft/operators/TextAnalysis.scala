@@ -89,11 +89,15 @@ object TextAnalysis {
       .select(col("term"), col("rank"))
     val tok = df.select(col(id).as(id), posexplode(wsTokens(col(text))))
       .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "term")
-    tok.join(broadcast(vocab), Seq("term"), "left_outer")
+    val encoded = tok.join(broadcast(vocab), Seq("term"), "left_outer")
       .groupBy(id)
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("_pos"), coalesce(col("rank"), lit(0L)).as("_id")))),
         s => s.getField("_id").cast("string")), ",").as("ids"))
+    // null-text docs have no exploded rows and would silently vanish
+    // from the output; re-attach them with NULL ids (= what the SQL
+    // form computes: transform over a NULL token list is NULL)
+    df.select(col(id).as(id)).join(encoded, Seq(id), "left_outer")
   }
 
   /** Intra-document repetition metrics — the Gopher-style quality
@@ -149,10 +153,15 @@ object TextAnalysis {
     * consumes. Exact integer division into double (deterministic across
     * engines). */
   def corpusMix(df: DataFrame, text: String, keys: Seq[String]): DataFrame = {
+    // persisted: the grouped frame feeds both the grand total and the
+    // final join — unpersisted, the full corpus scan + tokenize would
+    // run twice (same fan-out convention as Dedup.collapseVerify; the
+    // frame is group-cardinality small)
     val agg = df
       .select(keys.map(col) :+ size(wsTokens(col(text))).cast("long").as("_n"): _*)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = agg.agg(sum(col("total_tokens")).cast("double").as("_tt"))
     agg.crossJoin(broadcast(tot))
       .withColumn("token_share", col("total_tokens").cast("double") / col("_tt"))

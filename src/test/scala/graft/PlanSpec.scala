@@ -69,10 +69,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
   }
 
-  test("range join is binned: no nested-loop or cartesian plan") {
+  test("range join is binned: the interval-point join is a hash join on the bin") {
     val p = finalPlan("q_j9_range_join")
-    assert(!p.contains("BroadcastNestedLoopJoin"), "BETWEEN join fell back to nested loop")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "expected a hash join for the interval-point match")
+    assert(p.contains("_bin"), "expected the join keyed on the bin")
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    // the only nested loop allowed is the single-row point-bounds attach
+    // (count distinct node ids in the FINAL plan only — AQE's appended
+    // "Initial Plan" section re-lists the same operators under new ids)
+    val bnl = "BroadcastNestedLoopJoin[^(]*\\((\\d+)\\)".r
+      .findAllMatchIn(p.split("== Initial Plan ==").head).map(_.group(1)).toSet
+    assert(bnl.size <= 1, s"unexpected nested-loop joins: $bnl")
   }
 
   test("contamination check broadcasts the benchmark shingles") {

@@ -30,4 +30,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 4L), "inverted interval must match nothing")
     assert(got.count(_._1 == 3L) === 1, "single-day boundary is inclusive")
   }
+
+  test("open-ended sentinel interval clamps to the point range instead of exploding") {
+    val intervals = Seq((1L, "2024-01-10", "9999-12-31")).toDF("iv_id", "s", "e")
+      .select(col("iv_id"), col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = (0 until 30).toDF("i")
+      .select(date_add(lit("2024-01-01").cast("date"), col("i")).as("p"))
+    val joined = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 7)
+    // correct matches: Jan 10-30 inclusive = 21 points
+    assert(joined.count() === 21)
+    // and the interval side exploded onto a handful of bins, not ~400k:
+    // count the exploded bin rows via the same clamp+sequence arithmetic
+    val binRows = intervals
+      .crossJoin(points.agg(min(col("p")).as("mn"), max(col("p")).as("mx")))
+      .select(explode(sequence(
+        floor(datediff(greatest(col("s"), col("mn")), lit("1970-01-01").cast("date")) / 7),
+        floor(datediff(least(col("e"), col("mx")), lit("1970-01-01").cast("date")) / 7))))
+      .count()
+    assert(binRows <= 5, s"expected a handful of bins, got $binRows")
+  }
 }
