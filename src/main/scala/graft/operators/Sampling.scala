@@ -83,6 +83,24 @@ object Sampling {
     *
     * Output adds (`shard`, `pack`, cumulative-exclusive `pack_offset`).
     */
+  /** Curriculum / batch-shape buckets: assign each row to one of
+    * `buckets` equal-frequency groups by `measure` (ties broken by
+    * `key`, which must be unique) — NTILE semantics, computed WITHOUT a
+    * single-task global sort: [[Ranks.distributedRowNumber]] provides
+    * the total order, and `floor((rn−1)·k / N)` reproduces NTILE's
+    * larger-groups-first remainder placement exactly (integer `div`, so
+    * no floating-point rounding at any N). */
+  def frequencyBuckets(
+      df: DataFrame, measure: Column, key: Column,
+      buckets: Int, outCol: String = "bucket"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ranked = Ranks.distributedRowNumber(df, Seq(measure.asc, key.asc), "_rn")
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn(outCol, expr(s"((_rn - 1) * $buckets) div _n") + 1)
+      .drop("_rn", "_n")
+  }
+
   def packBudgeted(df: DataFrame, key: Column, tokens: Column,
       budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)

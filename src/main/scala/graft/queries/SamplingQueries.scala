@@ -81,5 +81,26 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(splitQ, stratified, pack)
+  /** Length-decile curriculum assignment: NTILE semantics over doc
+    * token counts without a single-task global sort (distributed
+    * row-number + the exact floor formula). */
+  private val curriculum = QuerySpec(
+    "q_curriculum_deciles",
+    """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |r AS (SELECT doc_id, n_tokens,
+      |        NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS decile FROM t)
+      |SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+      |       MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+      |FROM r GROUP BY decile ORDER BY decile""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Sampling.frequencyBuckets(docs, col("n_tokens"), col("doc_id"), 10, "decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+      .orderBy("decile")
+  }
+
+  val all: Seq[QuerySpec] = Seq(splitQ, stratified, pack, curriculum)
 }
