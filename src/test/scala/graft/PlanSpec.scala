@@ -83,6 +83,15 @@ class PlanSpec extends AnyFunSuite {
     assert(bnl.size <= 1, s"unexpected nested-loop joins: $bnl")
   }
 
+  test("cluster labeling has no unpartitioned window and no cross product") {
+    val p = finalPlan("q_dedup_clusters")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty, "expected the per-component min/count window")
+    assert(winLines.forall(l => l.contains("_comp") || l.contains("u#")),
+      s"found a window not partitioned by the component/node key:\n${winLines.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+  }
+
   test("contamination check broadcasts the benchmark shingles") {
     val p = finalPlan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark side should broadcast")
