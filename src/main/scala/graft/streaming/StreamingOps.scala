@@ -64,6 +64,27 @@ object StreamingOps {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming contamination gate: flag arriving docs that share any
+    * word n-gram with the static benchmark slice — the ingestion-time
+    * form of TextAnalysis.contamination. The benchmark's hashed
+    * shingles broadcast (stream-static left-semi, stateless); the only
+    * state is the per-doc dedup within the watermark, so a doc is
+    * flagged once no matter how many shingles collide. */
+  def contaminationFlags(
+      docs: DataFrame, bench: DataFrame, id: String, text: String,
+      n: Int, tsCol: String = "ts", delay: String = "10 minutes"): DataFrame = {
+    val bsh = bench
+      .select(explode(graft.operators.Dedup.shingleHashSet(col(text), n)).as("_sh"))
+      .distinct()
+    docs
+      .withWatermark(tsCol, delay)
+      .select(col(id), col(tsCol),
+        explode(graft.operators.Dedup.shingleHashSet(col(text), n)).as("_sh"))
+      .join(broadcast(bsh), Seq("_sh"), "left_semi")
+      .drop("_sh")
+      .dropDuplicatesWithinWatermark(id)
+  }
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -167,6 +167,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept === Set(1L, 3L), s"reordered/repeated-word duplicate must drop: $kept")
   }
 
+  test("streaming contamination gate: benchmark-overlapping doc flagged exactly once") {
+    val in = MemoryStream[(Long, Timestamp, String)](spark)
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val q = StreamingOps.contaminationFlags(df, bench, "doc_id", "text", n = 5)
+      .writeStream.format("memory").queryName("stcontam").outputMode("append").start()
+    in.addData(
+      // shares the 5-gram "two three four five six" -> flagged, once,
+      // despite two colliding shingles
+      (1L, ts("2024-01-01 10:00:00"), "zero one two three four five six"),
+      // no shared 5-gram -> clean
+      (2L, ts("2024-01-01 10:00:30"), "seven eight nine ten eleven twelve"))
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.table("stcontam").select("doc_id").collect().map(_.getLong(0))
+    assert(flagged.toSeq === Seq(1L), s"expected exactly one flag for doc 1: ${flagged.toSeq}")
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
