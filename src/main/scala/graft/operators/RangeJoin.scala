@@ -38,6 +38,10 @@ object RangeJoin {
     require(binSizeDays > 0, "binSizeDays must be positive")
     val p = points.withColumn("_bin",
       floor(datediff(col(pointCol), epoch) / binSizeDays))
+    // deliberately NOT persisted despite the two reads of `points`: the
+    // bounds pass aggregates ONE column (pruned scan + partial min/max),
+    // which is far cheaper at fact-table scale than caching the whole
+    // points frame to memory/disk would be
     val bounds = points.agg(
       min(col(pointCol)).as("_pmin"), max(col(pointCol)).as("_pmax"))
     // clamped-inverted intervals ([start,end] disjoint from the point

@@ -83,24 +83,6 @@ object Sampling {
     *
     * Output adds (`shard`, `pack`, cumulative-exclusive `pack_offset`).
     */
-  /** Curriculum / batch-shape buckets: assign each row to one of
-    * `buckets` equal-frequency groups by `measure` (ties broken by
-    * `key`, which must be unique) — NTILE semantics, computed WITHOUT a
-    * single-task global sort: [[Ranks.distributedRowNumber]] provides
-    * the total order, and `floor((rn−1)·k / N)` reproduces NTILE's
-    * larger-groups-first remainder placement exactly (integer `div`, so
-    * no floating-point rounding at any N). */
-  def frequencyBuckets(
-      df: DataFrame, measure: Column, key: Column,
-      buckets: Int, outCol: String = "bucket"): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    val ranked = Ranks.distributedRowNumber(df, Seq(measure.asc, key.asc), "_rn")
-    val n = ranked.agg(count(lit(1)).as("_n"))
-    ranked.crossJoin(broadcast(n))
-      .withColumn(outCol, expr(s"((_rn - 1) * $buckets) div _n") + 1)
-      .drop("_rn", "_n")
-  }
-
   def packBudgeted(df: DataFrame, key: Column, tokens: Column,
       budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0)
@@ -110,5 +92,34 @@ object Sampling {
     df.withColumn("shard", hashBucket(key) % shards)
       .withColumn("pack_offset", coalesce(sum(tokens).over(w), lit(0L)))
       .withColumn("pack", floor(col("pack_offset") / budget).cast("long"))
+  }
+
+  /** Curriculum / batch-shape buckets: assign each row to one of
+    * `buckets` equal-frequency groups by `measure` (ties broken by
+    * `key`, which must be unique; NULL measures sort LAST, matching
+    * SQL's default NULLS LAST) — exact NTILE semantics, computed
+    * WITHOUT a single-task global sort: [[Ranks.distributedRowNumber]]
+    * provides the total order, then pure integer arithmetic places the
+    * remainder buckets FIRST exactly as NTILE does: with q = N div k
+    * and r = N mod k, the first r buckets take q+1 rows and the rest
+    * take q. (The tempting `floor((rn−1)·k/N)` spreads the remainder
+    * evenly instead — diverges from NTILE whenever k ∤ N.) */
+  def frequencyBuckets(
+      df: DataFrame, measure: Column, key: Column,
+      buckets: Int, outCol: String = "bucket"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ranked = Ranks.distributedRowNumber(
+      df, Seq(measure.asc_nulls_last, key.asc), "_rn")
+    val n = ranked.agg(count(lit(1)).as("_n"))
+    val k = buckets.toLong
+    // q = 0 (fewer rows than buckets) never reaches the ELSE branch:
+    // r = N there, so every rn satisfies rn <= r*(q+1) = N
+    ranked.crossJoin(broadcast(n))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN _rn <= (_n % $k) * (_n div $k + 1)
+           |     THEN (_rn - 1) div (_n div $k + 1) + 1
+           |     ELSE (_n % $k) + (_rn - 1 - (_n % $k) * (_n div $k + 1)) div (_n div $k) + 1
+           |END""".stripMargin))
+      .drop("_rn", "_n")
   }
 }

@@ -66,4 +66,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.count() === en.count())
     assert(kept.filter(col("lang") =!= "en").count() === 0)
   }
+
+  test("frequencyBuckets matches NTILE exactly when bucket count does not divide N") {
+    import spark.implicits._
+    // 73 rows, 10 buckets: NTILE front-loads the remainder — sizes
+    // 8,8,8,7,7,7,7,7,7,7. The even-spread floor((rn-1)k/N) formula
+    // would give 8,7,7,8,7,7,8,7,7,7 — this pins the distinction.
+    val df = (1L to 73L).map(i => (i, (i * 37) % 100)).toDF("id", "m")
+    val got = Sampling.frequencyBuckets(df, col("m"), col("id"), 10)
+      .groupBy("bucket").count().orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === (1L to 10L).map(b => (b, if (b <= 3) 8L else 7L)).toArray)
+    // and per-row assignment equals the window NTILE reference
+    val ref = df.withColumn("bucket",
+      ntile(10).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("m").asc_nulls_last, col("id").asc)).cast("long"))
+    val gotRows = Sampling.frequencyBuckets(df, col("m"), col("id"), 10)
+      .select("id", "bucket").as[(Long, Long)].collect().toSet
+    assert(gotRows === ref.select("id", "bucket").as[(Long, Long)].collect().toSet)
+    spark.catalog.clearCache()
+  }
+
+  test("frequencyBuckets sorts NULL measures last, like SQL") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)), (4L, Some(9L)))
+      .toDF("id", "m")
+    val got = Sampling.frequencyBuckets(df, col("m"), col("id"), 4)
+      .select("id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got(2L) === 4L, s"NULL measure must land in the last bucket: $got")
+    assert(got(3L) === 1L)
+    spark.catalog.clearCache()
+  }
 }

@@ -20,6 +20,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     // vocab over non-null texts: b (4 occurrences) -> 1, a (2) -> 2
     assert(enc(1L).contains("2,1,2"))
     assert(enc(3L).contains("1,1,1"))
+    spark.catalog.clearCache()
   }
 
   test("vocabulary ranks by count desc with term tiebreak") {
