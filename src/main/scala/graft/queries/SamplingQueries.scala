@@ -67,8 +67,8 @@ object SamplingQueries {
        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |      FROM documents),
        |p AS (SELECT doc_id, shard, n_tokens,
-       |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+       |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset
        |      FROM t)
        |SELECT doc_id, shard, n_tokens, pack_offset,
        |       CAST(FLOOR(pack_offset / 2048.0) AS BIGINT) AS pack

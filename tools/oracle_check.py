@@ -59,6 +59,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             for c in got.columns:
                 g, w = got[c].values, want[c].values
+                # The driver's hash is TYPED: int64 vs float64/object fails it
+                # even when every value is equal (q_sample_pack, round 2 —
+                # DuckDB HUGEINT sums arrive as float64). Flag kind mismatches
+                # here instead of silently floating both sides.
+                gk = "i" if g.dtype.kind in "iu" else g.dtype.kind
+                wk = "i" if w.dtype.kind in "iu" else w.dtype.kind
+                if gk != wk:
+                    print(f"FAIL {name}: col {c} dtype mismatch "
+                          f"spark={g.dtype} oracle={w.dtype} "
+                          f"(driver hash is typed; CAST the oracle SQL)")
+                    ok = False
+                    break
                 if g.dtype.kind == "f" or w.dtype.kind == "f":
                     same = np.array_equal(g.astype(float), w.astype(float), equal_nan=True)
                 else:
