@@ -188,16 +188,22 @@ object Similarity {
     * Pair coverage: a pair with blocks (bi ≤ bj) meets exactly once in
     * join key (bi, bj) — the left role enumerates (myBlock, j ≥ myBlock),
     * the right role (i ≤ myBlock, myBlock). Same-block buckets see both
-    * orientations and dedupe on id order. */
+    * orientations and dedupe on id order.
+    *
+    * `blocks = 0` (the default) sizes the grid from the corpus row count
+    * ([[blocksFor]] — one cheap count() at plan-build time) so each
+    * task's pair set stays bounded as the corpus grows; the produced
+    * pairs are block-count-independent either way. */
   def nearDupPairs(
       df: DataFrame, id: String, vec: String, threshold: Double,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 0): DataFrame = {
+    val b = if (blocks > 0) blocks else blocksFor(df.count())
     val v = df.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
       .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
-      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(blocks)).cast("int"))
+      .withColumn("_blk", pmod(xxhash64(col("_id")), lit(b)).cast("int"))
     val left = v.select(col("_id").as("a_id"), col("_v").as("_av"),
         col("_nrm").as("_an"), col("_blk").as("_bi"),
-        explode(sequence(col("_blk"), lit(blocks - 1))).as("_bj"))
+        explode(sequence(col("_blk"), lit(b - 1))).as("_bj"))
     val right = v.select(col("_id").as("b_id"), col("_v").as("_bv"),
         col("_nrm").as("_bn"), col("_blk").as("_bj"),
         explode(sequence(lit(0), col("_blk"))).as("_bi"))
@@ -244,33 +250,82 @@ object Similarity {
       .select("a_id", "b_id", "cos")
   }
 
+  /** Block count for the exact pairwise grid: targets `targetRowsPerBlock`
+    * rows per block so each of the B(B+1)/2 join tasks compares a bounded
+    * ~target² pair set regardless of corpus scale (a fixed B means each
+    * task's pair count grows quadratically with the data). Clamped to
+    * [8, 4096]: ≥8 keeps small inputs parallel, ≤4096 caps the ~B×
+    * replication through the shuffle. */
+  def blocksFor(rows: Long, targetRowsPerBlock: Long = 4096L): Int =
+    math.min(4096L, math.max(8L, (rows + targetRowsPerBlock - 1) / targetRowsPerBlock)).toInt
+
   /** Semantic-dedup cluster centroids: close the [[nearDupPairs]]
     * relation transitively ([[Components.connectedComponents]]) and
     * compute each cluster's element-wise mean embedding — the
     * representative vector a semantic dedup keeps per group.
     *
     * Output is one row per (cluster_rep, dim): engine-portable and
-    * hashable (no array columns). The per-dimension sum folds
-    * member values LEFT-TO-RIGHT in vec-id order (in-row fold over a
-    * sorted collect), so the double is bit-identical to any engine's
-    * ordered list_sum — summation order is pinned, not left to
-    * partitioning. Work shape: pair graph → components on ids only,
-    * one explode of member vectors, one (cluster, dim) aggregation. */
+    * hashable (no array columns). The per-dimension sum is a SEGMENTED
+    * deterministic fold: members chunk by id range (`_vid div
+    * segmentWidth` — integer ids, so every chunk holds ≤ segmentWidth
+    * members by construction), each chunk folds LEFT-TO-RIGHT in vec-id
+    * order, then the chunk sums fold in chunk order. Both levels are
+    * order-pinned, so the double is reproducible across partitionings
+    * and engines — while no single in-row array ever exceeds
+    * segmentWidth elements (the round-2 review's OOM scenario: one
+    * boilerplate cluster with millions of members collapsing into a
+    * single collect_list row). The second-level array holds one entry
+    * per OCCUPIED chunk — ≤ members/segmentWidth for the dense ids a
+    * corpus assigns; callers with pathologically sparse id spaces
+    * should widen segmentWidth.
+    *
+    * Work shape: pair graph → components on ids only, one explode of
+    * member vectors, two (cluster, dim[, segment]) hash aggregations. */
   def nearDupCentroids(
       df: DataFrame, id: String, vec: String, threshold: Double,
-      blocks: Int = 8): DataFrame = {
+      blocks: Int = 0, segmentWidth: Long = 4096L): DataFrame = {
     val pairs = nearDupPairs(df, id, vec, threshold, blocks)
-    val comps = Components.connectedComponents(pairs, "a_id", "b_id")
+    centroidsOf(df, id, vec, Components.connectedComponents(pairs, "a_id", "b_id"),
+      segmentWidth)
+  }
+
+  /** [[nearDupCentroids]] on [[nearDupPairsBanded]] candidates — the
+    * 100 TB path: approximate pair recall (so no hash oracle; parity on
+    * a planted exact-duplicate fixture is asserted in SimilaritySpec,
+    * where banded recall is 1 by construction), but no O(n²) stage
+    * anywhere — candidates come from the (band, bucket) equi-join. */
+  def nearDupCentroidsBanded(
+      df: DataFrame, id: String, vec: String, threshold: Double,
+      bands: Int = 8, planesPerBand: Int = 4,
+      segmentWidth: Long = 4096L): DataFrame = {
+    val pairs = nearDupPairsBanded(df, id, vec, threshold, bands, planesPerBand)
+    centroidsOf(df, id, vec, Components.connectedComponents(pairs, "a_id", "b_id"),
+      segmentWidth)
+  }
+
+  /** Shared centroid aggregation: member vectors × component labels →
+    * per-(cluster, dim) segmented order-pinned mean (doc on
+    * [[nearDupCentroids]]). `comps` is (node, comp) as produced by
+    * [[Components.connectedComponents]]. */
+  private def centroidsOf(
+      df: DataFrame, id: String, vec: String, comps: DataFrame,
+      segmentWidth: Long): DataFrame = {
+    def pinnedFold(key: Column, x: Column): Column =
+      aggregate(transform(
+        array_sort(collect_list(struct(key.as("_k"), x.as("_x")))),
+        s => s.getField("_x")), lit(0.0), (a, x) => a + x)
     val dims = df
       .select(col(id).cast("long").as("_vid"), asDouble(col(vec)).as("_v"))
       .join(comps.withColumnRenamed("node", "_vid"), "_vid")
       .select(col("comp").as("cluster_rep"), col("_vid"), posexplode(col("_v")))
-    dims.groupBy("cluster_rep", "pos")
-      .agg(
-        aggregate(transform(
-          array_sort(collect_list(struct(col("_vid"), col("col").as("_x")))),
-          s => s.getField("_x")), lit(0.0), (a, x) => a + x).as("_sum"),
-        count(lit(1)).as("n_members"))
+    val segments = dims
+      .withColumn("_seg", expr(s"_vid div ${segmentWidth}L"))
+      .groupBy("cluster_rep", "pos", "_seg")
+      .agg(pinnedFold(col("_vid"), col("col")).as("_segSum"),
+        count(lit(1)).as("_n"))
+    segments.groupBy("cluster_rep", "pos")
+      .agg(pinnedFold(col("_seg"), col("_segSum")).as("_sum"),
+        sum(col("_n")).as("n_members"))
       .select(col("cluster_rep"), (col("pos") + 1).cast("long").as("dim"),
         (col("_sum") / col("n_members")).as("centroid"), col("n_members"))
   }

@@ -29,8 +29,9 @@ object TimeSeries {
     * no row multiplication, no range explosion, unlike the naive
     * `l JOIN r ON key AND r.ts <= l.ts` which is quadratic per key.
     * Hot keys: the window cannot split a single key across tasks; for
-    * skewed keys pre-bucket by coarse time range and as-of within
-    * buckets carrying the previous bucket's last row forward.
+    * skewed keys use [[asOfJoinBucketed]], which partitions by
+    * (key, coarse time bucket) and carries each bucket's last right row
+    * forward — identical results, >1 task per hot key.
     *
     * @param valueCols right-side columns to carry; each appears in the
     *                  output as `<name><suffix>` plus `_asof_ts`.
@@ -75,6 +76,76 @@ object TimeSeries {
     projected.filter(col("_side") === 1).drop("_ts", "_side", "_asof_row")
   }
 
+  /** Skew-safe [[asOfJoin]]: identical results, but the window partitions
+    * by (key, coarse time bucket) instead of (key), so one hot key (a
+    * site producing 30% of all readings) spans as many tasks as it spans
+    * buckets instead of serializing into one.
+    *
+    * Mechanics: the within-bucket as-of is the same union + window; the
+    * cross-bucket part reduces each (key, bucket) to its LAST right row
+    * (an aggregate `max` over the same (ts, values) lexicographic order
+    * the window uses for `last`, so the winner is the same row), then a
+    * window over the tiny per-(key, bucket) frame carries it forward —
+    * partitions there hold one row per bucket, never per event. Left
+    * rows whose bucket has no earlier right row coalesce to the carry.
+    *
+    * Cost: two shuffles of the union (window by (key, bucket) + the
+    * carry join) vs one — buy the second exchange only when keys are
+    * actually skewed.
+    *
+    * @param bucket coarse time bucket of a timestamp column; must be
+    *               monotone in ts (e.g. `date_trunc("day", _)`) so
+    *               bucket order equals time order
+    */
+  def asOfJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      suffix: String = "_asof",
+      bucket: Column => Column = date_trunc("day", _)): DataFrame = {
+    val rTagged = right
+      .select((keys.map(col) :+ col(rightTs).as("_ts")) ++
+        valueCols.map(c => col(c).as(s"$c$suffix")): _*)
+      .withColumn("_side", lit(0))
+    val lTagged = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1))
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("_bkt", bucket(col("_ts")))
+
+    val ord: Seq[Column] = Seq(col("_ts"), col("_side")) ++
+      valueCols.map(c => col(s"$c$suffix"))
+    val w = Window.partitionBy((keys.map(col) :+ col("_bkt")): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowStruct = struct((col("_ts").as("_asof_ts") +:
+      valueCols.map(c => col(s"$c$suffix"))): _*)
+    val local = u.withColumn("_asof_local",
+      last(when(col("_side") === 0, rowStruct), ignoreNulls = true).over(w))
+
+    // one row per (key, bucket): the bucket's last right row — struct max
+    // compares (ts, values) lexicographically, the same tiebreak order
+    // the window's `last` resolves, so both pick the same winner
+    val wCarry = Window.partitionBy(keys.map(col): _*).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = u.groupBy((keys.map(col) :+ col("_bkt")): _*)
+      .agg(max(when(col("_side") === 0, rowStruct)).as("_bucket_last"))
+      .withColumn("_carry", last(col("_bucket_last"), ignoreNulls = true).over(wCarry))
+      .select((keys.map(col) :+ col("_bkt") :+ col("_carry")): _*)
+
+    val matched = local.filter(col("_side") === 1)
+      .join(carry, keys :+ "_bkt", "left")
+      .withColumn("_asof_row", coalesce(col("_asof_local"), col("_carry")))
+    val projected = valueCols.foldLeft(
+      matched.withColumn("_asof_ts", col("_asof_row").getField("_asof_ts"))) {
+      case (df, c) =>
+        df.withColumn(s"$c$suffix", col("_asof_row").getField(s"$c$suffix"))
+    }
+    projected.drop("_ts", "_side", "_bkt", "_asof_local", "_carry", "_asof_row")
+  }
+
   /** Resample to a fixed grid: tumbling-bucket aggregation — A2 in
     * SURVEY.md §2.4 (reference README.md:37). Pure groupBy(window) →
     * partial aggregation before the shuffle, nothing custom. */
@@ -107,6 +178,71 @@ object TimeSeries {
       valueCol: String,
       stepSql: String = "interval 1 hour",
       truncUnit: String = "hour"): DataFrame = {
+    val j = denseGrid(df, key, tsCol, valueCol, stepSql, truncUnit)
+    val known = when(col("_v").isNotNull, struct(col("_g").as("_t"), col("_v").as("_x")))
+    val wAsc = Window.partitionBy(key).orderBy("_g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(key).orderBy("_g")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lerp(j
+      .withColumn("_prev", last(known, ignoreNulls = true).over(wAsc))
+      .withColumn("_next", first(known, ignoreNulls = true).over(wDesc)), key)
+  }
+
+  /** Skew-safe [[interpolate]]: identical results, but both window
+    * passes partition by (key, coarse grid bucket), so a hot key's
+    * dense grid spans one task per bucket instead of one task total.
+    * Cross-bucket context comes from two tiny carry frames — one row
+    * per (key, bucket) holding the bucket's last/first KNOWN
+    * observation, carried forward/backward by bucket-granular windows —
+    * the same carry-last-row-across-buckets shape as
+    * [[asOfJoinBucketed]], applied in both directions because linear
+    * interpolation needs the next known point too.
+    *
+    * @param bucket monotone coarse bucket of the grid timestamp
+    *               (e.g. `date_trunc("week", _)`)
+    */
+  def interpolateBucketed(
+      df: DataFrame,
+      key: String,
+      tsCol: String,
+      valueCol: String,
+      stepSql: String = "interval 1 hour",
+      truncUnit: String = "hour",
+      bucket: Column => Column = date_trunc("week", _)): DataFrame = {
+    val j = denseGrid(df, key, tsCol, valueCol, stepSql, truncUnit)
+      .withColumn("_bkt", bucket(col("_g")))
+    val known = when(col("_v").isNotNull, struct(col("_g").as("_t"), col("_v").as("_x")))
+    val wAsc = Window.partitionBy(col(key), col("_bkt")).orderBy("_g")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(col(key), col("_bkt")).orderBy("_g")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // per-(key, bucket) extremes of the KNOWN observations; struct
+    // min/max order by (_t, _x) = grid-time order (grid times are
+    // unique per key, so the value field never decides)
+    val wFwd = Window.partitionBy(key).orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBwd = Window.partitionBy(key).orderBy("_bkt")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = j.groupBy(col(key), col("_bkt"))
+      .agg(max(known).as("_lastKnown"), min(known).as("_firstKnown"))
+      .withColumn("_carryPrev", last(col("_lastKnown"), ignoreNulls = true).over(wFwd))
+      .withColumn("_carryNext", first(col("_firstKnown"), ignoreNulls = true).over(wBwd))
+      .select(col(key), col("_bkt"), col("_carryPrev"), col("_carryNext"))
+    lerp(j
+      .withColumn("_localPrev", last(known, ignoreNulls = true).over(wAsc))
+      .withColumn("_localNext", first(known, ignoreNulls = true).over(wDesc))
+      .join(carry, Seq(key, "_bkt"), "left")
+      .withColumn("_prev", coalesce(col("_localPrev"), col("_carryPrev")))
+      .withColumn("_next", coalesce(col("_localNext"), col("_carryNext"))), key)
+  }
+
+  /** Shared grid construction for [[interpolate]]: per-key dense time
+    * grid left-joined with the per-grid-point observation means (exact
+    * decimal sums → reproducible under any parallelism). */
+  private def denseGrid(
+      df: DataFrame, key: String, tsCol: String, valueCol: String,
+      stepSql: String, truncUnit: String): DataFrame = {
     val bounds = df.groupBy(key).agg(
       date_trunc(truncUnit, min(col(tsCol))).as("_gs"),
       date_trunc(truncUnit, max(col(tsCol))).as("_ge"))
@@ -115,25 +251,22 @@ object TimeSeries {
     val obs = df.groupBy(col(key), date_trunc(truncUnit, col(tsCol)).as("_g"))
       .agg((sum(col(valueCol).cast(DecimalType(27, 2))).cast("double") /
         count(col(valueCol))).as("_v"))
+    grid.join(obs, Seq(key, "_g"), "left")
+  }
 
-    val j = grid.join(obs, Seq(key, "_g"), "left")
-    val wAsc = Window.partitionBy(key).orderBy("_g")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDesc = Window.partitionBy(key).orderBy("_g")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    j.withColumn("_pv", last(col("_v"), ignoreNulls = true).over(wAsc))
-      .withColumn("_pt", last(when(col("_v").isNotNull, col("_g")), ignoreNulls = true).over(wAsc))
-      .withColumn("_nv", first(col("_v"), ignoreNulls = true).over(wDesc))
-      .withColumn("_nt", first(when(col("_v").isNotNull, col("_g")), ignoreNulls = true).over(wDesc))
-      .withColumn("value_interp",
+  /** Shared interpolation arithmetic over `_prev`/`_next` (_t, _x)
+    * structs: linear between known neighbours, carry at the edges. */
+  private def lerp(j: DataFrame, key: String): DataFrame = {
+    val (pv, pt) = (col("_prev").getField("_x"), col("_prev").getField("_t"))
+    val (nv, nt) = (col("_next").getField("_x"), col("_next").getField("_t"))
+    j.withColumn("value_interp",
         when(col("_v").isNotNull, col("_v"))
-          .when(col("_pv").isNotNull && col("_nv").isNotNull,
-            col("_pv") + (col("_nv") - col("_pv")) *
-              (unix_millis(col("_g")) - unix_millis(col("_pt"))).cast("double") /
-              (unix_millis(col("_nt")) - unix_millis(col("_pt"))).cast("double"))
-          .when(col("_pv").isNotNull, col("_pv"))
-          .otherwise(col("_nv")))
+          .when(pv.isNotNull && nv.isNotNull,
+            pv + (nv - pv) *
+              (unix_millis(col("_g")) - unix_millis(pt)).cast("double") /
+              (unix_millis(nt) - unix_millis(pt)).cast("double"))
+          .when(pv.isNotNull, pv)
+          .otherwise(nv))
       .select(col(key), col("_g").as("grid_ts"), col("value_interp"))
   }
 

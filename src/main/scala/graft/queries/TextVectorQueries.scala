@@ -320,8 +320,11 @@ object TextVectorQueries {
 
   /** Semantic-dedup centroids: embedding near-dup pairs closed into
     * clusters (distributed components), element-wise mean per cluster.
-    * Sum order is pinned to vec-id order on both sides, so the doubles
-    * hash-match bit-for-bit. */
+    * The mean is a SEGMENTED order-pinned fold on both sides (chunk by
+    * vec_id div 4096, fold each chunk in vec-id order, fold chunk sums
+    * in chunk order — Similarity.centroidsOf), so the doubles
+    * hash-match bit-for-bit while no single Spark in-row array grows
+    * with cluster size. */
   private val embedCentroids = QuerySpec(
     "q_embed_centroids",
     """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -337,11 +340,14 @@ object TextVectorQueries {
       |lab AS (SELECT node, MIN(comp) AS cluster_rep FROM walk GROUP BY node),
       |d AS (SELECT l.cluster_rep, g.i AS dim, e0.vec[g.i] AS x, e0.vec_id
       |      FROM lab l JOIN e0 ON e0.vec_id = l.node
-      |      CROSS JOIN generate_series(1, 64) g(i))
+      |      CROSS JOIN generate_series(1, 64) g(i)),
+      |sg AS (SELECT cluster_rep, dim, vec_id // 4096 AS seg,
+      |         list_sum(list(x ORDER BY vec_id)) AS seg_sum, COUNT(*) AS n
+      |       FROM d GROUP BY cluster_rep, dim, seg)
       |SELECT cluster_rep, CAST(dim AS BIGINT) AS dim,
-      |       list_sum(list(x ORDER BY vec_id)) / COUNT(*) AS centroid,
-      |       CAST(COUNT(*) AS BIGINT) AS n_members
-      |FROM d GROUP BY cluster_rep, dim ORDER BY cluster_rep, dim""".stripMargin) { (s, d) =>
+      |       list_sum(list(seg_sum ORDER BY seg)) / CAST(SUM(n) AS BIGINT) AS centroid,
+      |       CAST(SUM(n) AS BIGINT) AS n_members
+      |FROM sg GROUP BY cluster_rep, dim ORDER BY cluster_rep, dim""".stripMargin) { (s, d) =>
     Similarity.nearDupCentroids(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
       .orderBy("cluster_rep", "dim")
   }
@@ -353,6 +359,16 @@ object TextVectorQueries {
   private val dedupEmbeddingLsh = QuerySpec.noOracle("q_dedup_embedding_lsh") { (s, d) =>
     Similarity.nearDupPairsBanded(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Banded-LSH semantic-dedup centroids — the 100 TB path for
+    * q_embed_centroids: candidates from the (band, bucket) equi-join,
+    * never a pairwise grid. Probabilistic recall → no hash oracle;
+    * exact-duplicate parity with the exact path is asserted in
+    * SimilaritySpec. */
+  private val embedCentroidsBanded = QuerySpec.noOracle("q_embed_centroids_banded") { (s, d) =>
+    Similarity.nearDupCentroidsBanded(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+      .orderBy("cluster_rep", "dim")
   }
 
   /** The north-star composite: a full corpus-cleaning pass — quality
@@ -439,5 +455,5 @@ object TextVectorQueries {
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, corpusMix,
     dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
-    dedupEmbeddingLsh, embedCentroids, simTopk, simLsh, simIvf)
+    dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf)
 }

@@ -149,7 +149,9 @@ object TimeSeriesQueries {
 
   /** J5: as-of alignment — our union+window operator vs DuckDB's native
     * ASOF JOIN as the oracle (reference README.md:37). Each purchase is
-    * aligned to the most recent prior error of the same user. */
+    * aligned to the most recent prior error of the same user. Runs the
+    * SKEW-SAFE bucketed form (hot keys split across daily buckets), so
+    * the oracle also certifies its cross-bucket carry. */
   private val j5 = QuerySpec(
     "q_j5_asof_join",
     """SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
@@ -164,7 +166,7 @@ object TimeSeriesQueries {
       .select("event_id", "user_id", "ts")
     val errors = ev.filter(col("event_type") === "error")
       .select("user_id", "ts")
-    TimeSeries.asOfJoin(purchases, errors, Seq("user_id"), "ts", "ts", Nil)
+    TimeSeries.asOfJoinBucketed(purchases, errors, Seq("user_id"), "ts", "ts", Nil)
       .select(col("event_id"), col("user_id"),
         unix_millis(col("ts")).as("ts_ms"),
         unix_millis(col("_asof_ts")).as("err_ts_ms"),
@@ -173,7 +175,9 @@ object TimeSeriesQueries {
   }
 
   /** W4: gap-fill + linear interpolation on an hourly grid
-    * (reference README.md:37) — the composite grid/window operator. */
+    * (reference README.md:37) — the composite grid/window operator.
+    * Runs the SKEW-SAFE bucketed form (weekly grid buckets with
+    * two-directional carry), so the oracle certifies it too. */
   private val w4 = QuerySpec(
     "q_w4_interpolate",
     """WITH b AS (
@@ -202,7 +206,7 @@ object TimeSeriesQueries {
       |                        / CAST(epoch_ms(nt) - epoch_ms(pt) AS DOUBLE)
       |       WHEN pv IS NOT NULL THEN pv ELSE nv END AS value_interp
       |FROM w ORDER BY user_id, g_ms""".stripMargin) { (s, d) =>
-    TimeSeries.interpolate(Tables.events(s, d), "user_id", "ts", "value")
+    TimeSeries.interpolateBucketed(Tables.events(s, d), "user_id", "ts", "value")
       .select(col("user_id"), unix_millis(col("grid_ts")).as("g_ms"), col("value_interp"))
       .orderBy("user_id", "g_ms")
   }

@@ -16,8 +16,8 @@ class RelationalSpec extends AnyFunSuite {
     assert(noOracle === Set(
       "q_dedup_simhash", "q_sim_lsh_topk", "q_sim_ivf_topk",
       "q_x3_ml_forecast", "q_a6_approx_distinct",
-      "q_dedup_embedding_lsh", "q_ep3_schedule_clustered",
-      "q_a8_approx_percentile"))
+      "q_dedup_embedding_lsh", "q_embed_centroids_banded",
+      "q_ep3_schedule_clustered", "q_a8_approx_percentile"))
   }
 
   test("approx_count_distinct within 5% of exact on events") {

@@ -86,6 +86,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, s"planted near-dup recall $recall")
   }
 
+  test("segmented centroid fold: exact mean on one giant cluster, bounded in-row arrays") {
+    import spark.implicits._
+    // the scaled-down million-member-cluster scenario from the round-2
+    // review: ONE cluster of 600 identical integer-valued vectors. With
+    // segmentWidth 64 the level-1 collect_list rows hold ≤ 64 elements
+    // (ids 0..599 → 10 occupied id-range segments) and the level-2 fold
+    // holds 10 — where the previous formulation built one 600-element
+    // in-row array per (cluster, dim)
+    val n = 600
+    val v = Array.tabulate(8)(j => (j + 1).toFloat)
+    val planted = (0 until n).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val cents = Similarity.nearDupCentroids(planted, "vec_id", "embedding", 0.9,
+      segmentWidth = 64L).collect()
+    assert(cents.length === 8)
+    cents.foreach { r =>
+      assert(r.getAs[Long]("n_members") === n.toLong)
+      // integer member values: every partial sum is exact, so the mean of
+      // n copies of (dim) must equal dim exactly — no tolerance
+      assert(r.getAs[Double]("centroid") === r.getAs[Long]("dim").toDouble)
+    }
+    assert(cents.map(_.getAs[Long]("cluster_rep")).toSet === Set(0L))
+  }
+
+  test("banded centroids equal exact centroids on an exact-duplicate fixture") {
+    import spark.implicits._
+    // 20 clusters × 30 identical one-hot members: within-cluster cos = 1
+    // (identical vectors share every band bucket → banded recall 1),
+    // cross-cluster cos = 0 exactly — so the banded path must reproduce
+    // the exact path bit-for-bit (same components, same segmented fold)
+    val planted = (0 until 20).flatMap { c =>
+      val base = Array.tabulate(20)(j => if (j == c) 1.0f else 0.0f)
+      (0 until 30).map(m => ((c * 100 + m).toLong, base))
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exact = rows(Similarity.nearDupCentroids(
+      planted, "vec_id", "embedding", 0.99, segmentWidth = 16L))
+    val banded = rows(Similarity.nearDupCentroidsBanded(
+      planted, "vec_id", "embedding", 0.99, segmentWidth = 16L))
+    assert(exact === banded)
+    assert(exact.size === 20 * 20, "20 clusters x 20 dims")
+  }
+
   test("LSH cosines agree with brute-force cosines on shared pairs") {
     val lsh = Similarity.lshTopK(
       queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4)

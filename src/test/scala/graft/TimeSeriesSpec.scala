@@ -66,6 +66,59 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(0.0, 10.0, 20.0, 30.0))
   }
 
+  test("bucketed asOfJoin: identical to unbucketed on a pathologically skewed key") {
+    // hot key "hot" carries 90% of both sides, spread over 20 days — the
+    // daily bucketing must split its window work across >1 hash group
+    // (the unbucketed form serializes the key into ONE task)
+    val left = ((0 until 900).map { i =>
+      (i.toLong, "hot", ts(f"2024-01-${1 + i % 20}%02d ${i % 24}%02d:15:00"))
+    } ++ (900 until 1000).map { i =>
+      (i.toLong, s"cold${i % 10}", ts(f"2024-01-${1 + i % 20}%02d ${i % 24}%02d:15:00"))
+    }).toDF("id", "k", "ts")
+    val right = ((0 until 450).map { i =>
+      ("hot", ts(f"2024-01-${1 + i % 20}%02d ${(i * 7) % 24}%02d:00:00"), i.toDouble)
+    } ++ (0 until 50).map { i =>
+      (s"cold${i % 10}", ts(f"2024-01-${1 + i % 20}%02d ${(i * 7) % 24}%02d:00:00"), -i.toDouble)
+    }).toDF("k", "rts", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("_asof_ts").cast("string"), col("v_asof"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSet
+    val plain = rows(TimeSeries.asOfJoin(left, right, Seq("k"), "ts", "rts", Seq("v")))
+    val bucketed = TimeSeries.asOfJoinBucketed(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    assert(rows(bucketed) === plain)
+    // the hot key's window work is really split: >1 (key, bucket) group
+    val hotGroups = left.filter(col("k") === "hot")
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    assert(hotGroups > 1, s"fixture must span multiple buckets, got $hotGroups")
+    val windowPlan = bucketed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec.length
+    }
+    assert(windowPlan.contains(2), s"main window must partition by (key, bucket): $windowPlan")
+  }
+
+  test("bucketed interpolate: identical to unbucketed on a pathologically skewed key") {
+    // hot key = 95% of observations, clumped on Jan 1-5 and Jan 25-29:
+    // the hourly grid spans the 3-week hole, so every grid point in the
+    // empty middle weeks needs prev/next carried across EMPTY buckets
+    // in both directions
+    val df = ((0 until 950).map { i =>
+      val day = if (i % 2 == 0) 1 + i % 5 else 25 + i % 5
+      ("hot", ts(f"2024-01-$day%02d ${i % 24}%02d:30:00"), (i % 37).toDouble)
+    } ++ (0 until 50).map { i =>
+      (s"cold${i % 5}", ts(f"2024-01-${1 + i % 20}%02d ${i % 24}%02d:30:00"), i.toDouble)
+    }).toDF("k", "ts", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("k"), col("grid_ts").cast("string"), col("value_interp"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val plain = rows(TimeSeries.interpolate(df, "k", "ts", "v"))
+    val bucketed = TimeSeries.interpolateBucketed(df, "k", "ts", "v")
+    assert(rows(bucketed) === plain)
+    val windowPlan = bucketed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.partitionSpec.length
+    }
+    assert(windowPlan.contains(2), s"grid windows must partition by (key, bucket): $windowPlan")
+  }
+
   test("sessionize merges within gap and splits across it") {
     val df = Seq(
       ("u", ts("2024-01-01 10:00:00"), 1.0),
