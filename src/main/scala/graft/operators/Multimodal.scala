@@ -39,6 +39,14 @@ object Multimodal {
       chunk_idx: Long,
       chunk: Array[Byte])
 
+  /** Parsed image-header dimensions; `format` is "png"/"jpeg"/"gif", or
+    * "unknown" with width/height -1 for unrecognized payloads. */
+  final case class MediaDims(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int)
+
   /** Decoder contract. A real implementation would wrap e.g. libjpeg /
     * ffmpeg bindings; none ship in this container. */
   trait MediaDecoder extends Serializable {
@@ -56,6 +64,106 @@ object Multimodal {
         first_byte = if (r.payload.isEmpty) -1L else (r.payload(0) & 0xff).toLong,
         n_chunks = ((r.payload.length + chunkSize - 1) / chunkSize).toLong)
     // A real decoder would add: def decodeImage(r: MediaRecord): ??? = ???
+  }
+
+  /** REAL pure-JVM image-header decode — no native codecs needed: the
+    * dimension fields of PNG (IHDR), JPEG (SOFn frame header, found by
+    * walking the segment chain) and GIF (logical screen descriptor) live
+    * at fixed offsets within well-known byte structures, so `width`/
+    * `height` come straight out of the payload's magic bytes. This is
+    * the piece of media decode that needs no codec library; pixel decode
+    * stays behind [[MediaDecoder]]. */
+  object ImageHeaders {
+    private def be32(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+        ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+    private def be16(p: Array[Byte], i: Int): Int =
+      ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+    private def le16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+
+    private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** (format, width, height); ("unknown", -1, -1) when no header parses. */
+    def decode(p: Array[Byte]): (String, Int, Int) = {
+      if (p == null) ("unknown", -1, -1)
+      else if (p.length >= 24 && p.startsWith(PngSig) &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+        ("png", be32(p, 16), be32(p, 20))
+      else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+        jpegDims(p)
+      else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+        ("gif", le16(p, 6), le16(p, 8))
+      else ("unknown", -1, -1)
+    }
+
+    /** Walk the JPEG segment chain to the first SOFn (start-of-frame)
+      * marker; height/width are big-endian at +3/+5 past its length
+      * field. Skips APPn/COM/quant/huffman segments by their declared
+      * lengths; tolerates fill bytes (0xFF padding) and standalone
+      * markers (RSTn/TEM, which carry no length). */
+    private def jpegDims(p: Array[Byte]): (String, Int, Int) = {
+      var i = 2
+      while (i + 1 < p.length && (p(i) & 0xff) == 0xff) {
+        var m = p(i + 1) & 0xff
+        while (m == 0xff && i + 2 < p.length) { i += 1; m = p(i + 1) & 0xff } // fill bytes
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          return if (i + 8 < p.length) ("jpeg", be16(p, i + 7), be16(p, i + 5))
+          else ("unknown", -1, -1)
+        } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+          i += 2 // standalone marker: no length field
+        } else if (m == 0xd9 || m == 0xda) {
+          return ("unknown", -1, -1) // EOI / scan data before any SOF
+        } else {
+          if (i + 3 >= p.length) return ("unknown", -1, -1)
+          val len = be16(p, i + 2)
+          if (len < 2) return ("unknown", -1, -1) // corrupt length: don't loop
+          i += 2 + len
+        }
+      }
+      ("unknown", -1, -1)
+    }
+
+    /** Minimal VALID-prefix PNG for fixtures: signature + IHDR with a
+      * correct CRC32 (8-bit RGB), which is all [[decode]] reads. */
+    def syntheticPng(width: Int, height: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(33)
+      b.put(PngSig).putInt(13).put("IHDR".getBytes("US-ASCII"))
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val crc = new java.util.zip.CRC32
+      crc.update(b.array(), 12, 17) // chunk type + data
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+
+    /** Minimal JPEG prefix for fixtures: SOI + APP0(JFIF) + COM (so the
+      * parser must skip real variable-length segments) + SOF0. */
+    def syntheticJpeg(width: Int, height: Int): Array[Byte] = {
+      require(width <= 0xffff && height <= 0xffff, "JPEG dims are 16-bit")
+      val b = java.nio.ByteBuffer.allocate(42)
+      b.put(Array(0xff, 0xd8).map(_.toByte))                       // SOI
+      b.put(Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte))           // APP0 len 16
+        .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+        .put(Array(0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00).map(_.toByte))
+      b.put(Array(0xff, 0xfe, 0x00, 0x07).map(_.toByte))           // COM len 7
+        .put("graft".getBytes("US-ASCII"))
+      b.put(Array(0xff, 0xc0, 0x00, 0x0b, 0x08).map(_.toByte))     // SOF0 len 11, prec 8
+        .putShort(height.toShort).putShort(width.toShort)
+        .put(1.toByte).put(Array(0x01, 0x11, 0x00).map(_.toByte))  // 1 component
+      b.array()
+    }
+  }
+
+  /** Batch header decode over a media table: [[ImageHeaders.decode]] per
+    * payload, partition-streamed like [[extractFeatures]]. */
+  def decodeDims(media: Dataset[MediaRecord]): Dataset[MediaDims] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (f, w, h) = ImageHeaders.decode(r.payload)
+      MediaDims(r.media_id, f, w, h)
+    })
   }
 
   /** Build a media table from the documents table: payload = UTF-8 bytes

@@ -40,5 +40,29 @@ object MultimodalQueries {
       .orderBy("media_id", "chunk_idx")
   }
 
-  val all: Seq[QuerySpec] = Seq(features, chunks)
+  /** REAL header decode, oracle-certified round-trip: Spark synthesizes
+    * a PNG (even doc_id) or JPEG (odd) payload whose dimensions are pure
+    * doc_id arithmetic, then parses the dimensions BACK from the bytes
+    * with [[Multimodal.ImageHeaders]]; DuckDB computes the expected
+    * arithmetic directly. A parser or synthesizer bug on any byte layout
+    * breaks the hash. */
+  private val dims = QuerySpec(
+    "q_mm_dims",
+    """SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |       CAST(doc_id % 1000 + 1 AS INTEGER) AS width,
+      |       CAST(doc_id % 777 + 1 AS INTEGER) AS height
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val (w, h) = ((id % 1000 + 1).toInt, (id % 777 + 1).toInt)
+      if (id % 2 == 0)
+        Multimodal.MediaRecord(id, "image/png", Multimodal.ImageHeaders.syntheticPng(w, h), 0, 0)
+      else
+        Multimodal.MediaRecord(id, "image/jpeg", Multimodal.ImageHeaders.syntheticJpeg(w, h), 0, 0)
+    }
+    Multimodal.decodeDims(media).toDF().orderBy("media_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(features, chunks, dims)
 }

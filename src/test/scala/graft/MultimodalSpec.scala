@@ -25,6 +25,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("image header decode: PNG/JPEG/GIF round-trip and graceful unknowns") {
+    import Multimodal.ImageHeaders
+    // synthesized headers parse back to the dims they were built with
+    assert(ImageHeaders.decode(ImageHeaders.syntheticPng(640, 480)) === ("png", 640, 480))
+    assert(ImageHeaders.decode(ImageHeaders.syntheticPng(1, 1)) === ("png", 1, 1))
+    assert(ImageHeaders.decode(ImageHeaders.syntheticJpeg(1920, 1080)) === ("jpeg", 1920, 1080))
+    assert(ImageHeaders.decode(ImageHeaders.syntheticJpeg(65535, 1)) === ("jpeg", 65535, 1))
+    // hand-built GIF89a logical screen descriptor: dims little-endian
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x20, 0x01, 0xf0, 0x00, 0x00, 0x00, 0x00).map(_.toByte) // 288 x 240
+    assert(ImageHeaders.decode(gif) === ("gif", 288, 240))
+    // JPEG whose SOF sits behind fill bytes and restart markers
+    val padded = Array(0xff, 0xd8, 0xff, 0xff, 0xd0).map(_.toByte) ++
+      ImageHeaders.syntheticJpeg(30, 20).drop(2)
+    assert(ImageHeaders.decode(padded) === ("jpeg", 30, 20))
+    // garbage, truncation, and corrupt lengths fail safe, never loop
+    assert(ImageHeaders.decode(null) === ("unknown", -1, -1))
+    assert(ImageHeaders.decode(Array[Byte]()) === ("unknown", -1, -1))
+    assert(ImageHeaders.decode("not an image at all".getBytes) === ("unknown", -1, -1))
+    assert(ImageHeaders.decode(ImageHeaders.syntheticPng(9, 9).take(20)) === ("unknown", -1, -1))
+    val corrupt = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x00).map(_.toByte) // len < 2
+    assert(ImageHeaders.decode(corrupt) === ("unknown", -1, -1))
+    // scan data reached before any SOF
+    val scanFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    assert(ImageHeaders.decode(scanFirst) === ("unknown", -1, -1))
+  }
+
+  test("decodeDims distributes header parsing over the media Dataset") {
+    import spark.implicits._
+    import Multimodal.{ImageHeaders, MediaRecord}
+    val mixed = Seq(
+      MediaRecord(1L, "image/png", ImageHeaders.syntheticPng(320, 200), 0, 0),
+      MediaRecord(2L, "image/jpeg", ImageHeaders.syntheticJpeg(64, 48), 0, 0),
+      MediaRecord(3L, "text/plain", "just text".getBytes("UTF-8"), 0, 0)
+    ).toDS()
+    val out = Multimodal.decodeDims(mixed).collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).format === "png" && out(1L).width === 320 && out(1L).height === 200)
+    assert(out(2L).format === "jpeg" && out(2L).width === 64 && out(2L).height === 48)
+    assert(out(3L).format === "unknown" && out(3L).width === -1 && out(3L).height === -1)
+  }
+
   test("features agree with driver-side recomputation") {
     val feats = Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(256))
       .collect().map(f => f.media_id -> f).toMap
