@@ -146,6 +146,62 @@ object Similarity {
       .withColumn("_h", xxhash64(col("c_id")))
       .orderBy("_h").limit(nCells)
       .select(col("c_id").as("_cell"), col("_cv").as("_cellv"), col("_cn").as("_celln"))
+    ivfSearch(queries, qId, qVec, c, centroids, k, nProbe)
+  }
+
+  /** [[ivfTopK]] with TRAINED cell centroids: a seeded MLlib KMeans fit
+    * over the corpus replaces the hash-seeded corpus sample. On a
+    * clustered corpus (the realistic shape — web/document embeddings
+    * cluster heavily) the cells then track the actual cluster structure,
+    * so the same nProbe probes capture far more of each query's true
+    * neighbours; on isotropic data it degrades to sample quality, never
+    * below it in expectation. Deterministic: fixed seed, and the final
+    * cell geometry is whatever the converged model says — no RNG at
+    * search time. Search cost is identical to [[ivfTopK]]; training adds
+    * `maxIter` passes over the (persisted) corpus projection, amortized
+    * across every query batch that reuses the cells. */
+  def ivfTopKTrained(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      maxIter: Int = 10): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
+    // cached: KMeans.fit makes maxIter passes (same convention as the
+    // NetIntel clustering path); Bench/Verify clear cache per query
+    val feats = c
+      .withColumn("_fv", org.apache.spark.ml.functions.array_to_vector(col("_cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("_fv").setPredictionCol("_cell")
+      .fit(feats)
+    // nCells × dim doubles: tiny, safe as driver-side literals → the
+    // same broadcast centroid-table shape the hash-seeded path uses
+    val centroids = model.clusterCenters.toIndexedSeq.zipWithIndex.map {
+      case (v, i) =>
+        val a = v.toArray.toIndexedSeq
+        (i.toLong, a, math.sqrt(a.map(x => x * x).sum))
+    }.toDF("_cell", "_cellv", "_celln")
+    ivfSearch(queries, qId, qVec, feats.drop("_fv"), centroids, k, nProbe)
+  }
+
+  /** Shared IVF search: assign each corpus vector to its max-cosine
+    * cell, probe each query's `nProbe` best cells, rank candidates.
+    * `c` is the prepped corpus (c_id, _cv, _cn); `centroids` is the
+    * cell table (_cell, _cellv, _celln) — broadcast to both sides. */
+  private def ivfSearch(
+      queries: DataFrame,
+      qId: String, qVec: String,
+      c: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
     // corpus → best cell (one small crossJoin against nCells rows)
     val assigned = c.crossJoin(broadcast(centroids))
       .withColumn("_sim", dot(col("_cv"), col("_cellv")) / (col("_cn") * col("_celln")))

@@ -451,9 +451,22 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** IVF ANN with TRAINED (seeded-KMeans) centroids — same search shape
+    * as q_sim_ivf_topk but the cells track the corpus cluster structure;
+    * recall ≥ the hash-seeded variant asserted on a planted-cluster
+    * fixture in SimilaritySpec (iterative ML → no hash oracle). */
+  private val simIvfTrained = QuerySpec.noOracle("q_sim_ivf_trained") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKTrained(
+      emb.filter(col("vec_id") < 100), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, corpusMix,
     dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
-    dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf)
+    dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
+    simIvfTrained)
 }

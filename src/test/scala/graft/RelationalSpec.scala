@@ -15,7 +15,7 @@ class RelationalSpec extends AnyFunSuite {
     // the only approximate / non-portable-hash ops
     assert(noOracle === Set(
       "q_dedup_simhash", "q_sim_lsh_topk", "q_sim_ivf_topk",
-      "q_x3_ml_forecast", "q_a6_approx_distinct",
+      "q_sim_ivf_trained", "q_x3_ml_forecast", "q_a6_approx_distinct",
       "q_dedup_embedding_lsh", "q_embed_centroids_banded",
       "q_ep3_schedule_clustered", "q_a8_approx_percentile"))
   }

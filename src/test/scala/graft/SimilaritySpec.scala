@@ -45,6 +45,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("trained IVF: recall >= hash-seeded IVF on a planted-cluster corpus") {
+    import spark.implicits._
+    // 8 well-separated clusters in 16-dim space (one-hot direction pairs
+    // + small deterministic jitter) — the realistic embedding shape the
+    // trained centroids exist for. Hash-seeded centroids are a corpus
+    // sample: several clusters end up sharing (or missing) a cell, so
+    // low-nProbe searches lose neighbours the KMeans cells keep.
+    val corpus = (0 until 8).flatMap { cl =>
+      (0 until 40).map { m =>
+        val v = Array.tabulate(16) { d =>
+          val base = if (d == 2 * cl) 1.0f else if (d == 2 * cl + 1) 0.5f else 0.0f
+          base + 0.03f * (((cl * 40 + m) * 31 + d * 7) % 11 - 5)
+        }
+        ((cl * 40 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val qs = corpus.filter(col("vec_id") % 10 === 0)
+    def recallOf(df: org.apache.spark.sql.DataFrame, bf: Set[(Long, Long)]) = {
+      val got = df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val bf = Similarity.bruteForceTopK(qs, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val hashed = recallOf(Similarity.ivfTopK(qs, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 8, nProbe = 1), bf)
+    val trained = recallOf(Similarity.ivfTopKTrained(qs, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 8, nProbe = 1), bf)
+    assert(trained >= hashed,
+      s"trained recall $trained must be >= hash-seeded recall $hashed")
+    // and the trained cells must actually capture the planted structure
+    assert(trained >= 0.95, s"trained recall $trained on separable clusters")
+  }
+
   test("block-bucketed near-dup pairs equal the brute-force pairwise answer") {
     import spark.implicits._
     val threshold = 0.3
