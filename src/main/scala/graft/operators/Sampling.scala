@@ -94,6 +94,35 @@ object Sampling {
       .withColumn("pack", floor(col("pack_offset") / budget).cast("long"))
   }
 
+  /** Temperature-flattened corpus resampling: down-weight
+    * over-represented groups (languages, sources) by keeping a
+    * power-law quota per group — quota_g = min(n_g, max(1,
+    * round(n_g^alpha))), alpha ∈ (0, 1] — the per-group form of
+    * multilingual "temperature sampling" (kept sizes follow n^alpha
+    * wherever neither clamp binds; alpha = 1 keeps everything, smaller
+    * alpha flattens harder).
+    *
+    * Selection is by hash-bucket THRESHOLD, not per-group rank:
+    * thresh_g = quota_g · Buckets div n_g (integer arithmetic), keep
+    * iff hashBucket(key) < thresh_g. That keeps the whole operator
+    * oracle-exact AND scale-safe — no per-group window, so a
+    * billion-document language never serializes into one task; the
+    * plan is one count aggregation + one broadcast join + one scan.
+    * Kept counts hit quota_g in expectation (hash-uniform), not
+    * exactly; groups with n_g > quota_g · Buckets floor at ~n/Buckets
+    * kept (same 0.01% resolution as every hash op here). */
+  def temperatureSample(df: DataFrame, key: Column, group: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = df.groupBy(group.as("_grp")).agg(count(lit(1)).as("_n"))
+      .withColumn("_quota", least(col("_n"),
+        greatest(lit(1L), round(pow(col("_n"), alpha)).cast("long"))))
+      .withColumn("_thresh", expr(s"_quota * ${Buckets}L div _n"))
+    df.join(broadcast(counts), group === col("_grp"))
+      .filter(hashBucket(key) < col("_thresh"))
+      .drop("_grp", "_n", "_quota", "_thresh")
+  }
+
   /** Curriculum / batch-shape buckets: assign each row to one of
     * `buckets` equal-frequency groups by `measure` (ties broken by
     * `key`, which must be unique; NULL measures sort LAST, matching

@@ -175,4 +175,25 @@ object TextAnalysis {
     aggregate(
       transform(tokens, t => (ascii(substring(t, 1, 1)) * 31 + length(t)).cast("long")),
       lit(0L), (acc, c) => (acc * 131 + c) % 1000000007L)
+
+  /** PII redaction — the scrubbing stage every shipped training corpus
+    * runs: emails, IPv4 addresses and international phone numbers are
+    * replaced with typed tags. A pure per-row `regexp_replace` chain:
+    * codegen'd, shuffle-free, embarrassingly parallel. Patterns stick
+    * to RE2-compatible syntax (character classes, bounded repeats, \b
+    * — no backtracking constructs), so they match identically under
+    * Java regex (Spark) and RE2 (the DuckDB oracle). Order matters:
+    * emails first (their local part may embed digit.dot runs an IP
+    * pattern would half-eat), then IPs, then +-prefixed phones (which
+    * can no longer overlap either). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,3}[- ]\\d{3}[- ]\\d{4,10}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

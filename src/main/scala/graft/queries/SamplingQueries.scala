@@ -102,5 +102,24 @@ object SamplingQueries {
       .orderBy("decile")
   }
 
-  val all: Seq[QuerySpec] = Seq(splitQ, stratified, pack, curriculum)
+  /** Temperature-flattened language rebalance (alpha = 0.75): power-law
+    * per-group quotas selected by hash-bucket threshold — exact row-level
+    * reproduction in the oracle, no per-group rank window anywhere. */
+  private val temperature = QuerySpec(
+    "q_corpus_temperature",
+    s"""WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |q AS (SELECT lang, n,
+       |        LEAST(n, GREATEST(1, CAST(ROUND(POW(n, 0.75)) AS BIGINT))) AS quota
+       |      FROM n),
+       |t AS (SELECT lang, quota * 10000 // n AS thresh FROM q)
+       |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+       |WHERE $bucketSqlDoc < t.thresh
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    Sampling.temperatureSample(
+      Tables.documents(s, d), col("doc_id"), col("lang"), alpha = 0.75)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(splitQ, stratified, pack, curriculum, temperature)
 }

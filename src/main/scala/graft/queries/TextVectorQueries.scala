@@ -451,6 +451,35 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** PII scrubbing, oracle-certified end to end: both engines append
+    * deterministic doc_id-derived PII (email, IPv4, phone) to every
+    * document, Spark redacts with TextAnalysis.redactPii, DuckDB with
+    * the same RE2-compatible patterns — the hash certifies every
+    * replacement fired identically on every row. */
+  private val textRedact = QuerySpec(
+    "q_text_redact",
+    """WITH a AS (SELECT doc_id,
+      |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex-a.io from 10.2.' ||
+      |  CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ||
+      |  ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      |  FROM documents),
+      |r AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+      |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |  '\+\d{1,3}[- ]\d{3}[- ]\d{4,10}', '<PHONE>', 'g') AS red FROM a)
+      |SELECT doc_id, md5(red) AS redacted_md5, CAST(length(red) AS BIGINT) AS n_chars
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+      lit("@ex-a.io from 10.2."), (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") % 100).cast("string"), lit(" tel +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.redactPii(aug).as("_red"))
+      .select(col("doc_id"), md5(col("_red")).as("redacted_md5"),
+        length(col("_red")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** IVF ANN with TRAINED (seeded-KMeans) centroids — same search shape
     * as q_sim_ivf_topk but the cells track the corpus cluster structure;
     * recall ≥ the hash-seeded variant asserted on a planted-cluster
@@ -465,7 +494,7 @@ object TextVectorQueries {
 
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
-    vocabBuild, vocabEncode, textRepetition, contamination, corpusMix,
+    vocabBuild, vocabEncode, textRepetition, contamination, corpusMix, textRedact,
     dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained)

@@ -39,6 +39,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(hi.size > lo.size)
   }
 
+  test("temperature sampling flattens the group distribution toward n^alpha") {
+    import spark.implicits._
+    // skewed corpus: 1000 / 100 / 16 / 2 docs per group
+    val skewed = (
+      (0 until 1000).map(i => (i.toLong, "big")) ++
+      (1000 until 1100).map(i => (i.toLong, "mid")) ++
+      (1100 until 1116).map(i => (i.toLong, "small")) ++
+      (1116 until 1118).map(i => (i.toLong, "tiny"))).toDF("id", "grp")
+    val kept = Sampling.temperatureSample(skewed, col("id"), col("grp"), 0.5)
+      .groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // quotas: round(sqrt(n)) = 32 / 10 / 4 / 1(floor); hash selection
+    // hits them in expectation — allow binomial noise, assert the SHAPE:
+    // each group kept close to its quota and the skew collapsed
+    assert(math.abs(kept("big") - 32.0) <= 12, kept.toString)
+    assert(math.abs(kept("mid") - 10.0) <= 6, kept.toString)
+    assert(kept.getOrElse("small", 0L) >= 1 && kept("small") <= 8, kept.toString)
+    // 500x big/tiny input skew compressed to ~quota ratio (~30x)
+    assert(kept("big").toDouble / math.max(kept.getOrElse("tiny", 1L), 1L) < 60,
+      kept.toString)
+    // alpha = 1 keeps every row (quota = n, threshold = full range)
+    val all = Sampling.temperatureSample(skewed, col("id"), col("grp"), 1.0)
+    assert(all.count() === 1118L)
+    // repartition-insensitive: identical kept set (hash-derived, no RNG)
+    val a = Sampling.temperatureSample(skewed, col("id"), col("grp"), 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(skewed.repartition(7), col("id"), col("grp"), 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("packing: pack totals bounded by budget + one document; repartition-stable") {
     val budget = 500L
     val toks = docs.select(col("doc_id"),

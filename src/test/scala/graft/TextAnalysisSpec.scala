@@ -23,6 +23,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("redactPii scrubs emails, IPs, phones; leaves clean text alone") {
+    val rows = Seq(
+      ("mail me at jo.anne+x@sub.example.co.uk today",
+        "mail me at <EMAIL> today"),
+      ("two hits: a@b.io and c.d@e-f.org .",
+        "two hits: <EMAIL> and <EMAIL> ."),
+      ("server 192.168.1.255 then 10.0.0.1 up",
+        "server <IP> then <IP> up"),
+      ("call +44-201-55512345 or +1 800 12345678 now",
+        "call <PHONE> or <PHONE> now"),
+      ("mixed u@v.net from 8.8.8.8 tel +1-555-0000",
+        "mixed <EMAIL> from <IP> tel <PHONE>"),
+      // non-matches must survive untouched: version strings (3 octets),
+      // decimals, bare digit runs, @ without a TLD
+      ("v1.2.3 costs 9.99 at 5551234 for user@localhost",
+        "v1.2.3 costs 9.99 at 5551234 for user@localhost"))
+      .toDF("raw", "want")
+    val bad = rows.select(TextAnalysis.redactPii(col("raw")).as("got"), col("want"))
+      .filter(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
   test("vocabulary ranks by count desc with term tiebreak") {
     val docs = Seq((1L, "x y y z z")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(docs, "doc_id", "text")
