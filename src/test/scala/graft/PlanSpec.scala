@@ -97,4 +97,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "benchmark side should broadcast")
     assert(!p.contains("SortMergeJoin"), "shingle join should not shuffle the corpus side")
   }
+
+  test("PII redaction stays inside whole-stage codegen (no UDF, no shuffle)") {
+    val p = finalPlan("q_text_redact")
+    assert(p.contains("codegen id :"), "redaction chain must codegen")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "no UDFs on the path")
+    // per-row projection + final sort only: no join/aggregate exchanges
+    assert(!p.contains("HashAggregate"), "redaction needs no aggregation")
+  }
+
+  test("temperature sampling broadcasts the group quotas (corpus never reshuffles)") {
+    val p = finalPlan("q_corpus_temperature")
+    assert(p.contains("BroadcastHashJoin"), "quota table must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus side must not shuffle for the quota join")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.isEmpty, s"no per-group rank window expected:\n${winLines.mkString("\n")}")
+  }
+
+  test("trained IVF search broadcasts centroids; no cartesian against the corpus") {
+    val p = finalPlan("q_sim_ivf_trained")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid table must reach both sides as a broadcast")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "cell-candidate join should not shuffle both full sides")
+  }
 }
