@@ -196,4 +196,47 @@ object TextAnalysis {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** Content-defined chunking (CDC): split each document at rolling-hash
+    * boundaries — a chunk ends after any position whose trailing
+    * `window`-char polynomial hash ≡ 0 (mod `divisor`), so expected
+    * chunk length ≈ divisor chars. Unlike fixed-size chunking
+    * ([[Multimodal.sampleChunks]]), boundaries depend only on LOCAL
+    * content: insert a byte and every chunk past the next boundary is
+    * byte-identical again — which is what makes CDC the chunking used
+    * for shift-robust dedup of large corpora.
+    *
+    * Implementation is pure built-in HOFs (transform/filter/aggregate/
+    * inline) — per-row, shuffle-free, codegen-friendly, O(window · len)
+    * per document. The polynomial ((a·31 + code) mod 1000003) is exact
+    * integer arithmetic, so the DuckDB oracle reproduces every boundary.
+    * Documents shorter than `window` yield one whole-document chunk;
+    * null/empty texts yield no rows (chunk consumers key by doc_id).
+    *
+    * Output: (doc_id, chunk_idx, chunk) — chunk_idx skips a slot in the
+    * rare all-boundary-at-end case (trailing empty chunks filter out,
+    * same on both engines). */
+  def cdcChunks(df: DataFrame, id: String, text: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2 && divisor >= 2)
+    df.select(col(id).as("doc_id"), col(text).as("_t"))
+      .filter(col("_t").isNotNull && length(col("_t")) > 0)
+      .withColumn("_codes",
+        expr("transform(sequence(1, length(_t)), i -> ascii(substring(_t, i, 1)))"))
+      .withColumn("_bnds", expr(
+        s"""CASE WHEN length(_t) >= $window THEN
+           |  filter(sequence($window, length(_t)),
+           |    i -> aggregate(slice(_codes, i - ${window - 1}, $window),
+           |           CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000003)
+           |         % $divisor = 0)
+           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .withColumn("_bb", expr("concat(array(0), _bnds, array(length(_t)))"))
+      .select(col("doc_id"), expr(
+        """inline(transform(sequence(1, size(_bb) - 1),
+          |  i -> struct(CAST(i - 1 AS BIGINT) AS chunk_idx,
+          |              substring(_t, element_at(_bb, i) + 1,
+          |                        element_at(_bb, i + 1) - element_at(_bb, i)) AS chunk)))"""
+          .stripMargin))
+      .filter(length(col("chunk")) > 0)
+  }
 }

@@ -451,6 +451,36 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Content-defined chunking over the corpus: rolling-hash boundaries
+    * (window 8, divisor 64 → ~64-char expected chunks), exact integer
+    * hash so DuckDB reproduces every boundary; output keeps chunk md5 +
+    * length so the artifact stays narrow. */
+  private val textChunksCdc = QuerySpec(
+    "q_text_chunks_cdc",
+    """WITH c AS (SELECT doc_id, text, length(text) AS n,
+      |        list_transform(string_split(text, ''), ch -> ascii(ch)) AS codes
+      |      FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |b AS (SELECT doc_id, text, n,
+      |        CASE WHEN n >= 8 THEN
+      |          list_filter(range(8, n + 1),
+      |            i -> list_reduce(list_concat([CAST(0 AS BIGINT)], codes[i-7:i]),
+      |                   (a, x) -> (a * 31 + x) % 1000003) % 64 = 0)
+      |        ELSE [] END AS bnds
+      |      FROM c),
+      |e AS (SELECT doc_id, text, list_concat(list_concat([0], bnds), [n]) AS bb FROM b),
+      |u AS (SELECT doc_id, text, bb, unnest(range(1, len(bb))) AS i FROM e)
+      |SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+      |       md5(substring(text, bb[i] + 1, bb[i + 1] - bb[i])) AS chunk_md5,
+      |       CAST(bb[i + 1] - bb[i] AS BIGINT) AS chunk_len
+      |FROM u WHERE bb[i + 1] - bb[i] > 0
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    TextAnalysis.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("chunk")).as("chunk_md5"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** PII scrubbing, oracle-certified end to end: both engines append
     * deterministic doc_id-derived PII (email, IPv4, phone) to every
     * document, Spark redacts with TextAnalysis.redactPii, DuckDB with
@@ -495,6 +525,7 @@ object TextVectorQueries {
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, corpusMix, textRedact,
+    textChunksCdc,
     dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained)

@@ -45,6 +45,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("; "))
   }
 
+  test("CDC chunks: reassemble exactly, and boundaries survive a prefix edit") {
+    val sentence = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep dark forest tonight"
+    val docs = Seq(
+      (1L, sentence),
+      (2L, "XY " + sentence), // prefix edit: suffix chunks must realign
+      (3L, "short"), // below the window: one whole-document chunk
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // chunks reassemble to the exact original
+    assert(chunks(1L).mkString === sentence)
+    assert(chunks(2L).mkString === "XY " + sentence)
+    assert(chunks(3L) === Seq("short"))
+    assert(!chunks.contains(4L), "null text yields no chunks")
+    // doc 1 actually split (the fixture crosses at least one boundary)
+    assert(chunks(1L).size >= 2, chunks(1L).toString)
+    // the CDC property: after the first post-edit boundary, chunking
+    // realigns — the final chunks of the edited doc equal the original's
+    assert(chunks(1L).last === chunks(2L).last,
+      s"suffix chunks must realign: ${chunks(1L)} vs ${chunks(2L)}")
+  }
+
   test("vocabulary ranks by count desc with term tiebreak") {
     val docs = Seq((1L, "x y y z z")).toDF("doc_id", "text")
     val v = TextAnalysis.vocabulary(docs, "doc_id", "text")
