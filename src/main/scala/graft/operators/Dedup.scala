@@ -135,6 +135,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(id)).as("min_doc"), max(col(id)).as("max_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Incremental corpus ingest: dedup a NEW batch against an
+    * already-indexed corpus WITHOUT reprocessing the corpus — the
+    * nightly-shard shape of a production pipeline. `index` carries one
+    * narrow `fingerprint` column (32-char md5, from [[withFingerprint]]
+    * on previous batches), never the documents themselves. A new row
+    * survives iff (a) its fingerprint misses the index (left-anti hash
+    * join; Catalyst broadcasts when the index is small) and (b) it is
+    * the minimum-`id` holder of its fingerprint within the batch — a
+    * deterministic survivor, unlike dropDuplicates' partition-order
+    * winner. Appending the survivors' fingerprints to the index keeps
+    * the invariant for the next batch. Fingerprint groups are tiny by
+    * construction, so the within-batch window cannot skew. */
+  def dedupAgainstIndex(
+      newDocs: DataFrame, id: String, text: String, index: DataFrame): DataFrame = {
+    require(index.columns.contains("fingerprint"),
+      "index must carry a 'fingerprint' column")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    withFingerprint(newDocs, text)
+      .join(index.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .withColumn("_mid", min(col(id)).over(w))
+      .filter(col(id) === col("_mid"))
+      .drop("_mid")
+  }
+
   // ---- MinHash + LSH --------------------------------------------------
 
   /** MinHash signature: one xxhash64 per token folded into the field

@@ -96,5 +96,24 @@ object AdvancedQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg)
+  /** SK2: salted fact↔dim equi-join — identical rows to the plain join
+    * (the oracle), shaped so a hot fact key spreads over saltBuckets
+    * reducers instead of one (operators.Skew.saltedJoin; the dim side
+    * replicates, the fact side never reshuffles by more than its salt). */
+  private val saltedJoin = QuerySpec(
+    "q_skew_salted_join",
+    """SELECT p.p_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,2))) AS DOUBLE) AS qty_sum
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY p.p_type ORDER BY p.p_type""".stripMargin) { (s, d) =>
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val dim = Tables.part(s, d).select(col("p_partkey").as("partkey"), col("p_type"))
+    graft.operators.Skew.saltedJoin(fact, dim, Seq("partkey"), saltBuckets = 8)
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty_sum"))
+      .orderBy("p_type")
+  }
+
+  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin)
 }

@@ -233,6 +233,30 @@ object TextVectorQueries {
       .orderBy("fingerprint")
   }
 
+  /** Incremental ingest: docs ≥ 250 arrive as a new batch and dedup
+    * against the fingerprints of the already-indexed docs < 250 — only
+    * the narrow fingerprint index re-enters the plan, never the old
+    * corpus. Survivor choice within the batch is deterministic (min
+    * doc_id per fingerprint), so the oracle reproduces rows exactly. */
+  private val dedupIncremental = QuerySpec(
+    "q_dedup_incremental",
+    """WITH f AS (SELECT doc_id, lang,
+      |        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      |      FROM documents),
+      |idx AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id < 250),
+      |batch AS (SELECT * FROM f WHERE doc_id >= 250),
+      |nov AS (SELECT b.* FROM batch b ANTI JOIN idx i USING (fingerprint)),
+      |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY fingerprint) AS mid FROM nov)
+      |SELECT doc_id, lang, fingerprint FROM k WHERE doc_id = mid
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val index = Dedup.withFingerprint(docs.filter(col("doc_id") < 250), "text")
+      .select("fingerprint").distinct()
+    Dedup.dedupAgainstIndex(docs.filter(col("doc_id") >= 250), "doc_id", "text", index)
+      .select("doc_id", "lang", "fingerprint")
+      .orderBy("doc_id")
+  }
+
   private val dedupMinhash = QuerySpec(
     "q_dedup_minhash",
     """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
@@ -526,7 +550,8 @@ object TextVectorQueries {
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, corpusMix, textRedact,
     textChunksCdc,
-    dedupFingerprint, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash, dedupEmbedding,
+    dedupFingerprint, dedupIncremental, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash,
+    dedupEmbedding,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained)
 }

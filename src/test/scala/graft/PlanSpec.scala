@@ -114,6 +114,12 @@ class PlanSpec extends AnyFunSuite {
     assert(winLines.isEmpty, s"no per-group rank window expected:\n${winLines.mkString("\n")}")
   }
 
+  test("salted join runs as SMJ keyed on (key, salt) — never silently broadcasts") {
+    val p = finalPlan("q_skew_salted_join")
+    assert(p.contains("SortMergeJoin"), "salted join must exercise the shuffle path")
+    assert(p.contains("_salt"), "join must be keyed on the salt")
+  }
+
   test("trained IVF search broadcasts centroids; no cartesian against the corpus") {
     val p = finalPlan("q_sim_ivf_trained")
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
