@@ -135,6 +135,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(id)).as("min_doc"), max(col(id)).as("max_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Canonical-document pick per duplicate group: among
+    * fingerprint-identical docs keep the best-QUALITY member
+    * ([[TextAnalysis.qualityScore]] desc, id asc tiebreak) — the pick a
+    * shipped corpus wants, vs. an arbitrary or min-id survivor. One
+    * hash aggregation (max_by on the (quality, -id) struct); duplicate
+    * groups are tiny by construction so nothing skews. */
+  def canonicalByQuality(df: DataFrame, id: String, text: String): DataFrame =
+    withFingerprint(df, text)
+      .withColumn("_q", TextAnalysis.qualityScore(col(text)))
+      .groupBy("fingerprint")
+      .agg(expr(s"max_by($id, struct(_q, -$id))").as("keep_id"),
+        count(lit(1)).as("n_docs"), max(col("_q")).as("quality"))
+
   /** Incremental corpus ingest: dedup a NEW batch against an
     * already-indexed corpus WITHOUT reprocessing the corpus — the
     * nightly-shard shape of a production pipeline. `index` carries one

@@ -233,6 +233,31 @@ object TextVectorQueries {
       .orderBy("fingerprint")
   }
 
+  /** Quality-canonical dedup survivor: per fingerprint group keep the
+    * highest-quality member (doc_id tiebreak) — both engines rank with
+    * the same quality formula as q_text_quality, so the pick is
+    * row-exact. */
+  private val dedupCanonical = QuerySpec(
+    "q_dedup_canonical",
+    """WITH f AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+      |      FROM documents),
+      |s AS (SELECT doc_id, fingerprint,
+      |        (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.25 END) * 0.5 +
+      |        (CASE WHEN CAST(len(list_filter(toks, t -> list_contains(['the','a','of','to','and','in','is','it'], t))) AS DOUBLE) / len(toks) > 0.05 THEN 1.0 ELSE 0.5 END) * 0.5 AS q
+      |      FROM f),
+      |r AS (SELECT fingerprint, doc_id, q,
+      |        ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY q DESC, doc_id) AS rn,
+      |        COUNT(*) OVER (PARTITION BY fingerprint) AS n_docs,
+      |        MAX(q) OVER (PARTITION BY fingerprint) AS quality
+      |      FROM s)
+      |SELECT fingerprint, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs, quality
+      |FROM r WHERE rn = 1 ORDER BY fingerprint""".stripMargin) { (s, d) =>
+    Dedup.canonicalByQuality(Tables.documents(s, d), "doc_id", "text")
+      .select("fingerprint", "keep_id", "n_docs", "quality")
+      .orderBy("fingerprint")
+  }
+
   /** Incremental ingest: docs ≥ 250 arrive as a new batch and dedup
     * against the fingerprints of the already-indexed docs < 250 — only
     * the narrow fingerprint index re-enters the plan, never the old
@@ -550,8 +575,8 @@ object TextVectorQueries {
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, corpusMix, textRedact,
     textChunksCdc,
-    dedupFingerprint, dedupIncremental, dedupMinhash, dedupClusters, dedupNgram, dedupSimhash,
-    dedupEmbedding,
+    dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
+    dedupNgram, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained)
 }
