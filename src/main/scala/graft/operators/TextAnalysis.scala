@@ -197,6 +197,23 @@ object TextAnalysis {
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
 
+  /** Mean corpus-frequency of a document's tokens — the rarity/
+    * familiarity quality signal (gibberish and OOV-heavy docs score
+    * low; boilerplate scores high). Integer arithmetic until ONE final
+    * division, so the double is engine-exact: Σ per-token corpus count
+    * / n_tokens. Shape: explode → token-count aggregation → hash join
+    * of the exploded tokens back to their counts (the vocabulary can be
+    * web-scale, so it is NOT broadcast) → per-doc aggregation. */
+  def tokenFamiliarity(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df.select(col(id).as(id), explode(wsTokens(col(text))).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("_tf"))
+    tok.join(counts, "term")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_tf")).as("_s"))
+      .withColumn("familiarity", col("_s").cast("double") / col("n_tokens"))
+      .drop("_s")
+  }
+
   /** Content-defined chunking (CDC): split each document at rolling-hash
     * boundaries — a chunk ends after any position whose trailing
     * `window`-char polynomial hash ≡ 0 (mod `divisor`), so expected

@@ -115,5 +115,23 @@ object AdvancedQueries {
       .orderBy("p_type")
   }
 
-  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin)
+  /** Z-order (Morton) key over (l_partkey, l_suppkey): the interleaved
+    * sort key behind two-dimensional data skipping (operators.Layout;
+    * clustering property asserted in LayoutSpec). The bit arithmetic is
+    * exact integers, so DuckDB reproduces every key. */
+  private val zorderKey = QuerySpec(
+    "q_zorder_key",
+    """SELECT l_orderkey, l_linenumber,
+      |  list_reduce(list_concat([CAST(0 AS BIGINT)], range(0, 16)),
+      |    (acc, i) -> acc + ((CAST(l_partkey AS BIGINT) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+      |                    + ((CAST(l_suppkey AS BIGINT) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))) AS z
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.Layout.zValue("l_partkey", "l_suppkey").as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin,
+    zorderKey)
 }

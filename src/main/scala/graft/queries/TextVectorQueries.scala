@@ -500,6 +500,21 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Token-familiarity quality signal: per-doc mean corpus frequency of
+    * its tokens (integer sums, one final division → engine-exact
+    * doubles). Gibberish/OOV-heavy docs rank low, boilerplate high. */
+  private val textFamiliarity = QuerySpec(
+    "q_text_familiarity",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, COUNT(*) AS tf FROM tok GROUP BY term)
+      |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(c.tf) AS DOUBLE) / COUNT(*) AS familiarity
+      |FROM tok t JOIN c USING (term)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.tokenFamiliarity(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** Content-defined chunking over the corpus: rolling-hash boundaries
     * (window 8, divisor 64 → ~64-char expected chunks), exact integer
     * hash so DuckDB reproduces every boundary; output keeps chunk md5 +
@@ -574,7 +589,7 @@ object TextVectorQueries {
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, corpusMix, textRedact,
-    textChunksCdc,
+    textChunksCdc, textFamiliarity,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSimhash, dedupEmbedding,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
