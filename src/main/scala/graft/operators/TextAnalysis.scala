@@ -223,12 +223,17 @@ object TextAnalysis {
     * byte-identical again — which is what makes CDC the chunking used
     * for shift-robust dedup of large corpora.
     *
-    * Implementation is pure built-in HOFs (transform/filter/aggregate/
-    * inline) — per-row, shuffle-free, codegen-friendly, O(window · len)
-    * per document. The polynomial ((a·31 + code) mod 1000003) is exact
-    * integer arithmetic, so the DuckDB oracle reproduces every boundary.
-    * Documents shorter than `window` yield one whole-document chunk;
-    * null/empty texts yield no rows (chunk consumers key by doc_id).
+    * Boundary detection is a native single-pass Expression
+    * ([[graft.plans.CdcBoundariesExpr]]) — per-row, shuffle-free,
+    * O(len) per document via an incremental rolling update. (The
+    * original composed-HOF form — transform/filter/aggregate over
+    * per-position substring codes — was O(window·len) across three
+    * nested interpreted lambdas plus O(len²) substring walks, and alone
+    * cost 556 s of the 638 s sf0.1 bench.) The polynomial
+    * ((a·31 + code) mod 1000003) is exact integer arithmetic, so the
+    * DuckDB oracle reproduces every boundary. Documents shorter than
+    * `window` yield one whole-document chunk; null/empty texts yield no
+    * rows (chunk consumers key by doc_id).
     *
     * Output: (doc_id, chunk_idx, chunk) — chunk_idx skips a slot in the
     * rare all-boundary-at-end case (trailing empty chunks filter out,
@@ -238,15 +243,8 @@ object TextAnalysis {
     require(window >= 2 && divisor >= 2)
     df.select(col(id).as("doc_id"), col(text).as("_t"))
       .filter(col("_t").isNotNull && length(col("_t")) > 0)
-      .withColumn("_codes",
-        expr("transform(sequence(1, length(_t)), i -> ascii(substring(_t, i, 1)))"))
-      .withColumn("_bnds", expr(
-        s"""CASE WHEN length(_t) >= $window THEN
-           |  filter(sequence($window, length(_t)),
-           |    i -> aggregate(slice(_codes, i - ${window - 1}, $window),
-           |           CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000003)
-           |         % $divisor = 0)
-           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .withColumn("_bnds",
+        graft.plans.TextHashNative.cdcBoundaries(col("_t"), window, divisor))
       .withColumn("_bb", expr("concat(array(0), _bnds, array(length(_t)))"))
       .select(col("doc_id"), expr(
         """inline(transform(sequence(1, size(_bb) - 1),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftops.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass imperative eval for the dedup suite's per-row text
@@ -71,6 +71,10 @@ object TextHashNative {
 
   def simHash(text: Column): Column =
     ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+
+  def cdcBoundaries(text: Column, window: Int, divisor: Int): Column =
+    ColumnBridge.column(
+      CdcBoundariesExpr(ColumnBridge.expression(text), window, divisor))
 
   /** Fail at ANALYSIS time on a non-string input, like the HOF forms
     * these expressions replace would — without this, a mistyped column
@@ -163,6 +167,53 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_minhash_sig"
+}
+
+/** Content-defined-chunking boundary positions of a string: every
+  * 1-based character position `i ∈ [window, len]` whose trailing
+  * `window`-codepoint polynomial hash
+  * `fold(codes[i-window+1..i], 0, (a, c) -> (a*31 + c) mod 1000003)`
+  * is ≡ 0 (mod `divisor`). Value-identical to the composed-HOF form
+  * (`filter(sequence(window, len), i -> aggregate(slice(codes, …)))`
+  * over `ascii(substring(text, i, 1))` codes) that it replaces — that
+  * form re-walked the UTF8String per position (O(len²)) and re-folded
+  * the window per position inside three nested interpreted lambdas;
+  * this is ONE imperative pass with an incremental update (subtract the
+  * outgoing codepoint × 31^(window−1) mod M, multiply, add the incoming
+  * — exact because the fold is linear in Z_M). Codepoint iteration, not
+  * UTF-16 units, matching both `ascii`'s codePointAt semantics and
+  * `length()`/`substring()`'s character counting. Strings shorter than
+  * `window` yield the empty array (one whole-document chunk
+  * downstream). */
+case class CdcBoundariesExpr(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 2 && divisor >= 2)
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val M = 1000003L
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    if (n < window) return new GenericArrayData(Array.emptyIntArray)
+    var pow = 1L // 31^(window-1) mod M
+    var k = 1
+    while (k < window) { pow = pow * 31 % M; k += 1 }
+    val buf = new scala.collection.mutable.ArrayBuilder.ofInt
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * 31 + cps(i)) % M; i += 1 }
+    if (h % divisor == 0) buf += window
+    while (i < n) {
+      h = (((h - cps(i - window) % M * pow % M) % M + M) * 31 + cps(i)) % M
+      i += 1
+      if (h % divisor == 0) buf += i
+    }
+    new GenericArrayData(buf.result())
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_cdc_boundaries"
 }
 
 /** 64-bit SimHash of a space-separated string's distinct token set —

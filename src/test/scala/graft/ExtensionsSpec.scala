@@ -60,6 +60,41 @@ class ExtensionsSpec extends AnyFunSuite {
       .filter(!col("ok")).count() === 0)
   }
 
+  test("native CDC boundaries are value-equal to the composed-HOF form") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextHashNative
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir).limit(200)
+      .select(col("text").as("_t"))
+      .union(spark.sql(
+        """SELECT * FROM VALUES ('short'), (''), ('exactly8'), ('ααββγγδδεε'),
+          |('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS t(_t)""".stripMargin))
+    val hof = docs
+      .withColumn("_codes",
+        expr("transform(sequence(1, length(_t)), i -> ascii(substring(_t, i, 1)))"))
+      .withColumn("ref", expr(
+        """CASE WHEN length(_t) >= 8 THEN
+          |  filter(sequence(8, length(_t)),
+          |    i -> aggregate(slice(_codes, i - 7, 8),
+          |           CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000003)
+          |         % 64 = 0)
+          |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .withColumn("fast", TextHashNative.cdcBoundaries(col("_t"), 8, 64))
+    assert(hof.filter(not(col("fast") === col("ref"))).count() === 0)
+    // and at a window/divisor pair that exercises the pow path differently
+    val hof2 = docs
+      .withColumn("_codes",
+        expr("transform(sequence(1, length(_t)), i -> ascii(substring(_t, i, 1)))"))
+      .withColumn("ref", expr(
+        """CASE WHEN length(_t) >= 3 THEN
+          |  filter(sequence(3, length(_t)),
+          |    i -> aggregate(slice(_codes, i - 2, 3),
+          |           CAST(0 AS BIGINT), (a, x) -> (a * 31 + x) % 1000003)
+          |         % 7 = 0)
+          |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin))
+      .withColumn("fast", TextHashNative.cdcBoundaries(col("_t"), 3, 7))
+    assert(hof2.filter(not(col("fast") === col("ref"))).count() === 0)
+  }
+
   test("native text projections reject non-string inputs at analysis time") {
     import org.apache.spark.sql.functions._
     import graft.plans.TextHashNative
