@@ -70,7 +70,7 @@ object TextHashNative {
       ColumnBridge.expression(hashedSet.cast("array<bigint>")), numHashes))
 
   def simHash(text: Column): Column =
-    ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(text)))
+    ColumnBridge.column(SimHash60Expr(ColumnBridge.expression(text)))
 
   def cdcBoundaries(text: Column, window: Int, divisor: Int): Column =
     ColumnBridge.column(
@@ -216,35 +216,46 @@ case class CdcBoundariesExpr(child: Expression, window: Int, divisor: Int)
   override def prettyName: String = "graft_cdc_boundaries"
 }
 
-/** 64-bit SimHash of a space-separated string's distinct token set —
+/** 60-bit SimHash of a space-separated string's distinct token set —
   * same vote/bit layout as Dedup.simHash (bit j of each token hash
-  * votes ±1; a positive vote sets output bit 63−j). Distinctness is by
-  * token HASH here vs token STRING there — identical modulo ~2⁻⁶⁴
-  * collisions (cross-checked against the HOF form in DedupSpec's
-  * collapse-equivalence fixture and ExtensionsSpec). */
-case class SimHash64Expr(child: Expression)
+  * votes ±1; a positive vote sets output bit j). Token hashes are the
+  * PORTABLE md5-based 60-bit family (functions.PortableHash) so the
+  * whole fingerprint — and therefore every Hamming distance — is
+  * reproducible in ANSI SQL, which is what lets q_dedup_simhash carry a
+  * DuckDB hash oracle. Distinctness is by token HASH here vs token
+  * STRING in the HOF form — identical modulo ~2⁻⁶⁰ collisions
+  * (cross-checked in DedupSpec's collapse-equivalence fixture and
+  * ExtensionsSpec). */
+case class SimHash60Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =
     TextHashNative.requireString(child, prettyName)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
-    val hs = TextHashNative.sortedDistinct(
-      TextHashNative.hashTokens(input.asInstanceOf[UTF8String]))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val hs = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      hs(t) = graft.functions.PortableHash.md5Hash60(toks(t), md)
+      t += 1
+    }
+    val dhs = TextHashNative.sortedDistinct(hs)
     var res = 0L
     var j = 0
-    while (j < 64) {
+    while (j < 60) {
       var vote = 0L
       var i = 0
-      while (i < hs.length) {
-        vote += (if (((hs(i) >>> j) & 1L) == 1L) 1L else -1L)
+      while (i < dhs.length) {
+        vote += (if (((dhs(i) >>> j) & 1L) == 1L) 1L else -1L)
         i += 1
       }
-      if (vote > 0) res += 1L << (63 - j)
+      if (vote > 0) res += 1L << j
       j += 1
     }
     res
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
-  override def prettyName: String = "graft_simhash64"
+  override def prettyName: String = "graft_simhash60"
 }
