@@ -3,21 +3,36 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every registered query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
   *
-  * Extras for regression tracking (round-2 verdict: per-query history so
-  * a 2× single-query drift surfaces mechanically, not by eyeballing two
-  * truncated artifacts):
+  * Noise / regression hardening (round-5 verdict: one host-contention
+  * run was uniformly ~2× slow and would have failed a naive gate):
+  *  - the FULL registry runs SPARK_GRAFT_REPEAT times (default 3);
+  *    each run starts cold (CacheGovernor.reset) and the reported
+  *    per-query number is the MINIMUM across runs (total = sum of
+  *    minima). Every run is cold and attributes shared-relation build
+  *    cost to the same builder query, so per-query minima stay honest
+  *    while single-query host hiccups (measured: an 0.7 s query
+  *    spiking to 9 s once) are filtered out;
+  *  - within a run, queries are isolated per query via
+  *    CacheGovernor.isolate(), which drops operator-internal persists
+  *    but KEEPS relations the library declares shared across queries
+  *    (the embedding near-dup pair relation feeding the pair-listing
+  *    and centroid queries) — so a run prices that relation's build
+  *    once, exactly as a production session would;
   *  - "queries" is emitted SORTED BY DESCENDING SECONDS;
-  *  - the same line is appended to bench_history.jsonl (cwd) with a
+  *  - "drift" lists queries ≥1.5× slower than the previous
+  *    bench_history.jsonl entry (and ≥0.3 s absolute) — regressions
+  *    surface mechanically, not by eyeballing two truncated artifacts;
+  *  - the line is appended to bench_history.jsonl (cwd) with a
   *    timestamp — `tools/bench_diff.py` ratios any two entries;
   *  - SPARK_GRAFT_ONLY=<substring> restricts the run for profiling one
-  *    query without the other 80 in front of it.
+  *    query without the other 90+ in front of it.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,23 +43,50 @@ object Bench {
     catch { case _: Throwable => () }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.contains) }
-    val results = picked.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+    val runs: Seq[Seq[(String, Double)]] = (1 to repeat).map { _ =>
+      graft.core.CacheGovernor.reset(spark) // every run starts cold
+      picked.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        // isolate queries: drop frames persisted inside operators so no
-        // query pays for (or benefits from) another's cached state
-        spark.catalog.clearCache()
-        dt
+        // isolate queries: drop frames persisted inside operators (keep
+        // declared shared relations) so no query pays for — or benefits
+        // from — another's per-query cached state
+        graft.core.CacheGovernor.isolate()
+        name -> dt
       }
-      name -> times.min
     }
+    val results = runs.flatten.groupBy(_._1).toSeq
+      .map { case (name, ts) => name -> ts.map(_._2).min }
+      .sortBy(_._1)
     val qs = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // drift gate vs the previous history entry: ratio ≥ 1.5 AND ≥ 0.3 s
+    // slower (tiny queries' jitter is not drift)
+    val prev: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val last = java.nio.file.Files.readAllLines(p)
+        if (last.isEmpty) Map.empty
+        else {
+          // slice to exactly the (flat) "queries" object — keys further
+          // right ("drift" ratios!) reuse query names and must not win
+          val line = last.get(last.size - 1)
+          val start = line.indexOf("\"queries\":{") + "\"queries\":".length
+          val body = line.substring(start, line.indexOf("}", start) + 1)
+          """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val drift = results.collect {
+      case (k, v) if prev.get(k).exists(p => v >= p * 1.5 && v - p >= 0.3) =>
+        "\"" + k + "\":" + (math.round(v / prev(k) * 100) / 100.0)
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"sf":"$sfDir"}"""
     println(line)
     try {
       val stamp = java.time.Instant.now().toString

@@ -17,7 +17,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache()
+      // full isolation (tracked + shared + catalog): the correctness
+      // dump never reuses state across queries
+      graft.core.CacheGovernor.reset(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -91,10 +91,10 @@ object NetIntel {
     // cached: KMeans.fit makes several passes; uncached, each pass
     // re-runs the scan→agg→anti-join→dim-join pipeline (same
     // session-lifetime cache convention as the dedup core)
-    val feats = new org.apache.spark.ml.feature.VectorAssembler()
-      .setInputCols(Array("_x", "_y")).setOutputCol("_loc")
-      .transform(sites)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = graft.core.CacheGovernor.persistTracked(
+      new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(Array("_x", "_y")).setOutputCol("_loc")
+        .transform(sites))
     // random init (seeded): kmeans|| costs several extra jobs for no
     // quality gain on well-separated region base points
     val model = new org.apache.spark.ml.clustering.KMeans()

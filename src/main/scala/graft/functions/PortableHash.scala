@@ -32,6 +32,16 @@ object PortableHash {
   def md5Hash60Sql(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Per-thread MD5 instance for the JVM-side scalar — MessageDigest is
+    * not thread-safe and allocating one per ROW costs ~40% of the
+    * simhash projection, so native Expressions fetch this once per
+    * eval. `digest()` resets the instance, so reuse is sound. */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5ThreadLocal: java.security.MessageDigest = mdLocal.get()
+
   /** JVM-side scalar identical to [[md5Hash60]] — for native
     * Expressions that fold many token hashes per row. */
   def md5Hash60(token: String, md: java.security.MessageDigest): Long = {

@@ -41,18 +41,25 @@ object Dedup {
     * @param candidates reps(_fp, _rid, _set) → candidate pairs
     *                   (_fpa, _fpb), any orientation, dupes allowed
     *
-    * Note: two small frames are persisted per invocation and stay
-    * cached for the session (they back the lazily-returned result).
-    * Long-lived sessions issuing many dedup calls should
-    * `spark.catalog.clearCache()` after materializing results — Bench
-    * and Verify do.
+    * Note: two small frames are persisted per invocation (via
+    * [[graft.core.CacheGovernor.persistTracked]]) and stay cached for
+    * the session (they back the lazily-returned result). Long-lived
+    * sessions issuing many dedup calls should call
+    * `CacheGovernor.isolate()` (or `reset`) after materializing
+    * results — Bench and Verify do.
     */
   private def collapseVerifyExpand(
       docs: DataFrame,
       candidates: DataFrame => DataFrame,
       threshold: Double): DataFrame = {
     val (tagged, verified) = collapseVerify(docs, candidates, threshold)
-    val members = tagged.select(col("_fp"), col("_id"))
+    expandPairs(tagged.select(col("_fp"), col("_id")), verified)
+  }
+
+  /** Member-pair expansion stage of [[collapseVerifyExpand]]:
+    * within-fingerprint pairs are exact duplicates (J = 1); cross pairs
+    * inherit their representatives' verified Jaccard. */
+  private def expandPairs(members: DataFrame, verified: DataFrame): DataFrame = {
     val within = members.select(col("_fp"), col("_id").as("a_id"))
       .join(members.select(col("_fp"), col("_id").as("b_id")), "_fp")
       .filter(col("a_id") < col("b_id"))
@@ -86,12 +93,10 @@ object Dedup {
     // by construction (plans.TextHashNative sorts in its single pass);
     // a new caller with unsorted sets must array_sort first or the
     // verify silently undercounts.
-    val tagged = docs
-      .withColumn("_fp", xxhash64(col("_set")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = tagged.groupBy("_fp")
-      .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = graft.core.CacheGovernor.persistTracked(docs
+      .withColumn("_fp", xxhash64(col("_set"))))
+    val reps = graft.core.CacheGovernor.persistTracked(tagged.groupBy("_fp")
+      .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set")))
     val cand = candidates(reps)
       .select(least(col("_fpa"), col("_fpb")).as("_fpa"),
         greatest(col("_fpa"), col("_fpb")).as("_fpb"))
@@ -201,6 +206,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     collapseVerifyExpand(prepTokenDocs(df, id, text),
       minHashCandidates(numHashes, bands, threshold), threshold)
+    // NOT a CacheGovernor shared relation, deliberately: snapshotting
+    // (members, verified) for reuse by minHashClusters was measured
+    // (round 6) to cost MORE inside the cluster query than the reuse
+    // saved — the connected-components loop over a checkpointed edge
+    // list degraded with session age — while the embedding-pair
+    // relation (Similarity.nearDupPairs) shares cleanly. Each entry
+    // point derives the relation itself; at 100 TB a pipeline wanting
+    // both outputs should write the pair relation to storage once and
+    // feed both consumers from that table.
   }
 
   /** Shared minhash entry prep: spread the RAW rows before the
@@ -296,27 +310,33 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over the token set: per bit, sum ±1 weighted by each
-    * token hash's bit; the sign becomes the fingerprint bit. Near-dup
-    * docs land within small Hamming distance. Bit positions unroll at
-    * plan-build time (shift amounts must be literals). */
+  /** 60-bit SimHash over the token set: per bit, sum ±1 weighted by each
+    * token hash's bit; the sign becomes the fingerprint bit (output bit
+    * j comes from token-hash bit j). Near-dup docs land within small
+    * Hamming distance. Token hashes are the PORTABLE md5-based 60-bit
+    * family ([[graft.functions.PortableHash]]) — same family and bit
+    * layout as the native [[graft.plans.TextHashNative.simHash]], which
+    * is what lets q_dedup_simhash carry a DuckDB SQL oracle. Bit
+    * positions unroll at plan-build time (shift amounts must be
+    * literals). */
   def simHash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 64).map { j =>
+    val hashes = transform(tokens, t => graft.functions.PortableHash.md5Hash60(t))
+    val bits: Seq[Column] = (0 until 60).map { j =>
       val vote = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(vote > 0, 1L).otherwise(0L)
     }
-    bits.zipWithIndex.map { case (b, i) => b * lit(1L << (63 - i)) }.reduce(_ + _)
+    bits.zipWithIndex.map { case (b, j) => b * lit(1L << j) }.reduce(_ + _)
   }
 
-  /** SimHash near-dup candidates: block on each of the four 16-bit
-    * chunks (any pair within Hamming ≤ maxHamming of 3 must agree on at
-    * least one chunk when differing bits spread — pigeonhole over 4
-    * chunks guarantees it for ≤ 3 flipped bits), then verify Hamming. */
+  /** SimHash near-dup candidates: block on each of the four 15-bit
+    * chunks of the 60-bit fingerprint (any pair within Hamming ≤
+    * maxHamming of 3 must agree on at least one chunk when differing
+    * bits spread — pigeonhole over 4 chunks guarantees it for ≤ 3
+    * flipped bits), then verify Hamming. */
   def simHashPairs(
       df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    // spread raw rows first — the 64-bit vote computation is the most
+    // spread raw rows first — the 60-bit vote computation is the most
     // expensive per-row projection in the suite (same single-split
     // argument as minHashPairs)
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -326,20 +346,21 @@ object Dedup {
     // bucket it lands in by k, and the blocking join by k². Hamming
     // depends only on the simhash, so within-fingerprint pairs are
     // exactly 0 and cross-fingerprint pairs inherit the representative
-    // distance — output is identical to the uncollapsed join.
-    // imperative simhash eval (vote/bit layout identical to the HOF
-    // [[simHash]] — DedupSpec's collapse fixture cross-checks the two).
+    // distance — output is identical to the uncollapsed join. The
+    // native eval shares the portable md5-60 family and bit-j layout
+    // with the HOF [[simHash]] (DedupSpec's collapse fixture and
+    // ExtensionsSpec cross-check the two).
     // coalesce restores the HOF form's null-text value: aggregate over a
     // null token array folded each bit to 0 ⇒ simhash 0L, so null-text
     // docs pair with each other; bare null would drop out of the joins.
-    val docs = spread.select(col(id).as("_id"),
-      coalesce(graft.plans.TextHashNative.simHash(col(text)), lit(0L)).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = graft.core.CacheGovernor.persistTracked(
+      spread.select(col(id).as("_id"),
+        coalesce(graft.plans.TextHashNative.simHash(col(text)), lit(0L)).as("_sh")))
     // the chunk join consumes only the fingerprint — distinct IS the collapse
     val reps = docs.select("_sh").distinct()
     val chunked = reps.select(col("_sh"),
       posexplode(array((0 until 4).map(c =>
-        shiftright(col("_sh"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        shiftright(col("_sh"), c * 15).bitwiseAND(0x7FFFL)): _*)))
       .withColumnRenamed("pos", "_chunk").withColumnRenamed("col", "_chunkval")
     val a = chunked.select(col("_sh").as("_sha"), col("_chunk"), col("_chunkval"))
     val b = chunked.select(col("_sh").as("_shb"), col("_chunk"), col("_chunkval"))

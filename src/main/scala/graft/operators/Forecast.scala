@@ -38,7 +38,7 @@ object Forecast {
     * reduction is not bit-reproducible → verified by properties
     * (ForecastSpec), not by hash oracle. */
   def trainAndScore(events: DataFrame, splitDay: String): DataFrame = {
-    val feats = dailyFeatures(events).cache()
+    val feats = graft.core.CacheGovernor.persistTracked(dailyFeatures(events))
     val assembler = new VectorAssembler()
       .setInputCols(Array("n_events", "val_avg", "dow", "prev_n", "prev_err", "err_rate_7d"))
       .setOutputCol("features")

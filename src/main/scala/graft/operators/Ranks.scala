@@ -48,13 +48,12 @@ object Ranks {
     // label partitions differently, and the inner join on _pid silently
     // drops rows — measured at ~200k distinct scores: npos+nneg collapsed
     // to half the input. Same session-lifetime cache convention as
-    // Dedup.collapseVerifyExpand (Bench/Verify clearCache() per query).
-    // RanksSpec stress-tests exactly this cardinality against the
-    // single-window reference.
-    val ranged = byScore
+    // Dedup.collapseVerify (tracked via CacheGovernor; Bench/Verify
+    // isolate per query). RanksSpec stress-tests exactly this
+    // cardinality against the single-window reference.
+    val ranged = graft.core.CacheGovernor.persistTracked(byScore
       .repartitionByRange(col("_score"))
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_pid", spark_partition_id()))
     val offs = partitionOffsets(ranged, sum(col("_cnt")))
     val w = Window.partitionBy("_pid").orderBy("_score")
     ranged.join(broadcast(offs), "_pid")
@@ -80,10 +79,9 @@ object Ranks {
     */
   def distributedRowNumber(
       df: DataFrame, order: Seq[Column], outCol: String = "rn"): DataFrame = {
-    val ranged = df
+    val ranged = graft.core.CacheGovernor.persistTracked(df
       .repartitionByRange(order: _*)
-      .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("_pid", spark_partition_id()))
     val offs = partitionOffsets(ranged, count(lit(1)))
     val w = Window.partitionBy("_pid").orderBy(order: _*)
     ranged.join(broadcast(offs), "_pid")

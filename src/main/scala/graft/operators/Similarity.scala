@@ -23,13 +23,27 @@ import graft.plans.VectorNative.dot
 object Similarity {
 
   /** Exact top-k by cosine. `queries`/`corpus` need (id, vec) columns.
-    * Output: q_id, c_id, rnk (1..k), cos. Ties broken by c_id. */
+    * Output: q_id, c_id, rnk (1..k), cos. Ties broken by c_id.
+    *
+    * Two exact plans behind one signature, chosen by corpus size (one
+    * cheap limit-pushdown count at plan-build time, same convention as
+    * [[dimOf]]):
+    *  - corpus ≤ `broadcastRowLimit`: corpus broadcast + per-query
+    *    window rank (zero shuffle of the query side).
+    *  - larger: block-bucketed exact plan — corpus hashes into B
+    *    blocks, queries replicate to every block (equi-join on block
+    *    id, never a corpus broadcast), local top-k per (query, block),
+    *    then global top-k over the B·k survivors. The global winner set
+    *    is provably inside the union of local winner sets, so results
+    *    are identical to the broadcast plan (ties broken by c_id at
+    *    both levels). */
   def bruteForceTopK(
       queries: DataFrame,
       corpus: DataFrame,
       qId: String, qVec: String,
       cId: String, cVec: String,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastRowLimit: Int = 2000000): DataFrame = {
     // norms once per row BEFORE the pair join (3× fewer dots), dot via
     // the codegen'd native expression — identical doubles to the HOF
     // form, so oracle hashes are unaffected
@@ -38,8 +52,25 @@ object Similarity {
     val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
       .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
-    q.crossJoin(broadcast(c))
-      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+    val cos = dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))
+    val smallCorpus =
+      corpus.select(col(cId)).limit(broadcastRowLimit + 1).count() <= broadcastRowLimit
+    val candidates =
+      if (smallCorpus) q.crossJoin(broadcast(c))
+      else {
+        val blocks = math.max(corpus.sparkSession.sparkContext.defaultParallelism, 32)
+        val cb = c.withColumn("_blk", pmod(xxhash64(col("c_id")), lit(blocks.toLong)))
+        val qb = q.withColumn("_blk",
+          explode(sequence(lit(0L), lit(blocks.toLong - 1))))
+        val wLocal = Window.partitionBy("q_id", "_blk")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        qb.join(cb, "_blk")
+          .withColumn("cos", cos)
+          .withColumn("_lr", row_number().over(wLocal))
+          .filter(col("_lr") <= k)
+      }
+    candidates
+      .withColumn("cos", cos)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "c_id", "rnk", "cos")
@@ -174,9 +205,8 @@ object Similarity {
       .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
     // cached: KMeans.fit makes maxIter passes (same convention as the
     // NetIntel clustering path); Bench/Verify clear cache per query
-    val feats = c
-      .withColumn("_fv", org.apache.spark.ml.functions.array_to_vector(col("_cv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = graft.core.CacheGovernor.persistTracked(c
+      .withColumn("_fv", org.apache.spark.ml.functions.array_to_vector(col("_cv"))))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(maxIter)
       .setFeaturesCol("_fv").setPredictionCol("_cell")
@@ -253,6 +283,21 @@ object Similarity {
   def nearDupPairs(
       df: DataFrame, id: String, vec: String, threshold: Double,
       blocks: Int = 0): DataFrame = {
+    // SHARED relation (CacheGovernor): the pair listing query and the
+    // centroid query both consume exactly this relation on the same
+    // input — a pipeline materializes it once (key = session + input
+    // plan + every semantics-affecting parameter)
+    val key = Seq("nearDupPairs", System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), id, vec, threshold, blocks)
+      .mkString(":")
+    graft.core.CacheGovernor.sharedFrame(key) {
+      nearDupPairsUncached(df, id, vec, threshold, blocks)
+    }
+  }
+
+  private def nearDupPairsUncached(
+      df: DataFrame, id: String, vec: String, threshold: Double,
+      blocks: Int): DataFrame = {
     val b = if (blocks > 0) blocks else blocksFor(df.count())
     val v = df.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
       .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
@@ -281,10 +326,23 @@ object Similarity {
   def nearDupPairsBanded(
       df: DataFrame, id: String, vec: String, threshold: Double,
       bands: Int = 8, planesPerBand: Int = 4): DataFrame = {
+    // SHARED relation, same contract as [[nearDupPairs]]: the banded
+    // pair listing and the banded centroid query consume one relation
+    val key = Seq("nearDupPairsBanded", System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), id, vec, threshold,
+      bands, planesPerBand).mkString(":")
+    graft.core.CacheGovernor.sharedFrame(key) {
+      nearDupPairsBandedUncached(df, id, vec, threshold, bands, planesPerBand)
+    }
+  }
+
+  private def nearDupPairsBandedUncached(
+      df: DataFrame, id: String, vec: String, threshold: Double,
+      bands: Int, planesPerBand: Int): DataFrame = {
     val all = hyperplanes(bands * planesPerBand, dimOf(df, vec))
-    val v = df.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
-      .withColumn("_nrm", sqrt(dot(col("_v"), col("_v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = graft.core.CacheGovernor.persistTracked(
+      df.select(col(id).as("_id"), asDouble(col(vec)).as("_v"))
+        .withColumn("_nrm", sqrt(dot(col("_v"), col("_v")))))
     // ids ONLY through the band join and candidate dedup — shuffling the
     // vectors with every candidate pair measured ~9× slower; they are
     // re-attached per distinct pair afterwards (AQE broadcasts the

@@ -157,11 +157,10 @@ object TextAnalysis {
     // final join — unpersisted, the full corpus scan + tokenize would
     // run twice (same fan-out convention as Dedup.collapseVerify; the
     // frame is group-cardinality small)
-    val agg = df
+    val agg = graft.core.CacheGovernor.persistTracked(df
       .select(keys.map(col) :+ size(wsTokens(col(text))).cast("long").as("_n"): _*)
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens")))
     val tot = agg.agg(sum(col("total_tokens")).cast("double").as("_tt"))
     agg.crossJoin(broadcast(tot))
       .withColumn("token_share", col("total_tokens").cast("double") / col("_tt"))

@@ -182,9 +182,18 @@ case class MinHashSigExpr(child: Expression, k: Int)
   * outgoing codepoint × 31^(window−1) mod M, multiply, add the incoming
   * — exact because the fold is linear in Z_M). Codepoint iteration, not
   * UTF-16 units, matching both `ascii`'s codePointAt semantics and
-  * `length()`/`substring()`'s character counting. Strings shorter than
-  * `window` yield the empty array (one whole-document chunk
-  * downstream). */
+  * `length()`/`substring()`'s character counting — for VALID UTF-8
+  * (the invariant Spark maintains for parquet/JSON/CSV-sourced
+  * strings) the two unit systems agree on every plane, including
+  * 4-byte supplementary chars (1 char in both; ExtensionsSpec's CDC
+  * parity fixture includes a supplementary-plane row). On MALFORMED
+  * UTF-8 bytes (only reachable via hand-built binary→string casts)
+  * `String.codePoints` substitutes U+FFFD per invalid byte while
+  * UTF8String counts leading bytes, so boundary indices may diverge
+  * from `substring()` units — out of contract, matching Spark's own
+  * undefined behavior for string functions over invalid bytes.
+  * Strings shorter than `window` yield the empty array (one
+  * whole-document chunk downstream). */
 case class CdcBoundariesExpr(child: Expression, window: Int, divisor: Int)
     extends UnaryExpression with CodegenFallback {
   require(window >= 2 && divisor >= 2)
@@ -232,7 +241,7 @@ case class SimHash60Expr(child: Expression)
     TextHashNative.requireString(child, prettyName)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = graft.functions.PortableHash.md5ThreadLocal
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val hs = new Array[Long](toks.length)
     var t = 0

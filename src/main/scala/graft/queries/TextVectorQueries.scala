@@ -345,10 +345,29 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
-  /** SimHash needs xxhash64, which DuckDB lacks → no SQL oracle; the
-    * recall property (every fingerprint-dup pair has Hamming 0) is
-    * asserted in DedupSpec. */
-  private val dedupSimhash = QuerySpec.noOracle("q_dedup_simhash") { (s, d) =>
+  /** SimHash fingerprints use the portable md5-60 hash family
+    * (functions.PortableHash), so the whole fingerprint — and every
+    * Hamming distance — is reproducible in DuckDB SQL. The oracle
+    * brute-forces all pairs at sf0.01 scale (500 docs → 125k pairs,
+    * trivial for the oracle; Spark's chunk-blocked plan is the 100 TB
+    * path and must produce the identical pair set). Token distinctness
+    * is by token HASH on both sides. */
+  private val dedupSimhash = QuerySpec(
+    "q_dedup_simhash",
+    """WITH h AS (SELECT DISTINCT doc_id,
+      |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
+      |      FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+      |v AS (SELECT doc_id, g.j,
+      |        SUM(CASE WHEN ((th >> g.j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+      |      FROM h CROSS JOIN generate_series(0, 59) g(j) GROUP BY doc_id, g.j),
+      |fp AS (SELECT doc_id,
+      |         SUM(CASE WHEN vote > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sh
+      |       FROM v GROUP BY doc_id)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
       .orderBy("a_id", "b_id")
   }

@@ -67,6 +67,7 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(col("text").as("_t"))
       .union(spark.sql(
         """SELECT * FROM VALUES ('short'), (''), ('exactly8'), ('ααββγγδδεε'),
+          |('𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝔰𝔲𝔭𝔭𝔩𝔢𝔪𝔢𝔫𝔱𝔞𝔯𝔶'),
           |('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS t(_t)""".stripMargin))
     val hof = docs
       .withColumn("_codes",

@@ -36,6 +36,20 @@ class ForecastSpec extends AnyFunSuite {
       s"region split across clusters: ${regionClusters.filter(_._2.size > 1)}")
   }
 
+  test("EP3 location clustering is run-to-run deterministic (seeded KMeans)") {
+    // the one remaining ML-ish no_oracle row: seed and maxIter are
+    // pinned (NetIntel.scheduleClustered, seed=42, maxIter=10, random
+    // init over deterministic pseudo-coords), so two independent plan
+    // builds must assign every site the same (cluster, deploy_rank)
+    def snap() = graft.api.NetIntel
+      .scheduleClustered(spark, sfDir, "2024-01-15", k = 4, perCluster = 5)
+      .collect()
+      .map(r => (r.getAs[String]("site_code"),
+        r.getAs[Long]("cluster"), r.getAs[Long]("deploy_rank")))
+      .toSet
+    assert(snap() === snap())
+  }
+
   test("probabilities are valid and metrics computable") {
     import org.apache.spark.sql.functions._
     val bad = scored.filter(col("outage_probability") < 0 || col("outage_probability") > 1).count()

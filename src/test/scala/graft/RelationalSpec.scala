@@ -12,9 +12,11 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every query name has either an oracle or a documented reason") {
     val noOracle = SparkEntry.specs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the only approximate / non-portable-hash ops
+    // the only approximate / iterative-ML ops (q_dedup_simhash left
+    // this list in round 6: the portable md5-60 fingerprint family made
+    // it DuckDB-reproducible)
     assert(noOracle === Set(
-      "q_dedup_simhash", "q_sim_lsh_topk", "q_sim_ivf_topk",
+      "q_sim_lsh_topk", "q_sim_ivf_topk",
       "q_sim_ivf_trained", "q_x3_ml_forecast", "q_a6_approx_distinct",
       "q_dedup_embedding_lsh", "q_embed_centroids_banded",
       "q_ep3_schedule_clustered", "q_a8_approx_percentile"))

@@ -21,6 +21,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top1.forall(r => math.abs(r.getAs[Double]("cos") - 1.0) < 1e-9))
   }
 
+  test("blocked exact top-k: identical rows to the broadcast plan, no corpus broadcast hint") {
+    // force the scale path: a 1-row broadcast limit pushes every corpus
+    // past the threshold, so this is the plan a 100 TB corpus would get
+    val blocked = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, broadcastRowLimit = 1)
+    // the scale plan must never hint a corpus broadcast (auto-broadcast
+    // of the small replicated QUERY side by AQE is fine and wanted)
+    val hints = blocked.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"explicit broadcast hint in blocked plan: $hints")
+    val want = brute.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"), r.getAs[Long]("rnk")))
+      .toSet
+    val got = blocked.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"), r.getAs[Long]("rnk")))
+      .toSet
+    assert(got === want)
+  }
+
   test("LSH multiprobe: recall vs brute force on isotropic data") {
     val lsh = Similarity.lshTopK(
       queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4)
