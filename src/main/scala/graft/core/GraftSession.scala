@@ -23,6 +23,14 @@ object GraftSession {
     b.withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // runtime bloom-filter semi-join reduction, pinned ON explicitly:
+      // for fact↔fact joins (J2 shape) at 100 TB the filtered build
+      // side's keys prune the probe side's shuffle BEFORE the exchange —
+      // the single biggest shuffle-bytes lever on selective fact joins.
+      // Injection respects the size thresholds (application side ≥
+      // ~10 GB), so local-SF plans are unchanged; BloomFilterSpec
+      // lowers the thresholds to prove the engine wires it correctly.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

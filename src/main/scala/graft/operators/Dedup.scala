@@ -283,12 +283,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
       minHashCandidates(numHashes, bands, threshold), threshold)
+    clustersFrom(tagged.select(col("_fp"), col("_id")), verified)
+  }
+
+  /** Cluster-closure stage of [[minHashClusters]], over an already-
+    * derived (members, verified) relation. */
+  private def clustersFrom(members: DataFrame, verified: DataFrame): DataFrame = {
     val fpComp = Components.connectedComponents(
       verified.select("_fpa", "_fpb"), "_fpa", "_fpb")
       .withColumnRenamed("node", "_fp")
     // fingerprints with no cross-edge are their own component; their
     // members still cluster with each other (identical sets, J = 1)
-    val labeled = tagged.select(col("_fp"), col("_id"))
+    val labeled = members.select(col("_fp"), col("_id"))
       .join(fpComp, Seq("_fp"), "left_outer")
       .withColumn("_comp", coalesce(col("comp"), col("_fp")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("_comp")
@@ -298,6 +304,42 @@ object Dedup {
         count(lit(1)).over(w).as("cluster_size"))
       .filter(col("cluster_size") > 1)
   }
+
+  // ---- materialized minhash relation ---------------------------------
+
+  /** Materialize the minhash collapse→band→verify relation to storage —
+    * the 100 TB pattern for a pipeline that wants BOTH the pair listing
+    * and the cluster closure (and tomorrow's incremental batches): pay
+    * the tokenize/signature/verify cost ONCE, write the two narrow
+    * frames (member (_fp, _id) map and verified representative pairs —
+    * both tiny next to the corpus), and derive every consumer from the
+    * table. In-process snapshot sharing of this relation was measured
+    * slower than rebuilding (round 6); a parquet round-trip is the
+    * shape that actually scales. Layout: `<path>/members`,
+    * `<path>/verified`. */
+  def writeMinHashRelation(
+      df: DataFrame, id: String, text: String, path: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
+      minHashCandidates(numHashes, bands, threshold), threshold)
+    tagged.select(col("_fp"), col("_id"))
+      .write.mode("overwrite").parquet(s"$path/members")
+    verified.write.mode("overwrite").parquet(s"$path/verified")
+  }
+
+  /** [[minHashPairs]] derived from a [[writeMinHashRelation]] table. */
+  def minHashPairsFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    expandPairs(spark.read.parquet(s"$path/members"),
+      spark.read.parquet(s"$path/verified"))
+
+  /** [[minHashClusters]] derived from a [[writeMinHashRelation]] table. */
+  def minHashClustersFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    clustersFrom(spark.read.parquet(s"$path/members"),
+      spark.read.parquet(s"$path/verified"))
 
   /** [[minHashSignature]] over an already-hashed token set. */
   def minHashHashedSignature(hashedTokens: Column, numHashes: Int): Column = {

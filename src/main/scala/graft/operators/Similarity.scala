@@ -221,24 +221,27 @@ object Similarity {
     ivfSearch(queries, qId, qVec, feats.drop("_fv"), centroids, k, nProbe)
   }
 
-  /** Shared IVF search: assign each corpus vector to its max-cosine
-    * cell, probe each query's `nProbe` best cells, rank candidates.
-    * `c` is the prepped corpus (c_id, _cv, _cn); `centroids` is the
-    * cell table (_cell, _cellv, _celln) — broadcast to both sides. */
-  private def ivfSearch(
-      queries: DataFrame,
-      qId: String, qVec: String,
-      c: DataFrame,
-      centroids: DataFrame,
-      k: Int,
-      nProbe: Int): DataFrame = {
-    // corpus → best cell (one small crossJoin against nCells rows)
-    val assigned = c.crossJoin(broadcast(centroids))
+  /** Corpus → best cell assignment (one small crossJoin against the
+    * nCells-row broadcast centroid table). Output: (c_id, _cell, _cv,
+    * _cn) — the inverted file. */
+  private def ivfAssign(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
       .withColumn("_sim", dot(col("_cv"), col("_cellv")) / (col("_cn") * col("_celln")))
       .groupBy("c_id")
       .agg(expr("max_by(_cell, struct(_sim, -_cell))").as("_cell"),
         first(col("_cv")).as("_cv"), first(col("_cn")).as("_cn"))
-    // query → nProbe best cells
+
+  /** Search stage over an already-assigned inverted file: probe each
+    * query's `nProbe` best cells, rank candidates. `assigned` is
+    * (c_id, _cell, _cv, _cn); `centroids` is (_cell, _cellv, _celln) —
+    * broadcast to the query side. */
+  private def ivfProbe(
+      queries: DataFrame,
+      qId: String, qVec: String,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
     val q = queries.select(col(qId).as("q_id"), asDouble(col(qVec)).as("_qv"))
       .withColumn("_qn", sqrt(dot(col("_qv"), col("_qv"))))
     val probes = q.crossJoin(broadcast(centroids))
@@ -253,6 +256,61 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("q_id", "c_id", "rnk", "cos")
+  }
+
+  /** Shared IVF search: assign, then probe. */
+  private def ivfSearch(
+      queries: DataFrame,
+      qId: String, qVec: String,
+      c: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame =
+    ivfProbe(queries, qId, qVec, ivfAssign(c, centroids), centroids, k, nProbe)
+
+  // ---- materialized IVF index ----------------------------------------
+
+  /** Materialize a trained IVF index to storage — the production ANN
+    * shape: the index (KMeans cells + the corpus inverted file) is
+    * built ONCE per corpus version, then arbitrary query batches search
+    * it without touching the training or assignment cost again. At
+    * 100 TB the inverted file IS the data layout: `assigned` is written
+    * partitioned by cell, so each probe reads only its cells' files —
+    * partition pruning does the cell selection. Layout:
+    * `<path>/centroids` (nCells rows), `<path>/assigned` (one row per
+    * corpus vector, partitioned by `_cell`). */
+  def writeIvfIndex(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      nCells: Int = 16, maxIter: Int = 10): Unit = {
+    import corpus.sparkSession.implicits._
+    val c = corpus.select(col(cId).as("c_id"), asDouble(col(cVec)).as("_cv"))
+      .withColumn("_cn", sqrt(dot(col("_cv"), col("_cv"))))
+    val feats = graft.core.CacheGovernor.persistTracked(c
+      .withColumn("_fv", org.apache.spark.ml.functions.array_to_vector(col("_cv"))))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("_fv").setPredictionCol("_cell")
+      .fit(feats)
+    val centroids = model.clusterCenters.toIndexedSeq.zipWithIndex.map {
+      case (v, i) =>
+        val a = v.toArray.toIndexedSeq
+        (i.toLong, a, math.sqrt(a.map(x => x * x).sum))
+    }.toDF("_cell", "_cellv", "_celln")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(feats.drop("_fv"), centroids)
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
+  }
+
+  /** Approximate top-k against a [[writeIvfIndex]] table. Identical
+    * results to [[ivfTopKTrained]] with the same build parameters (the
+    * index pins the trained cells; search is deterministic). */
+  def ivfTopKFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val assigned = spark.read.parquet(s"$path/assigned")
+    ivfProbe(queries, qId, qVec, assigned, centroids, k, nProbe)
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection) —

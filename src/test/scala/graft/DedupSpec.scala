@@ -106,6 +106,28 @@ class DedupSpec extends AnyFunSuite {
     assert(viaPrefix === brute)
   }
 
+  test("materialized minhash relation: pairs and clusters round-trip through storage") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-minhash-rel").toString
+    try {
+      Dedup.writeMinHashRelation(docs, "doc_id", "text", path)
+      val pairsDirect = Dedup.minHashPairs(docs, "doc_id", "text")
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val pairsStored = Dedup.minHashPairsFrom(spark, path)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pairsStored === pairsDirect)
+      val clustersDirect = Dedup.minHashClusters(docs, "doc_id", "text")
+        .as[(Long, Long, Long)].collect().toSet
+      val clustersStored = Dedup.minHashClustersFrom(spark, path)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(clustersStored === clustersDirect)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
+
   test("minhash clusters = union-find closure of minhash pairs") {
     import spark.implicits._
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text")

@@ -83,6 +83,13 @@ class PlanSpec extends AnyFunSuite {
     assert(bnl.size <= 1, s"unexpected nested-loop joins: $bnl")
   }
 
+  test("simhash dedup: chunk-blocked equi-join, no cross product, no unpartitioned window") {
+    val p = finalPlan("q_dedup_simhash")
+    assert(p.contains("_chunkval"), "blocking join must be keyed on the chunk value")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) nested-loop join in plan")
+  }
+
   test("cluster labeling has no unpartitioned window and no cross product") {
     val p = finalPlan("q_dedup_clusters")
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList

@@ -100,6 +100,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained >= 0.95, s"trained recall $trained on separable clusters")
   }
 
+  test("materialized IVF index: search from storage equals the in-process trained search") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-index").toString
+    try {
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", path,
+        nCells = 8, maxIter = 10)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+          r.getAs[Long]("rnk"), r.getAs[Double]("cos")))
+        .toSet
+      val direct = key(Similarity.ivfTopKTrained(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2, maxIter = 10))
+      val stored = key(Similarity.ivfTopKFrom(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2))
+      assert(stored === direct)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
+
   test("block-bucketed near-dup pairs equal the brute-force pairwise answer") {
     import spark.implicits._
     val threshold = 0.3
