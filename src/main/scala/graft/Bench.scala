@@ -62,23 +62,28 @@ object Bench {
     val qs = results.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // drift gate vs the previous history entry: ratio ≥ 1.5 AND ≥ 0.3 s
-    // slower (tiny queries' jitter is not drift)
+    // drift gate vs the previous FULL-REGISTRY history entry: ratio
+    // ≥ 1.5 AND ≥ 0.3 s slower (tiny queries' jitter is not drift).
+    // SPARK_GRAFT_ONLY profiling runs are never appended (below), but
+    // the walk-back still skips any partial entry older history holds —
+    // comparing the registry against a one-query baseline would
+    // silently disable drift detection for every other query.
     val prev: Map[String, Double] = try {
       val p = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
-        val last = java.nio.file.Files.readAllLines(p)
-        if (last.isEmpty) Map.empty
-        else {
+        def parse(line: String): Map[String, Double] = {
           // slice to exactly the (flat) "queries" object — keys further
           // right ("drift" ratios!) reuse query names and must not win
-          val line = last.get(last.size - 1)
           val start = line.indexOf("\"queries\":{") + "\"queries\":".length
           val body = line.substring(start, line.indexOf("}", start) + 1)
           """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.reverseIterator
+          .map(parse).find(_.size >= 32) // full runs carry 90+ queries
+          .getOrElse(Map.empty)
       }
     } catch { case _: Throwable => Map.empty }
     val drift = results.collect {
@@ -88,7 +93,10 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"sf":"$sfDir"}"""
     println(line)
-    try {
+    // ONLY-restricted profiling runs never enter history: a partial
+    // entry would become the next full run's drift baseline and its
+    // partial total pollutes trend tooling
+    if (only.isEmpty) try {
       val stamp = java.time.Instant.now().toString
       val hist = s"""{"at":"$stamp","cpus":$cpus,""" + line.stripPrefix("{") + "\n"
       java.nio.file.Files.writeString(

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
 /** Session-wide cache registry, so harness entry points can isolate
@@ -13,20 +14,26 @@ import org.apache.spark.storage.StorageLevel
   *    speedups into the next query, so [[isolate]] drops them between
   *    timed queries.
   *  - SHARED relations: computations the library DECLARES common
-  *    across queries of one session — e.g. the minhash
-  *    collapse→band→verify pair relation, consumed by both the
+  *    across queries of one session — e.g. the normalized embedding
+  *    projection consumed by every similarity/dedup query over one
+  *    corpus, or the embedding near-dup pair relation consumed by the
   *    pair-listing and the cluster-closure query. At 100 TB a pipeline
-  *    materializes this relation once and derives both outputs; the
-  *    registry models exactly that, keyed by (session, input plan
-  *    semantic hash, parameters), so reuse never crosses sessions or
-  *    differing inputs/parameters. [[isolate]] keeps them; [[reset]]
-  *    (full correctness-dump isolation) drops them too.
+  *    materializes these once and derives every output; the registry
+  *    models exactly that, keyed by (session, input plan semantic hash,
+  *    parameters). The memo pins a DATA SNAPSHOT for the session
+  *    lifetime — rewritten input files are not observed until [[reset]].
+  *    [[isolate]] keeps shared relations; [[reset]] (full
+  *    correctness-dump isolation) drops them too.
+  *
+  * Key-collision hardening: `semanticHash()` is a 32-bit Int, so two
+  * DIFFERENT input plans could collide on one key. Every memo hit is
+  * therefore re-verified with `sameResult` against the stored analyzed
+  * plan; a mismatch rebuilds (and replaces the entry) instead of
+  * silently returning the wrong relation.
   */
 object CacheGovernor {
 
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private val shared =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
 
   /** Persist an operator-internal frame, registered for [[isolate]]. */
   def persistTracked(df: DataFrame): DataFrame = {
@@ -34,8 +41,12 @@ object CacheGovernor {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  private val sharedOne =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private final case class SharedEntry(plan: LogicalPlan, frames: Seq[DataFrame])
+
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[String, SharedEntry]()
+  private val scalars =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   // Shared relations snapshot via EAGER localCheckpoint, not persist():
   // a persist() materializes through InMemoryRelation, whose cache-fill
@@ -46,45 +57,90 @@ object CacheGovernor {
   // relation (irrelevant in local mode; on a cluster a long-lived
   // pipeline would materialize the relation to storage instead).
 
-  /** Memoized pair of snapshot frames for a declared cross-query
-    * relation. `key` must encode session identity, input plan and every
-    * semantics-affecting parameter. */
-  def sharedPair(key: String)(build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) =
-    shared.computeIfAbsent(key, _ => {
-      val (a, b) = build
-      (a.localCheckpoint(), b.localCheckpoint())
-    })
+  /** Memoized snapshot of a declared cross-query relation. `key` must
+    * encode session identity, input plan semantic hash and every
+    * semantics-affecting parameter; `input` is the source frame whose
+    * analyzed plan verifies memo hits (see collision hardening above).
+    *
+    * Deliberately NOT computeIfAbsent: the builder may itself consult
+    * this registry (e.g. a pair relation built over the shared
+    * normalized projection), and nested computeIfAbsent on one
+    * ConcurrentHashMap is disallowed. A lost race costs one duplicate
+    * build (last wins); Bench/Verify are single-threaded anyway. */
+  def sharedFrame(key: String, input: DataFrame)(build: => DataFrame): DataFrame = {
+    val inPlan = input.queryExecution.analyzed
+    val hit = shared.get(key)
+    if (hit != null && hit.plan.sameResult(inPlan)) hit.frames.head
+    else {
+      val snap = build.localCheckpoint()
+      val prev = shared.put(key, SharedEntry(inPlan, Seq(snap)))
+      if (prev != null) prev.frames.foreach(deepUnpersist) // stale/collided entry
+      snap
+    }
+  }
 
-  /** Single-frame variant of [[sharedPair]]. */
-  def sharedFrame(key: String)(build: => DataFrame): DataFrame =
-    sharedOne.computeIfAbsent(key, _ => build.localCheckpoint())
+  /** Two-frame variant of [[sharedFrame]] (e.g. a (members, verified)
+    * dedup relation). */
+  def sharedPair(key: String, input: DataFrame)(
+      build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val inPlan = input.queryExecution.analyzed
+    val hit = shared.get(key)
+    if (hit != null && hit.plan.sameResult(inPlan)) (hit.frames(0), hit.frames(1))
+    else {
+      val (a, b) = build
+      val (sa, sb) = (a.localCheckpoint(), b.localCheckpoint())
+      val prev = shared.put(key, SharedEntry(inPlan, Seq(sa, sb)))
+      if (prev != null) prev.frames.foreach(deepUnpersist)
+      (sa, sb)
+    }
+  }
+
+  /** Memoized plan-build-time scalar (row-count probes and the like),
+    * same key contract as [[sharedFrame]]. A key collision here can only
+    * flip a plan CHOICE between result-identical strategies, never the
+    * result, so no sameResult guard is needed. Cleared by [[reset]]. */
+  def sharedScalar(key: String)(compute: => Long): Long =
+    scalars.computeIfAbsent(key, _ => compute)
 
   /** Observability for specs: number of live shared relations. */
-  private[graft] def sharedCount: Int = shared.size() + sharedOne.size()
+  private[graft] def sharedCount: Int = shared.size()
 
-  private def dropAll(q: java.util.Collection[DataFrame]): Unit = {
-    q.forEach { df =>
+  /** Release a frame's storage INCLUDING checkpoint blocks:
+    * `Dataset.unpersist` is a CacheManager no-op for
+    * `localCheckpoint()`-ed datasets (their pinned RDD blocks are only
+    * freed when the RDD is GC'd), so snapshots additionally unpersist
+    * the underlying checkpointed RDD directly. */
+  private def deepUnpersist(df: DataFrame): Unit = {
+    try {
+      df.unpersist(blocking = false)
+      df.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () } // session may already be stopped
+  }
+
+  private def dropTracked(): Unit = {
+    tracked.forEach { df =>
       try df.unpersist(blocking = false)
-      catch { case _: Throwable => () } // session may already be stopped
+      catch { case _: Throwable => () }
     }
-    q.clear()
+    tracked.clear()
   }
 
   /** Between-query isolation: drop per-query operator persists, keep
     * declared shared relations (Bench's contract). */
-  def isolate(): Unit = dropAll(tracked)
+  def isolate(): Unit = dropTracked()
 
   /** Full isolation: drop everything this registry knows about plus any
     * stray catalog cache (Verify's per-query contract — the correctness
     * dump never reuses state across queries). */
   def reset(spark: SparkSession): Unit = {
-    dropAll(tracked)
-    val ss = new java.util.ArrayList[DataFrame]()
-    shared.values().forEach { case (a, b) => ss.add(a); ss.add(b) }
+    dropTracked()
+    shared.values().forEach(_.frames.foreach(deepUnpersist))
     shared.clear()
-    ss.addAll(sharedOne.values())
-    sharedOne.clear()
-    dropAll(ss)
+    scalars.clear()
     try spark.catalog.clearCache()
     catch { case _: Throwable => () }
   }

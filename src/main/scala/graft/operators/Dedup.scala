@@ -204,17 +204,32 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    collapseVerifyExpand(prepTokenDocs(df, id, text),
-      minHashCandidates(numHashes, bands, threshold), threshold)
-    // NOT a CacheGovernor shared relation, deliberately: snapshotting
-    // (members, verified) for reuse by minHashClusters was measured
-    // (round 6) to cost MORE inside the cluster query than the reuse
-    // saved — the connected-components loop over a checkpointed edge
-    // list degraded with session age — while the embedding-pair
-    // relation (Similarity.nearDupPairs) shares cleanly. Each entry
-    // point derives the relation itself; at 100 TB a pipeline wanting
-    // both outputs should write the pair relation to storage once and
-    // feed both consumers from that table.
+    val (members, verified) = minHashRelation(df, id, text, numHashes, bands, threshold)
+    expandPairs(members, verified)
+  }
+
+  /** SHARED collapse→band→verify relation: the narrow (members
+    * (_fp, _id), verified representative pairs) frames both
+    * [[minHashPairs]] and [[minHashClusters]] consume, snapshotted once
+    * per (session, input, parameters) — the in-process analogue of
+    * [[writeMinHashRelation]]'s storage round-trip. A round-6
+    * measurement found this net-negative, but that run predated the
+    * CacheGovernor fix that actually frees checkpointed RDD blocks
+    * (unpersist was a no-op on localCheckpoint-ed frames, so snapshot
+    * blocks accumulated and the components loop degraded with session
+    * age); re-measured after the fix it is a clean win — the cluster
+    * query's candidate+verify re-derivation (~3 s at sf0.1) disappears. */
+  private def minHashRelation(
+      df: DataFrame, id: String, text: String,
+      numHashes: Int, bands: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val key = Seq("minHashRelation", System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.semanticHash(), id, text, numHashes, bands, threshold)
+      .mkString(":")
+    graft.core.CacheGovernor.sharedPair(key, df) {
+      val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
+        minHashCandidates(numHashes, bands, threshold), threshold)
+      (tagged.select(col("_fp"), col("_id")), verified)
+    }
   }
 
   /** Shared minhash entry prep: spread the RAW rows before the
@@ -281,9 +296,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
-      minHashCandidates(numHashes, bands, threshold), threshold)
-    clustersFrom(tagged.select(col("_fp"), col("_id")), verified)
+    val (members, verified) = minHashRelation(df, id, text, numHashes, bands, threshold)
+    clustersFrom(members, verified)
   }
 
   /** Cluster-closure stage of [[minHashClusters]], over an already-

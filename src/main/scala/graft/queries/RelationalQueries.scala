@@ -381,12 +381,39 @@ object RelationalQueries {
   }
 
   /** A8 at the 100 TB tier: approx_percentile — mergeable fixed-memory
-    * sketch vs the exact form's full value sort. Approximate → no hash
-    * oracle; RelationalSpec bounds its error against q_a8_percentile. */
-  private val a8approx = QuerySpec.noOracle("q_a8_approx_percentile") { (s, d) =>
+    * sketch vs the exact form's full value sort.
+    *
+    * Oracle shape (sketch values are engine-specific, so the raw
+    * estimate can't hash-match): the query emits the EXACT interpolated
+    * percentiles (cross-engine comparable — same values as
+    * q_a8_percentile) plus in-band BOOLEANS asserting the approx value
+    * landed inside the exact ±0.01-quantile band. accuracy=1000 bounds
+    * rank error at 0.001·n — 10× inside the band — and
+    * approx_percentile is deterministic for a fixed input, so the
+    * booleans are a stable TRUE that DuckDB asserts as literals. A
+    * regression in the sketch (or a band miss) flips a boolean and
+    * fails the hash. */
+  private val a8approx = QuerySpec(
+    "q_a8_approx_percentile",
+    """SELECT event_type,
+      |       ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+      |       ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+      |       TRUE AS p50_in_band,
+      |       TRUE AS p95_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d).groupBy("event_type")
-      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
-        expr("approx_percentile(value, 0.95, 1000)").as("p95"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_exact"),
+        expr("approx_percentile(value, 0.5, 1000)").as("_a50"),
+        expr("approx_percentile(value, 0.95, 1000)").as("_a95"),
+        expr("percentile(value, 0.49)").as("_lo50"),
+        expr("percentile(value, 0.51)").as("_hi50"),
+        expr("percentile(value, 0.94)").as("_lo95"),
+        expr("percentile(value, 0.96)").as("_hi95"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        (col("_a50") >= col("_lo50") && col("_a50") <= col("_hi50")).as("p50_in_band"),
+        (col("_a95") >= col("_lo95") && col("_a95") <= col("_hi95")).as("p95_in_band"))
       .orderBy("event_type")
   }
 
@@ -582,12 +609,26 @@ object RelationalQueries {
   }
 
   /** A6c: approximate distinct (HLL++) — the 100 TB path for
-    * cardinality; sketch values differ across engines so the check is a
-    * tolerance property in RelationalSpec, not a hash oracle. */
-  private val a6c = QuerySpec.noOracle("q_a6_approx_distinct") { (s, d) =>
+    * cardinality. Sketch values differ across engines, so the oracle
+    * checks the same shape as q_a8_approx_percentile: the exact
+    * distinct count (cross-engine comparable) plus an in-band boolean
+    * asserting the HLL estimate sits within 5% relative error of exact
+    * (default rsd 0.05; deterministic for a fixed input, and measured
+    * well inside the band at both test scales). DuckDB asserts the
+    * boolean as a literal — an estimator regression flips it and fails
+    * the hash. */
+  private val a6c = QuerySpec(
+    "q_a6_approx_distinct",
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS approx_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d).groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id")).as("_approx"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("_approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.05)
+          .as("approx_in_band"))
       .orderBy("event_type")
   }
 

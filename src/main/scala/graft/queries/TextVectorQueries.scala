@@ -351,12 +351,17 @@ object TextVectorQueries {
     * brute-forces all pairs at sf0.01 scale (500 docs → 125k pairs,
     * trivial for the oracle; Spark's chunk-blocked plan is the 100 TB
     * path and must produce the identical pair set). Token distinctness
-    * is by token HASH on both sides. */
+    * is by token HASH on both sides. Null-text docs are filtered on
+    * BOTH sides by construction (the operator itself pairs null docs at
+    * fingerprint 0, but unnest over string_split(NULL) would silently
+    * drop them from the oracle — the explicit filter keeps the two
+    * sides agreeing even if the table ever gains NULL text). */
   private val dedupSimhash = QuerySpec(
     "q_dedup_simhash",
     """WITH h AS (SELECT DISTINCT doc_id,
       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th
-      |      FROM documents, unnest(string_split(text, ' ')) AS u(tok)),
+      |      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      |      WHERE text IS NOT NULL),
       |v AS (SELECT doc_id, g.j,
       |        SUM(CASE WHEN ((th >> g.j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
       |      FROM h CROSS JOIN generate_series(0, 59) g(j) GROUP BY doc_id, g.j),
@@ -368,7 +373,9 @@ object TextVectorQueries {
       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+    Dedup.simHashPairs(
+      Tables.documents(s, d).filter(col("text").isNotNull),
+      "doc_id", "text", maxHamming = 3)
       .orderBy("a_id", "b_id")
   }
 
@@ -500,12 +507,14 @@ object TextVectorQueries {
   }
 
   /** LSH-bucketed ANN — the 100 TB path; approximate, so no hash oracle.
-    * Recall vs brute force is asserted in SimilaritySpec. */
+    * Recall vs brute force is asserted in SimilaritySpec. Plane count is
+    * data-derived (Similarity.planesFor — 4 at this scale, more as the
+    * corpus grows). */
   private val simLsh = QuerySpec.noOracle("q_sim_lsh_topk") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(
       emb.filter(col("vec_id") < 100), emb,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4)
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
       .orderBy("q_id", "rnk")
   }
 

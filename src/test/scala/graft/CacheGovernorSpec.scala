@@ -16,17 +16,20 @@ class CacheGovernorSpec extends AnyFunSuite {
     CacheGovernor.reset(spark)
     assert(CacheGovernor.sharedCount === 0)
     val emb = Tables.embeddings(spark, sfDir)
+    // builds TWO shared relations: the normalized (_id,_v,_nrm) view of
+    // the corpus (shared with every other embedding operator) and the
+    // pair relation itself
     Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4).count()
-    assert(CacheGovernor.sharedCount === 1)
+    assert(CacheGovernor.sharedCount === 2)
     // same input + params from the OTHER entry point: memo hit, no rebuild
     Similarity.nearDupCentroids(emb, "vec_id", "embedding", 0.4).count()
-    assert(CacheGovernor.sharedCount === 1)
-    // a differing parameter is a different relation
-    Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.5).count()
     assert(CacheGovernor.sharedCount === 2)
+    // a differing parameter is a different pair relation (same view)
+    Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.5).count()
+    assert(CacheGovernor.sharedCount === 3)
     // per-query isolation keeps declared shared relations…
     CacheGovernor.isolate()
-    assert(CacheGovernor.sharedCount === 2)
+    assert(CacheGovernor.sharedCount === 3)
     // …full reset drops them
     CacheGovernor.reset(spark)
     assert(CacheGovernor.sharedCount === 0)

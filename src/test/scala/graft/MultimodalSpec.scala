@@ -66,6 +66,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).format === "unknown" && out(3L).width === -1 && out(3L).height === -1)
   }
 
+  test("ImageIoDecoder: real PNG/JPEG pixel round-trip, graceful non-images") {
+    import spark.implicits._
+    import Multimodal.MediaRecord
+    // REAL images via the JDK encoder: a solid-color PNG (lossless —
+    // mean luminance must be exact) and a solid-color JPEG (lossy —
+    // near-exact), plus a non-image payload
+    def encoded(fmt: String, w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rgb = (10 << 16) | (20 << 8) | 30
+    val wantLuma = 0.299 * 10 + 0.587 * 20 + 0.114 * 30
+    val media = Seq(
+      MediaRecord(1L, "image/png", encoded("png", 8, 5, rgb), 0, 0),
+      MediaRecord(2L, "image/jpeg", encoded("jpg", 16, 4, rgb), 0, 0),
+      MediaRecord(3L, "text/plain", "not an image".getBytes("UTF-8"), 0, 0)
+    ).toDS()
+    val out = Multimodal.decodeImages(media).collect().map(c => c.media_id -> c).toMap
+    assert(out(1L).decoded && out(1L).width === 8 && out(1L).height === 5)
+    assert(math.abs(out(1L).mean_luma - wantLuma) < 1e-6, s"png luma ${out(1L).mean_luma}")
+    assert(out(2L).decoded && out(2L).width === 16 && out(2L).height === 4)
+    assert(math.abs(out(2L).mean_luma - wantLuma) < 3.0, s"jpeg luma ${out(2L).mean_luma}")
+    assert(!out(3L).decoded && out(3L).width === -1 && out(3L).mean_luma === -1.0)
+  }
+
   test("features agree with driver-side recomputation") {
     val feats = Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(256))
       .collect().map(f => f.media_id -> f).toMap

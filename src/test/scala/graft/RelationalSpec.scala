@@ -12,36 +12,39 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every query name has either an oracle or a documented reason") {
     val noOracle = SparkEntry.specs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the only approximate / iterative-ML ops (q_dedup_simhash left
-    // this list in round 6: the portable md5-60 fingerprint family made
-    // it DuckDB-reproducible)
+    // the only approximate / iterative-ML ops left (q_dedup_simhash
+    // left this list in round 6 via the portable md5-60 family;
+    // q_a6_approx_distinct and q_a8_approx_percentile left in round 7
+    // via in-band-boolean oracles)
     assert(noOracle === Set(
       "q_sim_lsh_topk", "q_sim_ivf_topk",
-      "q_sim_ivf_trained", "q_x3_ml_forecast", "q_a6_approx_distinct",
+      "q_sim_ivf_trained", "q_x3_ml_forecast",
       "q_dedup_embedding_lsh", "q_embed_centroids_banded",
-      "q_ep3_schedule_clustered", "q_a8_approx_percentile"))
+      "q_ep3_schedule_clustered"))
   }
 
-  test("approx_count_distinct within 5% of exact on events") {
+  test("approx_count_distinct sits inside its certified 5% band") {
     val rows = SparkEntry.queries("q_a6_approx_distinct")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+      assert(r.getAs[Boolean]("approx_in_band"),
+        s"HLL estimate out of band for ${r.getString(0)} (exact ${r.getAs[Long]("exact_users")})")
     }
   }
 
-  test("approx_percentile tracks the exact percentiles") {
+  test("approx_percentile sits inside its certified quantile band and exacts agree") {
     val exact = SparkEntry.queries("q_a8_percentile")(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    SparkEntry.queries("q_a8_approx_percentile")(spark, sfDir).collect().foreach { r =>
+    val rows = SparkEntry.queries("q_a8_approx_percentile")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the emitted exact percentiles must be the q_a8_percentile values
       val (p50, p95) = exact(r.getString(0))
-      // accuracy=1000 bounds RANK error at n/1000; the value error that
-      // implies depends on local density — 5% relative is conservative
-      assert(math.abs(r.getDouble(1) - p50) <= 0.05 * math.max(1.0, p50),
-        s"p50 ${r.getDouble(1)} vs $p50")
-      assert(math.abs(r.getDouble(2) - p95) <= 0.05 * math.max(1.0, p95),
-        s"p95 ${r.getDouble(2)} vs $p95")
+      assert(r.getDouble(1) === p50 && r.getDouble(2) === p95)
+      // accuracy=1000 bounds RANK error at 0.001·n — 10× inside the
+      // ±0.01-quantile band the query certifies
+      assert(r.getAs[Boolean]("p50_in_band"), s"p50 out of band for ${r.getString(0)}")
+      assert(r.getAs[Boolean]("p95_in_band"), s"p95 out of band for ${r.getString(0)}")
     }
   }
 

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** 100×-scale smoke for the two ANN scale paths: a multi-million-row
+  * synthetic corpus (generated from xxhash64, never stored) driven
+  * through [[Similarity.lshTopK]] and the materialized-IVF search once,
+  * with wall-time bounds and the parallelism-ceiling regression pinned.
+  *
+  * The ceiling check is on JOIN-KEY CARDINALITY, not local task counts:
+  * the local harness runs 8 shuffle partitions either way, but at
+  * cluster scale the candidate equi-join can never exceed one task per
+  * distinct key — the old fixed nPlanes=4 capped every corpus at 2⁴=16
+  * buckets of O(n/16) rows each (16 giant skewed tasks at 100 TB),
+  * while [[Similarity.planesFor]] grows the key space with the data. */
+class SimilarityScaleSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  // CI scale: 400k rows / dim 8. The hazards under test (bucket-key
+  // cardinality growth past the old fixed-16 ceiling, partition layout,
+  // join shape) are row-count thresholds and plan properties, so 400k
+  // exercises them identically to the one-off multi-million-row
+  // validation recorded in BASELINE.md §round-7 — while keeping the
+  // per-commit suite cost bounded. (A 2M-row version of this spec was
+  // measured at 777 s for the LSH path alone when run inside the
+  // parallel suite on a contended host — the suite is NOT an isolated
+  // bench, so big-corpus wall numbers belong in BASELINE.md, not here.)
+  private val rows = 400000L
+  private val dim = 8
+
+  private def synthCorpus(n: Long) = spark.range(n).select(
+    col("id").as("vec_id"),
+    expr(s"transform(sequence(0, ${dim - 1}), " +
+      "j -> cast(pmod(xxhash64(id, j), 1000) as double) / 1000.0 - 0.5)")
+      .as("embedding"))
+
+  // deterministic quasi-isotropic corpus in [-0.5, 0.5)^dim
+  private lazy val corpus = synthCorpus(rows)
+  private lazy val queries = corpus.filter(col("vec_id") < 40)
+
+  test("planesFor scales the bucket count with corpus size (clamped, monotone)") {
+    assert(Similarity.planesFor(0) === 4)
+    assert(Similarity.planesFor(500) === 4)
+    // ≤ 131,072 rows (16 buckets of 8,192) stays at the historical
+    // default of 4 planes — small-corpus behavior unchanged
+    assert(Similarity.planesFor(8192L * 16) === 4)
+    assert(Similarity.planesFor(rows) === 6) // 64 buckets at this spec's scale
+    assert(Similarity.planesFor(2000000L) === 8) // 256
+    assert(Similarity.planesFor(5000000L) === 10) // 1,024 at the BASELINE.md validation scale
+    assert(Similarity.planesFor(100000000000L) === 20) // clamp caps probe fan-out
+    val sizes = Seq(1L, 1000L, 100000L, 1000000L, 10000000L, 1000000000L)
+    val planes = sizes.map(Similarity.planesFor(_))
+    assert(planes === planes.sorted, s"planesFor must be monotone: $planes")
+  }
+
+  test("lshTopK at 400k rows: auto planes lift bucket cardinality past the fixed-16 ceiling") {
+    graft.core.CacheGovernor.reset(spark)
+    val t0 = System.nanoTime()
+    val out = Similarity.lshTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    assert(out.count() === 40L * 5)
+    val dt = (System.nanoTime() - t0) / 1e9
+    // generous bound — catches an accidental O(n²) or single-bucket
+    // collapse, not host jitter (a degenerate pairwise plan at this
+    // scale measures orders of magnitude past it; the suite runs
+    // suites in parallel, so this is NOT a bench number)
+    assert(dt <= 240.0, s"lshTopK took $dt s at $rows rows")
+    // the ceiling regression: derived 6 planes must spread the corpus
+    // over ≥ 48 observed buckets (fixed nPlanes=4 ⇒ exactly ≤ 16)
+    val nP = Similarity.planesFor(rows)
+    val buckets = Similarity.normalizedView(corpus, "vec_id", "embedding")
+      .select(Similarity.lshBucket(col("_v"), nP, dim).as("_b"))
+      .agg(countDistinct(col("_b"))).head().getLong(0)
+    assert(buckets >= 48, s"only $buckets distinct LSH buckets at $rows rows")
+    graft.core.CacheGovernor.reset(spark)
+  }
+
+  test("materialized IVF at 200k rows: partitioned-by-cell layout, bounded search") {
+    graft.core.CacheGovernor.reset(spark)
+    // 200k is enough to exercise the KMeans passes, the cell-partitioned
+    // write and the pruned probe read; the LSH test above carries the
+    // parallelism-ceiling check (and BASELINE.md records the big-corpus
+    // isolated validation)
+    val ivfRows = 200000L
+    val ivfCorpus = synthCorpus(ivfRows)
+    val ivfQueries = ivfCorpus.filter(col("vec_id") < 40)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-scale").toString
+    try {
+      val tBuild0 = System.nanoTime()
+      Similarity.writeIvfIndex(ivfCorpus, "vec_id", "embedding", path,
+        nCells = 32, maxIter = 2)
+      val tBuild = (System.nanoTime() - tBuild0) / 1e9
+      assert(tBuild <= 300.0, s"index build took $tBuild s at $ivfRows rows")
+      // the inverted file IS the layout: partitioned by cell so each
+      // probe reads only its cells' files
+      val cellDirs = new java.io.File(s"$path/assigned")
+        .listFiles().filter(_.getName.startsWith("_cell=")).map(_.getName)
+      assert(cellDirs.length === 32, s"expected 32 cell partitions, got ${cellDirs.length}")
+      val tQ0 = System.nanoTime()
+      val found = Similarity.ivfTopKFrom(spark, path, ivfQueries,
+        "vec_id", "embedding", k = 5, nProbe = 4).count()
+      val tQ = (System.nanoTime() - tQ0) / 1e9
+      assert(found === 40L * 5)
+      assert(tQ <= 180.0, s"IVF search took $tQ s at $ivfRows rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      graft.core.CacheGovernor.reset(spark)
+    }
+  }
+}

@@ -32,8 +32,11 @@ class SinksSpec extends AnyFunSuite {
     val f = DomainTables.forecasts(spark, sfDir).limit(10)
     // the serving path materializes once; the audit row reuses that count
     val served = f.count()
-    // gate: nothing executed while auditing may touch a file scan — the
-    // audit write must plan from a local relation only
+    // gate: the audit WRITE must plan from a local relation only, never
+    // a file scan. The listener sees every execution on the shared
+    // session (suites run in parallel, and the f.count() above delivers
+    // asynchronously), so capture is filtered to plans writing to THIS
+    // audit path before asserting.
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
@@ -43,16 +46,17 @@ class SinksSpec extends AnyFunSuite {
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    import scala.jdk.CollectionConverters._
+    def auditPlans = plans.asScala.filter(_.contains(out)).toSeq
     try {
       Sinks.auditLog(spark, "q_test_1", served, out)
       Sinks.auditLog(spark, "q_test_2", served, out)
-      // listener delivery is async; wait for both write executions
+      // listener delivery is async; wait for both audit-write executions
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (plans.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+      while (auditPlans.size < 2 && System.nanoTime() < deadline) Thread.sleep(50)
     } finally spark.listenerManager.unregister(listener)
-    import scala.jdk.CollectionConverters._
-    assert(plans.asScala.nonEmpty)
-    assert(plans.asScala.forall(p => !p.contains("FileScan")),
+    assert(auditPlans.size === 2, s"expected 2 audit writes, saw ${auditPlans.size}")
+    assert(auditPlans.forall(p => !p.contains("FileScan")),
       "audit write re-executed a source scan")
     val audit = spark.read.parquet(out)
     assert(audit.count() === 2)
