@@ -300,6 +300,16 @@ object Dedup {
     clustersFrom(members, verified)
   }
 
+  // stage accessors for graft.tools.ProfileShare (defaults of
+  // q_dedup_minhash/q_dedup_clusters)
+  private[graft] def collapseVerifyP(docs: DataFrame): (DataFrame, DataFrame) =
+    collapseVerify(prepTokenDocs(docs, "doc_id", "text"),
+      minHashCandidates(64, 16, 0.9), 0.9)
+  private[graft] def expandPairsP(m: DataFrame, v: DataFrame): DataFrame =
+    expandPairs(m, v)
+  private[graft] def clustersFromP(m: DataFrame, v: DataFrame): DataFrame =
+    clustersFrom(m, v)
+
   /** Cluster-closure stage of [[minHashClusters]], over an already-
     * derived (members, verified) relation. */
   private def clustersFrom(members: DataFrame, verified: DataFrame): DataFrame = {

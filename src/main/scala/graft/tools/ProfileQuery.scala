@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Steal-immune per-query profiler: runs named registry queries with the
+  * Bench cold/isolate contract, reporting executor CPU time (actual
+  * cycles — robust to the measurement host's 10-90% hypervisor steal),
+  * task count and shuffle volume alongside wall time.
+  *
+  * Usage: runMain graft.tools.ProfileQuery <sfDir> <name>[,<name>...] [reps]
+  * Each rep: CacheGovernor.reset, then the named queries in the given
+  * order with isolate() between them — query 1 pays any shared-relation
+  * build, later queries ride it, exactly as one Bench run prices it.
+  */
+object ProfileQuery {
+
+  final class Tally extends SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+        tasks.incrementAndGet()
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.lift(1).map(_.split(",").toSeq)
+      .getOrElse(sys.error("usage: ProfileQuery <sfDir> <q1,q2,...> [reps]"))
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    (1 to reps).foreach { rep =>
+      graft.core.CacheGovernor.reset(spark)
+      names.foreach { name =>
+        val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+        val tally = new Tally
+        spark.sparkContext.addSparkListener(tally)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener settle (single-JVM profiler)
+        spark.sparkContext.removeSparkListener(tally)
+        graft.core.CacheGovernor.isolate()
+        println(f"[profile] rep$rep $name%-28s wall ${wall}%7.2f s  cpu ${tally.cpuNs.get / 1e9}%8.2f s  run ${tally.runMs.get / 1e3}%8.2f s  tasks ${tally.tasks.get}%6d  shufR ${tally.shufRead.get / 1048576.0}%8.1f MiB  shufW ${tally.shufWrite.get / 1048576.0}%8.1f MiB  ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}
