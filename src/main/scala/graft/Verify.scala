@@ -11,7 +11,12 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_ONLY=<substring> restricts the dump for
+    // fast local oracle iteration (driver runs with it unset → full)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(name.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -17,8 +17,10 @@ import graft.plans.VectorNative.dot
   *  - [[lshTopK]]: random-hyperplane LSH bucketing — the 100 TB path.
   *    Candidates come from an equi-join on bucket signature (hash
   *    shuffle, no cross product ever materialized); rank within
-  *    candidates. Deterministic: hyperplanes derive from xxhash64, not
-  *    an RNG.
+  *    candidates. Deterministic AND oracle-reproducible: hyperplanes
+  *    derive from the portable md5-60 hash ([[hyperplanes]]), not a
+  *    JVM RNG, so an ANSI-SQL engine recomputes the exact bucket
+  *    geometry (the LSH queries carry exact DuckDB oracles).
   */
 object Similarity {
 
@@ -116,17 +118,29 @@ object Similarity {
   }
 
   /** Deterministic hyperplane weight matrix: `nPlanes` × `dim` uniform
-    * [-1, 1] weights from a FIXED-SEED generator. The planes are
-    * data-independent constants, so they are built once at plan-build
-    * time and embedded as array literals — the per-row work is then
-    * `nPlanes` codegen'd dot products. (An earlier formulation derived
-    * each weight from xxhash64(plane, dim) inside nested HOFs, which
+    * [-1, 1] weights, each derived independently from a PORTABLE hash:
+    * `w(p,d) = md5Hash60("graft:plane:p:d") / 2⁶⁰ · 2 − 1`
+    * ([[graft.functions.PortableHash]] — the engine's cross-engine hash
+    * family). The planes are data-independent constants, built once at
+    * plan-build time and embedded as array literals — the per-row work
+    * is `nPlanes` codegen'd dot products. (An earlier formulation
+    * derived each weight from xxhash64 inside nested HOFs, which
     * re-hashed the constant matrix for every ROW — measured ~7× slower
-    * on 64-dim vectors.) Same seed ⇒ same planes on both sides of every
-    * bucket join; no RNG state to ship. */
-  private def hyperplanes(nPlanes: Int, dim: Int): IndexedSeq[Seq[Double]] = {
-    val rnd = new java.util.SplittableRandom(0x9E3779B97F4A7C15L)
-    IndexedSeq.fill(nPlanes)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+    * on 64-dim vectors.)
+    *
+    * Why portable instead of a JVM RNG: an ANSI-SQL engine can
+    * recompute the exact planes (`('0x'||substr(md5(...),1,15))::BIGINT
+    * / 1152921504606846976.0 * 2 - 1` per weight), so every LSH bucket
+    * assignment — and with it the full candidate set of [[lshTopK]] /
+    * [[nearDupPairsBanded]] — is EXACTLY reproducible by the DuckDB
+    * oracle; the "approximate" operators get exact hash oracles. Each
+    * weight hashes (p, d) directly, so plane p is independent of how
+    * many planes or dims a caller asks for (prefix-stable). */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): IndexedSeq[Seq[Double]] = {
+    val md = graft.functions.PortableHash.md5ThreadLocal
+    IndexedSeq.tabulate(nPlanes)(p => Seq.tabulate(dim)(d =>
+      (graft.functions.PortableHash.md5Hash60(s"graft:plane:$p:$d", md).toDouble
+        / 1152921504606846976.0d) * 2 - 1))
   }
 
   /** Sign-bit bucket signature of a vector under the given planes. */
@@ -164,7 +178,13 @@ object Similarity {
     * ≤ 20 caps the probe fan-out (nPlanes+1 probes per query). */
   def planesFor(rows: Long, targetBucketRows: Long = 8192L): Int = {
     val buckets = math.max(1L, (rows + targetBucketRows - 1) / targetBucketRows)
-    val p = math.ceil(math.log(buckets.toDouble) / math.log(2.0)).toInt
+    // exact integer ⌈log₂⌉ — smallest p with 2^p ≥ buckets. Floating
+    // log(x)/log(2) can land ±1 ulp across a power-of-two boundary,
+    // which would silently diverge from the oracle's integer mirror of
+    // this formula (the plane count is output-visible through the LSH
+    // candidate sets).
+    val p = if (buckets <= 1L) 0
+            else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
     math.min(20, math.max(4, p))
   }
 
@@ -212,9 +232,10 @@ object Similarity {
 
   /** IVF (inverted-file) approximate top-k — the second scale path
     * besides [[lshTopK]]. Centroids are a deterministic hash-seeded
-    * sample of the corpus (the `nCells` vectors with smallest
-    * xxhash64(id) — no RNG, no training step; swap in k-means centroids
-    * for clustered corpora). Every corpus vector is assigned to its
+    * sample of the corpus (the `nCells` vectors with smallest portable
+    * md5-60 hash of their id — no RNG, no training step, and
+    * oracle-reproducible; swap in k-means centroids for clustered
+    * corpora via [[ivfTopKTrained]]). Every corpus vector is assigned to its
     * max-cosine cell once; each query probes its `nProbe` best cells,
     * so the search cost is ~nProbe/nCells of brute force. The cell
     * assignment IS the partitioning at 100 TB: each cell is a
@@ -229,9 +250,12 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
+    // portable hash (not xxhash64) + id tiebreak: the sample — and with
+    // it the whole cell geometry — is reproducible by the DuckDB
+    // oracle, so the hash-seeded IVF query carries an exact hash oracle
     val centroids = c
-      .withColumn("_h", xxhash64(col("c_id")))
-      .orderBy("_h").limit(nCells)
+      .withColumn("_h", graft.functions.PortableHash.md5Hash60(col("c_id")))
+      .orderBy("_h", "c_id").limit(nCells)
       .select(col("c_id").as("_cell"), col("_cv").as("_cellv"), col("_cn").as("_celln"))
     ivfSearch(queries, qId, qVec, c, centroids, k, nProbe)
   }

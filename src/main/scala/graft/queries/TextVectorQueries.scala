@@ -429,19 +429,81 @@ object TextVectorQueries {
 
   /** Banded hyperplane-LSH approximate embedding near-dup — the true
     * 100 TB path next to the exact block-bucketed q_dedup_embedding.
-    * Probabilistic recall → no hash oracle; recall vs the exact pairs
-    * is asserted in SimilaritySpec. */
-  private val dedupEmbeddingLsh = QuerySpec.noOracle("q_dedup_embedding_lsh") { (s, d) =>
+    * Approximate vs the EXACT pair set (recall asserted in
+    * SimilaritySpec) but fully deterministic given the portable md5-60
+    * plane family (Similarity.hyperplanes), so the oracle recomputes
+    * the 8×4 band signatures weight-for-weight and reproduces the exact
+    * candidate set: a real hash oracle on an "approximate" operator. */
+  private val dedupEmbeddingLsh = QuerySpec(
+    "q_dedup_embedding_lsh",
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |planes AS (
+      |  SELECT p.p,
+      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
+      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
+      |  FROM generate_series(0, 31) p(p), generate_series(0, 63) d(d)
+      |  GROUP BY p.p),
+      |sig AS (SELECT e.vec_id, pl.p // 4 AS band,
+      |          SUM(CASE WHEN list_dot_product(e.v, pl.pw) >= 0
+      |                   THEN (1::BIGINT << (3 - (pl.p % 4))) ELSE 0 END) AS bucket
+      |        FROM e, planes pl GROUP BY e.vec_id, pl.p // 4),
+      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      |         FROM sig a JOIN sig b
+      |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, cos FROM (
+      |  SELECT cand.a_id, cand.b_id,
+      |         list_dot_product(ea.v, eb.v)
+      |           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+      |  FROM cand JOIN e ea ON ea.vec_id = cand.a_id
+      |            JOIN e eb ON eb.vec_id = cand.b_id) t
+      |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
     Similarity.nearDupPairsBanded(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
       .orderBy("a_id", "b_id")
   }
 
   /** Banded-LSH semantic-dedup centroids — the 100 TB path for
     * q_embed_centroids: candidates from the (band, bucket) equi-join,
-    * never a pairwise grid. Probabilistic recall → no hash oracle;
-    * exact-duplicate parity with the exact path is asserted in
-    * SimilaritySpec. */
-  private val embedCentroidsBanded = QuerySpec.noOracle("q_embed_centroids_banded") { (s, d) =>
+    * never a pairwise grid. The portable plane family makes the banded
+    * candidate set exactly reproducible, so the oracle recomputes
+    * signatures → verified pairs → transitive closure (recursive walk)
+    * → the same segmented order-pinned centroid fold as the exact
+    * variant's oracle. */
+  private val embedCentroidsBanded = QuerySpec(
+    "q_embed_centroids_banded",
+    s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |planes AS (
+      |  SELECT p.p,
+      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
+      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
+      |  FROM generate_series(0, 31) p(p), generate_series(0, 63) d(d)
+      |  GROUP BY p.p),
+      |sig AS (SELECT e0.vec_id, pl.p // 4 AS band,
+      |          SUM(CASE WHEN list_dot_product(e0.vec, pl.pw) >= 0
+      |                   THEN (1::BIGINT << (3 - (pl.p % 4))) ELSE 0 END) AS bucket
+      |        FROM e0, planes pl GROUP BY e0.vec_id, pl.p // 4),
+      |cand AS (SELECT DISTINCT a.vec_id AS ci, b.vec_id AS cj
+      |         FROM sig a JOIN sig b
+      |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |p AS (SELECT cand.ci AS u, cand.cj AS w FROM cand
+      |      JOIN e0 a ON a.vec_id = cand.ci JOIN e0 b ON b.vec_id = cand.cj
+      |      WHERE list_dot_product(a.vec, b.vec)
+      |              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4),
+      |ed AS (SELECT u, w FROM p UNION SELECT w, u FROM p),
+      |walk(node, comp) AS (
+      |  SELECT u, u FROM ed
+      |  UNION
+      |  SELECT ed.u, walk.comp FROM ed JOIN walk ON ed.w = walk.node),
+      |lab AS (SELECT node, MIN(comp) AS cluster_rep FROM walk GROUP BY node),
+      |d AS (SELECT l.cluster_rep, g.i AS dim, e0.vec[g.i] AS x, e0.vec_id
+      |      FROM lab l JOIN e0 ON e0.vec_id = l.node
+      |      CROSS JOIN generate_series(1, 64) g(i)),
+      |sg AS (SELECT cluster_rep, dim, vec_id // 4096 AS seg,
+      |         list_sum(list(x ORDER BY vec_id)) AS seg_sum, COUNT(*) AS n
+      |       FROM d GROUP BY cluster_rep, dim, seg)
+      |SELECT cluster_rep, CAST(dim AS BIGINT) AS dim,
+      |       list_sum(list(seg_sum ORDER BY seg)) / CAST(SUM(n) AS BIGINT) AS centroid,
+      |       CAST(SUM(n) AS BIGINT) AS n_members
+      |FROM sg GROUP BY cluster_rep, dim ORDER BY cluster_rep, dim""".stripMargin) { (s, d) =>
     Similarity.nearDupCentroidsBanded(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
       .orderBy("cluster_rep", "dim")
   }
@@ -506,11 +568,49 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
-  /** LSH-bucketed ANN — the 100 TB path; approximate, so no hash oracle.
-    * Recall vs brute force is asserted in SimilaritySpec. Plane count is
-    * data-derived (Similarity.planesFor — 4 at this scale, more as the
-    * corpus grows). */
-  private val simLsh = QuerySpec.noOracle("q_sim_lsh_topk") { (s, d) =>
+  /** LSH-bucketed ANN — the 100 TB path. Approximate vs brute force
+    * (recall asserted in SimilaritySpec) but exactly reproducible: the
+    * oracle mirrors planesFor's integer ⌈log₂⌉ (smallest p in [4,20]
+    * with 2^p ≥ ⌈rows/8192⌉), recomputes the md5-60 planes, the sign
+    * buckets, the Hamming-1 multi-probe set, and the per-query rank —
+    * a full hash oracle on the ANN path. */
+  private val simLsh = QuerySpec(
+    "q_sim_lsh_topk",
+    s"""WITH np AS (
+      |  SELECT COALESCE((SELECT MIN(t.p) FROM generate_series(4, 20) t(p)
+      |                   WHERE (1::BIGINT << t.p) >= ((SELECT COUNT(*) FROM embeddings) + 8191) // 8192),
+      |                  20) AS n),
+      |planes AS (
+      |  SELECT p.p,
+      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
+      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
+      |  FROM generate_series(0, 19) p(p), generate_series(0, 63) d(d)
+      |  GROUP BY p.p),
+      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
+      |cb AS (SELECT c.c_id,
+      |         SUM(CASE WHEN list_dot_product(c.cv, pl.pw) >= 0
+      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
+      |       FROM c, planes pl, np WHERE pl.p < np.n GROUP BY c.c_id),
+      |qb AS (SELECT q.q_id,
+      |         SUM(CASE WHEN list_dot_product(q.qv, pl.pw) >= 0
+      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
+      |       FROM q, planes pl, np WHERE pl.p < np.n GROUP BY q.q_id),
+      |qp AS (SELECT q_id, bucket FROM qb
+      |       UNION
+      |       SELECT qb.q_id, xor(qb.bucket, 1::BIGINT << t.p) AS bucket
+      |       FROM qb, generate_series(0, 19) t(p), np WHERE t.p < np.n),
+      |cand AS (SELECT DISTINCT qp.q_id, cb.c_id
+      |         FROM qp JOIN cb ON qp.bucket = cb.bucket),
+      |scored AS (SELECT cand.q_id, cand.c_id,
+      |             list_dot_product(q.qv, c.cv)
+      |               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      |           FROM cand JOIN q ON q.q_id = cand.q_id JOIN c ON c.c_id = cand.c_id)
+      |SELECT q_id, c_id, rnk, cos FROM (
+      |  SELECT q_id, c_id, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.lshTopK(
       emb.filter(col("vec_id") < 100), emb,
@@ -518,9 +618,43 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
-  /** IVF ANN — second approximate scale path; recall asserted in
-    * SimilaritySpec (approximate → no hash oracle). */
-  private val simIvf = QuerySpec.noOracle("q_sim_ivf_topk") { (s, d) =>
+  /** IVF ANN — second approximate scale path. The hash-seeded variant
+    * is fully deterministic: cells are the 16 corpus vectors with
+    * smallest portable md5-60 id hash, assignment is argmax-cosine with
+    * min-cell tiebreak, probes are each query's 4 best cells — all
+    * recomputable in ANSI SQL, so this "approximate" ANN query carries
+    * an exact hash oracle (recall vs brute force stays asserted in
+    * SimilaritySpec). */
+  private val simIvf = QuerySpec(
+    "q_sim_ivf_topk",
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
+      |cent AS (SELECT c_id AS cell, cv AS cellv FROM c
+      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
+      |asg AS (SELECT c_id, cell FROM (
+      |          SELECT c.c_id, cent.cell,
+      |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
+      |                   list_dot_product(c.cv, cent.cellv)
+      |                     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
+      |                   cent.cell ASC) AS rn
+      |          FROM c CROSS JOIN cent) t WHERE rn = 1),
+      |probes AS (SELECT q_id, cell FROM (
+      |            SELECT q.q_id, cent.cell,
+      |                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |                     list_dot_product(q.qv, cent.cellv)
+      |                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
+      |                     cent.cell ASC) AS pr
+      |            FROM q CROSS JOIN cent) t WHERE pr <= 4),
+      |scored AS (SELECT p.q_id, a.c_id,
+      |             list_dot_product(q.qv, c.cv)
+      |               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
+      |           FROM probes p JOIN asg a ON a.cell = p.cell
+      |                JOIN q ON q.q_id = p.q_id JOIN c ON c.c_id = a.c_id)
+      |SELECT q_id, c_id, rnk, cos FROM (
+      |  SELECT q_id, c_id, cos,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(
       emb.filter(col("vec_id") < 100), emb,

@@ -12,14 +12,15 @@ class RelationalSpec extends AnyFunSuite {
 
   test("every query name has either an oracle or a documented reason") {
     val noOracle = SparkEntry.specs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the only approximate / iterative-ML ops left (q_dedup_simhash
-    // left this list in round 6 via the portable md5-60 family;
-    // q_a6_approx_distinct and q_a8_approx_percentile left in round 7
-    // via in-band-boolean oracles)
+    // only iterative-ML ops remain (MLlib KMeans / regression — no
+    // closed-form ANSI-SQL mirror exists). Everything hash- or
+    // plane-seeded left this list: q_dedup_simhash in round 6 via the
+    // portable md5-60 family; the approx aggregates via in-band-boolean
+    // oracles, and ALL four LSH/IVF queries in round 7 via the portable
+    // md5-60 hyperplane family + md5-seeded IVF sample (the oracle
+    // recomputes the exact bucket/cell geometry).
     assert(noOracle === Set(
-      "q_sim_lsh_topk", "q_sim_ivf_topk",
       "q_sim_ivf_trained", "q_x3_ml_forecast",
-      "q_dedup_embedding_lsh", "q_embed_centroids_banded",
       "q_ep3_schedule_clustered"))
   }
 
