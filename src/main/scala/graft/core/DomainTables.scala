@@ -41,7 +41,7 @@ object DomainTables {
     * At 100 TB this is the difference between scanning one day and
     * scanning the table. */
   def forecastsForDate(s: SparkSession, dir: String, date: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     val raw = Tables.load(s, dir, "events")
     val startNs = java.time.LocalDate.parse(date).toEpochDay * 86400L * 1000000000L
     val endNs = startNs + 86400L * 1000000000L
@@ -49,9 +49,15 @@ object DomainTables {
       if (raw.schema("ts").dataType == LongType)
         raw.filter(col("ts") >= startNs && col("ts") < endNs)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else
-        raw.filter(col("ts") >= lit(date).cast("timestamp") &&
-          col("ts") < date_add(lit(date).cast("date"), 1).cast("timestamp"))
+      else {
+        // filter in the column's OWN type (TIMESTAMP or TIMESTAMP_NTZ) so
+        // the predicate pushes to the parquet scan, then normalize — a
+        // cast on the column side would block row-group pruning
+        val tsType = raw.schema("ts").dataType
+        raw.filter(col("ts") >= lit(date).cast(tsType) &&
+            col("ts") < date_add(lit(date).cast("date"), 1).cast(tsType))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      }
     bounded.select(
       col("event_id").as("id"),
       concat(lit("S"), col("user_id") + 1).as("site_code"),

@@ -29,22 +29,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as LongType
-    * nanos. Convert with integer division (ns values are µs-aligned, and
-    * double division would lose precision above 2^53). */
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations; normalize both to session-TZ TIMESTAMP so every
+    * downstream query (unix_millis, window ranges, as-of) sees one type:
+    *   - parquet TIMESTAMP(NANOS): with
+    *     spark.sql.legacy.parquet.nanosAsLong=true it arrives as LongType
+    *     nanos → integer division to µs (ns values are µs-aligned, and
+    *     double division would lose precision above 2^53);
+    *   - parquet timestamp[us] without timezone → TIMESTAMP_NTZ → cast to
+    *     TIMESTAMP. The session TZ is pinned UTC (GraftSession), so the
+    *     cast is instant-preserving and matches DuckDB's naive reading. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view (for spark.sql entry points). */
+  /** Register every table as a temp view (for spark.sql entry points).
+    * `events` goes through its normalizing loader so SQL entry points see
+    * the same TIMESTAMP type the DataFrame API does. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
