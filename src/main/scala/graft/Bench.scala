@@ -26,6 +26,20 @@ import org.apache.spark.sql.SparkSession
   *    timestamp — `tools/bench_diff.py` ratios any two entries;
   *  - SPARK_GRAFT_ONLY=<substring> restricts the run for profiling one
   *    query without the other 90+ in front of it.
+  *
+  * Steal-immune work metrics (round 8): the measurement host shows
+  * 10-90% hypervisor steal minute-to-minute (BASELINE.md round-7
+  * notes), which inflates wall-clock 4-6x uniformly and at random. So
+  * alongside wall seconds the bench now emits EXECUTOR CPU SECONDS per
+  * query ("cpu"/"cpu_total" — actual cycles burned in tasks, immune to
+  * steal) plus the host's steal percentage sampled over the run
+  * ("steal_pct") so any wall number can be read in context. Attribution
+  * is exact: the async listener bus is drained before and after every
+  * timed query, so task-end events land in the right query's tally.
+  * CPU drift vs the previous history entry is flagged in "cpu_drift"
+  * with the same 1.5x-and-absolute-floor rule — on this host that is
+  * the trustworthy regression signal; "drift" (wall) is kept for
+  * continuity but is noise whenever steal_pct is high.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,55 +57,92 @@ object Bench {
     catch { case _: Throwable => () }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.contains) }
-    val runs: Seq[Seq[(String, Double)]] = (1 to repeat).map { _ =>
+    val tally = new graft.tools.ProfileQuery.Tally
+    spark.sparkContext.addSparkListener(tally)
+    def drain(): Unit =
+      org.apache.spark.GraftSparkAccess.drainListenerBus(spark.sparkContext)
+    def stealSnap(): (Long, Long) = try {
+      val cols = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      (cols.lift(7).getOrElse(0L), cols.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+    val steal0 = stealSnap()
+    // (name -> (wall sec, executor-cpu sec)) per run
+    val runs: Seq[Seq[(String, (Double, Double))]] = (1 to repeat).map { _ =>
       graft.core.CacheGovernor.reset(spark) // every run starts cold
       picked.map { case (name, fn) =>
+        drain()
+        val c0 = tally.cpuNs.get
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
+        drain()
+        val cpu = (tally.cpuNs.get - c0) / 1e9
         // isolate queries: drop frames persisted inside operators (keep
         // declared shared relations) so no query pays for — or benefits
         // from — another's per-query cached state
         graft.core.CacheGovernor.isolate()
-        name -> dt
+        name -> (dt, cpu)
       }
     }
-    val results = runs.flatten.groupBy(_._1).toSeq
-      .map { case (name, ts) => name -> ts.map(_._2).min }
+    val steal1 = stealSnap()
+    val stealPct =
+      if (steal1._2 > steal0._2)
+        math.round(10000.0 * (steal1._1 - steal0._1) / (steal1._2 - steal0._2)) / 100.0
+      else 0.0
+    val byName = runs.flatten.groupBy(_._1)
+    val results = byName.toSeq
+      .map { case (name, ts) => name -> ts.map(_._2._1).min }
       .sortBy(_._1)
-    val qs = results.sortBy(-_._2)
-      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val cpuResults = byName.toSeq
+      .map { case (name, ts) => name -> ts.map(_._2._2).min }
+      .sortBy(_._1)
+    def jmap(kvs: Seq[(String, Double)]): String = kvs.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + (math.round(v * 1e6) / 1e6) }
+      .mkString("{", ",", "}")
+    val qs = jmap(results)
+    val cq = jmap(cpuResults)
     val total = results.map(_._2).sum
+    val cpuTotal = cpuResults.map(_._2).sum
     // drift gate vs the previous FULL-REGISTRY history entry: ratio
     // ≥ 1.5 AND ≥ 0.3 s slower (tiny queries' jitter is not drift).
     // SPARK_GRAFT_ONLY profiling runs are never appended (below), but
     // the walk-back still skips any partial entry older history holds —
     // comparing the registry against a one-query baseline would
     // silently disable drift detection for every other query.
-    val prev: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("bench_history.jsonl")
-      if (!java.nio.file.Files.exists(p)) Map.empty
+    // slice to exactly the named (flat) object — keys further right
+    // ("drift" ratios!) reuse query names and must not win
+    def parseMap(line: String, key: String): Map[String, Double] = {
+      val tag = "\"" + key + "\":{"
+      val at = line.indexOf(tag)
+      if (at < 0) Map.empty
       else {
-        def parse(line: String): Map[String, Double] = {
-          // slice to exactly the (flat) "queries" object — keys further
-          // right ("drift" ratios!) reuse query names and must not win
-          val start = line.indexOf("\"queries\":{") + "\"queries\":".length
-          val body = line.substring(start, line.indexOf("}", start) + 1)
-          """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
+        val start = at + tag.length - 1
+        val body = line.substring(start, line.indexOf("}", start) + 1)
+        """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+    val prevLine: Option[String] = try {
+      val p = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(p)) None
+      else {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(p).asScala.reverseIterator
-          .map(parse).find(_.size >= 32) // full runs carry 90+ queries
-          .getOrElse(Map.empty)
+          .find(l => parseMap(l, "queries").size >= 32) // full runs carry 90+ queries
       }
-    } catch { case _: Throwable => Map.empty }
-    val drift = results.collect {
-      case (k, v) if prev.get(k).exists(p => v >= p * 1.5 && v - p >= 0.3) =>
-        "\"" + k + "\":" + (math.round(v / prev(k) * 100) / 100.0)
-    }.mkString("{", ",", "}")
+    } catch { case _: Throwable => None }
+    val prev = prevLine.map(parseMap(_, "queries")).getOrElse(Map.empty)
+    val prevCpu = prevLine.map(parseMap(_, "cpu")).getOrElse(Map.empty)
+    def driftOf(cur: Seq[(String, Double)], base: Map[String, Double]): String =
+      cur.collect {
+        case (k, v) if base.get(k).exists(p => v >= p * 1.5 && v - p >= 0.3) =>
+          "\"" + k + "\":" + (math.round(v / base(k) * 100) / 100.0)
+      }.mkString("{", ",", "}")
+    val drift = driftOf(results, prev)
+    val cpuDrift = driftOf(cpuResults, prevCpu)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"cpu_total":${math.round(cpuTotal * 1e6) / 1e6},"cpu":$cq,"cpu_drift":$cpuDrift,"steal_pct":$stealPct,"sf":"$sfDir"}"""
     println(line)
     // ONLY-restricted profiling runs never enter history: a partial
     // entry would become the next full run's drift baseline and its
