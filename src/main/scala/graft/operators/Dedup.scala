@@ -243,23 +243,30 @@ object Dedup {
     spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
   }
 
+  /** Banded minhash signatures for a rep frame (_fp, _set): one row per
+    * (rep, band), keyed by the band's hash — the LSH bucket key the
+    * self-join AND bipartite candidate generators equi-join on.
+    * Signature eval is the imperative loop (value-equal to
+    * minHashHashedSignature — ExtensionsSpec), k×|set| arithmetic
+    * without per-element lambdas. */
+  private def bandedSigs(reps: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val r = numHashes / bands
+    val sigs = reps.withColumn("_sig",
+      graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
+    sigs.select(col("_fp"), size(col("_set")).as("_n"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+  }
+
   /** MinHash/LSH candidate generation over collapsed representatives —
     * shared by [[minHashPairs]] and [[minHashClusters]]. */
   private[graft] def minHashCandidates(
-      numHashes: Int, bands: Int, threshold: Double): DataFrame => DataFrame = {
-    val r = numHashes / bands
+      numHashes: Int, bands: Int, threshold: Double): DataFrame => DataFrame =
     reps => {
       // signatures + band hashes on REPRESENTATIVES only; band join
       // carries the cluster fingerprint and set size, nothing else.
-      // Signature eval is the imperative loop (value-equal to
-      // minHashHashedSignature — ExtensionsSpec), k×|set| arithmetic
-      // without per-element lambdas.
-      val sigs = reps.withColumn("_sig",
-        graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
-      val banded = sigs.select(col("_fp"), size(col("_set")).as("_n"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
-        .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+      val banded = bandedSigs(reps, numHashes, bands)
       // length filter (exact, as in ngramJaccardPairs): J ≥ θ forces
       // min(|A|,|B|) ≥ θ·max(|A|,|B|) — ambient band collisions between
       // size-mismatched sets drop BEFORE the candidate distinct; the
@@ -272,7 +279,6 @@ object Dedup {
           col("_nb") >= col("_na") * threshold - 1e-9)
         .select("_fpa", "_fpb")
     }
-  }
 
   /** Near-duplicate CLUSTERS: the pair relation of [[minHashPairs]],
     * closed transitively, with one canonical document per cluster — the
@@ -298,6 +304,72 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val (members, verified) = minHashRelation(df, id, text, numHashes, bands, threshold)
     clustersFrom(members, verified)
+  }
+
+  /** Bipartite MinHash/LSH near-dup pairs BETWEEN two corpora — the
+    * fuzzy train/test decontamination primitive: every (corpus doc,
+    * benchmark doc) pair with exact Jaccard ≥ threshold, found without
+    * ever scoring corpus×corpus or benchmark×benchmark pairs (which is
+    * what running [[minHashPairs]] on the union would do — at 100 TB the
+    * corpus side dwarfs the benchmark side and corpus self-pairs are
+    * pure waste here).
+    *
+    * Scale shape: each side collapses identical token sets to one
+    * representative, signatures and band hashes compute per side, and
+    * the ONLY pair-producing shuffle is the (band, bandhash) equi-join
+    * between the two banded rep frames; verification is the exact
+    * two-pointer Jaccard on rep pairs, then members expand per side.
+    * Identical cross-side documents share every band hash, so
+    * `_fpa == _fpb` pairs arise naturally and are KEPT — orientation
+    * here is A→B, not the self-join's canonical (least, greatest)
+    * ordering, and a benchmark doc equal to a corpus doc is the
+    * strongest contamination there is.
+    *
+    * Recall: identical sets are caught with probability 1; near dups
+    * miss with the same (1−J^r)^b bound as [[minHashPairs]]
+    * (< 4e-8 per true pair at θ=0.9 with 64/16).
+    *
+    * @return (a_id, b_id, jaccard) — a_id from dfA, b_id from dfB
+    */
+  def minHashPairsBetween(
+      dfA: DataFrame, idA: String, textA: String,
+      dfB: DataFrame, idB: String, textB: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def collapse(df: DataFrame, id: String, text: String): (DataFrame, DataFrame) = {
+      val tagged = graft.core.CacheGovernor.persistTracked(
+        prepTokenDocs(df, id, text).withColumn("_fp", xxhash64(col("_set"))))
+      val reps = graft.core.CacheGovernor.persistTracked(
+        tagged.groupBy("_fp").agg(first(col("_set")).as("_set")))
+      (tagged.select(col("_fp"), col("_id")), reps)
+    }
+    val (membersA, repsA) = collapse(dfA, idA, textA)
+    val (membersB, repsB) = collapse(dfB, idB, textB)
+    val cand = bandedSigs(repsA, numHashes, bands)
+      .select(col("_fp").as("_fpa"), col("_n").as("_na"),
+        col("_band"), col("_bandhash"))
+      .join(bandedSigs(repsB, numHashes, bands)
+        .select(col("_fp").as("_fpb"), col("_n").as("_nb"),
+          col("_band"), col("_bandhash")), Seq("_band", "_bandhash"))
+      // same exact length prefilter as the self-join generator
+      .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
+        col("_nb") >= col("_na") * threshold - 1e-9)
+      .select("_fpa", "_fpb")
+      .dropDuplicates("_fpa", "_fpb")
+    val verified = cand
+      .join(repsA.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
+      .join(repsB.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
+      .withColumn("_i",
+        graft.plans.VectorNative.sortedIntersectSize(col("_seta"), col("_setb")))
+      .withColumn("jaccard",
+        col("_i").cast("double") / (size(col("_seta")) + size(col("_setb")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select("_fpa", "_fpb", "jaccard")
+    verified
+      .join(membersA.select(col("_fp").as("_fpa"), col("_id").as("a_id")), "_fpa")
+      .join(membersB.select(col("_fp").as("_fpb"), col("_id").as("b_id")), "_fpb")
+      .select("a_id", "b_id", "jaccard")
   }
 
   // stage accessors for graft.tools.ProfileShare (defaults of

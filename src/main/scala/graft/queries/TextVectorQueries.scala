@@ -207,6 +207,34 @@ object TextVectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy decontamination: corpus docs that are NEAR-DUPLICATES
+    * (Jaccard ≥ 0.9) of a benchmark doc — catches paraphrased/lightly
+    * edited benchmark leakage that exact shingle overlap
+    * ([[contamination]]) treats as one shared n-gram among thousands.
+    * Spark runs the bipartite collapse→band→verify pipeline (no
+    * corpus×corpus work); the oracle brute-forces cross-side Jaccard. */
+  private val contaminationFuzzy = QuerySpec(
+    "q_contamination_fuzzy",
+    """WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |c AS (SELECT doc_id, toks FROM t WHERE source <> 'src0'),
+      |b AS (SELECT doc_id, toks FROM t WHERE source = 'src0')
+      |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+      |       len(list_intersect(c.toks, b.toks))::DOUBLE
+      |         / len(list_distinct(list_concat(c.toks, b.toks))) AS jaccard
+      |FROM c JOIN b ON len(c.toks) >= 0.9 * len(b.toks)
+      |             AND len(b.toks) >= 0.9 * len(c.toks)
+      |WHERE len(list_intersect(c.toks, b.toks))::DOUBLE
+      |        / len(list_distinct(list_concat(c.toks, b.toks))) >= 0.9
+      |ORDER BY doc_id, bench_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.minHashPairsBetween(
+      docs.filter(col("source") =!= "src0"), "doc_id", "text",
+      docs.filter(col("source") === "src0"), "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.9)
+      .select(col("a_id").as("doc_id"), col("b_id").as("bench_id"), col("jaccard"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Corpus composition per (source, lang) — the data-mixing report. */
   private val corpusMix = QuerySpec(
     "q_corpus_mix",
@@ -750,7 +778,8 @@ object TextVectorQueries {
 
   val all: Seq[QuerySpec] = Seq(
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
-    vocabBuild, vocabEncode, textRepetition, contamination, corpusMix, textRedact,
+    vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
+    corpusMix, textRedact,
     textChunksCdc, textFamiliarity,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSimhash, dedupEmbedding,

@@ -128,6 +128,41 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bipartite minhash = brute-force cross-side jaccard (and only cross-side)") {
+    import spark.implicits._
+    // real corpus split: src0 as the "benchmark", the rest as the corpus
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val got = Dedup.minHashPairsBetween(
+      corpus, "doc_id", "text", bench, "doc_id", "text", threshold = 0.9)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val t = docs.select(col("doc_id"), col("source"), Dedup.tokenSet(col("text")).as("toks"))
+    val brute = t.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("a_id"), col("toks").as("ta"))
+      .crossJoin(t.filter(col("source") === "src0")
+        .select(col("doc_id").as("b_id"), col("toks").as("tb")))
+      .withColumn("jaccard", size(array_intersect(col("ta"), col("tb"))).cast("double") /
+        size(array_union(col("ta"), col("tb"))))
+      .filter(col("jaccard") >= 0.9)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain cross-source near-dups")
+    assert(got === brute)
+    // orientation: every a_id is a corpus doc, every b_id a benchmark doc
+    val benchIds = bench.select("doc_id").as[Long].collect().toSet
+    assert(got.forall { case (a, b, _) => !benchIds.contains(a) && benchIds.contains(b) })
+  }
+
+  test("bipartite minhash catches identical cross-side docs with jaccard exactly 1") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"), (2L, "unrelated corpus words here"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "alpha beta gamma delta"), (11L, "other benchmark text entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashPairsBetween(a, "doc_id", "text", b, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 10L, 1.0)))
+  }
+
   test("minhash clusters = union-find closure of minhash pairs") {
     import spark.implicits._
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
