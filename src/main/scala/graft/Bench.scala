@@ -67,6 +67,10 @@ object Bench {
       (cols.lift(7).getOrElse(0L), cols.sum)
     } catch { case _: Throwable => (0L, 0L) }
     val steal0 = stealSnap()
+    // a query that THROWS must be loudly visible, not a silently-small
+    // number: a missing --add-opens once made q_sim_ivf_trained "run" in
+    // 0.5 s by failing instantly, and nothing in the artifact said so
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     // (name -> (wall sec, executor-cpu sec)) per run
     val runs: Seq[Seq[(String, (Double, Double))]] = (1 to repeat).map { _ =>
       graft.core.CacheGovernor.reset(spark) // every run starts cold
@@ -74,7 +78,10 @@ object Bench {
         drain()
         val c0 = tally.cpuNs.get
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         drain()
         val cpu = (tally.cpuNs.get - c0) / 1e9
@@ -141,8 +148,9 @@ object Bench {
       }.mkString("{", ",", "}")
     val drift = driftOf(results, prev)
     val cpuDrift = driftOf(cpuResults, prevCpu)
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"cpu_total":${math.round(cpuTotal * 1e6) / 1e6},"cpu":$cq,"cpu_drift":$cpuDrift,"steal_pct":$stealPct,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"cpu_total":${math.round(cpuTotal * 1e6) / 1e6},"cpu":$cq,"cpu_drift":$cpuDrift,"steal_pct":$stealPct,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // ONLY-restricted profiling runs never enter history: a partial
     // entry would become the next full run's drift baseline and its

@@ -51,8 +51,10 @@ object Dedup {
   private def collapseVerifyExpand(
       docs: DataFrame,
       candidates: DataFrame => DataFrame,
-      threshold: Double): DataFrame = {
-    val (tagged, verified) = collapseVerify(docs, candidates, threshold)
+      threshold: Double,
+      candidatesDistinct: Boolean = false): DataFrame = {
+    val (tagged, verified) =
+      collapseVerify(docs, candidates, threshold, candidatesDistinct)
     expandPairs(tagged.select(col("_fp"), col("_id")), verified)
   }
 
@@ -80,7 +82,8 @@ object Dedup {
   private[graft] def collapseVerify(
       docs: DataFrame,
       candidates: DataFrame => DataFrame,
-      threshold: Double): (DataFrame, DataFrame) = {
+      threshold: Double,
+      candidatesDistinct: Boolean = false): (DataFrame, DataFrame) = {
     // Both frames fan out to 3+ branches of the DAG (candidates, two
     // verify joins, member expansion); without persistence Spark
     // recomputes the tokenize→hash subtree per branch, which profiled
@@ -97,11 +100,15 @@ object Dedup {
       .withColumn("_fp", xxhash64(col("_set"))))
     val reps = graft.core.CacheGovernor.persistTracked(tagged.groupBy("_fp")
       .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set")))
-    val cand = candidates(reps)
+    // a generator declaring candidatesDistinct emits each pair exactly
+    // once, already canonical — the dedup shuffle over collision rows
+    // (the most expensive stage of the minhash build before the
+    // skip-earlier-bands filter) disappears entirely
+    val raw = candidates(reps)
       .select(least(col("_fpa"), col("_fpb")).as("_fpa"),
         greatest(col("_fpa"), col("_fpb")).as("_fpb"))
       .filter(col("_fpa") =!= col("_fpb"))
-      .dropDuplicates("_fpa", "_fpb")
+    val cand = if (candidatesDistinct) raw else raw.dropDuplicates("_fpa", "_fpb")
     // Union-free exact Jaccard with the two-pointer codegen intersect.
     // Sortedness comes from the entry PRECONDITION above (the native
     // tokenHashSet/shingleHashSet producers emit sorted sets).
@@ -227,7 +234,8 @@ object Dedup {
       .mkString(":")
     graft.core.CacheGovernor.sharedPair(key, df) {
       val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
-        minHashCandidates(numHashes, bands, threshold), threshold)
+        minHashCandidates(numHashes, bands, threshold), threshold,
+        candidatesDistinct = true)
       (tagged.select(col("_fp"), col("_id")), verified)
     }
   }
@@ -245,7 +253,9 @@ object Dedup {
 
   /** Banded minhash signatures for a rep frame (_fp, _set): one row per
     * (rep, band), keyed by the band's hash — the LSH bucket key the
-    * self-join AND bipartite candidate generators equi-join on.
+    * self-join AND bipartite candidate generators equi-join on. Each row
+    * also carries the rep's FULL band-hash array `_bhs` so the join can
+    * apply the skip-earlier-bands filter ([[firstBandOnly]]).
     * Signature eval is the imperative loop (value-equal to
     * minHashHashedSignature — ExtensionsSpec), k×|set| arithmetic
     * without per-element lambdas. */
@@ -254,29 +264,55 @@ object Dedup {
     val sigs = reps.withColumn("_sig",
       graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
     sigs.select(col("_fp"), size(col("_set")).as("_n"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
+        transform(sequence(lit(0), lit(bands - 1)),
+          g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r))))).as("_bhs"))
+      .select(col("_fp"), col("_n"), col("_bhs"), posexplode(col("_bhs")))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
   }
 
+  /** Skip-earlier-bands predicate: keep a band collision only if its
+    * band index IS the pair's first matching band — each colliding
+    * pair then survives on exactly ONE row, so candidates leave the
+    * join ALREADY DISTINCT and the downstream dropDuplicates shuffle
+    * disappears. On a corpus with high ambient similarity this is the
+    * difference between shuffling every band-collision row and
+    * shuffling none: profiled at sf0.1, the band join emits 19.3 M
+    * collision rows for 1.93 M distinct pairs (pairs match in ~10 of
+    * 16 bands), and the dropDuplicates pass over them was the single
+    * most expensive stage of the whole minhash build (10.9 s of its
+    * 54 s executor CPU). The comparison is the codegen'd
+    * [[graft.plans.VectorNative.firstEqualIndex]] primitive — it runs
+    * on every collision row, and an interpreted HOF chain here
+    * profiled 3× WORSE than the dropDuplicates it replaces. */
+  private def firstBandOnly: Column =
+    col("_band") ===
+      graft.plans.VectorNative.firstEqualIndex(col("_bhsa"), col("_bhsb"))
+
   /** MinHash/LSH candidate generation over collapsed representatives —
-    * shared by [[minHashPairs]] and [[minHashClusters]]. */
+    * shared by [[minHashPairs]] and [[minHashClusters]]. Emits each
+    * candidate pair exactly once, canonically ordered (_fpa < _fpb):
+    * one orientation survives the fp filter, one band survives
+    * [[firstBandOnly]] — so [[collapseVerify]] runs with
+    * `candidatesDistinct = true` and never shuffles collision rows. */
   private[graft] def minHashCandidates(
       numHashes: Int, bands: Int, threshold: Double): DataFrame => DataFrame =
     reps => {
       // signatures + band hashes on REPRESENTATIVES only; band join
-      // carries the cluster fingerprint and set size, nothing else.
+      // carries the cluster fingerprint, set size and band-hash array
       val banded = bandedSigs(reps, numHashes, bands)
       // length filter (exact, as in ngramJaccardPairs): J ≥ θ forces
       // min(|A|,|B|) ≥ θ·max(|A|,|B|) — ambient band collisions between
-      // size-mismatched sets drop BEFORE the candidate distinct; the
-      // 1e-9 slack protects boundary ratios from θ's binary rounding
+      // size-mismatched sets drop BEFORE anything shuffles; the 1e-9
+      // slack protects boundary ratios from θ's binary rounding
       banded.select(col("_fp").as("_fpa"), col("_n").as("_na"),
-          col("_band"), col("_bandhash"))
+          col("_bhs").as("_bhsa"), col("_band"), col("_bandhash"))
         .join(banded.select(col("_fp").as("_fpb"), col("_n").as("_nb"),
-          col("_band"), col("_bandhash")), Seq("_band", "_bandhash"))
+          col("_bhs").as("_bhsb"), col("_band"), col("_bandhash")),
+          Seq("_band", "_bandhash"))
+        .filter(col("_fpa") < col("_fpb"))
         .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
           col("_nb") >= col("_na") * threshold - 1e-9)
+        .filter(firstBandOnly)
         .select("_fpa", "_fpb")
     }
 
@@ -348,15 +384,18 @@ object Dedup {
     val (membersB, repsB) = collapse(dfB, idB, textB)
     val cand = bandedSigs(repsA, numHashes, bands)
       .select(col("_fp").as("_fpa"), col("_n").as("_na"),
-        col("_band"), col("_bandhash"))
+        col("_bhs").as("_bhsa"), col("_band"), col("_bandhash"))
       .join(bandedSigs(repsB, numHashes, bands)
         .select(col("_fp").as("_fpb"), col("_n").as("_nb"),
-          col("_band"), col("_bandhash")), Seq("_band", "_bandhash"))
-      // same exact length prefilter as the self-join generator
+          col("_bhs").as("_bhsb"), col("_band"), col("_bandhash")),
+        Seq("_band", "_bandhash"))
+      // same exact length prefilter as the self-join generator, then
+      // one surviving row per pair (its first matching band) — no
+      // dedup shuffle over collision rows
       .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
         col("_nb") >= col("_na") * threshold - 1e-9)
+      .filter(firstBandOnly)
       .select("_fpa", "_fpb")
-      .dropDuplicates("_fpa", "_fpb")
     val verified = cand
       .join(repsA.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
       .join(repsB.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
@@ -376,7 +415,7 @@ object Dedup {
   // q_dedup_minhash/q_dedup_clusters)
   private[graft] def collapseVerifyP(docs: DataFrame): (DataFrame, DataFrame) =
     collapseVerify(prepTokenDocs(docs, "doc_id", "text"),
-      minHashCandidates(64, 16, 0.9), 0.9)
+      minHashCandidates(64, 16, 0.9), 0.9, candidatesDistinct = true)
   private[graft] def expandPairsP(m: DataFrame, v: DataFrame): DataFrame =
     expandPairs(m, v)
   private[graft] def clustersFromP(m: DataFrame, v: DataFrame): DataFrame =
@@ -419,7 +458,8 @@ object Dedup {
       threshold: Double = 0.9): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
-      minHashCandidates(numHashes, bands, threshold), threshold)
+      minHashCandidates(numHashes, bands, threshold), threshold,
+      candidatesDistinct = true)
     tagged.select(col("_fp"), col("_id"))
       .write.mode("overwrite").parquet(s"$path/members")
     verified.write.mode("overwrite").parquet(s"$path/verified")

@@ -126,6 +126,55 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def prettyName: String = "graft_sorted_intersect_size"
 }
 
+/** First index where two long arrays agree (`-1` if none) — the
+  * skip-earlier-bands primitive of the MinHash candidate join: a band
+  * collision row survives iff its band index IS the pair's first
+  * matching band, so each candidate pair exits the join exactly once
+  * and no dedup shuffle is needed. This predicate runs on EVERY band
+  * collision row (19M+ at sf0.1 against 16-element arrays), which is
+  * why it is a generated primitive loop: the equivalent
+  * exists(zip_with(slice…)) HOF chain is interpreted per row with three
+  * array allocations, and profiling it at sf0.1 showed it TRIPLING the
+  * whole minhash build's CPU instead of shrinking it. */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_first_equal_index"
+}
+
 object VectorNative {
 
   /** Codegen'd |A ∩ B| for sorted, duplicate-free array<long> Columns.
@@ -139,4 +188,10 @@ object VectorNative {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a.cast("array<double>")),
       ColumnBridge.expression(b.cast("array<double>"))))
+  /** Codegen'd first index where two array<long> Columns agree (-1 if
+    * none) — the skip-earlier-bands primitive. */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    ColumnBridge.column(FirstEqualIndex(
+      ColumnBridge.expression(a.cast("array<bigint>")),
+      ColumnBridge.expression(b.cast("array<bigint>"))))
 }

@@ -33,6 +33,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("firstEqualIndex equals the HOF first-agreeing-index on random band arrays") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.VectorNative
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // many short arrays over a tiny value domain => plenty of agreements
+    // at varied positions, plus no-agreement and empty edge cases
+    val rows = (1 to 2000).map { i =>
+      val n = rnd.nextInt(17)
+      (i, Seq.fill(n)(rnd.nextInt(4).toLong), Seq.fill(n)(rnd.nextInt(4).toLong))
+    } :+ ((0, Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("i", "a", "b")
+      .withColumn("fast", VectorNative.firstEqualIndex(col("a"), col("b")))
+    // reference semantics (Seq.indexWhere) computed on the driver
+    val got = df.select("i", "fast").as[(Int, Int)].collect().toMap
+    rows.foreach { case (i, a, b) =>
+      val expected = a.zip(b).indexWhere { case (x, y) => x == y }
+      assert(got(i) === expected, s"row $i: a=$a b=$b")
+    }
+  }
+
   test("native token/shingle/minhash projections are value-equal to the HOF forms") {
     import org.apache.spark.sql.functions._
     import graft.plans.TextHashNative
