@@ -625,14 +625,18 @@ object Dedup {
       // a LONGER prefix under any floating-point rounding of θ·n, so
       // completeness survives e.g. θ=0.8, n=10 where
       // floor(n·(1−θ)) = floor(2.0000000000000004−ε) could land on 1.
-      val posting = ex.join(broadcast(freq), Seq("_s"), "left_outer")
-        .groupBy("_fp")
-        .agg(collect_list(struct(coalesce(col("_df"), lit(1L)).as("_df"),
-          col("_s"))).as("_dfs"))
-        .select(col("_fp"), size(col("_dfs")).as("_n"),
-          explode(expr("transform(" +
-            s"slice(array_sort(_dfs), 1, cast(size(_dfs) - floor(size(_dfs) * $threshold) + 1 as int)), " +
-            "x -> x._s)")).as("_s"))
+      // persisted: both sides of the self-join consume this frame, and
+      // without the pin each side re-runs the explode→df→regroup→sort
+      // chain (and rebuilds the freq broadcast) from `reps`
+      val posting = graft.core.CacheGovernor.persistTracked(
+        ex.join(broadcast(freq), Seq("_s"), "left_outer")
+          .groupBy("_fp")
+          .agg(collect_list(struct(coalesce(col("_df"), lit(1L)).as("_df"),
+            col("_s"))).as("_dfs"))
+          .select(col("_fp"), size(col("_dfs")).as("_n"),
+            explode(expr("transform(" +
+              s"slice(array_sort(_dfs), 1, cast(size(_dfs) - floor(size(_dfs) * $threshold) + 1 as int)), " +
+              "x -> x._s)")).as("_s")))
       // PPJoin length filter: J ≥ θ ⟹ θ·max(|A|,|B|) ≤ |A∩B| ≤
       // min(|A|,|B|), so each side must be ≥ θ× the other. The 1e-9
       // slack keeps boundary pairs (e.g. |A|=8, |B|=10, θ=0.8, J=0.8
