@@ -127,6 +127,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("_salt"), "join must be keyed on the salt")
   }
 
+  test("bipartite decontamination: cross-side band equi-join, no cross product, no dedup shuffle") {
+    val p = finalPlan("q_contamination_fuzzy")
+    assert(p.contains("_bandhash"), "candidate join must be keyed on the band hash")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) nested-loop join in plan")
+    // skip-earlier-bands makes candidates distinct at the join: the only
+    // aggregates in the plan are the per-side rep collapses, never a
+    // pair-dedup over collision rows
+    assert(p.contains("graft_first_equal_index"),
+      "skip-earlier-bands filter missing from the candidate join")
+  }
+
   test("trained IVF search broadcasts centroids; no cartesian against the corpus") {
     val p = finalPlan("q_sim_ivf_trained")
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
