@@ -259,15 +259,22 @@ object Dedup {
     * Signature eval is the imperative loop (value-equal to
     * minHashHashedSignature — ExtensionsSpec), k×|set| arithmetic
     * without per-element lambdas. */
-  private def bandedSigs(reps: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val r = numHashes / bands
-    val sigs = reps.withColumn("_sig",
-      graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
-    sigs.select(col("_fp"), size(col("_set")).as("_n"),
-        transform(sequence(lit(0), lit(bands - 1)),
-          g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r))))).as("_bhs"))
+  private def bandedSigs(reps: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    reps.withColumn("_sig",
+        graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
+      .select(col("_fp"), size(col("_set")).as("_n"),
+        bandHashesOfSig(col("_sig"), numHashes, bands).as("_bhs"))
       .select(col("_fp"), col("_n"), col("_bhs"), posexplode(col("_bhs")))
       .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+
+  /** Band-hash array of an ALREADY-MATERIALIZED minhash signature column
+    * (callers must project the signature first — inlining it here would
+    * re-evaluate the k×|set| signature once per band). Shared by the
+    * batch generators and the streaming fuzzy-contamination gate. */
+  private[graft] def bandHashesOfSig(sig: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      g => xxhash64(concat_ws(",", slice(sig, g * r + 1, lit(r)))))
   }
 
   /** Skip-earlier-bands predicate: keep a band collision only if its

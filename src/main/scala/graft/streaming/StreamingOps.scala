@@ -85,6 +85,56 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(id)
   }
 
+  /** Streaming FUZZY contamination gate: flag arriving docs that are
+    * NEAR-DUPLICATES (exact Jaccard ≥ threshold) of any static benchmark
+    * doc — the ingestion-time form of Dedup.minHashPairsBetween, for
+    * paraphrased/lightly-edited benchmark leakage the exact-shingle gate
+    * ([[contaminationFlags]]) can only see as one shared n-gram.
+    *
+    * Scale shape: the benchmark's banded minhash rows BROADCAST (the
+    * benchmark side is small by definition); each arriving doc computes
+    * its token set + signature once, explodes `bands` band rows, and
+    * candidates come from the broadcast hash join on (band, bandhash) —
+    * stateless, no stream-side shuffle. The skip-earlier-bands primitive
+    * keeps one candidate row per (doc, bench) pair before the exact
+    * verify, and the only state is the per-doc within-watermark dedup,
+    * so a doc is flagged once no matter how many benchmark docs it
+    * matches. Recall: identical docs always collide; near dups miss with
+    * the (1−J^r)^b bound of the batch operator.
+    */
+  def fuzzyContaminationFlags(
+      docs: DataFrame, bench: DataFrame, id: String, text: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.9,
+      tsCol: String = "ts", delay: String = "10 minutes"): DataFrame = {
+    import graft.operators.Dedup
+    import graft.plans.{TextHashNative, VectorNative}
+    def sigged(df: DataFrame, setName: String, bhsName: String): DataFrame =
+      df.withColumn(setName, TextHashNative.tokenHashSet(col(text)))
+        .withColumn("_sig", TextHashNative.minHashSig(col(setName), numHashes))
+        .withColumn(bhsName, Dedup.bandHashesOfSig(col("_sig"), numHashes, bands))
+        .drop("_sig")
+    val bsh = sigged(bench, "_setb", "_bhsb")
+      .select(col("_setb"), size(col("_setb")).as("_nb"), col("_bhsb"),
+        posexplode(col("_bhsb")))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+    sigged(docs.withWatermark(tsCol, delay), "_seta", "_bhsa")
+      .select(col(id), col(tsCol), col("_seta"), size(col("_seta")).as("_na"),
+        col("_bhsa"), posexplode(col("_bhsa")))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+      .join(broadcast(bsh), Seq("_band", "_bandhash"))
+      // same exact length prefilter + first-matching-band dedup as the
+      // batch bipartite generator, then the exact two-pointer verify
+      .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
+        col("_nb") >= col("_na") * threshold - 1e-9)
+      .filter(col("_band") ===
+        VectorNative.firstEqualIndex(col("_bhsa"), col("_bhsb")))
+      .withColumn("_i", VectorNative.sortedIntersectSize(col("_seta"), col("_setb")))
+      .filter(col("_i").cast("double") /
+        (col("_na") + col("_nb") - col("_i")) >= threshold)
+      .select(col(id), col(tsCol))
+      .dropDuplicatesWithinWatermark(id)
+  }
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -184,6 +184,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(flagged.toSeq === Seq(1L), s"expected exactly one flag for doc 1: ${flagged.toSeq}")
   }
 
+  test("streaming fuzzy contamination gate: near-duplicate of a benchmark doc flagged once") {
+    val in = MemoryStream[(Long, Timestamp, String)](spark)
+    val df = in.toDF().toDF("doc_id", "ts", "text")
+    // 10-token benchmark doc; J ≥ 0.9 needs ≥ 10/11 overlap ratio
+    val bench = Seq((100L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10")).toDF("doc_id", "text")
+    val q = StreamingOps.fuzzyContaminationFlags(
+      df, bench, "doc_id", "text", threshold = 0.9)
+      .writeStream.format("memory").queryName("stfuzzy").outputMode("append").start()
+    in.addData(
+      // identical token set, reordered + repeated word → J = 1, flagged
+      (1L, ts("2024-01-01 10:00:00"), "a10 a9 a8 a7 a6 a5 a4 a3 a2 a1 a1"),
+      // 9 of 10 tokens + 1 new → J = 9/11 < 0.9, clean
+      (2L, ts("2024-01-01 10:00:30"), "a1 a2 a3 a4 a5 a6 a7 a8 a9 zz"),
+      // no overlap at all → clean
+      (3L, ts("2024-01-01 10:01:00"), "entirely different words here"))
+    q.processAllAvailable()
+    // redelivery of doc 1 within the watermark → no second flag
+    in.addData((1L, ts("2024-01-01 10:02:00"), "a10 a9 a8 a7 a6 a5 a4 a3 a2 a1 a1"))
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.table("stfuzzy").select("doc_id").collect().map(_.getLong(0))
+    assert(flagged.toSeq === Seq(1L),
+      s"expected exactly one flag for the near-duplicate doc: ${flagged.toSeq}")
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
