@@ -49,19 +49,23 @@ object ProfileMinhash {
       reps.withColumn("_sig", graft.plans.TextHashNative.minHashSig(col("_set"), numHashes)))
     val banded = t("5 band hashes")(
       sigs.select(col("_fp"), size(col("_set")).as("_n"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          g => xxhash64(concat_ws(",", slice(col("_sig"), g * r + 1, lit(r)))))))
+          graft.operators.Dedup.bandHashesOfSig(col("_sig"), numHashes, bands).as("_bhs"))
+        .select(col("_fp"), col("_n"), col("_bhs"), posexplode(col("_bhs")))
         .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash"))
-    val rawCand = t("6 band join + length filter")(
-      banded.select(col("_fp").as("_fpa"), col("_n").as("_na"), col("_band"), col("_bandhash"))
-        .join(banded.select(col("_fp").as("_fpb"), col("_n").as("_nb"), col("_band"), col("_bandhash")),
+    // round-8 pipeline: one orientation + first-matching-band only →
+    // candidates leave the join distinct, no dedup stage
+    val cand = t("6 band join + skip-earlier-bands")(
+      banded.select(col("_fp").as("_fpa"), col("_n").as("_na"),
+          col("_bhs").as("_bhsa"), col("_band"), col("_bandhash"))
+        .join(banded.select(col("_fp").as("_fpb"), col("_n").as("_nb"),
+          col("_bhs").as("_bhsb"), col("_band"), col("_bandhash")),
           Seq("_band", "_bandhash"))
+        .filter(col("_fpa") < col("_fpb"))
         .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
           col("_nb") >= col("_na") * threshold - 1e-9)
-        .select(least(col("_fpa"), col("_fpb")).as("_fpa"),
-          greatest(col("_fpa"), col("_fpb")).as("_fpb"))
-        .filter(col("_fpa") =!= col("_fpb")))
-    val cand = t("7 dropDuplicates")(rawCand.dropDuplicates("_fpa", "_fpb"))
+        .filter(col("_band") ===
+          graft.plans.VectorNative.firstEqualIndex(col("_bhsa"), col("_bhsb")))
+        .select("_fpa", "_fpb"))
     val verified = t("8 verify joins + intersect")(
       cand.join(reps.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
         .join(reps.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
