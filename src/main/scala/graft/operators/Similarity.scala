@@ -450,6 +450,43 @@ object Similarity {
         greatest(col("a_id"), col("b_id")).as("b_id"), col("cos"))
   }
 
+  /** Bipartite exact embedding near-dup BETWEEN two corpora — semantic
+    * decontamination: every (corpus, benchmark) vector pair with cosine
+    * ≥ threshold, computed without any corpus×corpus or bench×bench
+    * work (running [[nearDupPairs]] on the union would pay both). The
+    * cross-side compute is inherently O(|A|·|B|) for exactness; the
+    * distribution is the same block grid as [[nearDupPairs]], restricted
+    * to cross-side block pairs: A hashes into `bA` blocks, B into `bB`,
+    * every (bi, bj) cell is one equi-join key, so the work ships as
+    * bA·bB independent memory-bounded tasks — no broadcast of either
+    * side, no nested-loop join. Each side's block count sizes from its
+    * OWN row count ([[blocksFor]]), so a small benchmark against a huge
+    * corpus degenerates to "replicate the benchmark across the corpus
+    * blocks", which is exactly the right plan at 100 TB.
+    *
+    * @return (a_id, b_id, cos) — a_id from dfA, b_id from dfB
+    */
+  def nearDupPairsBetween(
+      dfA: DataFrame, idA: String, vecA: String,
+      dfB: DataFrame, idB: String, vecB: String,
+      threshold: Double,
+      blocksA: Int = 0, blocksB: Int = 0): DataFrame = {
+    val bA = if (blocksA > 0) blocksA else blocksFor(viewRows(dfA, idA, vecA))
+    val bB = if (blocksB > 0) blocksB else blocksFor(viewRows(dfB, idB, vecB))
+    val va = viewAs(normalizedView(dfA, idA, vecA), "a_id", "_av", "_an")
+      .withColumn("_bi", pmod(xxhash64(col("a_id")), lit(bA)).cast("int"))
+    val vb = viewAs(normalizedView(dfB, idB, vecB), "b_id", "_bv", "_bn")
+      .withColumn("_bj", pmod(xxhash64(col("b_id")), lit(bB)).cast("int"))
+    // full cross-side grid: A rows replicate over B's blocks and vice
+    // versa — every (bi, bj) cell meets exactly once, so no pair dedup
+    val left = va.withColumn("_bj", explode(sequence(lit(0), lit(bB - 1))))
+    val right = vb.withColumn("_bi", explode(sequence(lit(0), lit(bA - 1))))
+    left.join(right, Seq("_bi", "_bj"))
+      .withColumn("cos", dot(col("_av"), col("_bv")) / (col("_an") * col("_bn")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
   /** APPROXIMATE near-dup pairs — the 100 TB path: candidates must agree
     * on at least one band of `planesPerBand` hyperplane signs (banded
     * random-hyperplane LSH, mirroring the text dedup's band join), then

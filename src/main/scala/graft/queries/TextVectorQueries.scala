@@ -421,6 +421,31 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Semantic decontamination: corpus vectors whose cosine against any
+    * benchmark vector (the vec_id % 20 = 0 slice) clears the near-dup
+    * threshold — the embedding-modality analogue of
+    * q_contamination_fuzzy. Spark runs the bipartite block grid (no
+    * corpus×corpus work); the oracle brute-forces the cross side. */
+  private val dedupEmbeddingCross = QuerySpec(
+    "q_dedup_embedding_cross",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
+      |b AS (SELECT * FROM e WHERE vec_id % 20 = 0)
+      |SELECT c.vec_id AS a_id, b.vec_id AS b_id,
+      |       list_dot_product(c.v, b.v)
+      |         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |FROM c JOIN b ON true
+      |WHERE list_dot_product(c.v, b.v)
+      |        / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.nearDupPairsBetween(
+      emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+      threshold = 0.4)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Semantic-dedup centroids: embedding near-dup pairs closed into
     * clusters (distributed components), element-wise mean per cluster.
     * The mean is a SEGMENTED order-pinned fold on both sides (chunk by
@@ -782,7 +807,7 @@ object TextVectorQueries {
     corpusMix, textRedact,
     textChunksCdc, textFamiliarity,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
-    dedupNgram, dedupSimhash, dedupEmbedding,
+    dedupNgram, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained)
 }

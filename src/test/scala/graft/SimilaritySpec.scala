@@ -141,6 +141,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty, "threshold 0.3 should catch some pairs on this corpus")
   }
 
+  test("bipartite near-dup pairs equal the brute-force cross-side answer, cross-side only") {
+    import spark.implicits._
+    val threshold = 0.3
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val bench = emb.filter(col("vec_id") % 20 === 0)
+    val got = Similarity.nearDupPairsBetween(
+      corpus, "vec_id", "embedding", bench, "vec_id", "embedding", threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val v = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val brute = v.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("a_id"), col("v").as("av"))
+      .crossJoin(v.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("b_id"), col("v").as("bv")))
+      .withColumn("cos", graft.plans.VectorNative.dot(col("av"), col("bv")) /
+        (sqrt(graft.plans.VectorNative.dot(col("av"), col("av"))) *
+          sqrt(graft.plans.VectorNative.dot(col("bv"), col("bv")))))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture must contain cross-side near-dups at 0.3")
+    assert(got === brute)
+    assert(got.forall { case (a, b) => a % 20 != 0 && b % 20 == 0 },
+      "orientation must be corpus -> benchmark")
+  }
+
   test("banded near-dup: subset of exact on real data; ~full recall on planted near-dups") {
     import spark.implicits._
     // subset property on the real corpus: banding only prunes candidates,
