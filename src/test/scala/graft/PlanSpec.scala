@@ -99,6 +99,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
   }
 
+  // (no skip-earlier-bands plan gate for q_dedup_minhash: its final plan
+  // reads the CacheGovernor-checkpointed shared relation, so the candidate
+  // join is not visible — the property is gated on q_contamination_fuzzy,
+  // whose build is in-plan, and both paths share the same generator code)
+
   test("contamination check broadcasts the benchmark shingles") {
     val p = finalPlan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark side should broadcast")
