@@ -470,6 +470,72 @@ object Dedup {
     tagged.select(col("_fp"), col("_id"))
       .write.mode("overwrite").parquet(s"$path/members")
     verified.write.mode("overwrite").parquet(s"$path/verified")
+    // reps with PRECOMPUTED band hashes: incremental batches
+    // ([[minHashPairsAgainst]]) band-join straight against these — the
+    // corpus text is never re-tokenized, its signatures never recomputed
+    tagged.groupBy("_fp").agg(first(col("_set")).as("_set"))
+      .withColumn("_sig",
+        graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
+      .select(col("_fp"), col("_set"),
+        bandHashesOfSig(col("_sig"), numHashes, bands).as("_bhs"))
+      .write.mode("overwrite").parquet(s"$path/reps")
+  }
+
+  /** Incremental near-dup dedup of a NEW batch against a
+    * [[writeMinHashRelation]] index — the production ingest shape at
+    * 100 TB: the stored index is narrow (collapsed reps with
+    * precomputed band hashes + the member map), the batch is small, and
+    * neither the corpus text nor its signatures are ever reprocessed.
+    * Only the batch side tokenizes/signs; candidates come from the
+    * batch-bands × stored-bands equi-join with the same length
+    * prefilter and skip-earlier-bands dedup as every other generator,
+    * then the exact two-pointer Jaccard verifies against the stored
+    * rep sets. Near-dup complement of [[dedupAgainstIndex]] (which
+    * catches exact token-set matches only). `numHashes`/`bands` MUST
+    * match the values the relation was written with.
+    *
+    * @return (a_id, b_id, jaccard) — a_id from the new batch, b_id an
+    *         already-indexed document
+    */
+  def minHashPairsAgainst(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, id: String, text: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val storedReps = spark.read.parquet(s"$path/reps")
+    val storedMembers = spark.read.parquet(s"$path/members")
+    val taggedNew = graft.core.CacheGovernor.persistTracked(
+      prepTokenDocs(newDocs, id, text).withColumn("_fp", xxhash64(col("_set"))))
+    val repsNew = graft.core.CacheGovernor.persistTracked(
+      taggedNew.groupBy("_fp").agg(first(col("_set")).as("_set")))
+    val bandStored = storedReps
+      .select(col("_fp"), size(col("_set")).as("_n"), col("_bhs"),
+        posexplode(col("_bhs")))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+    val cand = bandedSigs(repsNew, numHashes, bands)
+      .select(col("_fp").as("_fpa"), col("_n").as("_na"),
+        col("_bhs").as("_bhsa"), col("_band"), col("_bandhash"))
+      .join(bandStored.select(col("_fp").as("_fpb"), col("_n").as("_nb"),
+        col("_bhs").as("_bhsb"), col("_band"), col("_bandhash")),
+        Seq("_band", "_bandhash"))
+      .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
+        col("_nb") >= col("_na") * threshold - 1e-9)
+      .filter(firstBandOnly)
+      .select("_fpa", "_fpb")
+    val verified = cand
+      .join(repsNew.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
+      .join(storedReps.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
+      .withColumn("_i",
+        graft.plans.VectorNative.sortedIntersectSize(col("_seta"), col("_setb")))
+      .withColumn("jaccard",
+        col("_i").cast("double") / (size(col("_seta")) + size(col("_setb")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select("_fpa", "_fpb", "jaccard")
+    verified
+      .join(taggedNew.select(col("_fp").as("_fpa"), col("_id").as("a_id")), "_fpa")
+      .join(storedMembers.select(col("_fp").as("_fpb"), col("_id").as("b_id")), "_fpb")
+      .select("a_id", "b_id", "jaccard")
   }
 
   /** [[minHashPairs]] derived from a [[writeMinHashRelation]] table. */

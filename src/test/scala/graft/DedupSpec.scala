@@ -163,6 +163,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L, 1.0)))
   }
 
+  test("incremental minhash vs stored index = bipartite pairs on the same split") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-minhash-incr").toString
+    try {
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch = docs.filter(col("doc_id") >= 250)
+      Dedup.writeMinHashRelation(corpus, "doc_id", "text", path)
+      val viaIndex = Dedup.minHashPairsAgainst(spark, path, batch, "doc_id", "text")
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val direct = Dedup.minHashPairsBetween(
+        batch, "doc_id", "text", corpus, "doc_id", "text")
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(direct.nonEmpty, "fixture must contain cross-split near-dups")
+      assert(viaIndex === direct)
+      // orientation: batch ids left, indexed ids right
+      assert(viaIndex.forall { case (a, b, _) => a >= 250 && b < 250 })
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
+
   test("minhash clusters = union-find closure of minhash pairs") {
     import spark.implicits._
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
