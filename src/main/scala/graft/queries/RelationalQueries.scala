@@ -623,11 +623,14 @@ object RelationalQueries {
       |       COUNT(DISTINCT user_id) AS exact_users,
       |       TRUE AS approx_in_band
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    // rsd 0.02 + a 0.10 band = 5σ: the HLL estimate is deterministic for
+    // fixed input, but the default-rsd sketch measured 6.7% off at sf0.1
+    // (the old 0.05 band was only 1σ and passed sf0.01 by luck)
     Tables.events(s, d).groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id")).as("_approx"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("_approx"),
         countDistinct(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("exact_users"),
-        (abs(col("_approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.05)
+        (abs(col("_approx") - col("exact_users")).cast("double") / col("exact_users") <= 0.10)
           .as("approx_in_band"))
       .orderBy("event_type")
   }
