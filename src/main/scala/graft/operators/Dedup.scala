@@ -240,16 +240,24 @@ object Dedup {
     }
   }
 
-  /** Shared minhash entry prep: spread the RAW rows before the
-    * tokenize/hash projection — a small corpus is one parquet split,
-    * and without this the whole expensive projection runs as a single
-    * task (profiled at 8-9 s serial — and hypersensitive to one slow
-    * core) — then project to the (_id, _set) shape the collapse core
-    * consumes. */
-  private def prepTokenDocs(df: DataFrame, id: String, text: String): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    spread.select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
+  /** Spread a frame across the cluster ONLY when its scan is too narrow
+    * to parallelize the projection that follows — a small corpus is one
+    * parquet split, and without the spread an expensive per-row
+    * projection runs as a single task (profiled at 8-9 s serial, and
+    * hypersensitive to one slow core). A big corpus already scans as
+    * thousands of splits, and an unconditional repartition would shuffle
+    * the ENTIRE raw text — the one cost that must never scale with the
+    * corpus. getNumPartitions plans (does not execute) the input. */
+  private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  /** Shared minhash entry prep: spread the RAW rows if the scan is
+    * narrow, then project to the (_id, _set) shape the collapse core
+    * consumes. */
+  private def prepTokenDocs(df: DataFrame, id: String, text: String): DataFrame =
+    spreadIfNarrow(df).select(col(id).as("_id"), tokenHashSet(col(text)).as("_set"))
 
   /** Banded minhash signatures for a rep frame (_fp, _set): one row per
     * (rep, band), keyed by the band's hash — the LSH bucket key the
@@ -587,10 +595,10 @@ object Dedup {
     * flipped bits), then verify Hamming. */
   def simHashPairs(
       df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    // spread raw rows first — the 60-bit vote computation is the most
-    // expensive per-row projection in the suite (same single-split
-    // argument as minHashPairs)
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // spread raw rows if the scan is narrow — the 60-bit vote
+    // computation is the most expensive per-row projection in the suite
+    // (same argument as [[spreadIfNarrow]])
+    val spread = spreadIfNarrow(df)
     // Collapse docs sharing an IDENTICAL simhash before the chunk join —
     // the same trick [[collapseVerifyExpand]] applies to token sets. A
     // dense cluster of k true duplicates otherwise inflates every chunk
@@ -664,9 +672,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, id: String, text: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // spread raw rows before shingling — same single-split argument as
-    // minHashPairs
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // spread raw rows before shingling if the scan is narrow — same
+    // argument as [[spreadIfNarrow]]
+    val spread = spreadIfNarrow(df)
     val docs = spread.select(col(id).as("_id"), shingleHashSet(col(text), n).as("_set"))
       // shingle-less docs (< n tokens) have no defined Jaccard (0/0) —
       // excluding them matches the oracle's NULL-comparison semantics
