@@ -33,6 +33,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("the full native family is registered on the SQL surface") {
+    import org.apache.spark.sql.functions._
+    // each call must parse, resolve, and return the Column-API value
+    val r = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_size(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS isz,
+        |  graft_first_equal_index(array(1L, 2L, 3L), array(9L, 2L, 3L)) AS fei,
+        |  graft_token_hash_set('a b a c') AS ths,
+        |  graft_shingle_hash_set('a b c d', 3) AS shs,
+        |  size(graft_minhash_sig(graft_token_hash_set('a b c'), 64)) AS sig_k,
+        |  graft_simhash60('alpha beta gamma') AS sh,
+        |  graft_cdc_boundaries('some text to chunk here', 8, 4) AS cdc
+        |""".stripMargin).collect().head
+    assert(r.getAs[Int]("isz") === 2)
+    assert(r.getAs[Int]("fei") === 1)
+    assert(r.getSeq[Long](r.fieldIndex("ths")).length === 3) // a b c distinct
+    assert(r.getSeq[Long](r.fieldIndex("shs")).length === 2) // two 3-shingles
+    assert(r.getAs[Int]("sig_k") === 64)
+    // SQL value must equal the Column-API value for the same input
+    import spark.implicits._
+    val viaColumn = Seq("alpha beta gamma").toDF("t")
+      .select(graft.plans.TextHashNative.simHash(col("t")).as("sh"))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("sh") === viaColumn)
+    assert(r.getSeq[Int](r.fieldIndex("cdc")).nonEmpty)
+  }
+
+  test("parameterized SQL functions reject non-literal parameters") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(graft_token_hash_set('a'), cast(rand()*4 as int))")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"),
+      s"expected a literal-parameter error, got: ${err.getMessage}")
+  }
+
   test("firstEqualIndex equals the HOF first-agreeing-index on random band arrays") {
     import org.apache.spark.sql.functions._
     import graft.plans.VectorNative
