@@ -23,8 +23,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("column pruning: scan reads only projected columns") {
     val p = finalPlan("q_s1_scan_project")
-    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
-      "l_quantity:double,l_extendedprice:double,l_shipdate:timestamp"))
+    // the date column's physical type has changed across testdata
+    // generations (timestamp[us] today, DATE or ns-long before) — the
+    // pruning property under test is WHICH columns are read, not how
+    // the generator typed the date that round
+    assert(
+      """ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_shipdate:\w+"""
+        .r.findFirstIn(p).isDefined,
+      s"pruned ReadSchema not found in:\n${p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")}")
   }
 
   test("dim chain plans as broadcast hash joins") {
