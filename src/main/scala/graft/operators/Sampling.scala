@@ -133,6 +133,24 @@ object Sampling {
     * and r = N mod k, the first r buckets take q+1 rows and the rest
     * take q. (The tempting `floor((rn−1)·k/N)` spreads the remainder
     * evenly instead — diverges from NTILE whenever k ∤ N.) */
+  /** Deterministic global training-order shuffle: every row gets a
+    * pseudo-random but REPRODUCIBLE position — md5 over (seed, key)
+    * defines the order, [[Ranks.distributedRowNumber]] assigns the
+    * position without a single-task global sort (range shuffle + one
+    * broadcast of per-partition offsets). Same seed + same corpus ⇒
+    * the same order on any cluster at any partition count, which is
+    * what makes a training run reproducible; a new seed is a fresh
+    * epoch-level reshuffle. Engine-portable (md5 of the decimal key
+    * string), so the full order is oracle-checkable in SQL. */
+  def deterministicShuffle(
+      df: DataFrame, key: Column, seed: Long,
+      outCol: String = "shuffle_pos"): DataFrame = {
+    val sk = md5(concat(lit(seed.toString), lit(":"), key.cast("string")))
+    Ranks.distributedRowNumber(
+      df.withColumn("_sk", sk), Seq(col("_sk").asc, key.asc), outCol)
+      .drop("_sk")
+  }
+
   def frequencyBuckets(
       df: DataFrame, measure: Column, key: Column,
       buckets: Int, outCol: String = "bucket"): DataFrame = {

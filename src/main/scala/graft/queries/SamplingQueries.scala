@@ -121,5 +121,21 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(splitQ, stratified, pack, curriculum, temperature)
+  /** Deterministic global training-order shuffle: reproducible
+    * pseudo-random position per doc (md5 order, distributed rank — no
+    * single-task sort). The oracle recomputes the ENTIRE order. */
+  private val shuffleQ = QuerySpec(
+    "q_sample_shuffle",
+    """SELECT doc_id,
+      |       CAST(ROW_NUMBER() OVER (
+      |         ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |         AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Sampling.deterministicShuffle(Tables.documents(s, d), col("doc_id"), seed = 42L)
+      .select("doc_id", "shuffle_pos")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(splitQ, stratified, pack, curriculum, temperature, shuffleQ)
 }

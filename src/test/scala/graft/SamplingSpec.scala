@@ -97,6 +97,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.filter(col("lang") =!= "en").count() === 0)
   }
 
+  test("deterministic shuffle: a permutation, partition-insensitive, seed-sensitive") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def posMap(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.deterministicShuffle(df, col("doc_id"), seed)
+        .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val base = posMap(docs, 42L)
+    val n = docs.count()
+    // exact permutation of 1..N
+    assert(base.values.toSeq.sorted === (1L to n))
+    // identical order regardless of physical partitioning
+    assert(posMap(docs.repartition(7), 42L) === base)
+    // a different seed is a genuinely different order
+    val reseeded = posMap(docs, 43L)
+    assert(reseeded !== base)
+    assert(reseeded.values.toSeq.sorted === (1L to n))
+  }
+
   test("frequencyBuckets matches NTILE exactly when bucket count does not divide N") {
     import spark.implicits._
     // 73 rows, 10 buckets: NTILE front-loads the remainder — sizes
