@@ -38,7 +38,7 @@ object Dedup {
     * with DISTINCT sets, not documents.
     *
     * @param docs (_id, _set: array<long>)
-    * @param candidates reps(_fp, _rid, _set) → candidate pairs
+    * @param candidates reps(_fp, _set) → candidate pairs
     *                   (_fpa, _fpb), any orientation, dupes allowed
     *
     * Note: two small frames are persisted per invocation (via
@@ -99,7 +99,7 @@ object Dedup {
     val tagged = graft.core.CacheGovernor.persistTracked(docs
       .withColumn("_fp", xxhash64(col("_set"))))
     val reps = graft.core.CacheGovernor.persistTracked(tagged.groupBy("_fp")
-      .agg(min(col("_id")).as("_rid"), first(col("_set")).as("_set")))
+      .agg(first(col("_set")).as("_set")))
     // a generator declaring candidatesDistinct emits each pair exactly
     // once, already canonical — the dedup shuffle over collision rows
     // (the most expensive stage of the minhash build before the
