@@ -97,7 +97,14 @@ object Bench {
       if (steal1._2 > steal0._2)
         math.round(10000.0 * (steal1._1 - steal0._1) / (steal1._2 - steal0._2)) / 100.0
       else 0.0
-    val byName = runs.flatten.groupBy(_._1)
+    // a failed query is reported ONLY in "errors": its near-instant
+    // wall/cpu numbers are meaningless, and if they entered the maps the
+    // history append would make a failure round the next run's drift
+    // baseline — every later healthy run would then flag as 1.5x+ drift
+    // against a bogus-small number
+    val byName = runs.flatten
+      .filter { case (name, _) => !failed.contains(name) }
+      .groupBy(_._1)
     val results = byName.toSeq
       .map { case (name, ts) => name -> ts.map(_._2._1).min }
       .sortBy(_._1)
@@ -162,6 +169,14 @@ object Bench {
         java.nio.file.Paths.get("bench_history.jsonl"), hist,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      // fixed-path machine-readable artifact: the driver's BENCH_r*.json
+      // captures a stdout TAIL (historically truncated mid-object,
+      // "parsed": null every round) — bench.json is the same object at
+      // a stable path so tooling gets structured per-query numbers
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench.json"), hist.stripLineEnd + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     } catch { case _: Throwable => () } // history is best-effort
     spark.stop()
   }

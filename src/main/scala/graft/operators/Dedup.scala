@@ -247,10 +247,29 @@ object Dedup {
     * hypersensitive to one slow core). A big corpus already scans as
     * thousands of splits, and an unconditional repartition would shuffle
     * the ENTIRE raw text — the one cost that must never scale with the
-    * corpus. getNumPartitions plans (does not execute) the input. */
+    * corpus.
+    *
+    * Partition-count inspection is plan-shape-aware: under AQE, `.rdd`
+    * on a plan CONTAINING EXCHANGES materializes the upstream shuffle
+    * stages eagerly, and that RDD is then discarded — the returned
+    * frame would re-execute them. So a frame whose plan already
+    * shuffles (or broadcasts) is passed through untouched — its output
+    * width is governed by spark.sql.shuffle.partitions, not by scan
+    * splits, and forcing it here would double-run the exchange. Only an
+    * exchange-free (scan-shaped) plan is inspected via `.rdd`, where
+    * building the RDD just plans file splits and executes nothing. */
   private[graft] def spreadIfNarrow(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    def hasExchange(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          hasExchange(a.inputPlan)
+        case _: org.apache.spark.sql.execution.exchange.Exchange => true
+        case other => other.children.exists(hasExchange)
+      }
+    if (hasExchange(df.queryExecution.executedPlan)) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 
   /** Shared minhash entry prep: spread the RAW rows if the scan is
@@ -487,6 +506,131 @@ object Dedup {
       .select(col("_fp"), col("_set"),
         bandHashesOfSig(col("_sig"), numHashes, bands).as("_bhs"))
       .write.mode("overwrite").parquet(s"$path/reps")
+    // persist the parameters WITH the relation: a reader supplying
+    // mismatched numHashes/bands would band-join against misaligned
+    // _bhs arrays and silently lose recall instead of erroring —
+    // requireRelationMeta turns that into an immediate failure
+    df.sparkSession.range(1)
+      .select(lit(numHashes).as("num_hashes"), lit(bands).as("bands"),
+        lit(threshold).as("threshold"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Read back the (numHashes, bands, threshold) a relation was written
+    * with; None for a pre-meta relation (documented-contract only). */
+  def readMinHashRelationMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Int, Int, Double)] =
+    try {
+      val r = spark.read.parquet(s"$path/meta")
+        .select("num_hashes", "bands", "threshold").head()
+      Some((r.getInt(0), r.getInt(1), r.getDouble(2)))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Fail fast when a reader's banding parameters disagree with the
+    * values the stored relation was built with (silent recall loss
+    * otherwise: batch band indices simply never align with stored
+    * `_bhs` entries). The threshold may legitimately differ upward —
+    * verification re-filters — but a LOWER threshold than the stored
+    * one cannot recover candidates the writer's band layout already
+    * dropped, so it is rejected too. */
+  private def requireRelationMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      numHashes: Int, bands: Int, threshold: Double): Unit =
+    readMinHashRelationMeta(spark, path).foreach { case (nh, b, th) =>
+      require(nh == numHashes && b == bands,
+        s"stored minhash relation at $path was written with " +
+          s"numHashes=$nh, bands=$b; caller passed $numHashes/$bands — " +
+          "band hashes would not align and recall would silently degrade")
+      require(threshold >= th - 1e-9,
+        s"stored minhash relation at $path was verified at threshold=$th; " +
+          s"querying at lower $threshold cannot recover pairs the stored " +
+          "band layout already dropped")
+    }
+
+  /** Fold an accepted batch INTO a [[writeMinHashRelation]] index —
+    * the missing half of the incremental-ingest story: without it a
+    * long-lived pipeline re-tokenizes the whole corpus every night.
+    * With it, each night costs O(batch) + one band join against the
+    * stored (already banded) reps.
+    *
+    * Everything is DELTA-ONLY parquet appends — the stored members /
+    * reps / verified files are never rewritten, so the write cost is
+    * O(batch), not O(corpus): the 100 TB-safe shape.
+    *
+    * Equivalence to a full rebuild (asserted in DedupSpec): fingerprints
+    * are content hashes of the token set, so the collapsed rep space is
+    * independent of batch boundaries; the rebuild's candidate pairs
+    * split exactly into stored×stored (already in `verified`),
+    * new×stored (the bipartite band join here) and new×new (the self
+    * generator over the truly-new reps) — and band collisions are
+    * deterministic functions of the sets, so no pair is lost at the
+    * seam. Cross pairs are canonicalized to the self-join's
+    * (least, greatest) fingerprint orientation before appending. */
+  def appendToMinHashRelation(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, id: String, text: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.9): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    requireRelationMeta(spark, path, numHashes, bands, threshold)
+    val storedReps = spark.read.parquet(s"$path/reps")
+    val taggedNew = graft.core.CacheGovernor.persistTracked(
+      prepTokenDocs(newDocs, id, text).withColumn("_fp", xxhash64(col("_set"))))
+    // truly-new fingerprints only: a batch doc whose set is already
+    // indexed extends the member map, but its rep row, band hashes and
+    // stored×stored pairs are already present and MUST not duplicate
+    val repsNew = graft.core.CacheGovernor.persistTracked(
+      taggedNew.groupBy("_fp").agg(first(col("_set")).as("_set"))
+        .join(storedReps.select("_fp"), Seq("_fp"), "left_anti"))
+    val repsNewIndexed = graft.core.CacheGovernor.persistTracked(
+      repsNew.withColumn("_sig",
+          graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
+        .select(col("_fp"), col("_set"),
+          bandHashesOfSig(col("_sig"), numHashes, bands).as("_bhs")))
+    // force the delta to materialize BEFORE any append below: its plan
+    // reads <path>/reps (the anti-join), and appending files to a path
+    // an unexecuted plan still has to scan is a lineage hazard
+    repsNewIndexed.count()
+    def banded(reps: DataFrame): DataFrame = reps
+      .select(col("_fp"), size(col("_set")).as("_n"), col("_bhs"),
+        posexplode(col("_bhs")))
+      .withColumnRenamed("pos", "_band").withColumnRenamed("col", "_bandhash")
+    def verify(cand: DataFrame, setsA: DataFrame, setsB: DataFrame): DataFrame =
+      cand
+        .join(setsA.select(col("_fp").as("_fpa"), col("_set").as("_seta")), "_fpa")
+        .join(setsB.select(col("_fp").as("_fpb"), col("_set").as("_setb")), "_fpb")
+        .withColumn("_i", graft.plans.VectorNative.sortedIntersectSize(
+          col("_seta"), col("_setb")))
+        .withColumn("jaccard", col("_i").cast("double") /
+          (size(col("_seta")) + size(col("_setb")) - col("_i")))
+        .filter(col("jaccard") >= threshold)
+        .select("_fpa", "_fpb", "jaccard")
+    // new×stored: bipartite band equi-join (same shape as
+    // minHashPairsBetween), then canonical (least, greatest) orientation
+    val candCross = banded(repsNewIndexed)
+      .select(col("_fp").as("_fpa"), col("_n").as("_na"),
+        col("_bhs").as("_bhsa"), col("_band"), col("_bandhash"))
+      .join(banded(storedReps)
+        .select(col("_fp").as("_fpb"), col("_n").as("_nb"),
+          col("_bhs").as("_bhsb"), col("_band"), col("_bandhash")),
+        Seq("_band", "_bandhash"))
+      .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
+        col("_nb") >= col("_na") * threshold - 1e-9)
+      .filter(firstBandOnly)
+      .select("_fpa", "_fpb")
+    val crossVerified = verify(candCross, repsNewIndexed, storedReps)
+      .select(least(col("_fpa"), col("_fpb")).as("_fpa"),
+        greatest(col("_fpa"), col("_fpb")).as("_fpb"), col("jaccard"))
+    // new×new: the standard self generator over the truly-new reps
+    val newNewVerified = verify(
+      minHashCandidates(numHashes, bands, threshold)(repsNew),
+      repsNewIndexed, repsNewIndexed)
+    crossVerified.unionByName(newNewVerified)
+      .write.mode("append").parquet(s"$path/verified")
+    taggedNew.select(col("_fp"), col("_id"))
+      .write.mode("append").parquet(s"$path/members")
+    repsNewIndexed.write.mode("append").parquet(s"$path/reps")
   }
 
   /** Incremental near-dup dedup of a NEW batch against a
@@ -499,8 +643,9 @@ object Dedup {
     * prefilter and skip-earlier-bands dedup as every other generator,
     * then the exact two-pointer Jaccard verifies against the stored
     * rep sets. Near-dup complement of [[dedupAgainstIndex]] (which
-    * catches exact token-set matches only). `numHashes`/`bands` MUST
-    * match the values the relation was written with.
+    * catches exact token-set matches only). `numHashes`/`bands` are
+    * checked against the relation's stored meta — a mismatch fails
+    * immediately instead of silently degrading recall.
     *
     * @return (a_id, b_id, jaccard) — a_id from the new batch, b_id an
     *         already-indexed document
@@ -511,6 +656,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    requireRelationMeta(spark, path, numHashes, bands, threshold)
     val storedReps = spark.read.parquet(s"$path/reps")
     val storedMembers = spark.read.parquet(s"$path/members")
     val taggedNew = graft.core.CacheGovernor.persistTracked(

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** SparkSessionExtensions entry point (SURVEY.md §2.10/X1): registers
   * the engine's native functions with the SQL surface, so e.g.
@@ -32,6 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  /** The array-reading expressions access ArrayData with fixed-width
+    * getLong/getDouble, which silently reads garbage on an int- or
+    * float-backed array (e.g. the SQL literal `array(1,3,5)` is
+    * array<int>). The Column API wrappers cast at their entry; the SQL
+    * surface inserts the same cast here, so mismatched-but-coercible
+    * inputs are fixed up and incoercible ones fail analysis (the
+    * expressions' own checkInputDataTypes is the backstop). */
+  private def asArrayOf(elem: DataType)(child: Expression): Expression =
+    Cast(child, ArrayType(elem))
+
+  private val asLongs = asArrayOf(LongType) _
+  private val asDoubles = asArrayOf(DoubleType) _
+
   private def reg(
       e: SparkSessionExtensions, name: String, clazz: Class[_])(
       builder: Seq[Expression] => Expression): Unit =
@@ -42,13 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     reg(e, "graft_dot", classOf[DotProduct]) {
-      exprs => DotProduct(exprs.head, exprs(1))
+      exprs => DotProduct(asDoubles(exprs.head), asDoubles(exprs(1)))
     }
     reg(e, "graft_sorted_intersect_size", classOf[SortedIntersectSize]) {
-      exprs => SortedIntersectSize(exprs.head, exprs(1))
+      exprs => SortedIntersectSize(asLongs(exprs.head), asLongs(exprs(1)))
     }
     reg(e, "graft_first_equal_index", classOf[FirstEqualIndex]) {
-      exprs => FirstEqualIndex(exprs.head, exprs(1))
+      exprs => FirstEqualIndex(asLongs(exprs.head), asLongs(exprs(1)))
     }
     reg(e, "graft_token_hash_set", classOf[TokenHashSetExpr]) {
       exprs => TokenHashSetExpr(exprs.head)
@@ -58,7 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(exprs(1), "graft_shingle_hash_set", 1))
     }
     reg(e, "graft_minhash_sig", classOf[MinHashSigExpr]) {
-      exprs => MinHashSigExpr(exprs.head,
+      exprs => MinHashSigExpr(asLongs(exprs.head),
         litInt(exprs(1), "graft_minhash_sig", 1))
     }
     reg(e, "graft_simhash60", classOf[SimHash60Expr]) {

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftops.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native dot product over two array<double> columns — the SURVEY.md §4
   * candidate custom Expression for the similarity hot path (J8/X1).
@@ -24,7 +25,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // callers guarantee array<double> inputs (VectorNative.dot casts)
+  // getDouble on an int/float-backed ArrayData silently reads garbage,
+  // so reject anything but array<double> at analysis (ExpectsInputTypes
+  // is private[sql]; the Column API and GraftExtensions insert casts)
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorNative.requireElementType(Seq(left, right), DoubleType, prettyName)
+
   override def dataType: DataType = DoubleType
 
   // NULL on length mismatch, matching the HOF composition exactly
@@ -85,6 +91,12 @@ case class DotProduct(left: Expression, right: Expression)
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // getLong on an int-backed ArrayData silently reads garbage, so
+  // reject anything but array<bigint> at analysis (casts are inserted
+  // by the Column API wrappers and the GraftExtensions SQL builders)
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorNative.requireElementType(Seq(left, right), LongType, prettyName)
+
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -139,6 +151,12 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 case class FirstEqualIndex(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // getLong on an int-backed ArrayData silently reads garbage, so
+  // reject anything but array<bigint> at analysis (casts are inserted
+  // by the Column API wrappers and the GraftExtensions SQL builders)
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorNative.requireElementType(Seq(left, right), LongType, prettyName)
+
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -176,6 +194,23 @@ case class FirstEqualIndex(left: Expression, right: Expression)
 }
 
 object VectorNative {
+
+  /** Analysis-time element-type check shared by the vector family: the
+    * generated loops read ArrayData with a fixed-width accessor, so a
+    * mismatched element type must fail resolution, not corrupt data. */
+  private[plans] def requireElementType(
+      es: Seq[Expression], elem: DataType, name: String): TypeCheckResult = {
+    val bad = es.find(_.dataType match {
+      case ArrayType(et, _) => et != elem
+      case _ => true
+    })
+    bad match {
+      case None => TypeCheckResult.TypeCheckSuccess
+      case Some(b) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<${elem.catalogString}> inputs, " +
+          s"got ${b.dataType.catalogString}")
+    }
+  }
 
   /** Codegen'd |A ∩ B| for sorted, duplicate-free array<long> Columns.
     * The cast guards against int-typed arrays reaching getLong. */

@@ -186,6 +186,80 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("append to stored minhash index: index + batch1 + batch2 = full rebuild") {
+    import spark.implicits._
+    val pathIncr = java.nio.file.Files
+      .createTempDirectory("graft-minhash-append").toString
+    val pathFull = java.nio.file.Files
+      .createTempDirectory("graft-minhash-full").toString
+    try {
+      // three ingest waves over the real corpus — wave boundaries cut
+      // straight through duplicate clusters, so the seam logic (new x
+      // stored cross pairs, new x new self pairs, member-only appends
+      // for already-indexed fingerprints) all exercise for real
+      val wave1 = docs.filter(col("doc_id") < 200)
+      val wave2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+      val wave3 = docs.filter(col("doc_id") >= 350)
+      Dedup.writeMinHashRelation(wave1, "doc_id", "text", pathIncr)
+      Dedup.appendToMinHashRelation(spark, pathIncr, wave2, "doc_id", "text")
+      Dedup.appendToMinHashRelation(spark, pathIncr, wave3, "doc_id", "text")
+      Dedup.writeMinHashRelation(docs, "doc_id", "text", pathFull)
+      // same expanded pair listing...
+      def pairsOf(p: String) = Dedup.minHashPairsFrom(spark, p)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val incr = pairsOf(pathIncr)
+      assert(incr.nonEmpty, "fixture must contain near-dups")
+      assert(incr === pairsOf(pathFull))
+      // ...same clusters...
+      def clustersOf(p: String) = Dedup.minHashClustersFrom(spark, p)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(clustersOf(pathIncr) === clustersOf(pathFull))
+      // ...and the same collapsed rep relation (fingerprint -> band
+      // hashes), i.e. future appends against either index behave alike
+      def repsOf(p: String) = spark.read.parquet(s"$p/reps")
+        .select(col("_fp"), col("_bhs")).as[(Long, Seq[Long])].collect().toSet
+      assert(repsOf(pathIncr) === repsOf(pathFull))
+      // no duplicated rep rows across the appends
+      val repCount = spark.read.parquet(s"$pathIncr/reps").count()
+      assert(repCount === spark.read.parquet(s"$pathIncr/reps")
+        .select("_fp").distinct().count())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(pathIncr)).deleteRecursively()
+      new Directory(new java.io.File(pathFull)).deleteRecursively()
+    }
+  }
+
+  test("stored minhash index rejects mismatched banding parameters") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-minhash-meta").toString
+    try {
+      val corpus = docs.filter(col("doc_id") < 100)
+      Dedup.writeMinHashRelation(corpus, "doc_id", "text", path,
+        numHashes = 64, bands = 16, threshold = 0.9)
+      assert(Dedup.readMinHashRelationMeta(spark, path) === Some((64, 16, 0.9)))
+      val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      // mismatched band layout: immediate failure, not silent recall loss
+      intercept[IllegalArgumentException] {
+        Dedup.minHashPairsAgainst(spark, path, batch, "doc_id", "text",
+          numHashes = 32, bands = 8)
+      }
+      // lower threshold than stored: candidates were never generated
+      intercept[IllegalArgumentException] {
+        Dedup.minHashPairsAgainst(spark, path, batch, "doc_id", "text",
+          threshold = 0.5)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.appendToMinHashRelation(spark, path, batch, "doc_id", "text",
+          numHashes = 32, bands = 8)
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
+
   test("minhash clusters = union-find closure of minhash pairs") {
     import spark.implicits._
     val pairs = Dedup.minHashPairs(docs, "doc_id", "text")

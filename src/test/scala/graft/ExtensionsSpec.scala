@@ -33,6 +33,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("SQL surface coerces int-typed array literals (no silent garbage)") {
+    // `array(1,3,5)` is array<int>; without the builder-inserted casts,
+    // getLong over the int-backed ArrayData read garbage and these
+    // returned silently wrong values
+    val r = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_size(array(1, 3, 5), array(3, 5, 7)) AS isz,
+        |  graft_first_equal_index(array(1, 2, 3), array(9, 2, 3)) AS fei,
+        |  graft_dot(array(1, 2, 3), array(4, 5, 6)) AS d
+        |""".stripMargin).collect().head
+    assert(r.getAs[Int]("isz") === 2)
+    assert(r.getAs[Int]("fei") === 1)
+    assert(r.getAs[Double]("d") === 32.0)
+  }
+
   test("the full native family is registered on the SQL surface") {
     import org.apache.spark.sql.functions._
     // each call must parse, resolve, and return the Column-API value
