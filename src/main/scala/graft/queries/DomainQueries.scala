@@ -1,5 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
 import graft.api.NetIntel
 import graft.core.{DomainTables, Tables}
 import graft.operators.Forecast
@@ -57,16 +60,103 @@ object DomainQueries {
     NetIntel.schedule(s, d, "2024-01-15", 5)
   }
 
-  /** X3 — MLlib forecast pipeline; rows-only check (see Forecast). */
-  private val ml = QuerySpec.noOracle("q_x3_ml_forecast") { (s, d) =>
-    Forecast.trainAndScore(Tables.events(s, d), splitDay = "2024-01-20")
+  /** X3 — MLlib forecast pipeline. Training is seeded but LBFGS's
+    * parallel reduction is not bit-reproducible, so the hash oracle is
+    * the in-band-invariant shape (the q_a6_approx_distinct trick): one
+    * row whose only cross-engine number is the scored-row count (DuckDB
+    * recomputes it as the distinct (user_id, day) pairs past the
+    * split), plus booleans the engine computes FROM the scored table —
+    * model quality (AUC/RMSE via [[Forecast.metrics]], i.e. the
+    * distributed tie-averaged-rank AUC path runs inside this query) and
+    * output-contract checks. Bounds carry >10x the observed cross-scale
+    * spread: measured AUC 0.765-0.801 and RMSE 0.418-0.427 across
+    * sf0.001/0.01/0.1 (round 9), gated at 0.6 / 0.49. A training or
+    * scoring regression flips a boolean and fails the hash. */
+  private val ml = QuerySpec(
+    "q_x3_ml_forecast",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |       TRUE AS auc_in_band, TRUE AS rmse_in_band,
+      |       TRUE AS probs_in_range, TRUE AS dates_after_split
+      |FROM (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+      |      WHERE CAST(ts AS DATE) >= DATE '2024-01-20'
+      |      GROUP BY user_id, CAST(ts AS DATE)) t""".stripMargin) { (s, d) =>
+    val scored = graft.core.CacheGovernor.persistTracked(
+      Forecast.trainAndScore(Tables.events(s, d), splitDay = "2024-01-20"))
+    val m = Forecast.metrics(scored)
+    val rowChecks = scored.agg(
+      count(lit(1)).cast("long").as("n_scored"),
+      max(when(col("outage_probability") < 0.0 || col("outage_probability") > 1.0,
+        1).otherwise(0)).as("_badp"),
+      max(when(col("prediction_date") < lit("2024-01-20").cast("date"),
+        1).otherwise(0)).as("_badd"))
+    rowChecks.crossJoin(m.select(col("auc"), col("rmse")))
+      .select(col("n_scored"),
+        (col("auc") >= 0.6).as("auc_in_band"),
+        (col("rmse") <= 0.49).as("rmse_in_band"),
+        (col("_badp") === 0).as("probs_in_range"),
+        (col("_badd") === 0).as("dates_after_split"))
   }
 
-  /** EP3 + the README.md:61 location-clustering stage (seeded KMeans —
-    * iterative ML, not SQL-oracle-able; property-checked in
-    * ForecastSpec). */
-  private val ep3Clustered = QuerySpec.noOracle("q_ep3_schedule_clustered") { (s, d) =>
-    NetIntel.scheduleClustered(s, d, "2024-01-15", k = 4, perCluster = 5)
+  /** EP3 + the README.md:61 location-clustering stage (seeded KMeans).
+    * Iterative ML has no value-level SQL oracle, so this is the
+    * in-band-invariant shape: the one cross-engine number is the
+    * eligible-site count (DuckDB recomputes urgency minus ticketed,
+    * joined to sites — exactly the relational prefix the clustering
+    * consumes), and the booleans assert everything the clustering stage
+    * must preserve: k non-empty clusters, per-cluster ranks contiguous
+    * from 1, capacity respected, every scheduled site eligible, every
+    * urgency EXACTLY the relational urgency (same doubles), and a full
+    * re-run (second KMeans fit) bit-identical under the fixed seed.
+    * KMeans itself runs inside the query — twice, for the determinism
+    * gate. */
+  private val ep3Clustered = QuerySpec(
+    "q_ep3_schedule_clustered",
+    withFixtures(
+      """, f AS (SELECT * FROM forecasts WHERE prediction_date = DATE '2024-01-15'),
+        |urgency AS (SELECT site_code, MAX(outage_probability) AS urgency FROM f GROUP BY site_code),
+        |ticketed AS (SELECT DISTINCT site_code FROM f WHERE root_cause = 'error'),
+        |eligible AS (SELECT u.site_code FROM urgency u JOIN sites s USING (site_code)
+        |             WHERE u.site_code NOT IN (SELECT site_code FROM ticketed))
+        |SELECT CAST((SELECT COUNT(*) FROM eligible) AS BIGINT) AS n_eligible,
+        |       TRUE AS clusters_eq_k, TRUE AS ranks_contiguous,
+        |       TRUE AS within_capacity, TRUE AS sites_eligible,
+        |       TRUE AS urgency_exact, TRUE AS rerun_deterministic""".stripMargin)) { (s, d) =>
+    val k = 4
+    val perCluster = 5
+    val run1 = NetIntel.scheduleClustered(s, d, "2024-01-15", k, perCluster)
+    val run2 = NetIntel.scheduleClustered(s, d, "2024-01-15", k, perCluster)
+    // order-insensitive full-result signature; bit_xor (not sum) so the
+    // fold cannot overflow under ANSI arithmetic
+    def sig(df: DataFrame, as: String) = df.agg(expr(
+      "bit_xor(xxhash64(cluster, deploy_rank, site_code, urgency, zone, region))")
+      .as(as))
+    val f = DomainTables.forecastsForDate(s, d, "2024-01-15")
+    val urgency = f.groupBy("site_code").agg(max(col("outage_probability")).as("_u"))
+    val ticketed = f.filter(col("root_cause") === "error").select("site_code")
+    val eligible = urgency
+      .join(ticketed, Seq("site_code"), "left_anti")
+      .join(broadcast(DomainTables.sites(s, d).select("site_code")), "site_code")
+    val nEligible = eligible.agg(count(lit(1)).cast("long").as("n_eligible"))
+    val perClusterChecks = run1.groupBy("cluster")
+      .agg(count(lit(1)).as("_n"),
+        max(col("deploy_rank")).as("_maxr"), min(col("deploy_rank")).as("_minr"))
+      .agg(count(lit(1)).as("_nclusters"),
+        max(when(col("_maxr") =!= col("_n") || col("_minr") =!= 1, 1)
+          .otherwise(0)).as("_badrank"),
+        max(when(col("_n") > perCluster, 1).otherwise(0)).as("_overcap"))
+    val eligibility = run1.join(eligible, Seq("site_code"), "left_outer")
+      .agg(max(when(col("_u").isNull, 1).otherwise(0)).as("_notelig"),
+        max(when(col("_u").isNotNull && col("urgency") =!= col("_u"), 1)
+          .otherwise(0)).as("_badurg"))
+    nEligible.crossJoin(perClusterChecks).crossJoin(eligibility)
+      .crossJoin(sig(run1, "_sig1")).crossJoin(sig(run2, "_sig2"))
+      .select(col("n_eligible"),
+        (col("_nclusters") === k).as("clusters_eq_k"),
+        (col("_badrank") === 0).as("ranks_contiguous"),
+        (col("_overcap") === 0).as("within_capacity"),
+        (col("_notelig") === 0).as("sites_eligible"),
+        (col("_badurg") === 0).as("urgency_exact"),
+        (col("_sig1") === col("_sig2")).as("rerun_deterministic"))
   }
 
   val all: Seq[QuerySpec] = Seq(ep1, ep2, ep3, ep3Clustered, ml)

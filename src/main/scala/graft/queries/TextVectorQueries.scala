@@ -790,15 +790,53 @@ object TextVectorQueries {
   }
 
   /** IVF ANN with TRAINED (seeded-KMeans) centroids — same search shape
-    * as q_sim_ivf_topk but the cells track the corpus cluster structure;
-    * recall ≥ the hash-seeded variant asserted on a planted-cluster
-    * fixture in SimilaritySpec (iterative ML → no hash oracle). */
-  private val simIvfTrained = QuerySpec.noOracle("q_sim_ivf_trained") { (s, d) =>
+    * as q_sim_ivf_topk but the cells track the corpus cluster structure.
+    * Iterative ML has no value-level hash oracle, so this carries the
+    * in-band-invariant shape (the q_a6_approx_distinct trick): the one
+    * cross-engine number is the query count (DuckDB recounts
+    * vec_id < 100), and the booleans are computed IN-ENGINE from the
+    * trained search against the exact brute-force top-k run in the same
+    * query: each query returns exactly k contiguously-ranked rows with
+    * valid cosines, and mean recall-vs-exact clears 0.5 — measured
+    * 0.678-0.698 across sf0.001/0.01/0.1 (round 9), so the gate holds
+    * >10x the observed cross-scale spread while still failing on any
+    * real cell-assignment or probe regression. Recall counts an approx
+    * row as a hit iff its cosine reaches the query's k-th exact cosine
+    * (1e-9 slack) — tie-robust where id-set intersection is not. */
+  private val simIvfTrained = QuerySpec(
+    "q_sim_ivf_trained",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |       TRUE AS k_rows_each, TRUE AS ranks_contiguous,
+      |       TRUE AS cos_valid, TRUE AS recall_in_band
+      |FROM embeddings WHERE vec_id < 100""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopKTrained(
-      emb.filter(col("vec_id") < 100), emb,
+    val queries = emb.filter(col("vec_id") < 100)
+    val approx = Similarity.ivfTopKTrained(
+      queries, emb,
       "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
-      .orderBy("q_id", "rnk")
+    val exact = Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    val kth = exact.groupBy("q_id").agg(min(col("cos")).as("_kth"))
+    val per = approx.join(kth, "q_id")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("_rows"),
+        max(col("rnk")).as("_maxr"), min(col("rnk")).as("_minr"),
+        max(when(col("cos").isNull || abs(col("cos")) > 1.0 + 1e-6, 1)
+          .otherwise(0)).as("_badcos"),
+        (sum(when(col("cos") >= col("_kth") - 1e-9, 1).otherwise(0)) / 5.0)
+          .as("_recall"))
+    per.agg(
+      count(lit(1)).cast("long").as("n_queries"),
+      max(when(col("_rows") =!= 5, 1).otherwise(0)).as("_badrows"),
+      max(when(col("_maxr") =!= col("_rows") || col("_minr") =!= 1, 1)
+        .otherwise(0)).as("_badrank"),
+      max(col("_badcos")).as("_anybadcos"),
+      avg(col("_recall")).as("_mean"))
+      .select(col("n_queries"),
+        (col("_badrows") === 0).as("k_rows_each"),
+        (col("_badrank") === 0).as("ranks_contiguous"),
+        (col("_anybadcos") === 0).as("cos_valid"),
+        (col("_mean") >= 0.5).as("recall_in_band"))
   }
 
   val all: Seq[QuerySpec] = Seq(
