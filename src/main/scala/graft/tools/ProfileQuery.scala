@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Steal-immune per-query profiler: runs named registry queries with the
@@ -30,6 +30,29 @@ object ProfileQuery {
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
+    }
+  }
+
+  /** One completed stage's parallelism + shuffle volume. */
+  final case class StageStat(
+      stageId: Int, numTasks: Int, shufRead: Long, shufWrite: Long)
+
+  /** Per-STAGE tally (vs [[Tally]]'s per-task totals): records each
+    * completed stage's task count and shuffle bytes, so scale smokes can
+    * assert "every stage that reads real shuffle data is as wide as the
+    * cluster" — the property that actually transfers to 1000 executors,
+    * where one narrow hot stage is the whole job's ceiling. */
+  final class StageTally extends SparkListener {
+    private val q = new java.util.concurrent.ConcurrentLinkedQueue[StageStat]()
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val i = s.stageInfo
+      val m = i.taskMetrics
+      q.add(StageStat(i.stageId, i.numTasks,
+        m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten))
+    }
+    def stages: Seq[StageStat] = {
+      import scala.jdk.CollectionConverters._
+      q.asScala.toList
     }
   }
 

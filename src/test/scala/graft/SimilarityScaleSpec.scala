@@ -95,6 +95,66 @@ class SimilarityScaleSpec extends AnyFunSuite {
     graft.core.CacheGovernor.reset(spark)
   }
 
+  test("bipartite exact near-dup at 200k x 100: exact pairs, wide stages, bounded shuffle") {
+    graft.core.CacheGovernor.reset(spark)
+    val aRows = 200000L
+    val a = synthCorpus(aRows)
+    // benchmark side: exact copies of corpus vectors 0..99 under a
+    // disjoint id space — cross-side cos is exactly 1.0 for the copy
+    // pairs; random quantized 8-dim vectors collide with cos >= 0.999
+    // with probability ~0 over 20M pairs, so the expected count is exact
+    val b = synthCorpus(100L).select(
+      (col("vec_id") + 50000000L).as("vec_id"), col("embedding"))
+    val tally = new graft.tools.ProfileQuery.Tally
+    val stageTally = new graft.tools.ProfileQuery.StageTally
+    spark.sparkContext.addSparkListener(tally)
+    spark.sparkContext.addSparkListener(stageTally)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    val n = try {
+      val r = Similarity.nearDupPairsBetween(
+        a, "vec_id", "embedding", b, "vec_id", "embedding",
+        threshold = 0.999).count()
+      Thread.sleep(1500) // listener settle
+      r
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.sparkContext.removeSparkListener(tally)
+      spark.sparkContext.removeSparkListener(stageTally)
+    }
+    val cpu = tally.cpuNs.get / 1e9
+    val stats = stageTally.stages
+    val shufW = stats.map(_.shufWrite).sum / 1048576.0
+    info(f"nearDupPairsBetween at $aRows x 100: $cpu%.1f s executor CPU, " +
+      f"$shufW%.1f MiB shuffle written")
+    assert(n === 100L, s"expected the 100 planted copy pairs, got $n")
+    // the cross-side compute is inherently O(|A|*|B|) dots — bounded,
+    // and NEVER via a nested-loop or corpus self-join (PlanSpec gates
+    // the registered query; this pins the scale shape)
+    assert(cpu <= 180.0, s"bipartite near-dup burned $cpu s CPU")
+    // parallelism gate: a small benchmark side legitimately broadcasts
+    // (zero shuffle), but any stage that DOES read >=1MiB of shuffle
+    // must be cluster-wide — a narrow hot stage here is the regression
+    // that serializes the whole decontamination pass at 100 TB
+    val narrow = stats.filter(s =>
+      s.shufRead >= (1L << 20) &&
+        s.numTasks < spark.sparkContext.defaultParallelism)
+    assert(narrow.isEmpty,
+      "narrow hot stage(s): " + narrow.map(s =>
+        s"stage ${s.stageId}: ${s.numTasks} tasks, " +
+          f"${s.shufRead / 1048576.0}%.1f MiB shuffle read").mkString("; "))
+    // shuffle budget: the measured plan broadcasts the 100-row side
+    // (0 MiB shuffled); if stats ever push the planner to a shuffle
+    // join instead, the legitimate volume is one pass of the corpus
+    // replicated over the SMALL side's block count (~14 MB here, since
+    // blocksFor(100) = 1) — so the bound passes either legitimate plan
+    // and catches only runaway replication (corpus x corpus grid, BNL)
+    assert(stats.map(_.shufWrite).sum <= (64L << 20),
+      f"bipartite near-dup shuffled $shufW%.1f MiB")
+    graft.core.CacheGovernor.reset(spark)
+  }
+
   test("materialized IVF at 200k rows: partitioned-by-cell layout, bounded search") {
     graft.core.CacheGovernor.reset(spark)
     // 200k is enough to exercise the KMeans passes, the cell-partitioned
