@@ -852,6 +852,11 @@ object Dedup {
       // a LONGER prefix under any floating-point rounding of θ·n, so
       // completeness survives e.g. θ=0.8, n=10 where
       // floor(n·(1−θ)) = floor(2.0000000000000004−ε) could land on 1.
+      // Each exploded row also carries `_pre`, the rep's full prefix
+      // RE-SORTED BY HASH VALUE — the skip-earlier-prefixes filter
+      // below compares the pair's prefix arrays with a two-pointer
+      // merge, which needs one common order (the (df, s) order only
+      // chooses WHICH shingles form the prefix).
       // persisted: both sides of the self-join consume this frame, and
       // without the pin each side re-runs the explode→df→regroup→sort
       // chain (and rebuilds the freq broadcast) from `reps`
@@ -861,18 +866,36 @@ object Dedup {
           .agg(collect_list(struct(coalesce(col("_df"), lit(1L)).as("_df"),
             col("_s"))).as("_dfs"))
           .select(col("_fp"), size(col("_dfs")).as("_n"),
-            explode(expr("transform(" +
+            array_sort(expr("transform(" +
               s"slice(array_sort(_dfs), 1, cast(size(_dfs) - floor(size(_dfs) * $threshold) + 1 as int)), " +
-              "x -> x._s)")).as("_s")))
+              "x -> x._s)")).as("_pre"))
+          .select(col("_fp"), col("_n"), col("_pre"),
+            explode(col("_pre")).as("_s")))
       // PPJoin length filter: J ≥ θ ⟹ θ·max(|A|,|B|) ≤ |A∩B| ≤
       // min(|A|,|B|), so each side must be ≥ θ× the other. The 1e-9
       // slack keeps boundary pairs (e.g. |A|=8, |B|=10, θ=0.8, J=0.8
       // exactly) safe from θ's binary-fraction rounding.
-      posting.select(col("_fp").as("_fpa"), col("_n").as("_na"), col("_s"))
-        .join(posting.select(col("_fp").as("_fpb"), col("_n").as("_nb"), col("_s")), "_s")
+      //
+      // Skip-earlier-prefixes (the minhash firstBandOnly trick, ported):
+      // a collision row survives only if its shingle IS the pair's
+      // MINIMUM shared prefix shingle — a symmetric, deterministic pick,
+      // so with the _fpa < _fpb orientation filter each candidate pair
+      // exits the join on exactly ONE row and the downstream
+      // dropDuplicates shuffle over collision rows disappears
+      // (candidatesDistinct = true). Near-dup pairs share most of their
+      // prefixes, so collision rows run ~10-30× the pair count — the
+      // codegen'd two-pointer [[graft.plans.VectorNative.minCommonSorted]]
+      // evaluates per row without shuffling any of them.
+      posting.select(col("_fp").as("_fpa"), col("_n").as("_na"),
+          col("_pre").as("_prea"), col("_s"))
+        .join(posting.select(col("_fp").as("_fpb"), col("_n").as("_nb"),
+          col("_pre").as("_preb"), col("_s")), "_s")
+        .filter(col("_fpa") < col("_fpb"))
         .filter(col("_na") >= col("_nb") * threshold - 1e-9 &&
           col("_nb") >= col("_na") * threshold - 1e-9)
+        .filter(graft.plans.VectorNative.minCommonSorted(
+          col("_prea"), col("_preb")) === col("_s"))
         .select("_fpa", "_fpb")
-    }, threshold)
+    }, threshold, candidatesDistinct = true)
   }
 }

@@ -64,6 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(e, "graft_first_equal_index", classOf[FirstEqualIndex]) {
       exprs => FirstEqualIndex(asLongs(exprs.head), asLongs(exprs(1)))
     }
+    reg(e, "graft_min_common_sorted", classOf[MinCommonSorted]) {
+      exprs => MinCommonSorted(asLongs(exprs.head), asLongs(exprs(1)))
+    }
     reg(e, "graft_token_hash_set", classOf[TokenHashSetExpr]) {
       exprs => TokenHashSetExpr(exprs.head)
     }

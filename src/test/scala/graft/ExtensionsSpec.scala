@@ -105,6 +105,29 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minCommonSorted equals array_min(array_intersect) on sorted sets") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.VectorNative
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // small value domain forces plenty of shared and disjoint cases
+    val rows = (1 to 300).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong).distinct.sorted,
+        Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong).distinct.sorted)
+    } :+ ((0, Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("i", "a", "b")
+      .withColumn("fast", VectorNative.minCommonSorted(col("a"), col("b")))
+      .withColumn("ref", array_min(array_intersect(col("a"), col("b"))))
+    assert(df.filter(!(col("fast") <=> col("ref"))).count() === 0)
+    // SQL surface, including int-literal coercion
+    val r = spark.sql(
+      """SELECT graft_min_common_sorted(array(2, 5, 9), array(3, 5, 7)) AS m,
+        |       graft_min_common_sorted(array(1L), array(2L)) AS none""".stripMargin)
+      .collect().head
+    assert(r.getAs[Long]("m") === 5L)
+    assert(r.isNullAt(r.fieldIndex("none")))
+  }
+
   test("native token/shingle/minhash projections are value-equal to the HOF forms") {
     import org.apache.spark.sql.functions._
     import graft.plans.TextHashNative
