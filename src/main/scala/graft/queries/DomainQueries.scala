@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.NetIntel
 import graft.core.{DomainTables, Tables}
 import graft.operators.Forecast
+import graft.sources.Sinks
 
 /** The reference's entry-point queries EP1-EP3 (README.md:85-88) over
   * the derived domain tables, oracle-checked end-to-end, plus the ML
@@ -58,6 +59,30 @@ object DomainQueries {
         |SELECT zone, deploy_rank, site_code, urgency, region FROM ranked
         |WHERE deploy_rank <= 5 ORDER BY zone, deploy_rank""".stripMargin)) { (s, d) =>
     NetIntel.schedule(s, d, "2024-01-15", 5)
+  }
+
+  /** S5 — forecast sink ROUND TRIP through storage: write the full
+    * forecast table date-partitioned ([[Sinks.writeForecasts]]), read it
+    * back under a date predicate, and hash the values against DuckDB's
+    * view of the source — certifying the partitioned layout preserves
+    * every value AND that a date-bounded read-back touches one
+    * partition (the pruning itself is CI-gated in PlanSpec/SinksSpec;
+    * this query is the value-level half the driver checks). Each
+    * invocation writes a fresh temp dir: the sink is append-only, so
+    * re-reading a shared path would double rows across Bench reps. */
+  private val s5Sink = QuerySpec(
+    "q_s5_forecast_sink",
+    withFixtures(
+      """SELECT id, site_code, outage_probability, root_cause
+        |FROM forecasts WHERE prediction_date = DATE '2024-01-15'
+        |ORDER BY id""".stripMargin)) { (s, d) =>
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-s5-sink").toString
+    Sinks.writeForecasts(DomainTables.forecasts(s, d), path)
+    s.read.parquet(path)
+      .filter(col("p_date") === lit("2024-01-15").cast("date"))
+      .select("id", "site_code", "outage_probability", "root_cause")
+      .orderBy("id")
   }
 
   /** X3 — MLlib forecast pipeline. Training is seeded but LBFGS's
@@ -159,5 +184,5 @@ object DomainQueries {
         (col("_sig1") === col("_sig2")).as("rerun_deterministic"))
   }
 
-  val all: Seq[QuerySpec] = Seq(ep1, ep2, ep3, ep3Clustered, ml)
+  val all: Seq[QuerySpec] = Seq(ep1, ep2, ep3, ep3Clustered, ml, s5Sink)
 }

@@ -158,4 +158,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
       "cell-candidate join should not shuffle both full sides")
   }
+
+  test("forecast sink read-back: static partition pruning on the date predicate") {
+    val p = finalPlan("q_s5_forecast_sink")
+    // the literal date predicate must land in the scan's PartitionFilters
+    // (directory-level pruning), not as a post-scan data filter
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("p_date"),
+      s"date predicate did not reach PartitionFilters:\n$pf")
+  }
+
+  test("forecast sink: a join on the partition key prunes dynamically (DPP)") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dpp-gate").toString
+    graft.sources.Sinks.writeForecasts(
+      graft.core.DomainTables.forecasts(spark, sfDir), path)
+    // fact side: the date-partitioned sink; dim side filtered on a
+    // NON-join column (the star-schema shape) — the surviving dates are
+    // only knowable at RUNTIME, so the scan must carry a dynamicpruning
+    // subquery, not scan all dates. (A literal filter on the join key
+    // itself would be statically propagated instead and prove nothing.)
+    val fact = spark.read.parquet(path)
+    val dim = graft.core.DomainTables.forecasts(spark, sfDir)
+      .filter(col("root_cause") === "error")
+      .select(col("prediction_date").as("p_date")).distinct()
+    val joined = fact.join(dim, "p_date")
+    joined.collect()
+    val p = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "partitioned sink scan must carry a dynamic-partition-pruning " +
+        s"subquery when joined on the partition key:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
 }
