@@ -135,6 +135,45 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(id)
   }
 
+  /** Streaming SEMANTIC decontamination gate: flag arriving docs whose
+    * EMBEDDING lies within cosine ≥ threshold of any static benchmark
+    * embedding — the ingestion-time form of
+    * [[graft.operators.Similarity.nearDupPairsBetween]], for benchmark
+    * leakage that survives paraphrase past both the exact-shingle and
+    * fuzzy token gates.
+    *
+    * Scale shape: the benchmark is small by definition, so its
+    * normalized vectors BROADCAST, hashed into
+    * [[graft.operators.Similarity.blocksFor]] grid cells exactly like
+    * the batch block grid; each arriving doc computes its norm once,
+    * explodes one row per benchmark block, and candidates come from the
+    * broadcast hash join on the block id — stateless, no stream-side
+    * shuffle, no nested-loop join. Exact (no LSH): every (doc,
+    * benchmark) pair is scored exactly once, so recall is 1.0 by
+    * construction. The cosine test is the multiplication form
+    * (dot ≥ ‖a‖·‖b‖·θ) — no division, no NaN path. The only state is
+    * the per-doc within-watermark dedup, so a doc is flagged once no
+    * matter how many benchmark vectors it matches. */
+  def semanticContaminationFlags(
+      docs: DataFrame, bench: DataFrame, id: String, vec: String,
+      threshold: Double, tsCol: String = "ts", delay: String = "10 minutes",
+      benchBlocks: Int = 0): DataFrame = {
+    import graft.plans.VectorNative.dot
+    val bB = if (benchBlocks > 0) benchBlocks
+      else graft.operators.Similarity.blocksFor(bench.count())
+    val vb = bench.select(col(vec).cast("array<double>").as("_bv"))
+      .withColumn("_bn", sqrt(dot(col("_bv"), col("_bv"))))
+      .withColumn("_blk", pmod(xxhash64(col("_bv")), lit(bB)).cast("int"))
+    docs.withWatermark(tsCol, delay)
+      .select(col(id), col(tsCol), col(vec).cast("array<double>").as("_av"))
+      .withColumn("_an", sqrt(dot(col("_av"), col("_av"))))
+      .withColumn("_blk", explode(sequence(lit(0), lit(bB - 1))))
+      .join(broadcast(vb), Seq("_blk"))
+      .filter(dot(col("_av"), col("_bv")) >= col("_an") * col("_bn") * threshold)
+      .select(col(id), col(tsCol))
+      .dropDuplicatesWithinWatermark(id)
+  }
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

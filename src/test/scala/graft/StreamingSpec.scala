@@ -208,6 +208,34 @@ class StreamingSpec extends AnyFunSuite {
       s"expected exactly one flag for the near-duplicate doc: ${flagged.toSeq}")
   }
 
+  test("streaming semantic gate: embedding near a benchmark vector flagged once") {
+    val in = MemoryStream[(Long, Timestamp, Seq[Double])](spark)
+    val df = in.toDF().toDF("doc_id", "ts", "emb")
+    // two benchmark vectors in R^4 — forces the block grid + broadcast
+    // join to route every (doc, bench) pair exactly once
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "emb")
+    val q = StreamingOps.semanticContaminationFlags(
+      df, bench, "doc_id", "emb", threshold = 0.95)
+      .writeStream.format("memory").queryName("stsem").outputMode("append").start()
+    in.addData(
+      // scaled copy of bench 100 → cos exactly 1, flagged once (and
+      // only once, though it meets every benchmark block)
+      (1L, ts("2024-01-01 10:00:00"), Seq(7.0, 0.0, 0.0, 0.0)),
+      // close to bench 101 (cos ≈ 0.995 ≥ 0.95) → flagged
+      (2L, ts("2024-01-01 10:00:30"), Seq(0.1, 1.0, 0.0, 0.0)),
+      // equidistant from both (cos ≈ 0.707 < 0.95) → clean
+      (3L, ts("2024-01-01 10:01:00"), Seq(1.0, 1.0, 0.0, 0.0)))
+    q.processAllAvailable()
+    // out-of-order redelivery of doc 1 within the watermark → no re-flag
+    in.addData((1L, ts("2024-01-01 10:00:10"), Seq(7.0, 0.0, 0.0, 0.0)))
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.table("stsem").select("doc_id").collect().map(_.getLong(0))
+    assert(flagged.sorted.toSeq === Seq(1L, 2L),
+      s"expected docs 1 and 2 flagged exactly once: ${flagged.toSeq}")
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
