@@ -10,18 +10,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has either an oracle or a documented reason") {
+  test("every query carries an oracle — the no-oracle list is empty") {
     val noOracle = SparkEntry.specs.filter(_.oracle.isEmpty).map(_.name).toSet
-    // only iterative-ML ops remain (MLlib KMeans / regression — no
-    // closed-form ANSI-SQL mirror exists). Everything hash- or
-    // plane-seeded left this list: q_dedup_simhash in round 6 via the
-    // portable md5-60 family; the approx aggregates via in-band-boolean
-    // oracles, and ALL four LSH/IVF queries in round 7 via the portable
-    // md5-60 hyperplane family + md5-seeded IVF sample (the oracle
-    // recomputes the exact bucket/cell geometry).
-    assert(noOracle === Set(
-      "q_sim_ivf_trained", "q_x3_ml_forecast",
-      "q_ep3_schedule_clustered"))
+    // the list emptied over rounds 6-9: q_dedup_simhash via the portable
+    // md5-60 family (r6); approx aggregates via in-band-boolean oracles
+    // and all four LSH/IVF queries via the portable hyperplane/sample
+    // families (r7); and the last three iterative-ML queries (KMeans
+    // schedule, trained IVF, ML forecast) via in-band invariant-boolean
+    // oracles sized by MeasureMlBounds (r9). A new query without an
+    // oracle must either get one or document its reason HERE.
+    assert(noOracle === Set.empty[String])
   }
 
   test("approx_count_distinct sits inside its certified 5% band") {
