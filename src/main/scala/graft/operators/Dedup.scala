@@ -633,6 +633,35 @@ object Dedup {
     repsNewIndexed.write.mode("append").parquet(s"$path/reps")
   }
 
+  /** Compact an appended minhash relation into a fresh layout at
+    * `dest` — the maintenance half of [[appendToMinHashRelation]]:
+    * every append adds one batch's worth of small files per
+    * sub-relation, and after enough nightly batches the file count
+    * (not the data volume) starts taxing scan planning. Compaction
+    * rewrites each sub-relation with `coalesce` (file merge, NO
+    * shuffle — contents and row values are untouched) into a NEW
+    * directory, following the versioned-directory convention: the live
+    * index is never overwritten in place, so readers mid-query keep a
+    * consistent snapshot and the swap is an atomic pointer/rename at
+    * the orchestration layer. */
+  def compactMinHashRelation(
+      spark: org.apache.spark.sql.SparkSession, path: String, dest: String,
+      targetRowsPerFile: Long = 4000000L): Unit = {
+    require(path != dest,
+      "compaction writes a NEW versioned directory; compacting a live " +
+        "index onto itself would corrupt readers mid-query")
+    def copy(sub: String): Unit = {
+      val df = spark.read.parquet(s"$path/$sub")
+      val rows = df.count()
+      val files = math.max(1L,
+        (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      df.coalesce(files).write.mode("overwrite").parquet(s"$dest/$sub")
+    }
+    copy("members"); copy("reps"); copy("verified")
+    spark.read.parquet(s"$path/meta").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/meta")
+  }
+
   /** Incremental near-dup dedup of a NEW batch against a
     * [[writeMinHashRelation]] index — the production ingest shape at
     * 100 TB: the stored index is narrow (collapsed reps with

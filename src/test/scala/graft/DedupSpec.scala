@@ -223,6 +223,21 @@ class DedupSpec extends AnyFunSuite {
       val repCount = spark.read.parquet(s"$pathIncr/reps").count()
       assert(repCount === spark.read.parquet(s"$pathIncr/reps")
         .select("_fp").distinct().count())
+      // compaction into a fresh versioned dir: far fewer files, same
+      // pairs, same meta — and the compacted index serves appends-vs
+      // queries exactly like the original
+      val pathCompact = java.nio.file.Files
+        .createTempDirectory("graft-minhash-compact").toString + "/v2"
+      def nFiles(p: String, sub: String) = new java.io.File(s"$p/$sub")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      Dedup.compactMinHashRelation(spark, pathIncr, pathCompact)
+      assert(nFiles(pathCompact, "members") < nFiles(pathIncr, "members"),
+        "compaction must shrink the member file count after 3 writes")
+      assert(pairsOf(pathCompact) === incr)
+      assert(Dedup.readMinHashRelationMeta(spark, pathCompact)
+        === Dedup.readMinHashRelationMeta(spark, pathIncr))
+      new scala.reflect.io.Directory(
+        new java.io.File(pathCompact)).deleteRecursively()
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(pathIncr)).deleteRecursively()
