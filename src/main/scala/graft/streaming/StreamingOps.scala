@@ -174,6 +174,50 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(id)
   }
 
+  /** Streaming ingestion into a STORED minhash index: every micro-batch
+    * of accepted docs folds into the [[graft.operators.Dedup.writeMinHashRelation]]
+    * relation via the delta-only append path — the last piece of the
+    * production ingest loop (gate the stream with the contamination
+    * filters above, then index what survives, and the nightly batch
+    * side reads the same relation).
+    *
+    * Idempotence: Spark's foreachBatch is AT-LEAST-once — after any
+    * restart the last (batchId, rows) re-delivers, and a blind
+    * re-append would duplicate member rows and break the index's
+    * ≡-full-rebuild invariant. A one-column batch LEDGER
+    * (`<path>/_batches`) records each applied batchId, making the
+    * ROUTINE redelivery case a no-op. The residual window is a crash
+    * BETWEEN the append jobs and the ledger write (or between the
+    * sub-relation appends themselves): plain parquet directories have
+    * no atomic multi-file commit, so that one-crash-wide window can
+    * duplicate a batch — closing it needs a transactional table
+    * format, which is exactly what such formats exist for. This is the
+    * same guarantee level as rolling your own foreachBatch sink, made
+    * explicit. Single-writer (one streaming query per index) — the
+    * assumption every file-sink commit log makes.
+    *
+    * @return the function to pass to `stream.writeStream.foreachBatch`
+    *         (exposed directly so batch tests and custom sinks can
+    *         drive it without a streaming harness)
+    */
+  def indexAppendBatch(
+      path: String, id: String, text: String,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.9):
+      (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val ledgerPath = s"$path/_batches"
+    val applied =
+      try spark.read.parquet(ledgerPath)
+        .filter(col("batch_id") === batchId).head(1).nonEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!applied && !batch.isEmpty) {
+      graft.operators.Dedup.appendToMinHashRelation(
+        spark, path, batch, id, text, numHashes, bands, threshold)
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerPath)
+    }
+  }
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

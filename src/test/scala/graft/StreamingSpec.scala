@@ -236,6 +236,55 @@ class StreamingSpec extends AnyFunSuite {
       s"expected docs 1 and 2 flagged exactly once: ${flagged.toSeq}")
   }
 
+  test("streaming index append: micro-batches fold into the stored minhash index, redelivery is a no-op") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-stream-index").toString
+    try {
+      val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+      // seed the index with the first half of the corpus (batch side)
+      graft.operators.Dedup.writeMinHashRelation(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", path)
+      val appendFn = StreamingOps.indexAppendBatch(path, "doc_id", "text")
+      // stream the second half in two micro-batches via foreachBatch
+      val in = MemoryStream[(Long, Timestamp, String)](spark)
+      val df = in.toDF().toDF("doc_id", "ts", "text")
+      val half2 = docs.filter(col("doc_id") >= 250)
+        .select("doc_id", "text").collect()
+      val parts = half2.splitAt(half2.length / 2)
+      val b1 = parts._1
+      val b2 = parts._2
+      val q = df.select("doc_id", "text").writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => appendFn(b.toDF(), id))
+        .start()
+      in.addData(b1.map(r => (r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1))).toSeq)
+      q.processAllAvailable()
+      in.addData(b2.map(r => (r.getLong(0), ts("2024-01-01 10:01:00"), r.getString(1))).toSeq)
+      q.processAllAvailable(); q.stop()
+      // the streamed index answers exactly like a full batch rebuild
+      import spark.implicits._
+      val pathFull = java.nio.file.Files
+        .createTempDirectory("graft-stream-index-full").toString
+      try {
+        graft.operators.Dedup.writeMinHashRelation(docs, "doc_id", "text", pathFull)
+        def pairsOf(p: String) = graft.operators.Dedup.minHashPairsFrom(spark, p)
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        val streamed = pairsOf(path)
+        assert(streamed.nonEmpty)
+        assert(streamed === pairsOf(pathFull))
+        // at-least-once redelivery: re-applying an already-ledgered
+        // batch must not touch the index
+        val membersBefore = spark.read.parquet(s"$path/members").count()
+        appendFn(docs.filter(col("doc_id") >= 250).select("doc_id", "text"), 1L)
+        assert(spark.read.parquet(s"$path/members").count() === membersBefore,
+          "redelivered batchId must be a no-op")
+      } finally {
+        new scala.reflect.io.Directory(new java.io.File(pathFull)).deleteRecursively()
+      }
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
