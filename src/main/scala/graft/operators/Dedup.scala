@@ -566,12 +566,27 @@ object Dedup {
     * generator over the truly-new reps) — and band collisions are
     * deterministic functions of the sets, so no pair is lost at the
     * seam. Cross pairs are canonicalized to the self-join's
-    * (least, greatest) fingerprint orientation before appending. */
+    * (least, greatest) fingerprint orientation before appending.
+    *
+    * `assumeNewDocs` (default true) is the idempotence dial: the rep /
+    * band-hash / verified deltas are inherently idempotent (the
+    * anti-join against stored reps empties them on a re-apply), but the
+    * MEMBER delta is append-blind — re-appending a (doc id, text)
+    * already in the index duplicates its member row and with it every
+    * expanded pair. The default trusts the caller to send each doc once
+    * (the streaming ledger in
+    * [[graft.streaming.StreamingOps.indexAppendBatch]] enforces exactly
+    * that) and keeps the append strictly O(batch). Passing false makes
+    * the whole append idempotent: batch members anti-join against the
+    * stored members OF THE BATCH'S FINGERPRINTS — the batch fp set
+    * broadcasts, so the stored member map is read once (narrow scan,
+    * no shuffle) and the write stays delta-only. */
   def appendToMinHashRelation(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, id: String, text: String,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.9): Unit = {
+      threshold: Double = 0.9,
+      assumeNewDocs: Boolean = true): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireRelationMeta(spark, path, numHashes, bands, threshold)
     val storedReps = spark.read.parquet(s"$path/reps")
@@ -628,8 +643,23 @@ object Dedup {
       repsNewIndexed, repsNewIndexed)
     crossVerified.unionByName(newNewVerified)
       .write.mode("append").parquet(s"$path/verified")
-    taggedNew.select(col("_fp"), col("_id"))
-      .write.mode("append").parquet(s"$path/members")
+    val membersDelta =
+      if (assumeNewDocs) taggedNew.select(col("_fp"), col("_id"))
+      else {
+        // idempotent path: only member rows not already stored under the
+        // batch's fingerprints. The broadcast of the (small) batch fp
+        // set keeps the stored-member read a streaming scan — no
+        // shuffle of the member map, and the WRITE is still the delta.
+        val batchFps = taggedNew.select("_fp").distinct()
+        val storedRelevant = spark.read.parquet(s"$path/members")
+          .join(broadcast(batchFps), Seq("_fp"), "left_semi")
+        val delta = graft.core.CacheGovernor.persistTracked(
+          taggedNew.select(col("_fp"), col("_id"))
+            .join(storedRelevant, Seq("_fp", "_id"), "left_anti"))
+        delta.count() // materialize before appending to the path it reads
+        delta
+      }
+    membersDelta.write.mode("append").parquet(s"$path/members")
     repsNewIndexed.write.mode("append").parquet(s"$path/reps")
   }
 

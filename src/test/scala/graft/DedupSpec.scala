@@ -245,6 +245,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent append: re-applying an overlapping batch leaves the index rebuild-equivalent") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-minhash-idem").toString
+    val pathFull = java.nio.file.Files
+      .createTempDirectory("graft-minhash-idem-full").toString
+    try {
+      val wave1 = docs.filter(col("doc_id") < 250)
+      val wave2 = docs.filter(col("doc_id") >= 250)
+      Dedup.writeMinHashRelation(wave1, "doc_id", "text", path)
+      Dedup.appendToMinHashRelation(spark, path, wave2, "doc_id", "text")
+      // a retried/overlapping batch (contains ALREADY-INDEXED docs):
+      // with assumeNewDocs = false the member delta anti-joins the
+      // stored map, so nothing duplicates
+      Dedup.appendToMinHashRelation(spark, path,
+        docs.filter(col("doc_id") >= 200), "doc_id", "text",
+        assumeNewDocs = false)
+      Dedup.writeMinHashRelation(docs, "doc_id", "text", pathFull)
+      assert(spark.read.parquet(s"$path/members").count()
+        === spark.read.parquet(s"$pathFull/members").count(),
+        "overlapping idempotent append must not duplicate member rows")
+      def pairsOf(p: String) = Dedup.minHashPairsFrom(spark, p)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pairsOf(path) === pairsOf(pathFull))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+      new Directory(new java.io.File(pathFull)).deleteRecursively()
+    }
+  }
+
   test("stored minhash index rejects mismatched banding parameters") {
     import spark.implicits._
     val path = java.nio.file.Files
