@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.OracleCompat._
@@ -635,10 +635,51 @@ object RelationalQueries {
       .orderBy("event_type")
   }
 
+  /** A6d: MERGEABLE cardinality sketches (Datasketches HLL) — the
+    * incremental-corpus companion to q_a6_approx_distinct: a pipeline
+    * appending nightly batches stores one tiny sketch per (batch,
+    * group) and answers whole-corpus distinct counts by UNIONING
+    * sketches — no rescan of historical data, ever. In-engine, the
+    * table splits into two disjoint halves, each half builds per-group
+    * sketches, and BOTH the unioned estimate and the single-pass
+    * whole-table estimate must sit within the 5σ accuracy band of the
+    * exact count DuckDB recomputes (lgConfigK=12 ⇒ ~1.6% rsd; 10%
+    * band). The two estimates are NOT asserted equal — a first draft
+    * did, and the sf0.1 sweep caught it: Datasketches serves a
+    * single-pass sketch from its stream-order-dependent HIP estimator,
+    * which a union legitimately discards (merged sketches fall back to
+    * the composite estimator), so merged and whole differ by design at
+    * the ~1% level while both stay in band. */
+  private val a6d = QuerySpec(
+    "q_a6_hll_merge",
+    """SELECT event_type,
+      |       COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS merged_in_band, TRUE AS whole_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def sketch(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as(as))
+    val h1 = sketch(ev.filter(col("event_id") % 2 === 0), "_sk1")
+    val h2 = sketch(ev.filter(col("event_id") % 2 =!= 0), "_sk2")
+    val whole = ev.groupBy("event_type").agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("_whole"),
+      countDistinct(col("user_id")).as("exact_users"))
+    def inBand(est: Column): Column =
+      abs(est - col("exact_users")).cast("double") / col("exact_users") <= 0.10
+    h1.join(h2, "event_type")
+      .select(col("event_type"),
+        hll_sketch_estimate(hll_union(col("_sk1"), col("_sk2"))).as("_merged"))
+      .join(whole, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        inBand(col("_merged")).as("merged_in_band"),
+        inBand(col("_whole")).as("whole_in_band"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     s1, s2, s7, p2, p3, p4, p5,
     j1, j2, j4, j6, j6holiday, j7semi, j7anti, j9range,
-    a1, a4, a6, a6b, a6c, a7, a8, a8approx, a9,
+    a1, a4, a6, a6b, a6c, a6d, a7, a8, a8approx, a9,
     t1, u1, u2, u3,
     f1, f2, f3, f5, f6, f7)
 }
