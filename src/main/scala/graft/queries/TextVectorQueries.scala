@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, SegmentDedup, Similarity, TextAnalysis}
 
 /** Harness north-star surface (BASELINE.json): deduplication, similarity
   * search, and text analysis over `documents` / `embeddings`.
@@ -760,6 +760,35 @@ object TextVectorQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Segment-level corpus dedup + document reconstruction (SURVEY §2.11
+    * N41) — C4's "drop duplicated lines corpus-wide, keep the first
+    * occurrence" over 10-token segments. The Spark plan shuffles only
+    * (md5, doc_id, seg_id) ids; DuckDB replays the full window-function
+    * formulation. The hash certifies the exact winner rule (global min
+    * (doc_id, seg_id)), every rebuild, and every token count. */
+  private val textLineDedup = QuerySpec(
+    "q_text_line_dedup",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |segs AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_id,
+      |         array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS seg,
+      |         (len(tk) - i*10) >= 10 AS is_full,
+      |         least(10, len(tk) - i*10) AS seg_toks
+      |       FROM toks, UNNEST(range(CAST(ceil(len(tk)/10.0) AS BIGINT))) AS t(i)),
+      |marked AS (SELECT *,
+      |         (is_full AND row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_id) > 1
+      |          AND count(*) OVER (PARTITION BY seg) > 1) AS dropped
+      |       FROM segs)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+      |       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |       CAST(sum(CASE WHEN dropped THEN 0 ELSE seg_toks END) AS BIGINT) AS new_n_tokens,
+      |       md5(COALESCE(string_agg(CASE WHEN dropped THEN NULL ELSE seg END, ' ' ORDER BY seg_id), '')) AS new_md5
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    SegmentDedup.dedupSegments(Tables.documents(s, d), "doc_id", "text", width = 10)
+      .select(col("doc_id"), col("n_segs"), col("n_dropped"), col("new_n_tokens"),
+        md5(col("new_text")).as("new_md5"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing, oracle-certified end to end: both engines append
     * deterministic doc_id-derived PII (email, IPv4, phone) to every
     * document, Spark redacts with TextAnalysis.redactPii, DuckDB with
@@ -843,7 +872,7 @@ object TextVectorQueries {
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,
-    textChunksCdc, textFamiliarity,
+    textChunksCdc, textFamiliarity, textLineDedup,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,

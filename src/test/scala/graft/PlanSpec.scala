@@ -96,6 +96,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) nested-loop join in plan")
   }
 
+  test("segment dedup: hash-keyed equi-joins only, no cross product, no unpartitioned window") {
+    val p = finalPlan("q_text_line_dedup")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) nested-loop join in plan")
+    assert(!p.contains("Window"),
+      "segment winner rule must be an order-independent aggregation, not a window")
+    assert(p.contains("md5"), "candidate keys must be segment hashes, not text")
+  }
+
   test("cluster labeling has no unpartitioned window and no cross product") {
     val p = finalPlan("q_dedup_clusters")
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
