@@ -789,6 +789,39 @@ object TextVectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Mergeable Misra–Gries heavy hitters (SURVEY §2.11 N43) over the
+    * corpus token stream. Sketch contents are engine-specific state, so
+    * the oracle carries the q_a6_approx_distinct shape: the cross-engine
+    * rows are the exact top-10 tokens (DuckDB recounts them), and the
+    * booleans assert the three THEOREM-BACKED sketch guarantees —
+    * coverage of every item above N/(k+1), never over-counting, and
+    * error ≤ N/(k+1) — which must hold on every run or the aggregator
+    * is broken (no tolerance tuning involved). */
+  private val textHeavyHitters = QuerySpec(
+    "q_text_heavy_hitters",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY tok)
+      |SELECT tok AS token, exact_cnt,
+      |       TRUE AS covered, TRUE AS est_le_exact, TRUE AS err_in_bound
+      |FROM c ORDER BY exact_cnt DESC, token LIMIT 10""".stripMargin) { (s, d) =>
+    val k = 32
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.wsTokens(col("text"))).as("tok"))
+    val sk = toks.agg(
+      graft.functions.HeavyHitters.heavyHitters(k)(col("tok")).as("_sk"),
+      count(lit(1)).as("_n"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(10)
+    val est = element_at(map_from_entries(col("_sk")), col("tok"))
+    val bound = col("_n").cast("double") / (k + 1)
+    top.crossJoin(broadcast(sk)) // single-row summary attach
+      .select(col("tok").as("token"), col("exact_cnt"),
+        (col("exact_cnt") <= bound || est.isNotNull).as("covered"),
+        (est.isNull || est <= col("exact_cnt")).as("est_le_exact"),
+        (col("exact_cnt") - coalesce(est, lit(0L)) <= bound).as("err_in_bound"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
   /** PII scrubbing, oracle-certified end to end: both engines append
     * deterministic doc_id-derived PII (email, IPv4, phone) to every
     * document, Spark redacts with TextAnalysis.redactPii, DuckDB with
@@ -872,7 +905,7 @@ object TextVectorQueries {
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,
-    textChunksCdc, textFamiliarity, textLineDedup,
+    textChunksCdc, textFamiliarity, textLineDedup, textHeavyHitters,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
