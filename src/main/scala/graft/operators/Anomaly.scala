@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Metric-stream smoothing + anomaly flagging — the NOC side of the
+  * engine (reference README.md:20-38: KPI degradation / outage
+  * detection over alarm and performance streams).
+  *
+  * Everything here is deterministic enough to hash-oracle against
+  * DuckDB, which is unusual for floating-point smoothing and worth
+  * spelling out:
+  *
+  *  - EWMA uses α = 1/2, so every weight 2^-j is a power of two:
+  *    `x * 2^-j` is EXACT in IEEE double (pure exponent shift), and the
+  *    weighted sum is built as an explicit LEFT-ASSOCIATED chain of
+  *    adds — both engines evaluate the same operations in the same
+  *    order on the same bits. No decimal needed.
+  *  - Trailing mean/variance use exact-decimal window sums
+  *    (OracleCompat's dsum trick, windowed): decimal addition is
+  *    associative, so Spark's partial evaluation order is irrelevant;
+  *    the final few double ops are again order-identical.
+  *
+  * Scale shape: one window partitioned by the series key — the same
+  * single hash-partition exchange any per-key window costs, rows never
+  * leave their key's partition, depth/lookback are O(1) per row. For
+  * hot keys the (key, bucket) carry trick of TimeSeries.interpolateBucketed
+  * applies unchanged.
+  */
+object Anomaly {
+
+  /** Finite-depth EWMA (α = 1/2) of `value` over the trailing `depth`
+    * rows (current row included), per key, in event order. Adds `ewma`.
+    * The truncated tail is renormalized by the present-weight sum, so
+    * the first rows of a series average over what exists. */
+  def withEwma(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[String],
+      value: String,
+      depth: Int = 16): DataFrame = {
+    require(depth >= 1 && depth <= 48, s"depth must be in [1,48], got $depth")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    val terms = (0 until depth).map { j =>
+      val x = if (j == 0) col(value) else lag(col(value), j).over(w)
+      val wt = math.pow(0.5, j) // exact: power of two
+      (x, wt)
+    }
+    val num = terms.map { case (x, wt) => coalesce(x * wt, lit(0.0)) }.reduceLeft(_ + _)
+    val den = terms.map { case (x, wt) => when(x.isNotNull, lit(wt)).otherwise(lit(0.0)) }
+      .reduceLeft(_ + _)
+    df.withColumn("ewma", num / den)
+  }
+
+  /** Trailing-window z-score anomaly flags: a row is anomalous when its
+    * value sits more than `zThreshold` sample standard deviations from
+    * the mean of the `lookback` rows strictly before it (needs at least
+    * `minN` of them). Adds `trail_n` and `anomaly`. */
+  def withAnomalyFlags(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[String],
+      value: String,
+      lookback: Int = 32,
+      minN: Int = 8,
+      zThreshold: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val d = col(value).cast(DecimalType(18, 4))
+    val n = count(col(value)).over(w).cast("double")
+    val sx = sum(d).over(w).cast("double")
+    val sxx = sum(d * d).over(w).cast("double")
+    val mean = sx / n
+    val variance = (n * sxx - sx * sx) / (n * (n - lit(1.0)))
+    val dev = col(value) - mean
+    df.withColumn("trail_n", n.cast("long"))
+      .withColumn("anomaly",
+        n >= minN && dev * dev > lit(zThreshold * zThreshold) * variance)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.core.OracleCompat._
-import graft.operators.TimeSeries
+import graft.operators.{Anomaly, TimeSeries}
 
 /** SURVEY.md §2.5 window functions + the composite time-series operators
   * (§7.3): lag/lead features, rolling stats, per-group top-k, sequence
@@ -119,6 +119,50 @@ object TimeSeriesQueries {
 
   /** A2: resample to tumbling 1-hour buckets (reference README.md:37);
     * epoch-aligned so DuckDB's date_trunc is the oracle. */
+  /** W8 (SURVEY §2.11 N44): EWMA smoothing + trailing z-score anomaly
+    * flags per metric stream — NOC KPI-degradation detection. The EWMA
+    * hash-matches because α=1/2 weights are exact powers of two and the
+    * weighted sum is an explicit left-associated double chain evaluated
+    * identically by both engines; the anomaly stats use exact-decimal
+    * window sums (see operators/Anomaly.scala). */
+  private val w8 = {
+    val depth = 16
+    val terms = (0 until depth).map { j =>
+      if (j == 0) "COALESCE(value * 1.0, 0)"
+      else s"COALESCE(lag(value, $j) OVER w * ${math.pow(0.5, j)}, 0)"
+    }.mkString(" + ")
+    val wts = (0 until depth).map { j =>
+      if (j == 0) "(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+      else s"(CASE WHEN lag(value, $j) OVER w IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END)"
+    }.mkString(" + ")
+    QuerySpec(
+      "q_w8_ewma_anomaly",
+      s"""WITH e AS (
+         |  SELECT event_id, event_type, value,
+         |         ($terms) / ($wts) AS ewma,
+         |         CAST(count(value) OVER wt AS DOUBLE) AS n,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER wt AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER wt AS DOUBLE) AS sxx
+         |  FROM events
+         |  WINDOW w  AS (PARTITION BY event_type ORDER BY ts, event_id),
+         |         wt AS (PARTITION BY event_type ORDER BY ts, event_id
+         |                ROWS BETWEEN 32 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT event_id, event_type, value, ewma,
+         |       CAST(n AS BIGINT) AS trail_n,
+         |       (n >= 8 AND (value - sx / n) * (value - sx / n) >
+         |          9.0 * ((n * sxx - sx * sx) / (n * (n - 1.0)))) AS anomaly
+         |FROM e ORDER BY event_id""".stripMargin) { (s, d) =>
+      val base = Tables.events(s, d)
+      val flagged = Anomaly.withAnomalyFlags(
+        Anomaly.withEwma(base, Seq("event_type"), Seq("ts", "event_id"), "value", depth),
+        Seq("event_type"), Seq("ts", "event_id"), "value",
+        lookback = 32, minN = 8, zThreshold = 3.0)
+      flagged.select("event_id", "event_type", "value", "ewma", "trail_n", "anomaly")
+        .orderBy("event_id")
+    }
+  }
+
   private val a2 = QuerySpec(
     "q_a2_resample",
     """SELECT event_type, epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS bucket_ms,
@@ -265,5 +309,5 @@ object TimeSeriesQueries {
       col("event_type") === "error")
   }
 
-  val all: Seq[QuerySpec] = Seq(w1, w2, w3, w5, w6, w7, a2, a3, j5, w4, st4, auc)
+  val all: Seq[QuerySpec] = Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc)
 }
