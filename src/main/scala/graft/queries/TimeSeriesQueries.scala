@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.core.OracleCompat._
-import graft.operators.{Anomaly, TimeSeries}
+import graft.operators.{Anomaly, Intervals, TimeSeries}
 
 /** SURVEY.md §2.5 window functions + the composite time-series operators
   * (§7.3): lag/lead features, rolling stats, per-group top-k, sequence
@@ -309,5 +309,73 @@ object TimeSeriesQueries {
       col("event_type") === "error")
   }
 
-  val all: Seq[QuerySpec] = Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc)
+  /** Shared interval derivation for IV1/IV2: each 'error' event opens an
+    * outage window of 1-48 whole hours (floor(value) % 48 — floor is
+    * bit-exact on the stored doubles, so both engines derive identical
+    * intervals). All epoch-millis longs: exact arithmetic end to end. */
+  private def outageIntervals(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(
+        col("user_id").as("site_id"),
+        unix_millis(col("ts")).as("start_ms"),
+        (unix_millis(col("ts")) +
+          lit(3600000L) * (lit(1L) + floor(col("value")).cast("long") % 48)).as("end_ms"))
+
+  private val ivSql =
+    """WITH iv AS (
+      |  SELECT user_id AS site_id,
+      |         epoch_ms(ts) AS start_ms,
+      |         epoch_ms(ts) + 3600000 * (1 + CAST(floor(value) AS BIGINT) % 48) AS end_ms
+      |  FROM events WHERE event_type = 'error'
+      |), flagged AS (
+      |  SELECT site_id, start_ms, end_ms,
+      |         CASE WHEN start_ms > MAX(end_ms) OVER (PARTITION BY site_id ORDER BY start_ms, end_ms
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS opens
+      |  FROM iv
+      |), isl AS (
+      |  SELECT site_id, start_ms, end_ms,
+      |         SUM(opens) OVER (PARTITION BY site_id ORDER BY start_ms, end_ms
+      |                          ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM flagged
+      |), m AS (
+      |  SELECT site_id, MIN(start_ms) AS w_start, MAX(end_ms) AS w_end,
+      |         COUNT(*) AS n_merged
+      |  FROM isl GROUP BY site_id, island
+      |)""".stripMargin
+
+  /** IV1: coalesced outage windows per site (islands-and-gaps union of
+    * overlapping alarm intervals — Intervals.mergeIntervals). */
+  private val iv1 = QuerySpec(
+    "q_iv_merge",
+    s"""$ivSql
+       |SELECT site_id, w_start, w_end, n_merged
+       |FROM m ORDER BY site_id, w_start""".stripMargin) { (s, d) =>
+    Intervals.mergeIntervals(outageIntervals(s, d), Seq("site_id"), "start_ms", "end_ms")
+      .select("site_id", "w_start", "w_end", "n_merged")
+      .orderBy("site_id", "w_start")
+  }
+
+  /** IV2: per-site downtime + availability over the January observation
+    * span. Integer sums; one long→double division at the end (correctly
+    * rounded IEEE in both engines). */
+  private val iv2 = QuerySpec(
+    "q_iv_downtime",
+    s"""$ivSql
+       |SELECT site_id,
+       |       CAST(SUM(w_end - w_start) AS BIGINT) AS downtime,
+       |       COUNT(*) AS n_windows,
+       |       MAX(w_end - w_start) AS longest,
+       |       1.0 - CAST(SUM(w_end - w_start) AS DOUBLE) / 2592000000.0 AS availability
+       |FROM m GROUP BY site_id ORDER BY site_id""".stripMargin) { (s, d) =>
+    val merged = Intervals.mergeIntervals(
+      outageIntervals(s, d), Seq("site_id"), "start_ms", "end_ms")
+    Intervals.downtimeStats(merged, Seq("site_id"),
+      lit(1704067200000L), lit(1706659200000L)) // 2024-01-01 + 30 days, UTC
+      .select("site_id", "downtime", "n_windows", "longest", "availability")
+      .orderBy("site_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Intervals
+
+class IntervalsSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def iv(rows: (String, Long, Long)*) =
+    rows.toDF("key", "s", "e")
+
+  private def merged(rows: (String, Long, Long)*) =
+    Intervals.mergeIntervals(iv(rows: _*), Seq("key"), "s", "e")
+      .orderBy("key", "w_start")
+      .select("key", "w_start", "w_end", "n_merged")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("disjoint intervals pass through unmerged") {
+    assert(merged(("a", 0L, 5L), ("a", 10L, 15L)).toSeq ===
+      Seq(("a", 0L, 5L, 1L), ("a", 10L, 15L, 1L)))
+  }
+
+  test("overlapping and touching intervals coalesce into one span") {
+    // [0,5] overlaps [3,8]; [8,12] touches — all one island
+    assert(merged(("a", 0L, 5L), ("a", 3L, 8L), ("a", 8L, 12L)).toSeq ===
+      Seq(("a", 0L, 12L, 3L)))
+  }
+
+  test("a contained interval never extends its island") {
+    assert(merged(("a", 0L, 100L), ("a", 10L, 20L), ("a", 150L, 160L)).toSeq ===
+      Seq(("a", 0L, 100L, 2L), ("a", 150L, 160L, 1L)))
+  }
+
+  test("an early long interval swallows later starts (running-max, not lag)") {
+    // [0,50] then [10,20] then [30,40]: lag(end) would see 20 < 30 and
+    // wrongly break; the running MAX keeps the island open
+    assert(merged(("a", 0L, 50L), ("a", 10L, 20L), ("a", 30L, 40L)).toSeq ===
+      Seq(("a", 0L, 50L, 3L)))
+  }
+
+  test("keys are isolated from each other") {
+    assert(merged(("a", 0L, 10L), ("b", 5L, 15L)).toSeq ===
+      Seq(("a", 0L, 10L, 1L), ("b", 5L, 15L, 1L)))
+  }
+
+  test("identical duplicate intervals merge") {
+    assert(merged(("a", 3L, 9L), ("a", 3L, 9L)).toSeq === Seq(("a", 3L, 9L, 2L)))
+  }
+
+  test("merge is partitioning-insensitive") {
+    val rows = (0 until 500).map { i =>
+      val k = s"k${i % 7}"
+      val s0 = (i * 37L) % 1000
+      (k, s0, s0 + 20 + (i % 60))
+    }
+    val one = Intervals.mergeIntervals(rows.toDF("key", "s", "e").coalesce(1), Seq("key"), "s", "e")
+    val many = Intervals.mergeIntervals(rows.toDF("key", "s", "e").repartition(13), Seq("key"), "s", "e")
+    assert(one.orderBy("key", "w_start").collect().toSeq ===
+      many.orderBy("key", "w_start").collect().toSeq)
+  }
+
+  test("window + groupBy share one exchange (groupBy keys extend the window's)") {
+    val df = Intervals.mergeIntervals(
+      iv(("a", 0L, 5L), ("a", 3L, 8L), ("b", 1L, 2L)), Seq("key"), "s", "e")
+    val plan = df.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected a single hash exchange, plan:\n$plan")
+  }
+
+  test("downtimeStats sums coalesced spans and reports availability") {
+    val m = Intervals.mergeIntervals(
+      iv(("a", 0L, 50L), ("a", 100L, 130L), ("b", 0L, 10L)), Seq("key"), "s", "e")
+    val out = Intervals.downtimeStats(m, Seq("key"), lit(0L), lit(200L))
+      .orderBy("key")
+      .select("key", "downtime", "n_windows", "longest", "availability")
+      .collect()
+    assert(out(0).getString(0) === "a")
+    assert(out(0).getLong(1) === 80L)
+    assert(out(0).getLong(2) === 2L)
+    assert(out(0).getLong(3) === 50L)
+    assert(out(0).getDouble(4) === 1.0 - 80.0 / 200.0)
+    assert(out(1).getString(0) === "b")
+    assert(out(1).getDouble(4) === 1.0 - 10.0 / 200.0)
+  }
+}
