@@ -132,6 +132,76 @@ object AdvancedQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Two deterministic "versions" of the orders snapshot, for U4/U5:
+    * new drops every 4th key (deletes), old lacks every 3rd (inserts),
+    * and new perturbs status (%5) and price (%7 — one exact +1.0 add)
+    * so multi-column null-safe comparison is exercised. */
+  private val snapshotSql =
+    """WITH o_old AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 3 <> 0
+      |), o_new AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 <> 0
+      |)""".stripMargin
+
+  private def snapshots(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val oldDf = base.filter(col("o_orderkey") % 3 =!= 0)
+    val newDf = base.filter(col("o_orderkey") % 4 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 5 === 0, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+    (oldDf, newDf)
+  }
+
+  /** U4: snapshot change detection — SnapshotDiff.diff's full-outer
+    * classification, changes only. */
+  private val snapshotDiff = QuerySpec(
+    "q_u4_snapshot_diff",
+    s"""$snapshotSql
+       |SELECT * FROM (
+       |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       |         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+       |              WHEN n.o_orderkey IS NULL THEN 'delete'
+       |              WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       |                OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+       |              ELSE 'same' END AS change,
+       |         o.o_orderstatus AS old_status, n.o_orderstatus AS new_status,
+       |         o.o_totalprice AS old_price, n.o_totalprice AS new_price
+       |  FROM o_old o FULL OUTER JOIN o_new n ON o.o_orderkey = n.o_orderkey
+       |) WHERE change <> 'same' ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val (oldDf, newDf) = snapshots(s, d)
+    graft.operators.SnapshotDiff
+      .diff(oldDf, newDf, Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .filter(col("change") =!= "same")
+      .select(col("o_orderkey"), col("change"),
+        col("old_o_orderstatus").as("old_status"), col("new_o_orderstatus").as("new_status"),
+        col("old_o_totalprice").as("old_price"), col("new_o_totalprice").as("new_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** U5: changeset application round trip — applyChanges(old,
+    * diff(old, new)) must BE the new snapshot; the oracle is the new
+    * snapshot itself, so the whole diff→apply loop is hash-certified. */
+  private val snapshotApply = QuerySpec(
+    "q_u5_changes_apply",
+    s"""$snapshotSql
+       |SELECT o_orderkey, o_orderstatus, o_totalprice
+       |FROM o_new ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val (oldDf, newDf) = snapshots(s, d)
+    val keys = Seq("o_orderkey")
+    val cmp = Seq("o_orderstatus", "o_totalprice")
+    val changes = graft.operators.SnapshotDiff.diff(oldDf, newDf, keys, cmp)
+      .filter(col("change") =!= "same")
+    graft.operators.SnapshotDiff.applyChanges(oldDf, changes, keys, cmp)
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin,
-    zorderKey)
+    zorderKey, snapshotDiff, snapshotApply)
 }
