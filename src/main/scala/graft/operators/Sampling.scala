@@ -151,6 +151,41 @@ object Sampling {
       .drop("_sk")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirtakis A-ES): each row draws a reproducible
+    * uniform u ∈ (0, 1] from md5(seed:key) and competes with priority
+    * u^(1/w) — equivalently ln(u)/w, which is what we rank on. The
+    * top-k by priority IS a weighted sample without replacement with
+    * inclusion odds proportional to weight (Efraimidis & Spirtakis
+    * 2006, "Weighted random sampling with a reservoir").
+    *
+    * Determinism/portability: u is exact integer arithmetic up to one
+    * correctly-rounded int64→double conversion; the single libm call
+    * (ln) can differ across engines in the last ulp, so the priority is
+    * ROUNDED to 9 decimals before ranking on both sides and ties break
+    * on the unique key — the same trick that made TF-IDF ranks
+    * hash-stable. Rows with weight ≤ 0 or NULL never sample.
+    *
+    * Scale shape: one projection + global top-k — Spark plans
+    * TakeOrderedAndProject (per-partition partial top-k, k-row
+    * reduction at the driver), so there is NO shuffle of the corpus and
+    * no single-task sort at any scale. */
+  def weightedSample(
+      df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: Long = 42L, outCol: String = "priority"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = graft.functions.PortableHash
+      .md5Hash60(concat(lit(s"$seed:"), key.cast("string"))).cast("long")
+    // (h+1)/2^60 ∈ (0, 1]; 2^60 is a power of two, so the division is
+    // exact-rounded and identical in every IEEE engine.
+    val u = (h + lit(1L)).cast("double") / lit(1152921504606846976.0)
+    val pr = round(log(u) / weight, 9)
+    df.filter(weight > lit(0))
+      .withColumn(outCol, pr)
+      .orderBy(col(outCol).desc, key.asc)
+      .limit(k)
+  }
+
   def frequencyBuckets(
       df: DataFrame, measure: Column, key: Column,
       buckets: Int, outCol: String = "bucket"): DataFrame = {

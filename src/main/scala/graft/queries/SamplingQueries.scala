@@ -136,6 +136,26 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirtakis):
+    * quality-weighted corpus selection with n_chars as the weight.
+    * Priority ln(u)/w is rounded to 9 dp on BOTH sides before ranking
+    * (libm-ulp immunity), ties break on doc_id. */
+  private val weighted = QuerySpec(
+    "q_sample_weighted",
+    """WITH p AS (
+      |  SELECT doc_id, source, n_chars,
+      |         round(ln(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+      |                  / 1152921504606846976.0) / n_chars, 9) AS priority
+      |  FROM documents WHERE n_chars > 0
+      |)
+      |SELECT doc_id, source, n_chars, priority
+      |FROM p ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    Sampling.weightedSample(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      col("doc_id"), col("n_chars"), k = 100, seed = 42L)
+      .select("doc_id", "source", "n_chars", "priority")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(splitQ, stratified, pack, curriculum, temperature, shuffleQ)
+    Seq(splitQ, stratified, pack, curriculum, temperature, shuffleQ, weighted)
 }

@@ -135,6 +135,46 @@ class SamplingSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("weightedSample: exactly k rows, partition-insensitive, seed-sensitive") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, 1.0 + (i % 13))).toDF("k", "w")
+    val a = Sampling.weightedSample(rows.coalesce(1), col("k"), col("w"), 50)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(rows.repartition(17), col("k"), col("w"), 50)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(a.size === 50)
+    assert(a === b)
+    val c = Sampling.weightedSample(rows, col("k"), col("w"), 50, seed = 7L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(a !== c) // a fresh seed is a fresh draw
+  }
+
+  test("weightedSample: non-positive and NULL weights never sample") {
+    import spark.implicits._
+    val rows = Seq((1L, Some(5.0)), (2L, Some(0.0)), (3L, Some(-1.0)),
+      (4L, None: Option[Double]), (5L, Some(2.0))).toDF("k", "w")
+    val got = Sampling.weightedSample(rows, col("k"), col("w"), 10)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 5L))
+  }
+
+  test("weightedSample: overwhelming weights dominate the sample") {
+    import spark.implicits._
+    // u^(1/w): w=1e6 pushes priority to ~1 regardless of u; w=1e-3
+    // pushes it to ~0 — the 10 heavy rows must all be picked.
+    val rows = (1 to 100).map(i =>
+      (i.toLong, if (i <= 10) 1e6 else 1e-3)).toDF("k", "w")
+    val got = Sampling.weightedSample(rows, col("k"), col("w"), 10)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === (1L to 10L).toSet)
+  }
+
+  test("weightedSample plans a TakeOrderedAndProject, not a global sort") {
+    val plan = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("frequencyBuckets sorts NULL measures last, like SQL") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)), (4L, Some(9L)))
