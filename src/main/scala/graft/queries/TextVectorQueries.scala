@@ -901,7 +901,34 @@ object TextVectorQueries {
         (col("_mean") >= 0.5).as("recall_in_band"))
   }
 
+  /** BM25 ranked retrieval over the corpus for a fixed bag-of-words
+    * query (operators.Retrieval). Per-(doc, term) partials rounded to
+    * 6 dp then summed as exact decimal — ln() sits behind the rounding,
+    * so the whole ranking hash-oracles (the TF-IDF trick). */
+  private val bm25 = QuerySpec(
+    "q_text_bm25",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sumdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+      |qtok AS (SELECT doc_id, term FROM tok WHERE term IN ('hash', 'join', 'merge')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtok GROUP BY doc_id, term),
+      |dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY term),
+      |part AS (
+      |  SELECT tf.doc_id,
+      |         CAST(ROUND(LN(1.0 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+      |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (s.sumdl / s.n)))), 6)
+      |           AS DECIMAL(18,6)) AS part
+      |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+      |SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS score
+      |FROM part GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin) { (s, d) =>
+    graft.operators.Retrieval.bm25TopK(
+      Tables.documents(s, d), "doc_id", col("text"),
+      query = Seq("hash", "join", "merge"), k = 50)
+  }
+
   val all: Seq[QuerySpec] = Seq(
+    bm25,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,
