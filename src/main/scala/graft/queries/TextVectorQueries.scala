@@ -927,8 +927,44 @@ object TextVectorQueries {
       query = Seq("hash", "join", "merge"), k = 50)
   }
 
+  /** Bloom-filter membership prefilter over the corpus (functions.
+    * BloomSketch): the index is every doc_id % 3 ≠ 0; the whole corpus
+    * re-arrives as the batch. In-band invariant oracle (the HLL/
+    * approx-percentile trick): exact counts cross-check DuckDB, and the
+    * theorem guarantees — zero false negatives, fp within a generous
+    * bound — are emitted as booleans that must be TRUE. */
+  private val bloomPrefilter = QuerySpec(
+    "q_bloom_prefilter",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_batch,
+      |       CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+      |       TRUE AS no_false_negatives,
+      |       TRUE AS fp_within_bound
+      |FROM documents""".stripMargin) { (s, d) =>
+    import graft.functions.BloomSketch
+    val mBits = 1 << 17
+    val k = 5
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val bloom = BloomSketch.bloomFrom(corpus, col("doc_id"), mBits, k)
+    docs
+      .crossJoin(broadcast(bloom.select(col("words"))))
+      .withColumn("_flag", BloomSketch.mightContain(col("words"), col("doc_id"), mBits, k))
+      .withColumn("_member", col("doc_id") % 3 =!= 0)
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("_member"), 1L).otherwise(0L)).cast("long").as("n_members"),
+        sum(when(col("_member") && !col("_flag"), 1L).otherwise(0L)).as("_fn"),
+        sum(when(!col("_member") && col("_flag"), 1L).otherwise(0L)).as("_fp"))
+      .select(
+        col("n_batch"), col("n_members"),
+        (col("_fn") === 0L).as("no_false_negatives"),
+        (col("_fp").cast("double") <=
+          (col("n_batch") - col("n_members")).cast("double") * 0.05 + 10.0)
+          .as("fp_within_bound"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    bm25,
+    bm25, bloomPrefilter,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,
