@@ -376,6 +376,33 @@ object TimeSeriesQueries {
       .orderBy("site_id")
   }
 
+  /** A11: weekly cohort retention matrix over events (operators.
+    * Cohorts) — cohort = first-seen week, retention vs week-0 size. */
+  private val a11 = QuerySpec(
+    "q_a11_retention",
+    """WITH fs AS (
+      |  SELECT user_id, epoch_ms(date_trunc('week', MIN(ts))::TIMESTAMP) AS cohort_ms
+      |  FROM events GROUP BY user_id
+      |), act AS (
+      |  SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)::TIMESTAMP) AS week_ms
+      |  FROM events
+      |), r AS (
+      |  SELECT f.cohort_ms,
+      |         CAST((a.week_ms - f.cohort_ms) / 604800000 AS BIGINT) AS week_offset,
+      |         COUNT(DISTINCT a.user_id) AS n_users
+      |  FROM act a JOIN fs f USING (user_id)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cohort_ms, week_offset, n_users,
+      |       CAST(n_users AS DOUBLE) /
+      |         CAST(MAX(CASE WHEN week_offset = 0 THEN n_users END)
+      |              OVER (PARTITION BY cohort_ms) AS DOUBLE) AS retention
+      |FROM r ORDER BY cohort_ms, week_offset""".stripMargin) { (s, d) =>
+    graft.operators.Cohorts.retention(Tables.events(s, d), col("user_id"), col("ts"))
+      .select("cohort_ms", "week_offset", "n_users", "retention")
+      .orderBy("cohort_ms", "week_offset")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2)
+    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2, a11)
 }
