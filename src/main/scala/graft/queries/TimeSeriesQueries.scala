@@ -403,6 +403,40 @@ object TimeSeriesQueries {
       .orderBy("cohort_ms", "week_offset")
   }
 
+  /** A13: ordered view→click→purchase funnel (operators.Funnel) — the
+    * oracle resolves each step's strictly-after chain with join-backed
+    * MIN aggregations, certifying the array-HOF evaluation. */
+  private val a13 = QuerySpec(
+    "q_a13_funnel",
+    """WITH f AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS tms
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |), s1 AS (
+      |  SELECT user_id, MIN(tms) AS t1 FROM f WHERE event_type = 'view' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT f.user_id, MIN(f.tms) AS t2 FROM f JOIN s1 USING (user_id)
+      |  WHERE f.event_type = 'click' AND f.tms > s1.t1 GROUP BY f.user_id
+      |), s3 AS (
+      |  SELECT f.user_id, MIN(f.tms) AS t3 FROM f JOIN s2 USING (user_id)
+      |  WHERE f.event_type = 'purchase' AND f.tms > s2.t2 GROUP BY f.user_id
+      |), c AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS c1,
+      |         (SELECT COUNT(*) FROM s2) AS c2,
+      |         (SELECT COUNT(*) FROM s3) AS c3
+      |)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, CAST(c1 AS BIGINT) AS n_users,
+      |       CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE) AS conversion FROM c
+      |UNION ALL
+      |SELECT 2, 'click', CAST(c2 AS BIGINT), CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c
+      |UNION ALL
+      |SELECT 3, 'purchase', CAST(c3 AS BIGINT), CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c
+      |ORDER BY step""".stripMargin) { (s, d) =>
+    graft.operators.Funnel.funnelCounts(
+      Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase"))
+      .orderBy("step")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2, a11)
+    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13)
 }
