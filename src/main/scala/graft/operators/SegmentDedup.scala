@@ -65,6 +65,41 @@ object SegmentDedup {
       .agg(array_sort(collect_list(col("_seg_id"))).as("_drop_ids"))
   }
 
+  /** Cross-group content-leakage matrix: for every pair of groups
+    * (sources, crawls, snapshots) the number of DISTINCT full W-token
+    * segments both contain verbatim, with per-group totals and the
+    * segment-set Jaccard — the corpus-governance "how much of source A
+    * leaked into source B" report.
+    *
+    * Same 100 TB discipline as the dedup path: only (group, 16-byte
+    * hash) ids reach the exchanges. The pair join is hash-keyed; its
+    * fan-out per hash is bounded by the number of GROUPS containing the
+    * segment (≤ #groups, a small constant), never by occurrence counts,
+    * because the relation is distinct-per-group first. */
+  def crossGroupOverlap(
+      df: DataFrame, text: String, group: String, width: Int): DataFrame = {
+    val toks = split(col(text), " ")
+    val rel = df
+      .select(col(group).as("_g"), size(toks).as("_n"),
+        posexplode(segmentsOf(toks, width)).as(Seq("_seg_id", "_seg")))
+      .where(col("_n") - col("_seg_id") * width >= width)
+      .select(col("_g"), md5(col("_seg")).as("_h"))
+      .distinct()
+    val totals = rel.groupBy("_g").agg(count(lit(1)).as("_tot"))
+    val pairs = rel.select(col("_g").as("source_a"), col("_h"))
+      .join(rel.select(col("_g").as("source_b"), col("_h")), Seq("_h"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_segments"))
+    pairs
+      .join(totals.select(col("_g").as("source_a"), col("_tot").as("segs_a")), Seq("source_a"))
+      .join(totals.select(col("_g").as("source_b"), col("_tot").as("segs_b")), Seq("source_b"))
+      .withColumn("jaccard",
+        col("shared_segments").cast("double") /
+          (col("segs_a") + col("segs_b") - col("shared_segments")).cast("double"))
+      .select("source_a", "source_b", "shared_segments", "segs_a", "segs_b", "jaccard")
+  }
+
   /** Rebuild: original rows plus
     *   n_segs      — total segments in the document,
     *   n_dropped   — duplicate full segments removed,

@@ -963,8 +963,34 @@ object TextVectorQueries {
           .as("fp_within_bound"))
   }
 
+  /** Cross-source segment-leakage matrix (SegmentDedup.
+    * crossGroupOverlap): distinct shared 10-token segments per source
+    * pair + totals + segment-set Jaccard. */
+  private val sourceOverlap = QuerySpec(
+    "q_dedup_source_overlap",
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS tk FROM documents),
+      |seg AS (SELECT DISTINCT source, md5(array_to_string(tk[(i*10+1):(i*10+10)], ' ')) AS h
+      |        FROM toks, UNNEST(range(CAST(ceil(len(tk)/10.0) AS BIGINT))) AS t(i)
+      |        WHERE (len(tk) - i*10) >= 10),
+      |tot AS (SELECT source, COUNT(*) AS tot FROM seg GROUP BY source),
+      |pair AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_segments
+      |         FROM seg a JOIN seg b ON a.h = b.h AND a.source < b.source
+      |         GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b,
+      |       CAST(p.shared_segments AS BIGINT) AS shared_segments,
+      |       CAST(ta.tot AS BIGINT) AS segs_a, CAST(tb.tot AS BIGINT) AS segs_b,
+      |       CAST(p.shared_segments AS DOUBLE) /
+      |         CAST(ta.tot + tb.tot - p.shared_segments AS DOUBLE) AS jaccard
+      |FROM pair p
+      |JOIN tot ta ON ta.source = p.source_a
+      |JOIN tot tb ON tb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    SegmentDedup.crossGroupOverlap(Tables.documents(s, d), "text", "source", width = 10)
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter,
+    bm25, bloomPrefilter, sourceOverlap,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,

@@ -90,4 +90,28 @@ class SegmentDedupSpec extends AnyFunSuite {
       Tables.documents(spark, TestSession.sfDir), "doc_id", "text", 10)
     assert(ids.columns.toSet === Set("_h", "_id", "_seg_id"))
   }
+
+  test("crossGroupOverlap counts distinct shared full segments per source pair") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      ("A", s"$shared $segA"),            // A: shared + own
+      ("A", s"$shared extra tail"),       // same shared segment again: distinct-counted once
+      ("B", s"$shared $segB"),            // B: shared + own
+      ("C", segB)                          // C shares segB with B only
+    ).toDF("source", "text")
+    val out = SegmentDedup.crossGroupOverlap(df, "text", "source", 10)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq === Seq(
+      ("A", "B", 1L, 2L, 2L, 1.0 / 3.0),  // shared seg; A has {shared, segA}, B {shared, segB}
+      ("B", "C", 1L, 2L, 1L, 1.0 / 2.0))) // segB; no A-C overlap row at all
+  }
+
+  test("crossGroupOverlap ignores partial tail segments") {
+    // 5-token texts produce no FULL segment, so identical tails never count
+    val df = Seq(("A", "x1 x2 x3 x4 x5"), ("B", "x1 x2 x3 x4 x5")).toDF("source", "text")
+    assert(SegmentDedup.crossGroupOverlap(df, "text", "source", 10).count() === 0)
+  }
 }
