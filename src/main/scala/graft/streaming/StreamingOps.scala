@@ -349,4 +349,79 @@ object StreamingOps {
           alerts.iterator
       }
   }
+
+  final case class Alarm(site_id: Long, ts: java.sql.Timestamp, dur_ms: Long)
+  final case class Win(s: Long, e: Long, n: Long)
+  final case class OutageWindow(site_id: Long, w_start_ms: Long, w_end_ms: Long, n_merged: Long)
+
+  /** Coalesce overlapping-or-touching windows — the streaming twin of
+    * operators.Intervals.mergeIntervals' islands rule, as a pure fold
+    * so both sides can never diverge on merge semantics. */
+  private[graft] def mergeWins(ws: Seq[Win]): Seq[Win] =
+    ws.sortBy(w => (w.s, w.e)).foldLeft(Vector.empty[Win]) { (acc, w) =>
+      acc.lastOption match {
+        case Some(last) if w.s <= last.e =>
+          acc.init :+ Win(last.s, math.max(last.e, w.e), last.n + w.n)
+        case _ => acc :+ w
+      }
+    }
+
+  /** Streaming outage-window tracker (the ingestion-time form of N45):
+    * each alarm opens [ts, ts + dur_ms]; per-site state holds the
+    * coalesced still-open windows, and a window is emitted exactly when
+    * the watermark passes its end — at that point no alarm that could
+    * still extend it (start ≤ end < watermark) can arrive, so every
+    * emission is FINAL (append-mode clean). Late-but-valid alarms
+    * within the watermark merge into open state like any other.
+    *
+    * State is O(open windows per site) — alarms collapse into islands
+    * as they arrive, never accumulate; the event-time timer sits at the
+    * earliest open end, so silent sites close out as the watermark
+    * advances and hold no state afterwards. */
+  class OutageWindowProcessor extends StatefulProcessor[Long, Alarm, OutageWindow] {
+    @transient private var wins: ValueState[Seq[Win]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      wins = getHandle.getValueState[Seq[Win]]("wins",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Win]](),
+        TTLConfig.NONE)
+
+    private def emitAndRetain(key: Long, merged: Seq[Win], wm: Long): Iterator[OutageWindow] = {
+      val (closed, open) = merged.partition(_.e < wm)
+      if (open.isEmpty) wins.clear() else wins.update(open)
+      // slide the single timer to the earliest open end (timers fire
+      // when the watermark passes, finalizing that window next batch)
+      val existing = getHandle.listTimers().toList
+      existing.foreach(getHandle.deleteTimer)
+      open.map(_.e).minOption.foreach(getHandle.registerTimer)
+      closed.sortBy(_.s).map(w => OutageWindow(key, w.s, w.e, w.n)).iterator
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Alarm], tv: TimerValues): Iterator[OutageWindow] = {
+      val incoming = rows.map(a => Win(a.ts.getTime, a.ts.getTime + a.dur_ms, 1L)).toSeq
+      val prior = if (wins.exists()) wins.get() else Seq.empty[Win]
+      emitAndRetain(key, mergeWins(prior ++ incoming), tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[OutageWindow] = {
+      val prior = if (wins.exists()) wins.get() else Seq.empty[Win]
+      emitAndRetain(key, prior, tv.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** Streaming outage windows: coalesced per-site downtime spans,
+    * emitted once final. Requires the RocksDB state store (the
+    * transformWithState API's backing requirement). */
+  def outageWindows(
+      alarms: Dataset[Alarm], lateness: String = "10 minutes"): Dataset[OutageWindow] = {
+    import alarms.sparkSession.implicits._
+    alarms
+      .withWatermark("ts", lateness)
+      .groupByKey(_.site_id)
+      .transformWithState(new OutageWindowProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

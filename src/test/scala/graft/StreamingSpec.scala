@@ -309,4 +309,106 @@ class StreamingSpec extends AnyFunSuite {
     // a single event at 10:20 belongs to 4 sliding windows (09:30..10:15 starts)
     assert(spark.table("st3").count() === 4)
   }
+
+  test("streaming outage windows: overlaps coalesce, emission waits for the watermark") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.Alarm](spark)
+      val q = StreamingOps.outageWindows(in.toDS(), lateness = "10 minutes")
+        .writeStream.format("memory").queryName("st_outage").outputMode("append").start()
+      // site 1: two overlapping 1h alarms -> one 10:00-11:30 window;
+      // site 2: a disjoint alarm far later keeps the stream's clock moving
+      in.addData(
+        StreamingOps.Alarm(1L, ts("2024-01-01 10:00:00"), 3600000L),
+        StreamingOps.Alarm(1L, ts("2024-01-01 10:30:00"), 3600000L))
+      q.processAllAvailable()
+      assert(spark.table("st_outage").count() === 0) // watermark still behind
+      // advance event time well past 11:30 + 10 min lateness...
+      in.addData(StreamingOps.Alarm(2L, ts("2024-01-01 15:00:00"), 60000L))
+      q.processAllAvailable()
+      // ...and one more batch so the registered timer fires under the new watermark
+      in.addData(StreamingOps.Alarm(2L, ts("2024-01-01 15:01:00"), 60000L))
+      q.processAllAvailable(); q.stop()
+      val wins = spark.table("st_outage").as[StreamingOps.OutageWindow].collect()
+        .filter(_.site_id == 1L)
+      assert(wins.toSeq === Seq(StreamingOps.OutageWindow(
+        1L, ts("2024-01-01 10:00:00").getTime, ts("2024-01-01 11:30:00").getTime, 2L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming outage windows: late-but-valid alarm merges before the close") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.Alarm](spark)
+      val q = StreamingOps.outageWindows(in.toDS(), lateness = "30 minutes")
+        .writeStream.format("memory").queryName("st_outage2").outputMode("append").start()
+      in.addData(StreamingOps.Alarm(1L, ts("2024-01-01 10:00:00"), 3600000L))
+      q.processAllAvailable()
+      // an OLDER alarm arrives next batch (reordered), still within the
+      // 30 min watermark: it must extend the same island backwards
+      in.addData(StreamingOps.Alarm(1L, ts("2024-01-01 09:45:00"), 3600000L))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Alarm(2L, ts("2024-01-01 16:00:00"), 60000L))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Alarm(2L, ts("2024-01-01 16:05:00"), 60000L))
+      q.processAllAvailable(); q.stop()
+      val wins = spark.table("st_outage2").as[StreamingOps.OutageWindow].collect()
+        .filter(_.site_id == 1L)
+      assert(wins.toSeq === Seq(StreamingOps.OutageWindow(
+        1L, ts("2024-01-01 09:45:00").getTime, ts("2024-01-01 11:00:00").getTime, 2L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming outage windows match the batch islands operator on the same alarms") {
+    import graft.operators.Intervals
+    val alarms = Seq(
+      (1L, "2024-01-01 10:00:00", 3600000L), (1L, "2024-01-01 10:30:00", 3600000L),
+      (1L, "2024-01-01 13:00:00", 1800000L), (3L, "2024-01-01 10:10:00", 600000L))
+    val batch = alarms.toDF("site_id", "t", "dur")
+      .select(col("site_id"),
+        unix_millis(col("t").cast("timestamp")).as("s"),
+        (unix_millis(col("t").cast("timestamp")) + col("dur")).as("e"))
+    val expected = Intervals.mergeIntervals(batch, Seq("site_id"), "s", "e")
+      .orderBy("site_id", "w_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // streamed: same alarms, then advance the clock far enough to close all
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.Alarm](spark)
+      val q = StreamingOps.outageWindows(in.toDS(), lateness = "10 minutes")
+        .writeStream.format("memory").queryName("st_outage3").outputMode("append").start()
+      alarms.foreach { case (k, t, d) => in.addData(StreamingOps.Alarm(k, ts(t), d)) }
+      q.processAllAvailable()
+      in.addData(StreamingOps.Alarm(9L, ts("2024-01-02 10:00:00"), 1000L))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Alarm(9L, ts("2024-01-02 10:01:00"), 1000L))
+      q.processAllAvailable(); q.stop()
+      val streamed = spark.table("st_outage3").as[StreamingOps.OutageWindow].collect()
+        .filter(w => w.site_id == 1L || w.site_id == 3L)
+        .sortBy(w => (w.site_id, w.w_start_ms))
+        .map(w => (w.site_id, w.w_start_ms, w.w_end_ms, w.n_merged))
+      assert(streamed.toSeq === expected.toSeq)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
