@@ -201,4 +201,69 @@ class PlanSpec extends AnyFunSuite {
         s"subquery when joined on the partition key:\n" +
         p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
+
+  test("interval merge: islands window and the follow-up groupBy share one exchange") {
+    val df = SparkEntry.queries("q_iv_merge")(spark, sfDir)
+    df.collect()
+    // toString (not formatted) prints "Exchange hashpartitioning(...)"
+    // on one line; AQE's toString repeats the whole tree under
+    // "== Initial Plan ==", so count only the final section
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 1, s"expected one hash exchange, found $n in:\n$p")
+  }
+
+  test("funnel: one shuffle on the user key, arrays resolved by codegen HOFs (no window)") {
+    val df = SparkEntry.queries("q_a13_funnel")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "funnel must not need a window")
+  }
+
+  test("bm25: corpus stats broadcast; no cartesian against the token stream") {
+    val df = SparkEntry.queries("q_text_bm25")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the 1-row stats attach is a broadcast nested loop BY DESIGN (the
+    // engine's standard scalar attach — same as TF-IDF's); the gate is
+    // that nothing data×data is cartesian and the ranking fuses
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(p.contains("BroadcastExchange"), "single-row stats must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must fuse, not globally sort")
+  }
+
+  test("bloom prefilter: the 1-row filter broadcasts; probe is a scan-side filter") {
+    val df = SparkEntry.queries("q_bloom_prefilter")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastExchange"), "filter row must broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+  }
+
+  test("source overlap: hash-keyed equi-join on segment hashes, no cross product") {
+    val df = SparkEntry.queries("q_dedup_source_overlap")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("md5"), "pair join must be keyed on segment hashes, not text")
+  }
+
+  test("snapshot diff plans as one key-partitioned full-outer join") {
+    val df = SparkEntry.queries("q_u4_snapshot_diff")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("FullOuter"), "diff must be a single full-outer join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("weighted sample: no shuffle of the corpus — partial top-k only") {
+    val df = SparkEntry.queries("q_sample_weighted")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), "must fuse to TakeOrderedAndProject")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "weighted sampling must not hash-shuffle the corpus")
+  }
 }
