@@ -437,6 +437,57 @@ object TimeSeriesQueries {
       .orderBy("step")
   }
 
+  /** A14: mergeable histogram quantile sketch (operators.
+    * HistogramSketch) — per-day histograms merge into per-type
+    * sketches; p50/p90/p99 read off the merged counts; a within-2-bins
+    * boolean vs the EXACT percentile certifies the error bound
+    * in-band. */
+  private val a14 = QuerySpec(
+    "q_a14_hist_quantiles",
+    """WITH h AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(least(255, greatest(0, CAST(floor((value - 0.0) / 2.0) AS INTEGER))) AS BIGINT) AS bin,
+      |         COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2, 3
+      |), m AS (
+      |  SELECT event_type, bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM h GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, bin, cnt,
+      |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM m
+      |), qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+      |sel AS (
+      |  SELECT c.event_type, qq.q, MIN(c.bin) AS b, MIN(c.n) AS n
+      |  FROM c, qq WHERE c.cum >= CAST(ceil(qq.q * c.n) AS BIGINT)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT event_type, q, 0.0 + (b + 1) * 2.0 AS est, CAST(n AS BIGINT) AS n,
+      |       TRUE AS within_2w
+      |FROM sel ORDER BY event_type, q""".stripMargin) { (s, d) =>
+    import graft.operators.HistogramSketch
+    val (lo, hi, bins) = (0.0, 512.0, 256)
+    val ev = Tables.events(s, d)
+    val perDay = HistogramSketch.build(
+      ev.withColumn("_day", to_date(col("ts"))),
+      col("value"), lo, hi, bins, Seq("event_type", "_day"))
+    val merged = HistogramSketch.merge(perDay, Seq("event_type"))
+    val qs = HistogramSketch.quantiles(merged, Seq(0.5, 0.9, 0.99), lo, hi, bins,
+      Seq("event_type"))
+    val exact = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.5D)").as("_p50"),
+      expr("percentile(value, 0.9D)").as("_p90"),
+      expr("percentile(value, 0.99D)").as("_p99"))
+    qs.join(broadcast(exact), "event_type")
+      .withColumn("_exact",
+        when(col("q") === 0.5, col("_p50"))
+          .when(col("q") === 0.9, col("_p90"))
+          .otherwise(col("_p99")))
+      .withColumn("within_2w", abs(col("est") - col("_exact")) <= lit(2.0 * (hi - lo) / bins))
+      .select("event_type", "q", "est", "n", "within_2w")
+      .orderBy("event_type", "q")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13)
+    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
 }
