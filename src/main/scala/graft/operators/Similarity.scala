@@ -378,6 +378,30 @@ object Similarity {
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
   }
 
+  /** Delta-only APPEND into a [[writeIvfIndex]] table: assign the new
+    * batch to the STORED centroids and append only truly-new vectors,
+    * cell-partitioned like the original write. Existing files are never
+    * rewritten, and re-appending a delivered batch is a no-op (ids
+    * already present are anti-joined away), so retries are idempotent —
+    * the same contract as the minhash index's append (N39).
+    *
+    * Centroids are deliberately immutable here: an IVF index's cells
+    * are fixed at train time, and appending assigns into them exactly
+    * as a search probe would. If the data distribution drifts far from
+    * the trained cells, recall decays — that is a RETRAIN decision
+    * (rebuild via [[writeIvfIndex]]), not something an append path
+    * should silently half-do. */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, bId: String, bVec: String): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val existing = spark.read.parquet(s"$path/assigned").select(col("c_id"))
+    val b = viewAs(normalizedView(batch, bId, bVec), "c_id", "_cv", "_cn")
+    val novel = b.join(existing, Seq("c_id"), "left_anti")
+    ivfAssign(novel, centroids)
+      .write.mode("append").partitionBy("_cell").parquet(s"$path/assigned")
+  }
+
   /** Approximate top-k against a [[writeIvfIndex]] table. Identical
     * results to [[ivfTopKTrained]] with the same build parameters (the
     * index pins the trained cells; search is deterministic). */

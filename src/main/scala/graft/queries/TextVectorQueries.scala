@@ -989,8 +989,37 @@ object TextVectorQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Scalar int8 embedding quantization (operators.Quantization): the
+    * codes themselves are value-checked in DuckDB (deterministic
+    * clamp/floor arithmetic), and the midpoint-reconstruction error
+    * bound ≤ step/2 is certified in-band per vector. */
+  private val simQuantized = QuerySpec(
+    "q_sim_quantized",
+    """WITH rng AS (
+      |  SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
+      |  FROM (SELECT unnest(embedding) AS x FROM embeddings)
+      |)
+      |SELECT vec_id,
+      |       list_transform(embedding, x -> least(255, greatest(0,
+      |         CAST(floor((x - rng.lo) / ((rng.hi - rng.lo) / 256.0)) AS INTEGER)))) AS codes,
+      |       TRUE AS recon_in_band
+      |FROM embeddings, rng ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(s, d)
+    val q = Quantization.withQuantized(emb, col("embedding"), levels = 256)
+    val range = Quantization.componentRange(emb, col("embedding"))
+    val step = (col("_qhi") - col("_qlo")) / lit(256.0)
+    q.crossJoin(broadcast(range))
+      .withColumn("_maxerr",
+        array_max(zip_with(col("embedding").cast("array<double>"), col("recon"),
+          (x, y) => abs(x - y))))
+      .select(col("vec_id"), col("codes"),
+        (col("_maxerr") <= step / lit(2.0) + lit(1e-9)).as("recon_in_band"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter, sourceOverlap,
+    bm25, bloomPrefilter, sourceOverlap, simQuantized,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,

@@ -240,4 +240,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.nonEmpty)
     assert(joined.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
+
+  test("IVF index append: delta-only, assignment-identical to a one-shot build, idempotent") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append").toString
+    try {
+      val partA = emb.filter(col("vec_id") % 3 =!= 0)
+      val partB = emb.filter(col("vec_id") % 3 === 0)
+      // seed the index on A, then fold B in against A's stored centroids
+      Similarity.writeIvfIndex(partA, "vec_id", "embedding", path,
+        nCells = 8, maxIter = 10)
+      val before = spark.read.parquet(s"$path/assigned")
+        .select("c_id").collect().map(_.getLong(0)).toSet
+      Similarity.appendToIvfIndex(spark, path, partB, "vec_id", "embedding")
+      def assignedSet() = spark.read.parquet(s"$path/assigned")
+        // the partition column round-trips as int via directory inference
+        .select(col("c_id"), col("_cell").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val after = assignedSet()
+      // every corpus vector present exactly once, existing rows untouched
+      assert(after.map(_._1) === emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+      assert(after.size === after.map(_._1).size, "duplicate assignments after append")
+      assert(before.subsetOf(after.map(_._1)))
+      // redelivery is a no-op (ids anti-joined away)
+      Similarity.appendToIvfIndex(spark, path, partB, "vec_id", "embedding")
+      assert(assignedSet() === after, "re-appending a delivered batch changed the index")
+      // search over the appended index behaves like one over a full
+      // assignment against the SAME centroids: every B vector finds
+      // itself at rank 1 with cosine 1
+      val selfHits = Similarity.ivfTopKFrom(spark, path,
+        partB.filter(col("vec_id") < 200), "vec_id", "embedding", k = 1, nProbe = 2)
+        .filter(col("q_id") === col("c_id") && col("rnk") === 1)
+      assert(selfHits.count() === partB.filter(col("vec_id") < 200).count())
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
 }
