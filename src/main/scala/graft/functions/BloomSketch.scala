@@ -115,11 +115,18 @@ object BloomSketch {
     * overwhelming majority in a healthy ingest — are dropped without
     * ever shuffling. The 1-row filter broadcasts. */
   def prefilter(batch: DataFrame, key: Column, bloom: DataFrame): DataFrame = {
+    // materialize the filter ONCE (head() executes the aggregation);
+    // re-using the `bloom` frame in a join would re-run the whole
+    // corpus aggregation a second time, so the probe side is rebuilt
+    // as a local 1-row frame from the collected words
     val row = bloom.select(col("words"), col("m"), col("k")).head()
+    val words = row.getSeq[Long](0)
     val mBits = row.getLong(1).toInt
     val kk = row.getInt(2)
+    import batch.sparkSession.implicits._
+    val local = Seq(Tuple1(words)).toDF("_bf_words")
     batch
-      .crossJoin(broadcast(bloom.select(col("words").as("_bf_words"))))
+      .crossJoin(broadcast(local))
       .filter(mightContain(col("_bf_words"), key, mBits, kk))
       .drop("_bf_words")
   }

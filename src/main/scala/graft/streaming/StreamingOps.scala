@@ -218,6 +218,40 @@ object StreamingOps {
     }
   }
 
+  /** Streaming sketch fold for the histogram quantile sketch (N54):
+    * each micro-batch writes ITS OWN bin counts (additive — the sketch
+    * merges at read time via [[readHistogram]], so append never
+    * rewrites existing files), and the `_batches` ledger makes a
+    * redelivered micro-batch a no-op — the same exactly-once-effect
+    * contract as the minhash index fold above. A long-running ingest
+    * keeps whole-corpus quantiles current with O(bins) work per batch
+    * and zero historical rescans. */
+  def histogramAppendBatch(
+      path: String, value: String,
+      lo: Double, hi: Double, bins: Int,
+      keys: Seq[String] = Nil): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val ledgerPath = s"$path/_batches"
+    val applied =
+      try spark.read.parquet(ledgerPath)
+        .filter(col("batch_id") === batchId).head(1).nonEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!applied && !batch.isEmpty) {
+      graft.operators.HistogramSketch
+        .build(batch, col(value), lo, hi, bins, keys)
+        .write.mode("append").parquet(s"$path/bins")
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerPath)
+    }
+  }
+
+  /** Merged view of a [[histogramAppendBatch]] relation — feed straight
+    * into HistogramSketch.quantiles. */
+  def readHistogram(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: Seq[String] = Nil): DataFrame =
+    graft.operators.HistogramSketch.merge(spark.read.parquet(s"$path/bins"), keys)
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -411,4 +411,36 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming histogram fold: micro-batches merge to the single-pass sketch; redelivery no-op") {
+    import graft.operators.HistogramSketch
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist-stream").toString
+    try {
+      val in = MemoryStream[(Long, Double)](spark)
+      val df = in.toDF().toDF("id", "v")
+      val q = df.writeStream
+        .foreachBatch(StreamingOps.histogramAppendBatch(dir, "v", 0.0, 100.0, 50))
+        .option("checkpointLocation", s"$dir/_chk")
+        .start()
+      val batch1 = (1 to 300).map(i => (i.toLong, (i % 90) + 0.5))
+      val batch2 = (301 to 500).map(i => (i.toLong, (i % 70) + 0.25))
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+      val streamed = StreamingOps.readHistogram(spark, dir)
+        .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val single = HistogramSketch.build(
+        (batch1 ++ batch2).toDF("id", "v"), col("v"), 0.0, 100.0, 50)
+        .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed.toSeq === single.toSeq)
+      // manual redelivery of an applied batch id must change nothing
+      StreamingOps.histogramAppendBatch(dir, "v", 0.0, 100.0, 50)(
+        batch1.toDF("id", "v"), 0L)
+      val after = StreamingOps.readHistogram(spark, dir)
+        .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.toSeq === single.toSeq, "ledgered redelivery mutated the sketch")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
