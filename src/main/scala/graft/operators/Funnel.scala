@@ -56,6 +56,31 @@ object Funnel {
     }.select(col("_u").as("user") +: steps.indices.map(i => col(s"step_${i + 1}")): _*)
   }
 
+  /** First-order transition matrix over per-user event sequences (the
+    * Markov-chain estimate behind path analysis): counts of adjacent
+    * (from → to) event-type pairs in event order, with per-source-state
+    * transition probabilities. One per-user window (the same single
+    * hash exchange as any lag feature) and one tiny aggregation over
+    * the type×type grid; the probability normalization windows over
+    * that grid, never over data. */
+  def transitionMatrix(
+      df: DataFrame,
+      user: Column,
+      ts: Column,
+      eventType: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(user).orderBy(ts, eventType)
+    val grid = df
+      .select(eventType.as("to_type"),
+        lag(eventType, 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("from_type"))
+    grid.withColumn("p",
+      col("n").cast("double") / sum(col("n")).over(tot).cast("double"))
+  }
+
   /** Funnel summary: one row per step with the ordered-completion user
     * count and the conversion ratio vs step 1. */
   def funnelCounts(

@@ -488,6 +488,27 @@ object TimeSeriesQueries {
       .orderBy("event_type", "q")
   }
 
+  /** W9: first-order event-type transition matrix per user (operators.
+    * Funnel.transitionMatrix) — Markov path analysis. */
+  private val w9 = QuerySpec(
+    "q_w9_transitions",
+    """WITH t AS (
+      |  SELECT event_type AS to_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS from_type
+      |  FROM events
+      |), g AS (
+      |  SELECT from_type, to_type, COUNT(*) AS n
+      |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM g ORDER BY from_type, to_type""".stripMargin) { (s, d) =>
+    graft.operators.Funnel.transitionMatrix(
+      Tables.events(s, d), col("user_id"), col("ts"), col("event_type"))
+      .select("from_type", "to_type", "n", "p")
+      .orderBy("from_type", "to_type")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(w1, w2, w3, w5, w6, w7, w8, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
+    Seq(w1, w2, w3, w5, w6, w7, w8, w9, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
 }

@@ -71,4 +71,33 @@ class FunnelSpec extends AnyFunSuite {
     val many = Funnel.funnelCounts(ev(rows: _*).repartition(11), col("u"), col("ts"), col("et"), steps)
     assert(one.orderBy("step").collect().toSeq === many.orderBy("step").collect().toSeq)
   }
+
+  test("transition matrix counts adjacent pairs per user with row-stochastic probabilities") {
+    val rows = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), // a→b, b→a
+      (2L, 1L, "a"), (2L, 2L, "b"),                 // a→b
+      (3L, 5L, "c")                                  // lone event: no pair
+    )
+    val got = Funnel.transitionMatrix(ev(rows: _*), col("u"), col("ts"), col("et"))
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
+  test("transition matrix never crosses user boundaries") {
+    // user 1 ends with 'b', user 2 starts with 'c': no b→c pair
+    val rows = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c"), (2L, 4L, "d"))
+    val got = Funnel.transitionMatrix(ev(rows: _*), col("u"), col("ts"), col("et"))
+      .select("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a", "b"), ("c", "d")))
+  }
+
+  test("transition probabilities sum to 1 per source state") {
+    val rows = (1 to 200).map(i => (i.toLong % 10, i.toLong, Seq("a", "b", "c")(i % 3)))
+    val sums = Funnel.transitionMatrix(ev(rows: _*), col("u"), col("ts"), col("et"))
+      .groupBy("from_type").agg(sum("p").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
 }
