@@ -76,6 +76,9 @@ object TextHashNative {
     ColumnBridge.column(
       CdcBoundariesExpr(ColumnBridge.expression(text), window, divisor))
 
+  def deletionHashSet(text: Column): Column =
+    ColumnBridge.column(DeletionHashSetExpr(ColumnBridge.expression(text)))
+
   /** Fail at ANALYSIS time on a non-string input, like the HOF forms
     * these expressions replace would — without this, a mistyped column
     * passes resolution and every task dies in a mid-job
@@ -223,6 +226,49 @@ case class CdcBoundariesExpr(child: Expression, window: Int, divisor: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_cdc_boundaries"
+}
+
+/** Sorted distinct xxhash64 set of a string's SymSpell deletion
+  * neighborhood of radius 1: the string itself plus every
+  * single-codepoint deletion. Two strings within ONE character edit
+  * (insert / delete / substitute) always share an element — the
+  * substitution case via deleting the differing position from both,
+  * the insert/delete case via the shorter string itself — so an
+  * equi-join on the exploded set is a complete candidate generator for
+  * levenshtein ≤ 1 (the converse is false: sharing a variant only
+  * bounds the distance by 2, so candidates are verify-filtered).
+  * Codepoint-level deletion matches `levenshtein`'s character
+  * semantics on valid UTF-8. One imperative pass per row; a composed
+  * `transform(sequence(...))` HOF form re-slices the string per
+  * position inside an interpreted lambda (the measured 3× pattern this
+  * file exists to avoid). */
+case class DeletionHashSetExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val cps = s.toString.codePoints().toArray
+    val out = new Array[Long](cps.length + 1)
+    out(0) = XXH64.hashUTF8String(s, 42L)
+    val sb = new java.lang.StringBuilder(cps.length)
+    var i = 0
+    while (i < cps.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < cps.length) {
+        if (j != i) sb.appendCodePoint(cps(j))
+        j += 1
+      }
+      out(i + 1) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), 42L)
+      i += 1
+    }
+    new GenericArrayData(TextHashNative.sortedDistinct(out))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_deletion_hash_set"
 }
 
 /** 60-bit SimHash of a space-separated string's distinct token set —

@@ -202,6 +202,25 @@ object AdvancedQueries {
       .orderBy("o_orderkey")
   }
 
+  /** J10: fuzzy entity-resolution self-join (operators.FuzzyJoin) —
+    * customer-name pairs within ONE character edit, via deletion-
+    * neighborhood blocking + levenshtein verify. The oracle is the
+    * BRUTE-FORCE quadratic levenshtein join, so the blocked candidate
+    * generator's recall (not just its precision) is hash-certified. */
+  private val fuzzyNames = QuerySpec(
+    "q_er_fuzzy_names",
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       a.c_name AS name_a, b.c_name AS name_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a, customer b
+      |WHERE a.c_custkey < b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.operators.FuzzyJoin.editDistancePairs(
+      Tables.customer(s, d), col("c_custkey"), col("c_name"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin,
-    zorderKey, snapshotDiff, snapshotApply)
+    zorderKey, snapshotDiff, snapshotApply, fuzzyNames)
 }

@@ -1018,8 +1018,48 @@ object TextVectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Count–Min point-frequency sketch (operators.CountMin): per-source
+    * sketches merge into the whole-corpus sketch; the 20 heaviest
+    * tokens' estimates read off the merged counters. The portable md5
+    * bucket family lets DuckDB recompute EVERY counter bit-identically
+    * — the oracle certifies exact sketch equality (merged ≡ built
+    * whole), plus the theorem's one-sided bound as the est/true pair. */
+  private val textCms = QuerySpec(
+    "q_text_cms",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dep AS (SELECT unnest(generate_series(0, 3)) AS depth),
+      |cm AS (
+      |  SELECT d.depth,
+      |         ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || '|' || t.term), 1, 15))::BIGINT % 2048 AS bucket,
+      |         COUNT(*) AS cnt
+      |  FROM tok t CROSS JOIN dep d GROUP BY 1, 2
+      |), cnt AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY term),
+      |probes AS (SELECT term, true_cnt FROM cnt ORDER BY true_cnt DESC, term LIMIT 20),
+      |pb AS (
+      |  SELECT p.term, p.true_cnt, d.depth,
+      |         ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || '|' || p.term), 1, 15))::BIGINT % 2048 AS bucket
+      |  FROM probes p CROSS JOIN dep d
+      |)
+      |SELECT pb.term, CAST(MIN(pb.true_cnt) AS BIGINT) AS true_cnt,
+      |       CAST(MIN(cm.cnt) AS BIGINT) AS est
+      |FROM pb JOIN cm USING (depth, bucket)
+      |GROUP BY pb.term
+      |ORDER BY true_cnt DESC, term""".stripMargin) { (s, d) =>
+    import graft.operators.CountMin
+    val (depth, width) = (4, 2048)
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.wsTokens(col("text"))).as("term"))
+    val perSource = CountMin.build(toks, col("term"), depth, width, Seq("source"))
+    val merged = CountMin.merge(perSource)
+    val probes = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("term").asc).limit(20)
+    CountMin.estimate(merged, probes, col("term"), depth, width)
+      .select(col("term"), col("true_cnt"), col("est"))
+      .orderBy(col("true_cnt").desc, col("term").asc)
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter, sourceOverlap, simQuantized,
+    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,

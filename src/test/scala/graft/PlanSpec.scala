@@ -258,6 +258,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("fuzzy ER join: variant-hash equi-join, no cross product, no pair-dedup shuffle") {
+    val p = finalPlan("q_er_fuzzy_names")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "O(n²) nested-loop join in plan")
+    assert(p.contains("_h"), "candidate join must be keyed on the deletion-variant hash")
+    // first-shared-variant filtering makes candidates unique at the join;
+    // a dropDuplicates aggregate over pairs must never reappear
+    assert(p.contains("graft_min_common_sorted"),
+      "skip-earlier-variants filter missing from the candidate join")
+  }
+
   test("weighted sample: no shuffle of the corpus — partial top-k only") {
     val df = SparkEntry.queries("q_sample_weighted")(spark, sfDir)
     df.collect()
