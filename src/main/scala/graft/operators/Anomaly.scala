@@ -54,6 +54,50 @@ object Anomaly {
     df.withColumn("ewma", num / den)
   }
 
+  /** One-sided (upper) CUSUM change-point statistic per key, in event
+    * order: s_i = max(0, s_{i-1} + (x_i − μ − slack)), the classic
+    * Page cumulative-sum detector — s accumulates once the series
+    * drifts above its target μ by more than `slack` per observation,
+    * and `threshold` crossings flag the change. μ is the series' own
+    * mean (the in-control target) computed in the same pass.
+    *
+    * The recursion LOOKS inherently sequential, but
+    *   s_i = P_i − min(0, P_1, …, P_i)   where   P_i = Σ_{j≤i} d_j,
+    * d_j = x_j − μ − slack — so it is two running windows (prefix sum +
+    * running min), not an iterative loop. Everything stays in exact
+    * DECIMAL until the final cast: decimal window sums are associative
+    * (Spark's frame evaluation order vs DuckDB's segment tree cannot
+    * differ), running MIN is order-free, and μ is one deterministic
+    * double division rounded to the decimal grid (the BM25 rounding
+    * trick). Adds `cusum` (double) and `cusum_alert`.
+    *
+    * Scale shape: one hash exchange on the key; the three windows (key
+    * stats, prefix sum, running min) share its partitioning and sort. */
+  def withCusum(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[String],
+      value: String,
+      slack: Double,
+      threshold: Double): DataFrame = {
+    val dec = DecimalType(18, 4)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val wRun = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val xd = col(value).cast(dec)
+    val mu = round(sum(xd).over(wAll).cast("double") / count(lit(1)).over(wAll), 4)
+      .cast(dec)
+    df.withColumn("_p", sum(xd - mu - lit(slack).cast(dec)).over(wRun))
+      .withColumn("_m", min(col("_p")).over(wRun))
+      .withColumn("_s", col("_p") - least(col("_m"), lit(0).cast(dec)))
+      // the decimal statistic is exactly 4-dp; rounding the double cast
+      // back to that grid erases DuckDB's int·10⁻ˢᶜᵃˡᵉ cast error (its
+      // decimal→double is not correctly rounded; ~1e-13 off)
+      .withColumn("cusum", round(col("_s").cast("double"), 4))
+      .withColumn("cusum_alert", col("_s") > lit(threshold).cast(dec))
+      .drop("_p", "_m", "_s")
+  }
+
   /** Trailing-window z-score anomaly flags: a row is anomalous when its
     * value sits more than `zThreshold` sample standard deviations from
     * the mean of the `lookback` rows strictly before it (needs at least

@@ -163,6 +163,39 @@ object TimeSeriesQueries {
     }
   }
 
+  /** W10: one-sided CUSUM change-point statistic per KPI series
+    * (operators.Anomaly.withCusum) — the oracle replays the prefix-sum
+    * + running-min identity in decimal windows, certifying the whole
+    * detector including every alert flag. */
+  private val w10 = QuerySpec(
+    "q_w10_cusum",
+    """WITH b AS (
+      |  SELECT event_id, event_type, value, ts,
+      |         CAST(value AS DECIMAL(18,4)) AS xd
+      |  FROM events
+      |), st AS (
+      |  SELECT *, CAST(ROUND(CAST(SUM(xd) OVER (PARTITION BY event_type) AS DOUBLE)
+      |                       / COUNT(*) OVER (PARTITION BY event_type), 4) AS DECIMAL(18,4)) AS mu
+      |  FROM b
+      |), p AS (
+      |  SELECT *, SUM(xd - mu - CAST(0.5 AS DECIMAL(18,4))) OVER w AS pp
+      |  FROM st
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |), m AS (
+      |  SELECT *, MIN(pp) OVER w AS mm
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT event_id, event_type, value,
+      |       ROUND(CAST(pp - LEAST(mm, 0) AS DOUBLE), 4) AS cusum,
+      |       (pp - LEAST(mm, 0)) > CAST(25.0 AS DECIMAL(18,4)) AS cusum_alert
+      |FROM m ORDER BY event_id""".stripMargin) { (s, d) =>
+    Anomaly.withCusum(Tables.events(s, d), Seq("event_type"), Seq("ts", "event_id"),
+      "value", slack = 0.5, threshold = 25.0)
+      .select("event_id", "event_type", "value", "cusum", "cusum_alert")
+      .orderBy("event_id")
+  }
+
   private val a2 = QuerySpec(
     "q_a2_resample",
     """SELECT event_type, epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS bucket_ms,
@@ -510,5 +543,5 @@ object TimeSeriesQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(w1, w2, w3, w5, w6, w7, w8, w9, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
+    Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
 }

@@ -53,6 +53,46 @@ class AnomalySpec extends AnyFunSuite {
     assert(out.filter(col("anomaly")).select("key").collect().map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  /** Reference sequential CUSUM: s_i = max(0, s_{i-1} + x_i − μ − k),
+    * μ = the series mean rounded to the same 4-dp grid the operator
+    * uses. The window identity must reproduce it exactly. */
+  private def seqCusum(vals: Seq[Double], slack: Double): Seq[Double] = {
+    val mu = BigDecimal(vals.map(BigDecimal(_).setScale(4)).sum.toDouble / vals.size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vals.scanLeft(0.0)((s, x) => math.max(0.0, s + x - mu - slack)).tail
+  }
+
+  test("cusum window identity equals the sequential recursion") {
+    val vals = Seq(10.0, 10.5, 9.5, 10.0, 14.0, 15.0, 16.0, 9.0, 10.0, 18.0, 19.0)
+    val got = Anomaly.withCusum(series(vals), Seq("key"), Seq("t"), "value",
+      slack = 0.5, threshold = 5.0)
+      .orderBy("t").select("cusum").collect().map(_.getDouble(0)).toSeq
+    val want = seqCusum(vals, 0.5)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$got vs $want") }
+  }
+
+  test("cusum flags a sustained level shift but not isolated noise") {
+    // steady at 10 with one spike, then a sustained +3 shift
+    val vals = Seq.fill(20)(10.0).updated(5, 14.0) ++ Seq.fill(20)(13.0)
+    val out = Anomaly.withCusum(series(vals), Seq("key"), Seq("t"), "value",
+      slack = 0.5, threshold = 8.0)
+      .orderBy("t").select("t", "cusum_alert").collect()
+    val alerts = out.filter(_.getBoolean(1)).map(_.getLong(0))
+    assert(alerts.nonEmpty, "sustained shift must eventually alert")
+    assert(alerts.min >= 20L, "no alert before the shift begins")
+  }
+
+  test("cusum resets: a below-target stretch drains the statistic to zero") {
+    // mean 9.2 sits exactly on the operator's 4-dp decimal grid, so the
+    // below-target tail drains the statistic all the way to 0
+    val vals = Seq(20.0, 20.0, 2.0, 2.0, 2.0)
+    val got = Anomaly.withCusum(series(vals), Seq("key"), Seq("t"), "value",
+      slack = 0.0, threshold = 100.0)
+      .orderBy("t").select("cusum").collect().map(_.getDouble(0))
+    assert(got.last === 0.0)
+    assert(got.forall(_ >= 0.0))
+  }
+
   test("window is partitioned: no single-task global window in the plan") {
     val df = Anomaly.withEwma(series(Seq.fill(10)(1.0)), Seq("key"), Seq("t"), "value")
     val plan = df.queryExecution.optimizedPlan.toString

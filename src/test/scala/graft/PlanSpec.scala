@@ -214,6 +214,15 @@ class PlanSpec extends AnyFunSuite {
     assert(n === 1, s"expected one hash exchange, found $n in:\n$p")
   }
 
+  test("cusum: key stats, prefix sum and running min share one keyed exchange") {
+    val df = SparkEntry.queries("q_w10_cusum")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 1, s"expected one hash exchange, found $n in:\n$p")
+    assert(!p.contains("windowspecdefinition(ts"), "windows must be keyed, not global")
+  }
+
   test("funnel: one shuffle on the user key, arrays resolved by codegen HOFs (no window)") {
     val df = SparkEntry.queries("q_a13_funnel")(spark, sfDir)
     df.collect()
