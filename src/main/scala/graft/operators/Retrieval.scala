@@ -65,4 +65,28 @@ object Retrieval {
       .orderBy(col("score").desc, col(id).asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al.) of two rankings — the
+    * standard hybrid-retrieval combiner (lexical BM25 ⊕ semantic ANN):
+    * score(d) = Σ_r 1/(c + rank_r(d)), ids absent from a ranking
+    * contribute nothing from it. Rank-based, so the two score scales
+    * never need calibrating.
+    *
+    * Inputs are (id, rank) frames already bounded to their own top-k —
+    * the fuse is a full-outer join over ≤ 2k rows and a global top-k
+    * (TakeOrderedAndProject); nothing here touches corpus-sized data.
+    * The score is the explicit two-term sum written left-to-right, so
+    * an external SQL engine evaluating the same expression produces
+    * bit-identical doubles. Output: (id, rank_a, rank_b, rrf). */
+  def rrfFuse(a: DataFrame, b: DataFrame, id: String, c: Int, k: Int): DataFrame = {
+    require(c >= 1 && k >= 1, "need c ≥ 1 and k ≥ 1")
+    val l = a.select(col(id), col("rank").cast("long").as("rank_a"))
+    val r = b.select(col(id), col("rank").cast("long").as("rank_b"))
+    l.join(r, Seq(id), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c.toLong) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toLong) + col("rank_b")), lit(0.0)))
+      .orderBy(col("rrf").desc, col(id).asc)
+      .limit(k)
+  }
 }

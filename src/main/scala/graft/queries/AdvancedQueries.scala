@@ -221,6 +221,47 @@ object AdvancedQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** A15: column-level data-quality profile (operators.Profiler) —
+    * per-column rows/nulls/exact-distinct/min/max/mode over the events
+    * table in ONE melt shuffle. The oracle replays every statistic
+    * per column, certifying the single-pass melt against k separate
+    * straightforward aggregations. */
+  private val profiler = QuerySpec(
+    "q_a15_profile",
+    """WITH m AS (
+      |  SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS val FROM events
+      |  UNION ALL SELECT 'event_type', event_type FROM events
+      |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      |  UNION ALL SELECT 'props', props FROM events
+      |), c AS (
+      |  SELECT column_name, val, COUNT(*) AS cnt FROM m GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT column_name,
+      |         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |         CAST(COALESCE(SUM(CASE WHEN val IS NULL THEN cnt END), 0) AS BIGINT) AS n_null,
+      |         CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct
+      |  FROM c GROUP BY 1
+      |), md AS (
+      |  SELECT column_name, val AS mode_val, CAST(cnt AS BIGINT) AS mode_cnt,
+      |         ROW_NUMBER() OVER (PARTITION BY column_name ORDER BY cnt DESC, val ASC) AS rn
+      |  FROM c WHERE val IS NOT NULL
+      |), mm AS (
+      |  SELECT 'event_id' AS column_name, CAST(MIN(event_id) AS VARCHAR) AS min_val, CAST(MAX(event_id) AS VARCHAR) AS max_val FROM events
+      |  UNION ALL SELECT 'event_type', MIN(event_type), MAX(event_type) FROM events
+      |  UNION ALL SELECT 'user_id', CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM events
+      |  UNION ALL SELECT 'props', MIN(props), MAX(props) FROM events
+      |)
+      |SELECT a.column_name, a.n_rows, a.n_null,
+      |       CAST(a.n_null AS DOUBLE) / a.n_rows AS null_rate,
+      |       a.n_distinct, mm.min_val, mm.max_val, md.mode_val, md.mode_cnt
+      |FROM agg a JOIN mm USING (column_name) JOIN md USING (column_name)
+      |WHERE md.rn = 1
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    graft.operators.Profiler.profile(
+      Tables.events(s, d), Seq("event_id", "event_type", "user_id", "props"))
+      .orderBy("column_name")
+  }
+
   val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin,
-    zorderKey, snapshotDiff, snapshotApply, fuzzyNames)
+    zorderKey, snapshotDiff, snapshotApply, fuzzyNames, profiler)
 }

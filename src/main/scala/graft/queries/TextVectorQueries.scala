@@ -1018,6 +1018,64 @@ object TextVectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    * ranking and the exact-cosine semantic ranking for one query
+    * (operators.Retrieval.rrfFuse; embeddings key the same id space as
+    * documents). Both input rankings AND the fused scores replay in
+    * SQL, so the whole hybrid pipeline is hash-certified end-to-end. */
+  private val hybridRrf = QuerySpec(
+    "q_hybrid_rrf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |stats AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sumdl, CAST(COUNT(*) AS DOUBLE) AS n FROM dl),
+      |qtok AS (SELECT doc_id, term FROM tok WHERE term IN ('hash', 'join', 'merge')),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtok GROUP BY doc_id, term),
+      |dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qtok GROUP BY term),
+      |part AS (
+      |  SELECT tf.doc_id,
+      |         CAST(ROUND(LN(1.0 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5)) *
+      |              ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / (s.sumdl / s.n)))), 6)
+      |           AS DECIMAL(18,6)) AS part
+      |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+      |bm AS (SELECT doc_id, CAST(SUM(part) AS DOUBLE) AS score
+      |       FROM part GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+      |lex AS (SELECT doc_id AS id,
+      |               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_a
+      |        FROM bm),
+      |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |semall AS (
+      |  SELECT c_id AS id,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY
+      |           list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+      |           c_id) AS BIGINT) AS rank_b
+      |  FROM q CROSS JOIN c),
+      |sem AS (SELECT * FROM semall WHERE rank_b <= 50),
+      |f AS (
+      |  SELECT COALESCE(l.id, s.id) AS id, l.rank_a, s.rank_b,
+      |         COALESCE(1.0 / (60 + l.rank_a), 0.0) + COALESCE(1.0 / (60 + s.rank_b), 0.0) AS rrf
+      |  FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+      |)
+      |SELECT id, rank_a, rank_b, rrf FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Retrieval
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    // the lexical ranking windows over bm25's ALREADY top-k-limited
+    // output (≤ 50 rows) — bounded by construction, not a global sort
+    val lex = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+      query = Seq("hash", "join", "merge"), k = 50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id").as("id"), col("rank"))
+    val sem = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 50)
+      .select(col("c_id").as("id"), col("rnk").as("rank"))
+    Retrieval.rrfFuse(lex, sem, "id", c = 60, k = 20)
+      .orderBy(col("rrf").desc, col("id").asc)
+  }
+
   /** Count–Min point-frequency sketch (operators.CountMin): per-source
     * sketches merge into the whole-corpus sketch; the 20 heaviest
     * tokens' estimates read off the merged counters. The portable md5
@@ -1059,7 +1117,7 @@ object TextVectorQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms,
+    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, hybridRrf,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,

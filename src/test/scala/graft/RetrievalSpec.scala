@@ -63,4 +63,29 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  private def ranking(rows: (Long, Long)*) = {
+    import TestSession.spark.implicits._
+    rows.toDF("id", "rank")
+  }
+
+  test("rrf fusion sums 1/(c+rank) across rankings, absent side contributes 0") {
+    val a = ranking(1L -> 1L, 2L -> 2L)
+    val b = ranking(2L -> 1L, 3L -> 2L)
+    val got = Retrieval.rrfFuse(a, b, "id", c = 10, k = 10)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(got(1L) === 1.0 / 11)
+    assert(got(2L) === 1.0 / 12 + 1.0 / 11)
+    assert(got(3L) === 1.0 / 12)
+  }
+
+  test("rrf output is ordered by fused score, id-tie ascending, and limited to k") {
+    // ids 1 and 2 get identical fused scores (symmetric ranks)
+    val a = ranking(1L -> 1L, 2L -> 2L, 3L -> 3L)
+    val b = ranking(2L -> 1L, 1L -> 2L)
+    val got = Retrieval.rrfFuse(a, b, "id", c = 60, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L)) // tie → smaller id first; k=2 drops id 3
+  }
 }
