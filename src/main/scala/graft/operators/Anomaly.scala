@@ -54,6 +54,48 @@ object Anomaly {
     df.withColumn("ewma", num / den)
   }
 
+  /** Seasonal-baseline deviation — "is this reading abnormal FOR THIS
+    * HOUR?" (NOC KPIs are strongly periodic: a 2 am traffic level that
+    * is normal at 2 am is an outage at 2 pm; trailing-window z-scores
+    * (withAnomalyFlags) and CUSUM can't see that, because their
+    * baseline mixes all phases of the cycle).
+    *
+    * The seasonal profile is mean/stddev per (key, slot) — slot is any
+    * cyclic bucket of the timestamp (hour-of-day, hour-of-week) — via
+    * the exact-decimal moment formulas (OracleCompat), so it
+    * hash-oracles. Each row then carries its slot's baseline and
+    * z-score; `seasonal_anomaly` flags |x − μ_slot| > z·σ_slot given at
+    * least `minN` observations in the slot.
+    *
+    * Scale shape: the profile aggregate is map-side-combinable down to
+    * keys×slots rows and BROADCASTS back onto the stream — the data
+    * itself is never shuffled (one scan for the profile, one for the
+    * join; the plan gate asserts no data-sized exchange). */
+  def withSeasonalDeviation(
+      df: DataFrame,
+      keys: Seq[String],
+      slot: org.apache.spark.sql.Column,
+      value: String,
+      minN: Int = 30,
+      zThreshold: Double = 3.0): DataFrame = {
+    import graft.core.OracleCompat.{davg, dstddev}
+    val slotted = df.withColumn("slot", slot.cast("long"))
+    val grp = keys :+ "slot"
+    val prof = slotted.groupBy(grp.map(col): _*).agg(
+      count(col(value)).as("s_n"),
+      davg(col(value), 6).as("s_mean"),
+      // singleton slots have no sample stddev — NULL, not an ANSI
+      // divide-by-zero (their rows can't flag: s_n < minN gates them)
+      when(count(col(value)) >= 2, dstddev(col(value))).as("s_sd"))
+    slotted
+      .join(broadcast(prof), grp)
+      .withColumn("s_z",
+        when(col("s_sd") > 0.0, (col(value) - col("s_mean")) / col("s_sd")))
+      .withColumn("seasonal_anomaly",
+        col("s_n") >= minN &&
+          abs(col(value) - col("s_mean")) > lit(zThreshold) * col("s_sd"))
+  }
+
   /** One-sided (upper) CUSUM change-point statistic per key, in event
     * order: s_i = max(0, s_{i-1} + (x_i − μ − slack)), the classic
     * Page cumulative-sum detector — s accumulates once the series

@@ -196,6 +196,37 @@ object TimeSeriesQueries {
       .orderBy("event_id")
   }
 
+  /** W11: seasonal-baseline deviation per (event_type, hour-of-day)
+    * (operators.Anomaly.withSeasonalDeviation) — the oracle rebuilds
+    * the per-slot exact-decimal profile and every z-score/flag. */
+  private val w11 = QuerySpec(
+    "q_w11_seasonal",
+    """WITH s AS (
+      |  SELECT event_id, event_type, value,
+      |         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS slot
+      |  FROM events
+      |), p AS (
+      |  SELECT event_type, slot, CAST(COUNT(value) AS BIGINT) AS s_n,
+      |         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS s_mean,
+      |         CASE WHEN COUNT(value) >= 2 THEN
+      |           SQRT((CAST(COUNT(value) AS DOUBLE) * CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE)
+      |                 - CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE))
+      |                / (CAST(COUNT(value) AS DOUBLE) * (CAST(COUNT(value) AS DOUBLE) - 1.0)))
+      |         END AS s_sd
+      |  FROM s GROUP BY 1, 2
+      |)
+      |SELECT s.event_id, s.event_type, s.slot, s.value, p.s_n, p.s_mean, p.s_sd,
+      |       CASE WHEN p.s_sd > 0.0 THEN (s.value - p.s_mean) / p.s_sd END AS s_z,
+      |       (p.s_n >= 30 AND ABS(s.value - p.s_mean) > 3.0 * p.s_sd) AS seasonal_anomaly
+      |FROM s JOIN p USING (event_type, slot)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Anomaly.withSeasonalDeviation(
+      Tables.events(s, d), Seq("event_type"), hour(col("ts")), "value")
+      .select("event_id", "event_type", "slot", "value", "s_n", "s_mean", "s_sd",
+        "s_z", "seasonal_anomaly")
+      .orderBy("event_id")
+  }
+
   private val a2 = QuerySpec(
     "q_a2_resample",
     """SELECT event_type, epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS bucket_ms,
@@ -543,5 +574,5 @@ object TimeSeriesQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
+    Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
 }

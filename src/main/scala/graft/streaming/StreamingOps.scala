@@ -252,6 +252,37 @@ object StreamingOps {
       keys: Seq[String] = Nil): DataFrame =
     graft.operators.HistogramSketch.merge(spark.read.parquet(s"$path/bins"), keys)
 
+  /** Streaming sketch fold for the Count–Min frequency sketch (N60) —
+    * the same additive append-at-write / merge-at-read / `_batches`
+    * ledger contract as [[histogramAppendBatch]]: each micro-batch
+    * writes its own (depth, bucket, cnt) increments (≤ d·w rows per
+    * batch), a redelivered micro-batch is a no-op, and whole-corpus
+    * point-frequency estimates stay current with no historical
+    * rescan. */
+  def countMinAppendBatch(
+      path: String, key: String, depth: Int, width: Int):
+      (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val ledgerPath = s"$path/_batches"
+    val applied =
+      try spark.read.parquet(ledgerPath)
+        .filter(col("batch_id") === batchId).head(1).nonEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!applied && !batch.isEmpty) {
+      graft.operators.CountMin
+        .build(batch, col(key), depth, width)
+        .write.mode("append").parquet(s"$path/counters")
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerPath)
+    }
+  }
+
+  /** Merged view of a [[countMinAppendBatch]] relation — feed straight
+    * into CountMin.estimate. */
+  def readCountMin(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.operators.CountMin.merge(spark.read.parquet(s"$path/counters"))
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -93,6 +93,34 @@ class AnomalySpec extends AnyFunSuite {
     assert(got.forall(_ >= 0.0))
   }
 
+  /** (key, slot, value) rows with an explicit slot column. */
+  private def slotted(rows: (String, Long, Double)*) =
+    rows.toDF("key", "hr", "value")
+
+  test("seasonal deviation judges rows against their own slot, not the global mean") {
+    // slot 2 runs at 100, slot 14 at 10 — a 100 at 2 am is NORMAL even
+    // though it is far from the global mean; a 100 at 2 pm is anomalous
+    val base = (1 to 40).flatMap(i => Seq(
+      ("k", 2L, 100.0 + (i % 3)), ("k", 14L, 10.0 + (i % 3))))
+    val probe = Seq(("k", 14L, 100.0))
+    val out = graft.operators.Anomaly.withSeasonalDeviation(
+      slotted(base ++ probe: _*), Seq("key"), col("hr"), "value",
+      minN = 30, zThreshold = 3.0)
+    val flagged = out.filter(col("seasonal_anomaly"))
+      .select("slot", "value").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(flagged.toSeq === Seq((14L, 100.0)))
+  }
+
+  test("seasonal profile broadcasts: the stream is never hash-shuffled") {
+    val base = (1 to 40).map(i => ("k", (i % 24).toLong, i.toDouble))
+    val df = graft.operators.Anomaly.withSeasonalDeviation(
+      slotted(base: _*), Seq("key"), col("hr"), "value")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "profile must broadcast-join back")
+    assert(!p.contains("SortMergeJoin"), "stream must not shuffle for the profile join")
+  }
+
   test("window is partitioned: no single-task global window in the plan") {
     val df = Anomaly.withEwma(series(Seq.fill(10)(1.0)), Seq("key"), Seq("t"), "value")
     val plan = df.queryExecution.optimizedPlan.toString

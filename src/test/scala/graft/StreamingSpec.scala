@@ -443,4 +443,43 @@ class StreamingSpec extends AnyFunSuite {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("streaming count-min fold: micro-batches merge to the single-pass sketch; redelivery no-op") {
+    import graft.operators.CountMin
+    val (depth, width) = (4, 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
+    try {
+      val in = MemoryStream[(Long, String)](spark)
+      val df = in.toDF().toDF("id", "k")
+      val q = df.writeStream
+        .foreachBatch(StreamingOps.countMinAppendBatch(dir, "k", depth, width))
+        .option("checkpointLocation", s"$dir/_chk")
+        .start()
+      val batch1 = (1 to 200).map(i => (i.toLong, s"k${i % 17}"))
+      val batch2 = (201 to 350).map(i => (i.toLong, s"k${i % 11}"))
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable(); q.stop()
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.select("depth", "bucket", "cnt").as[(Long, Long, Long)].collect().toSet
+      val streamed = rows(StreamingOps.readCountMin(spark, dir))
+      val single = rows(CountMin.build(
+        (batch1 ++ batch2).toDF("id", "k"), col("k"), depth, width))
+      assert(streamed === single)
+      // estimates off the streamed sketch still never under-count
+      val truth = (batch1 ++ batch2).toDF("id", "k")
+        .groupBy("k").agg(count(lit(1)).as("true_cnt"))
+      val est = CountMin.estimate(
+        StreamingOps.readCountMin(spark, dir), truth, col("k"), depth, width)
+        .select("true_cnt", "est").as[(Long, Long)].collect()
+      est.foreach { case (t, e) => assert(e >= t) }
+      // manual redelivery of an applied batch id must change nothing
+      StreamingOps.countMinAppendBatch(dir, "k", depth, width)(
+        batch1.toDF("id", "k"), 0L)
+      assert(rows(StreamingOps.readCountMin(spark, dir)) === single,
+        "ledgered redelivery mutated the sketch")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
