@@ -52,6 +52,53 @@ object HistogramSketch {
     hist.groupBy(keys.map(col) :+ col("bin"): _*)
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Population Stability Index between two histograms sharing bin
+    * edges — the standard distribution-drift score between corpus /
+    * feature snapshots (retrain triggers, ingest-mix regressions):
+    *
+    *   PSI(key) = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+    *
+    * over Laplace-smoothed shares p_b = (cnt_a + ½) / (n_a + bins/2),
+    * so empty bins stay finite and the score is defined for any pair
+    * of sketches. (Rule of thumb: < 0.1 stable, > 0.25 drifted.)
+    *
+    * Determinism: the bin spine is ENUMERATED 0..bins−1 (both engines
+    * iterate identical bins, including ones absent from both sides);
+    * the one libm ln() per bin hides behind a 6-dp rounding and the
+    * per-bin contributions sum as exact decimal — the BM25/TF-IDF
+    * trick — so the score hash-oracles.
+    *
+    * Scale shape: inputs are ALREADY aggregated histograms (≤ bins
+    * rows per key); everything here — spine join, totals window,
+    * contribution sum — runs on that keys×bins grid, never on data. */
+  def psi(
+      a: DataFrame, b: DataFrame, bins: Int,
+      keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = a.sparkSession
+    val binSpine = spark.range(bins).select(col("id").as("bin"))
+    val spine =
+      if (keys.isEmpty) binSpine
+      else a.select(keys.map(col): _*).union(b.select(keys.map(col): _*))
+        .distinct().crossJoin(binSpine)
+    val grid = spine
+      .join(a.withColumnRenamed("cnt", "_ca"), keys :+ "bin", "left")
+      .join(b.withColumnRenamed("cnt", "_cb"), keys :+ "bin", "left")
+      .withColumn("_ca", coalesce(col("_ca"), lit(0L)))
+      .withColumn("_cb", coalesce(col("_cb"), lit(0L)))
+    val wk = Window.partitionBy(keys.map(col): _*)
+    val p = (col("_ca") + lit(0.5)) / (sum(col("_ca")).over(wk) + lit(bins / 2.0))
+    val q = (col("_cb") + lit(0.5)) / (sum(col("_cb")).over(wk) + lit(bins / 2.0))
+    grid
+      .withColumn("_contrib",
+        round((p - q) * log(p / q), 6).cast(DecimalType(18, 6)))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("_ca")).as("n_a"),
+        sum(col("_cb")).as("n_b"),
+        sum(col("_contrib")).cast("double").as("psi"))
+  }
+
   /** Quantile read-out: for each key and q, the upper edge of the bin
     * containing rank ⌈q·N⌉. Output: (keys..., q, est, n). */
   def quantiles(

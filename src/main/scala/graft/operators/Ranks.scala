@@ -104,6 +104,55 @@ object Ranks {
       .agg(coalesce(sum(col("_pcnt")), lit(0L)).as("_off"))
   }
 
+  /** Reliability / calibration table for a binary scorer (the
+    * ECE-family companion to [[aucStats]]'s discrimination metric —
+    * AUC says whether the score RANKS outages above non-outages;
+    * calibration says whether the score's LEVEL means what it claims,
+    * which is what a forecast consumer paging field engineers on
+    * "probability > 0.7" actually relies on).
+    *
+    * Scores are min-max normalized to [0,1] and binned into `bins`
+    * equal-width cells. Per cell: n, mean normalized score (conf),
+    * positive rate (acc), gap = acc − conf, and the overall expected
+    * calibration error ECE = Σ_cells (n/N)·|gap| attached to every row.
+    *
+    * Oracle-parity choices: conf is the exact-decimal RAW-score mean
+    * normalized afterwards (one deterministic double op — casting the
+    * computed normalized double to decimal would hit engine rounding-
+    * mode differences); the ECE contributions round to 6 dp and sum as
+    * exact decimal. Scale shape: one map-side-combinable groupBy on
+    * the cell id; the min/max row and the bins-row ECE total ride
+    * broadcasts — the data shuffles nothing. */
+  def calibration(
+      df: DataFrame, score: Column, isPos: Column, bins: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(bins >= 2, "need at least 2 bins")
+    val mm = df.agg(min(score).as("_lo"), max(score).as("_hi"))
+    val cells = df
+      .select(score.as("_x"), isPos.cast("int").as("_y"))
+      .crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(lit(bins - 1).cast("long"),
+          floor((col("_x") - col("_lo")) / (col("_hi") - col("_lo")) * bins)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("_x").cast(DecimalType(27, 4))).as("_sx"),
+        sum(col("_y")).as("_npos"),
+        first(col("_lo")).as("_lo"), first(col("_hi")).as("_hi"))
+      .withColumn("conf",
+        (col("_sx").cast("double") / col("n") - col("_lo")) / (col("_hi") - col("_lo")))
+      .withColumn("acc", col("_npos").cast("double") / col("n"))
+      .withColumn("gap", col("acc") - col("conf"))
+    val ece = cells.agg(
+      sum(col("n")).as("_nt"),
+      sum(round(col("n") * abs(col("gap")), 6).cast(DecimalType(27, 6))).as("_gsum"))
+      .select((col("_gsum").cast("double") / col("_nt")).as("ece"))
+    cells
+      .crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("conf"), col("acc"), col("gap"), col("ece"))
+  }
+
   /** One-row (npos: long, nneg: long, auc: double) via the tie-corrected
     * Mann-Whitney statistic over [[tieAveragedRanks]]. */
   def aucStats(df: DataFrame, score: Column, isPos: Column): DataFrame = {

@@ -552,6 +552,91 @@ object TimeSeriesQueries {
       .orderBy("event_type", "q")
   }
 
+  /** A16: PSI distribution drift between the first and second half of
+    * the corpus (operators.HistogramSketch.psi) — the retrain-trigger
+    * score over the mergeable histograms; the oracle enumerates the
+    * same smoothed-share bin spine and replays every contribution. */
+  private val a16 = QuerySpec(
+    "q_a16_psi",
+    """WITH ha AS (
+      |  SELECT event_type,
+      |         CAST(least(63, greatest(0, CAST(floor((value - 0.0) / 8.0) AS INTEGER))) AS BIGINT) AS bin,
+      |         COUNT(*) AS cnt
+      |  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2
+      |), hb AS (
+      |  SELECT event_type,
+      |         CAST(least(63, greatest(0, CAST(floor((value - 0.0) / 8.0) AS INTEGER))) AS BIGINT) AS bin,
+      |         COUNT(*) AS cnt
+      |  FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2
+      |), keys AS (
+      |  SELECT DISTINCT event_type FROM (
+      |    SELECT event_type FROM ha UNION ALL SELECT event_type FROM hb)
+      |), spine AS (
+      |  SELECT k.event_type, s.bin
+      |  FROM keys k CROSS JOIN (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS bin) s
+      |), g AS (
+      |  SELECT sp.event_type, sp.bin,
+      |         COALESCE(ha.cnt, 0) AS ca, COALESCE(hb.cnt, 0) AS cb
+      |  FROM spine sp
+      |  LEFT JOIN ha ON sp.event_type = ha.event_type AND sp.bin = ha.bin
+      |  LEFT JOIN hb ON sp.event_type = hb.event_type AND sp.bin = hb.bin
+      |), t AS (
+      |  SELECT event_type, ca, cb,
+      |         SUM(ca) OVER (PARTITION BY event_type) AS na,
+      |         SUM(cb) OVER (PARTITION BY event_type) AS nb
+      |  FROM g
+      |)
+      |SELECT event_type,
+      |       CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+      |       CAST(SUM(CAST(ROUND(
+      |         ((ca + 0.5) / (na + 32.0) - (cb + 0.5) / (nb + 32.0)) *
+      |         LN(((ca + 0.5) / (na + 32.0)) / ((cb + 0.5) / (nb + 32.0))), 6)
+      |         AS DECIMAL(18,6))) AS DOUBLE) AS psi
+      |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.operators.HistogramSketch
+    val ev = Tables.events(s, d)
+    val split = lit("2024-01-16").cast("timestamp")
+    val ha = HistogramSketch.build(
+      ev.filter(col("ts") < split), col("value"), 0.0, 512.0, 64, Seq("event_type"))
+    val hb = HistogramSketch.build(
+      ev.filter(col("ts") >= split), col("value"), 0.0, 512.0, 64, Seq("event_type"))
+    HistogramSketch.psi(ha, hb, 64, Seq("event_type"))
+      .select("event_type", "n_a", "n_b", "psi")
+      .orderBy("event_type")
+  }
+
+  /** A17: calibration / reliability table + ECE for the same scorer
+    * q_a9_auc ranks (operators.Ranks.calibration) — discrimination
+    * (AUC) and calibration (ECE) are the two halves of forecast
+    * evaluation. */
+  private val a17 = QuerySpec(
+    "q_a17_calibration",
+    """WITH mm AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+      |cells AS (
+      |  SELECT least(9, CAST(floor((value - mm.lo) / (mm.hi - mm.lo) * 10) AS BIGINT)) AS bin,
+      |         COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+      |         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS npos,
+      |         MIN(mm.lo) AS lo, MIN(mm.hi) AS hi
+      |  FROM events CROSS JOIN mm GROUP BY 1
+      |), c2 AS (
+      |  SELECT bin, n,
+      |         (sx / n - lo) / (hi - lo) AS conf,
+      |         CAST(npos AS DOUBLE) / n AS acc
+      |  FROM cells
+      |), e AS (
+      |  SELECT CAST(SUM(CAST(ROUND(n * ABS(acc - conf), 6) AS DECIMAL(27,6))) AS DOUBLE)
+      |           / SUM(n) AS ece
+      |  FROM c2
+      |)
+      |SELECT c2.bin, CAST(c2.n AS BIGINT) AS n, c2.conf, c2.acc,
+      |       c2.acc - c2.conf AS gap, e.ece
+      |FROM c2 CROSS JOIN e ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.operators.Ranks.calibration(
+      Tables.events(s, d), col("value"), col("event_type") === "error", bins = 10)
+      .orderBy("bin")
+  }
+
   /** W9: first-order event-type transition matrix per user (operators.
     * Funnel.transitionMatrix) — Markov path analysis. */
   private val w9 = QuerySpec(
@@ -574,5 +659,6 @@ object TimeSeriesQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2, a11, a13, a14)
+    Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
+      a11, a13, a14, a16, a17)
 }

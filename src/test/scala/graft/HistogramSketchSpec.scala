@@ -57,4 +57,48 @@ class HistogramSketchSpec extends AnyFunSuite {
       HistogramSketch.build(rows.repartition(13), col("v"), 0.0, 512.0, 128, Seq("day")), Nil)
     assert(a.orderBy("bin").collect().toSeq === b.orderBy("bin").collect().toSeq)
   }
+
+  private def hist(vals: Seq[Double]) =
+    HistogramSketch.build(vals.map(Tuple1(_)).toDF("v"), col("v"), 0.0, 100.0, 10)
+
+  test("psi of a distribution against itself is exactly zero") {
+    val vals = (0 until 500).map(i => (i * 13 % 100) + 0.5)
+    val out = HistogramSketch.psi(hist(vals), hist(vals), 10).collect().head
+    assert(out.getAs[Double]("psi") === 0.0)
+    assert(out.getAs[Long]("n_a") === 500L && out.getAs[Long]("n_b") === 500L)
+  }
+
+  test("psi of disjoint distributions is large, and symmetric under swap") {
+    val a = hist((0 until 300).map(i => (i % 40) + 0.5))   // mass in bins 0-3
+    val b = hist((0 until 300).map(i => 60.0 + (i % 40) + 0.5)) // bins 6-9
+    val ab = HistogramSketch.psi(a, b, 10).collect().head.getAs[Double]("psi")
+    val ba = HistogramSketch.psi(b, a, 10).collect().head.getAs[Double]("psi")
+    assert(ab > 0.25, s"disjoint mass must read as drifted, got $ab")
+    assert(ab === ba, "PSI is symmetric in (p-q)ln(p/q)")
+  }
+
+  test("psi enumerates the full bin spine: bins absent from both inputs still count") {
+    // all mass in bin 0 on both sides, equal totals — 9 bins absent
+    // from both frames; smoothed shares identical per bin → psi = 0
+    val same = HistogramSketch.psi(
+      hist(Seq.fill(50)(1.0)), hist(Seq.fill(50)(2.0)), 10).collect().head
+    assert(same.getAs[Double]("psi") === 0.0)
+    // unequal totals: the ABSENT bins' smoothed shares now differ, so
+    // they contribute — finite and small, never NaN/∞ (the Laplace
+    // floor is the point)
+    val diff = HistogramSketch.psi(
+      hist(Seq.fill(50)(1.0)), hist(Seq.fill(80)(2.0)), 10).collect().head
+      .getAs[Double]("psi")
+    assert(diff > 0.0 && diff < 0.1 && !diff.isNaN && !diff.isInfinite)
+  }
+
+  test("psi keys: drift scored per group, keyed spine from both sides") {
+    val a = HistogramSketch.build(
+      Seq(("x", 5.0), ("x", 15.0)).toDF("k", "v"), col("v"), 0.0, 100.0, 10, Seq("k"))
+    val b = HistogramSketch.build(
+      Seq(("x", 95.0), ("y", 50.0)).toDF("k", "v"), col("v"), 0.0, 100.0, 10, Seq("k"))
+    val got = HistogramSketch.psi(a, b, 10, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    assert(got.toSeq === Seq(("x", 2L, 1L), ("y", 0L, 1L)))
+  }
 }

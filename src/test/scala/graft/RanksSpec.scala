@@ -88,4 +88,39 @@ class RanksSpec extends AnyFunSuite {
     assert(got.getAs[Double]("auc") === 1.0)
     spark.catalog.clearCache()
   }
+
+  test("calibration: a two-bin hand computation, including the ECE") {
+    import spark.implicits._
+    val df = Seq((0.0, 0), (0.0, 1), (1.0, 0), (1.0, 1)).toDF("score", "lab")
+    val got = Ranks.calibration(df, col("score"), col("lab") === 1, bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"), r.getAs[Double]("conf"),
+        r.getAs[Double]("acc"), r.getAs[Double]("gap"), r.getAs[Double]("ece")))
+    // bin 0: conf 0, acc 0.5 → gap +0.5; bin 1: conf 1, acc 0.5 → gap −0.5
+    // ECE = (2·0.5 + 2·0.5)/4 = 0.5 on every row
+    assert(got.toSeq === Seq((0L, 2L, 0.0, 0.5, 0.5, 0.5), (1L, 2L, 1.0, 0.5, -0.5, 0.5)))
+  }
+
+  test("calibration: the max score lands in the top bin, not past it") {
+    import spark.implicits._
+    val df = (0 to 100).map(i => (i / 100.0, if (i > 50) 1 else 0)).toDF("score", "lab")
+    val out = Ranks.calibration(df, col("score"), col("lab") === 1, bins = 10)
+    val bins = out.select("bin").as[Long].collect()
+    assert(bins.max === 9L && bins.min === 0L)
+    assert(out.agg(sum("n")).collect().head.getLong(0) === 101L)
+  }
+
+  test("calibration of a well-calibrated scorer reads near-zero ECE") {
+    import spark.implicits._
+    // 20 rows per level; positives at each level = level · 20 exactly
+    val rows = for {
+      lvl <- 0 to 10
+      i <- 1 to 20
+    } yield (lvl / 10.0, if (i <= lvl * 2) 1 else 0)
+    val out = Ranks.calibration(rows.toDF("score", "lab"), col("score"), col("lab") === 1, 10)
+      .collect().head.getAs[Double]("ece")
+    // levels 0.9 and 1.0 share the top bin (conf 0.95 vs acc 0.95 — still 0);
+    // everything else is exact
+    assert(math.abs(out) < 1e-9, s"well-calibrated scorer must have ~0 ECE, got $out")
+  }
 }
