@@ -222,6 +222,87 @@ object Multimodal {
     })
   }
 
+  /** Parsed audio metadata; `format` is "wav" or "unknown" (all fields
+    * −1) for unrecognized payloads. */
+  final case class AudioMeta(
+      media_id: Long,
+      format: String,
+      channels: Int,
+      sample_rate_hz: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      duration_ms: Long)
+
+  /** REAL RIFF/WAVE container parsing — the audio analogue of
+    * [[ImageHeaders]]: channels / sample rate / bit depth from the
+    * `fmt ` chunk, frame count from `data` size ÷ block align,
+    * duration by integer millisecond arithmetic. Pure byte-level
+    * little-endian walking of the chunk chain (skips LIST/fact/
+    * whatever else precedes fmt/data), no codec libraries — actual
+    * PCM sample decode stays behind the [[MediaDecoder]] stub
+    * boundary like image pixel decode does. */
+  object AudioHeaders {
+    private def le16(p: Array[Byte], i: Int): Int =
+      (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], i: Int): Long =
+      (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
+        ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+    private def tag(p: Array[Byte], i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** (channels, sampleRate, bits, frames) or None if not a WAV. */
+    def decode(p: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (p.length < 44 || tag(p, 0) != "RIFF" || tag(p, 8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+      var dataSize = -1L
+      while (off + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = tag(p, off)
+        val sz = le32(p, off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length)
+          fmt = Some((le16(p, off + 10), le32(p, off + 12).toInt,
+            le16(p, off + 22), le16(p, off + 20)))
+        else if (id == "data") dataSize = sz
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (ch, rate, bits, ba) if dataSize >= 0 && ba > 0 =>
+        (ch, rate, bits, dataSize / ba)
+      }
+    }
+
+    /** Minimal valid PCM WAV: header + zeroed sample data. */
+    def syntheticWav(channels: Int, sampleRate: Int, bits: Int, nFrames: Long): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      val dataSize = (nFrames * blockAlign).toInt
+      val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort)
+        .putInt(sampleRate).putInt(sampleRate * blockAlign)
+        .putShort(blockAlign.toShort).putShort(bits.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      b.array()
+    }
+  }
+
+  /** Partition-batched audio header decode (same mapPartitions shape
+    * as [[decodeDims]]); duration_ms = ⌊frames·1000 / rate⌋. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        AudioHeaders.decode(r.payload) match {
+          case Some((ch, rate, bits, frames)) if rate > 0 =>
+            AudioMeta(r.media_id, "wav", ch, rate, bits, frames,
+              frames * 1000L / rate)
+          case _ => AudioMeta(r.media_id, "unknown", -1, -1, -1, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** Build a media table from the documents table: payload = UTF-8 bytes
     * of the text (deterministic stand-in for image/audio blobs). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {

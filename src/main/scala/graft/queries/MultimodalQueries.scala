@@ -64,5 +64,30 @@ object MultimodalQueries {
     Multimodal.decodeDims(media).toDF().orderBy("media_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(features, chunks, dims)
+  /** Audio RIFF/WAVE metadata (operators.Multimodal.AudioHeaders) —
+    * same contract as q_mm_dims: payloads are REAL synthesized WAV
+    * containers whose parameters derive from doc_id, the engine PARSES
+    * the bytes, the oracle recomputes the arithmetic directly. A
+    * writer or chunk-walker bug on any byte layout breaks the hash. */
+  private val audio = QuerySpec(
+    "q_mm_audio",
+    """SELECT doc_id AS media_id, 'wav' AS format,
+      |       CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate_hz,
+      |       CAST(16 AS INTEGER) AS bits_per_sample,
+      |       CAST(doc_id % 500 + 1 AS BIGINT) AS n_frames,
+      |       CAST((doc_id % 500 + 1) * 1000 //
+      |            (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val rate = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+      Multimodal.MediaRecord(id, "audio/wav",
+        Multimodal.AudioHeaders.syntheticWav(
+          (id % 2 + 1).toInt, rate, 16, id % 500 + 1), 0, 0)
+    }
+    Multimodal.decodeAudio(media).toDF().orderBy("media_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio)
 }

@@ -95,6 +95,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!out(3L).decoded && out(3L).width === -1 && out(3L).mean_luma === -1.0)
   }
 
+  test("wav round trip: synthesized containers parse back to their parameters") {
+    import Multimodal.AudioHeaders
+    val cases = Seq((1, 8000, 16, 100L), (2, 44100, 16, 44100L), (2, 16000, 8, 1L))
+    cases.foreach { case (ch, rate, bits, frames) =>
+      val got = AudioHeaders.decode(AudioHeaders.syntheticWav(ch, rate, bits, frames))
+      assert(got === Some((ch, rate, bits, frames)), s"case $ch/$rate/$bits/$frames")
+    }
+  }
+
+  test("wav chunk walk skips unknown chunks before fmt/data") {
+    import Multimodal.AudioHeaders
+    val base = AudioHeaders.syntheticWav(2, 16000, 16, 10L)
+    // splice a 6-byte LIST chunk (odd→word-aligned to 6+pad? use even 6)
+    val extra = java.nio.ByteBuffer.allocate(8 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(6).put(Array.fill[Byte](6)(0x7f))
+      .array()
+    val spliced = base.take(12) ++ extra ++ base.drop(12)
+    // RIFF size field is now stale — the walker must not rely on it
+    assert(AudioHeaders.decode(spliced) === Some((2, 16000, 16, 10L)))
+  }
+
+  test("non-wav payloads decode as unknown, not a crash") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRecord(1L, "x", "not a riff at all".getBytes, 0, 0),
+      Multimodal.MediaRecord(2L, "x", Array[Byte](82, 73), 0, 0), // truncated "RI"
+      Multimodal.MediaRecord(3L, "x", Array.emptyByteArray, 0, 0)).toDS()
+    val out = Multimodal.decodeAudio(junk).collect()
+    assert(out.forall(a => a.format == "unknown" && a.channels == -1))
+  }
+
   test("features agree with driver-side recomputation") {
     val feats = Multimodal.extractFeatures(media, new Multimodal.FakeDecoder(256))
       .collect().map(f => f.media_id -> f).toMap
