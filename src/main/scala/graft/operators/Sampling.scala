@@ -204,4 +204,39 @@ object Sampling {
            |END""".stripMargin))
       .drop("_rn", "_n")
   }
+
+  /** Deterministic shard assignment for data-parallel training plus a
+    * shard-balance audit. `withShard` hashes the key through the
+    * engine's portable md5 family: the same row lands in the same of
+    * `nShards` shards on any cluster, any partition count, any engine
+    * — and a DIFFERENT seed is a fresh, independent resharding (epoch
+    * rotation). Pure projection: no shuffle, no state.
+    *
+    * [[shardStats]] is the audit a sharded training run does before
+    * launch: per-shard row count and the count/expected ratio
+    * (expected = N/nShards). Hash sharding keys, unlike range
+    * sharding, cannot be skewed by VALUE distribution — only by
+    * duplicate keys — so a ratio far from 1 flags a key-quality bug
+    * upstream, not a resharding need. One map-side-combinable groupBy
+    * on nShards groups. */
+  def withShard(
+      df: DataFrame, key: Column, nShards: Int, seed: Long = 0L,
+      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    df.withColumn(outCol,
+      pmod(graft.functions.PortableHash
+        .md5Hash60(concat(lit(s"shard:$seed:"), key.cast("string"))),
+        lit(nShards.toLong)))
+  }
+
+  /** Per-shard (shard, n, balance_ratio) over a [[withShard]] column;
+    * ratio = n·nShards/N as one deterministic double division. */
+  def shardStats(sharded: DataFrame, nShards: Int, shardCol: String = "shard"): DataFrame = {
+    val counts = sharded.groupBy(col(shardCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("_tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("balance_ratio",
+        (col("n") * lit(nShards.toLong)).cast("double") / col("_tot").cast("double"))
+      .drop("_tot")
+  }
 }

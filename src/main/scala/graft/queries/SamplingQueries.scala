@@ -156,6 +156,26 @@ object SamplingQueries {
       .select("doc_id", "source", "n_chars", "priority")
   }
 
+  /** Deterministic shard assignment + balance audit (operators.
+    * Sampling.withShard/shardStats): portable-md5 sharding of the
+    * training corpus into 8 shards; the oracle recomputes every
+    * assignment and the per-shard counts/ratios. */
+  private val shards = QuerySpec(
+    "q_sample_shards",
+    """WITH s AS (
+      |  SELECT ('0x' || substr(md5('shard:7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+      |  FROM documents
+      |), c AS (SELECT shard, COUNT(*) AS n FROM s GROUP BY shard),
+      |t AS (SELECT SUM(n) AS tot FROM c)
+      |SELECT c.shard, CAST(c.n AS BIGINT) AS n,
+      |       CAST(c.n * 8 AS DOUBLE) / t.tot AS balance_ratio
+      |FROM c CROSS JOIN t ORDER BY shard""".stripMargin) { (s, d) =>
+    Sampling.shardStats(
+      Sampling.withShard(Tables.documents(s, d), col("doc_id"), nShards = 8, seed = 7L),
+      nShards = 8)
+      .orderBy("shard")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(splitQ, stratified, pack, curriculum, temperature, shuffleQ, weighted)
+    Seq(splitQ, stratified, pack, curriculum, temperature, shuffleQ, weighted, shards)
 }

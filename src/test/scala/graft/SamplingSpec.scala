@@ -185,4 +185,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(3L) === 1L)
     spark.catalog.clearCache()
   }
+
+  test("shard assignment is deterministic and partition-insensitive") {
+    import spark.implicits._
+    val ids = spark.range(500).toDF("id")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.withShard(df, col("id"), nShards = 8, seed = 3L)
+        .select("id", "shard").as[(Long, Long)].collect().toMap
+    val a = assign(ids.coalesce(1))
+    val b = assign(ids.repartition(13))
+    assert(a === b)
+    assert(a.values.forall(s => s >= 0 && s < 8))
+    // a different seed is an independent resharding, not a rotation
+    val c = Sampling.withShard(ids, col("id"), 8, seed = 4L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(a.count { case (k, v) => c(k) != v } > 300, "reseed must move most rows")
+  }
+
+  test("shard stats: counts conserve N and ratios average to 1") {
+    val sharded = Sampling.withShard(spark.range(1000).toDF("id"), col("id"), 8)
+    val stats = Sampling.shardStats(sharded, 8).collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === 1000L)
+    val ratios = stats.map(_.getAs[Double]("balance_ratio"))
+    assert(math.abs(ratios.sum - 8.0) < 1e-9)
+    // md5 sharding of distinct keys: no shard should be pathological
+    assert(ratios.forall(r => r > 0.5 && r < 1.5), ratios.toSeq.toString)
+  }
 }
