@@ -71,30 +71,50 @@ object Anomaly {
     * keys×slots rows and BROADCASTS back onto the stream — the data
     * itself is never shuffled (one scan for the profile, one for the
     * join; the plan gate asserts no data-sized exchange). */
+  /** The (keys..., slot, s_n, s_mean, s_sd) seasonal profile on its
+    * own — built once on the batch side, broadcast into
+    * [[withSeasonalDeviation]] or the stateless streaming gate
+    * (StreamingOps.seasonalDeviationFlags). */
+  def seasonalProfile(
+      df: DataFrame,
+      keys: Seq[String],
+      slot: Column,
+      value: String): DataFrame = {
+    import graft.core.OracleCompat.{davg, dstddev}
+    df.withColumn("slot", slot.cast("long"))
+      .groupBy((keys :+ "slot").map(col): _*).agg(
+        count(col(value)).as("s_n"),
+        davg(col(value), 6).as("s_mean"),
+        // singleton slots have no sample stddev — NULL, not an ANSI
+        // divide-by-zero (their rows can't flag: s_n < minN gates them)
+        when(count(col(value)) >= 2, dstddev(col(value))).as("s_sd"))
+  }
+
+  /** Join `rows` (already carrying `slot`) against a broadcast profile
+    * and add `s_z` / `seasonal_anomaly` — shared verbatim by the batch
+    * operator and the streaming gate. */
+  private[graft] def applySeasonal(
+      rows: DataFrame, profile: DataFrame, keys: Seq[String],
+      value: String, minN: Int, zThreshold: Double): DataFrame =
+    rows
+      .join(broadcast(profile), keys :+ "slot")
+      .withColumn("s_z",
+        when(col("s_sd") > 0.0, (col(value) - col("s_mean")) / col("s_sd")))
+      .withColumn("seasonal_anomaly",
+        col("s_n") >= minN &&
+          abs(col(value) - col("s_mean")) > lit(zThreshold) * col("s_sd"))
+
   def withSeasonalDeviation(
       df: DataFrame,
       keys: Seq[String],
       slot: org.apache.spark.sql.Column,
       value: String,
       minN: Int = 30,
-      zThreshold: Double = 3.0): DataFrame = {
-    import graft.core.OracleCompat.{davg, dstddev}
-    val slotted = df.withColumn("slot", slot.cast("long"))
-    val grp = keys :+ "slot"
-    val prof = slotted.groupBy(grp.map(col): _*).agg(
-      count(col(value)).as("s_n"),
-      davg(col(value), 6).as("s_mean"),
-      // singleton slots have no sample stddev — NULL, not an ANSI
-      // divide-by-zero (their rows can't flag: s_n < minN gates them)
-      when(count(col(value)) >= 2, dstddev(col(value))).as("s_sd"))
-    slotted
-      .join(broadcast(prof), grp)
-      .withColumn("s_z",
-        when(col("s_sd") > 0.0, (col(value) - col("s_mean")) / col("s_sd")))
-      .withColumn("seasonal_anomaly",
-        col("s_n") >= minN &&
-          abs(col(value) - col("s_mean")) > lit(zThreshold) * col("s_sd"))
-  }
+      zThreshold: Double = 3.0): DataFrame =
+    applySeasonal(
+      df.withColumn("slot", slot.cast("long")),
+      seasonalProfile(df, keys, slot, value),
+      keys, value, minN, zThreshold)
 
   /** One-sided (upper) CUSUM change-point statistic per key, in event
     * order: s_i = max(0, s_{i-1} + (x_i − μ − slack)), the classic

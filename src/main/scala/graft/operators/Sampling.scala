@@ -230,13 +230,18 @@ object Sampling {
   }
 
   /** Per-shard (shard, n, balance_ratio) over a [[withShard]] column;
-    * ratio = n·nShards/N as one deterministic double division. */
+    * ratio = n·nShards/N as one deterministic double division. The
+    * total comes from a window over the ALREADY-AGGREGATED nShards-row
+    * frame (an agg + self-crossJoin would execute the count subtree
+    * twice) — a global window over ≤ nShards rows, never over data. */
   def shardStats(sharded: DataFrame, nShards: Int, shardCol: String = "shard"): DataFrame = {
     val counts = sharded.groupBy(col(shardCol)).agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum(col("n")).as("_tot"))
-    counts.crossJoin(broadcast(tot))
-      .withColumn("balance_ratio",
-        (col("n") * lit(nShards.toLong)).cast("double") / col("_tot").cast("double"))
-      .drop("_tot")
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    counts.withColumn("balance_ratio",
+      (col("n") * lit(nShards.toLong)).cast("double") /
+        sum(col("n")).over(all).cast("double"))
   }
 }

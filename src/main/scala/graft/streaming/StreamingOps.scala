@@ -174,6 +174,23 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(id)
   }
 
+  /** Streaming seasonal-deviation gate: flag arriving readings that are
+    * abnormal FOR THEIR CYCLE SLOT against a static profile built on
+    * the batch side ([[graft.operators.Anomaly.seasonalProfile]]) — the
+    * ingestion-time form of withSeasonalDeviation, completing the
+    * contamination-gate pattern for the NOC KPI path. Stateless: the
+    * keys×slots profile BROADCASTS into a stream-static join (no
+    * stream-side shuffle, no state store), the flag expression is
+    * shared verbatim with the batch operator, and every reading passes
+    * through exactly once with its flag attached. */
+  def seasonalDeviationFlags(
+      stream: DataFrame, profile: DataFrame, keys: Seq[String],
+      slot: org.apache.spark.sql.Column, value: String,
+      minN: Int = 30, zThreshold: Double = 3.0): DataFrame =
+    graft.operators.Anomaly.applySeasonal(
+      stream.withColumn("slot", slot.cast("long")),
+      profile, keys, value, minN, zThreshold)
+
   /** Streaming ingestion into a STORED minhash index: every micro-batch
     * of accepted docs folds into the [[graft.operators.Dedup.writeMinHashRelation]]
     * relation via the delta-only append path — the last piece of the

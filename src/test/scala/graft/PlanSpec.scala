@@ -278,6 +278,31 @@ class PlanSpec extends AnyFunSuite {
       "skip-earlier-variants filter missing from the candidate join")
   }
 
+  test("profiler: one melt exchange on (column, value); min/max broadcast back") {
+    val df = SparkEntry.queries("q_a15_profile")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "min/max row must broadcast-join back")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("count-min: counter table broadcasts into the probe join") {
+    val df = SparkEntry.queries("q_text_cms")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "the d·w counter table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("shard assignment: pure projection, no exchange before the stats aggregate") {
+    val df = SparkEntry.queries("q_sample_shards")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only hash exchange is the 8-group stats aggregate
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"expected at most one hash exchange, found $n")
+  }
+
   test("weighted sample: no shuffle of the corpus — partial top-k only") {
     val df = SparkEntry.queries("q_sample_weighted")(spark, sfDir)
     df.collect()

@@ -444,6 +444,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming seasonal gate: per-slot flags match the batch operator, stateless append") {
+    import graft.operators.Anomaly
+    // training: slot 2 runs ~100, slot 14 runs ~10
+    val training = (1 to 40).flatMap(i => Seq(
+      ("k", 2L, 100.0 + (i % 3)), ("k", 14L, 10.0 + (i % 3))))
+      .toDF("key", "hr", "value")
+    val profile = Anomaly.seasonalProfile(training, Seq("key"), col("hr"), "value")
+    val in = MemoryStream[(String, Long, Double)](spark)
+    val gated = StreamingOps.seasonalDeviationFlags(
+      in.toDF().toDF("key", "hr", "value"), profile, Seq("key"), col("hr"), "value",
+      minN = 30, zThreshold = 3.0)
+    val q = gated.writeStream.format("memory").queryName("st_seasonal")
+      .outputMode("append").start()
+    // 100 at slot 2 is NORMAL; 100 at slot 14 is anomalous; 11 at 14 normal
+    in.addData(("k", 2L, 100.0), ("k", 14L, 100.0), ("k", 14L, 11.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("st_seasonal")
+      .select("hr", "value", "seasonal_anomaly")
+      .as[(Long, Double, Boolean)].collect().toSet
+    assert(got === Set((2L, 100.0, false), (14L, 100.0, true), (14L, 11.0, false)))
+  }
+
   test("streaming count-min fold: micro-batches merge to the single-pass sketch; redelivery no-op") {
     import graft.operators.CountMin
     val (depth, width) = (4, 32)
