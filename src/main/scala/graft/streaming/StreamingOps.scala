@@ -506,4 +506,78 @@ object StreamingOps {
       .transformWithState(new OutageWindowProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** One finalized CUSUM point: the statistic AFTER folding the reading
+    * at ts_ms, plus its threshold flag. */
+  final case class CusumPoint(
+      key: Long, ts_ms: Long, value: Double, cusum: Double, alert: Boolean)
+
+  private[graft] final case class CusumState(s: Double, buf: Seq[(Long, Double)])
+
+  /** Streaming CUSUM change-point detector — the ingestion-time form of
+    * operators.Anomaly.withCusum. CUSUM is ORDER-SENSITIVE (each
+    * statistic folds the previous one), so unlike the stateless gates
+    * a reading can only be scored once no earlier reading can still
+    * arrive: readings buffer in state until the watermark passes their
+    * event time, then fold IN EVENT-TIME ORDER into the running
+    * statistic and emit exactly once (append-mode final, the N53
+    * discipline). μ is the known in-control target — the textbook
+    * streaming-CUSUM setup, where the target comes from historical
+    * batch profiling, not from the unknowable future mean.
+    *
+    * State per key: ONE double (the running statistic — CUSUM's whole
+    * memory of the unbounded past) plus the in-flight buffer, bounded
+    * by readings inside the watermark delay. The event-time timer sits
+    * at the earliest buffered ts, so quiet keys finalize their tail
+    * without new input. Ties at one timestamp fold in (ts, value)
+    * order on both sides of the parity spec. */
+  class CusumProcessor(mu: Double, slack: Double, threshold: Double)
+      extends StatefulProcessor[Long, Reading, CusumPoint] {
+    @transient private var st: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[CusumState](),
+        TTLConfig.NONE)
+
+    private def drain(key: Long, state: CusumState, wm: Long): Iterator[CusumPoint] = {
+      val (ready, pending) = state.buf.sorted.partition(_._1 < wm)
+      var s = state.s
+      val out = ready.map { case (t, v) =>
+        s = math.max(0.0, s + v - mu - slack)
+        CusumPoint(key, t, v, s, s > threshold)
+      }
+      st.update(CusumState(s, pending))
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+      pending.map(_._1).minOption.foreach(getHandle.registerTimer)
+      out.iterator
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Reading], tv: TimerValues): Iterator[CusumPoint] = {
+      val prior = if (st.exists()) st.get() else CusumState(0.0, Seq.empty)
+      val buf = prior.buf ++ rows.map(r => (r.ts.getTime, r.value))
+      drain(key, CusumState(prior.s, buf), tv.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[CusumPoint] = {
+      val prior = if (st.exists()) st.get() else CusumState(0.0, Seq.empty)
+      drain(key, prior, tv.getCurrentWatermarkInMs())
+    }
+  }
+
+  /** Streaming per-key CUSUM against a known target; requires the
+    * RocksDB state store like every transformWithState operator. */
+  def cusumAlerts(
+      readings: Dataset[Reading], mu: Double, slack: Double, threshold: Double,
+      lateness: String = "10 minutes"): Dataset[CusumPoint] = {
+    import readings.sparkSession.implicits._
+    readings
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(mu, slack, threshold),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -444,6 +444,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming cusum: out-of-order readings fold in event-time order, emitted once final") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.Reading](spark)
+      val q = StreamingOps.cusumAlerts(in.toDS(), mu = 10.0, slack = 0.5, threshold = 5.0,
+        lateness = "10 minutes")
+        .writeStream.format("memory").queryName("st_cusum").outputMode("append").start()
+      // deliver OUT of event-time order (14.0@:02 before 16.0@:01)
+      in.addData(
+        StreamingOps.Reading(1L, ts("2024-01-01 10:02:00"), 14.0),
+        StreamingOps.Reading(1L, ts("2024-01-01 10:01:00"), 16.0),
+        StreamingOps.Reading(1L, ts("2024-01-01 10:03:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the buffered tail to finalize it
+      in.addData(StreamingOps.Reading(2L, ts("2024-01-01 12:00:00"), 10.0))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("st_cusum").as[StreamingOps.CusumPoint].collect()
+        .filter(_.key == 1L).sortBy(_.ts_ms)
+        .map(p => (p.value, p.cusum, p.alert))
+      // event-time fold: s1 = 16−10.5 = 5.5 (alert), s2 = 5.5+14−10.5 = 9.0
+      // (alert), s3 = max(0, 9+2−10.5) = 0.5
+      assert(got.toSeq === Seq((16.0, 5.5, true), (14.0, 9.0, true), (2.0, 0.5, false)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming cusum: the statistic survives across batches (unbounded horizon)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.Reading](spark)
+      val q = StreamingOps.cusumAlerts(in.toDS(), mu = 0.0, slack = 0.0, threshold = 100.0,
+        lateness = "1 minutes")
+        .writeStream.format("memory").queryName("st_cusum2").outputMode("append").start()
+      in.addData(StreamingOps.Reading(1L, ts("2024-01-01 10:00:00"), 3.0))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Reading(1L, ts("2024-01-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Reading(1L, ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Reading(9L, ts("2024-01-01 14:00:00"), 0.0))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("st_cusum2").as[StreamingOps.CusumPoint].collect()
+        .filter(_.key == 1L).sortBy(_.ts_ms).map(_.cusum)
+      assert(got.toSeq === Seq(3.0, 7.0, 12.0), "running statistic must accumulate across batches")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming seasonal gate: per-slot flags match the batch operator, stateless append") {
     import graft.operators.Anomaly
     // training: slot 2 runs ~100, slot 14 runs ~10
