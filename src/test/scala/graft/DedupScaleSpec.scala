@@ -112,6 +112,50 @@ class DedupScaleSpec extends AnyFunSuite {
     graft.core.CacheGovernor.reset(spark)
   }
 
+  test("fuzzy ER at 100k keys: expected pair count, bounded CPU, wide stages") {
+    graft.core.CacheGovernor.reset(spark)
+    // 50k groups × 2 rows: key A_g = 16 random hex chars (from xxhash64),
+    // key B_g = A_g with the last char replaced — exactly one edit apart.
+    // Any OTHER pair within one edit needs two 16-char random hex strings
+    // agreeing on ≥15 positions: P ≈ 16·16⁻¹⁵ per pair, ~4·10⁻⁸ expected
+    // over all ~5·10⁹ pairs — so the count is groups + (0, rarely 1).
+    val groups = 50000L
+    val keys = spark.range(2 * groups).select(
+      col("id"),
+      expr(s"""concat(
+        substring(format_string('%016x', xxhash64(id % $groups)), 1, 15),
+        CASE WHEN id < $groups
+             THEN substring(format_string('%016x', xxhash64(id % $groups)), 16, 1)
+             ELSE '!' END)""").as("name"))
+    // at THIS fixture size Spark legitimately broadcasts the exploded
+    // side (zero shuffle); the property under test is the plan that
+    // survives when both sides are cluster-scale, so force the shuffle
+    // form the way the coalescing-off toggle forces plan-width
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevBc = spark.conf.get(bcKey)
+    spark.conf.set(bcKey, "-1")
+    val (n, cpu, stats) =
+      try gauged {
+        graft.operators.FuzzyJoin.editDistancePairs(keys, col("id"), col("name")).count()
+      } finally spark.conf.set(bcKey, prevBc)
+    val shufW = stats.map(_.shufWrite).sum / 1048576.0
+    info(f"editDistancePairs at ${2 * groups} keys: $n pairs, " +
+      f"$cpu%.1f s executor CPU, $shufW%.1f MiB shuffle written")
+    assert(n >= groups && n <= groups + 4,
+      s"expected ~$groups A↔B pairs, got $n")
+    // degenerate plans (cartesian verify, missing first-variant dedup)
+    // land orders of magnitude past these
+    assert(cpu <= 120.0, s"fuzzy ER burned $cpu s CPU")
+    assertWideHotStages(stats, "editDistancePairs")
+    // the shuffle is O(keys × (L+1) variants) carrying (id, key, variant
+    // set) — ~1.7 M exploded rows per side here; an O(n²) candidate
+    // blow-up or a pair-dedup exchange over duplicated candidates lands
+    // far beyond this
+    assert(stats.map(_.shufWrite).sum <= (600L << 20),
+      f"fuzzy ER shuffled $shufW%.1f MiB")
+    graft.core.CacheGovernor.reset(spark)
+  }
+
   test("clusters from a stored 150k-doc relation: wide stages, bounded shuffle") {
     graft.core.CacheGovernor.reset(spark)
     val path = java.nio.file.Files
