@@ -637,6 +637,42 @@ object TimeSeriesQueries {
       .orderBy("bin")
   }
 
+  /** X4: rolling-origin seasonal-naive forecast backtest (operators.
+    * Backtest) — three historical folds score day-over-day predictions
+    * on hourly KPI means; the oracle replays every fold's RMSE/MAE. */
+  private val x4 = QuerySpec(
+    "q_x4_backtest",
+    """WITH g AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS b,
+      |         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS v
+      |  FROM events GROUP BY 1, 2
+      |), p AS (SELECT event_type, b + 86400000 AS b, v AS vp FROM g),
+      |f AS (
+      |  SELECT * FROM (VALUES
+      |    (1, epoch_ms(TIMESTAMP '2024-01-20'), epoch_ms(TIMESTAMP '2024-01-22')),
+      |    (2, epoch_ms(TIMESTAMP '2024-01-24'), epoch_ms(TIMESTAMP '2024-01-26')),
+      |    (3, epoch_ms(TIMESTAMP '2024-01-28'), epoch_ms(TIMESTAMP '2024-01-30'))) AS t(fold, s, e)
+      |), j AS (
+      |  SELECT f.fold, g.event_type,
+      |         CAST(ROUND((g.v - p.vp) * (g.v - p.vp), 6) AS DECIMAL(27,6)) AS se,
+      |         CAST(ROUND(ABS(g.v - p.vp), 6) AS DECIMAL(27,6)) AS ae
+      |  FROM g JOIN p USING (event_type, b)
+      |  JOIN f ON g.b >= f.s AND g.b < f.e
+      |)
+      |SELECT CAST(fold AS BIGINT) AS fold, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       SQRT(CAST(SUM(se) AS DOUBLE) / COUNT(*)) AS rmse,
+      |       CAST(SUM(ae) AS DOUBLE) / COUNT(*) AS mae
+      |FROM j GROUP BY fold, event_type ORDER BY fold, event_type""".stripMargin) { (s, d) =>
+    graft.operators.Backtest.seasonalNaive(
+      Tables.events(s, d), Seq("event_type"), "ts", col("value"),
+      step = "1 hour", periodMs = 86400000L,
+      origins = Seq(
+        (1L, "2024-01-20", "2024-01-22"),
+        (2L, "2024-01-24", "2024-01-26"),
+        (3L, "2024-01-28", "2024-01-30")))
+      .orderBy("fold", "event_type")
+  }
+
   /** W9: first-order event-type transition matrix per user (operators.
     * Funnel.transitionMatrix) — Markov path analysis. */
   private val w9 = QuerySpec(
@@ -660,5 +696,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      a11, a13, a14, a16, a17)
+      a11, a13, a14, a16, a17, x4)
 }
