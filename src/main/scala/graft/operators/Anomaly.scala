@@ -116,6 +116,50 @@ object Anomaly {
       seasonalProfile(df, keys, slot, value),
       keys, value, minN, zThreshold)
 
+  /** Alarm-storm / trending detection: per-(key, bucket) event counts
+    * against the mean of the trailing `lookback` buckets — the NOC
+    * "alarm storm" trigger (a site suddenly emitting 10× its recent
+    * alarm rate) and the corpus-side trending-topic signal.
+    *
+    * The trailing frame is RANGE-based on the bucket epoch, not
+    * row-based: empty buckets (quiet hours) are simply absent from the
+    * aggregated grid, and a rows-frame would silently stretch across
+    * them; the range frame makes missing buckets count as zero — the
+    * storm semantics a paging rule needs. ratio = n·lookback /
+    * Σ trailing n is exact integer arithmetic up to ONE double
+    * division; NULL (no flag) when there is no history yet.
+    *
+    * Scale shape: one map-side-combinable groupBy to the bucket grid;
+    * the trailing window runs over that aggregated grid only. */
+  def stormRatio(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      step: String,
+      stepMs: Long,
+      lookback: Int,
+      threshold: Double): DataFrame = {
+    require(lookback >= 1 && threshold > 0.0, "need lookback ≥ 1 and threshold > 0")
+    val grid = TimeSeries.resample(df, keys, tsCol, step, Seq(count(lit(1)).as("n")))
+      .withColumn("bucket_ms", unix_millis(col("bucket_start")))
+      .drop("bucket_start")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket_ms"))
+      .rangeBetween(-lookback * stepMs, -stepMs)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    grid
+      .withColumn("trail_n", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("ratio",
+        when(col("trail_n") > 0,
+          (col("n") * lit(lookback.toLong)).cast("double") / col("trail_n").cast("double")))
+      // warm-up guard: with under lookback buckets of history the ratio's
+      // denominator is partial and inflates the head of every series —
+      // a storm needs a full trailing span to compare against
+      .withColumn("storm", coalesce(
+        col("bucket_ms") - min(col("bucket_ms")).over(wAll) >= lit(lookback * stepMs) &&
+          col("ratio") >= threshold,
+        lit(false)))
+  }
+
   /** One-sided (upper) CUSUM change-point statistic per key, in event
     * order: s_i = max(0, s_{i-1} + (x_i − μ − slack)), the classic
     * Page cumulative-sum detector — s accumulates once the series

@@ -637,6 +637,35 @@ object TimeSeriesQueries {
       .orderBy("bin")
   }
 
+  /** A18: alarm-storm / trending detection per (event_type, hour)
+    * (operators.Anomaly.stormRatio) — hourly counts vs the trailing
+    * 6-hour mean over a RANGE frame (absent quiet hours count as
+    * zero); the oracle replays every ratio and flag. */
+  private val a18 = QuerySpec(
+    "q_a18_storm",
+    """WITH g AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)::TIMESTAMP) AS bucket_ms,
+      |         COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT event_type, bucket_ms, CAST(n AS BIGINT) AS n,
+      |         CAST(COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket_ms
+      |           RANGE BETWEEN 21600000 PRECEDING AND 3600000 PRECEDING), 0) AS BIGINT) AS trail_n
+      |  FROM g
+      |)
+      |SELECT event_type, bucket_ms, n, trail_n,
+      |       CASE WHEN trail_n > 0 THEN CAST(n * 6 AS DOUBLE) / trail_n END AS ratio,
+      |       COALESCE(
+      |         bucket_ms - MIN(bucket_ms) OVER (PARTITION BY event_type) >= 21600000 AND
+      |         (CASE WHEN trail_n > 0 THEN CAST(n * 6 AS DOUBLE) / trail_n END) >= 2.0,
+      |         FALSE) AS storm
+      |FROM t ORDER BY event_type, bucket_ms""".stripMargin) { (s, d) =>
+    Anomaly.stormRatio(Tables.events(s, d), Seq("event_type"), "ts",
+      step = "1 hour", stepMs = 3600000L, lookback = 6, threshold = 2.0)
+      .select("event_type", "bucket_ms", "n", "trail_n", "ratio", "storm")
+      .orderBy("event_type", "bucket_ms")
+  }
+
   /** X4: rolling-origin seasonal-naive forecast backtest (operators.
     * Backtest) — three historical folds score day-over-day predictions
     * on hourly KPI means; the oracle replays every fold's RMSE/MAE. */
@@ -696,5 +725,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      a11, a13, a14, a16, a17, x4)
+      a11, a13, a14, a16, a17, a18, x4)
 }

@@ -121,6 +121,42 @@ class AnomalySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "stream must not shuffle for the profile join")
   }
 
+  /** (key, hourIdx, eventsInThatHour) → one event row per count. */
+  private def hourly(rows: (String, Int, Int)*) = {
+    val h0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    rows.flatMap { case (k, h, c) =>
+      (0 until c).map(i => (k, h0 + h * 3600000L + i * 1000L))
+    }.toDF("key", "tms")
+      .select(col("key"), timestamp_millis(col("tms")).as("ts"))
+  }
+
+  private def storm(rows: (String, Int, Int)*) =
+    graft.operators.Anomaly.stormRatio(
+      hourly(rows: _*), Seq("key"), "ts", "1 hour", 3600000L,
+      lookback = 3, threshold = 2.0)
+      .orderBy("bucket_ms")
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("trail_n"),
+        r.getAs[Boolean]("storm")))
+
+  test("storm ratio flags a burst against the trailing mean, not steady load") {
+    val out = storm(("k", 0, 4), ("k", 1, 4), ("k", 2, 4), ("k", 3, 4), ("k", 4, 24))
+    assert(out.map(_._3).toSeq === Seq(false, false, false, false, true))
+    assert(out(4) === ((24L, 12L, true))) // 24·3/12 = 6 ≥ 2
+  }
+
+  test("storm ratio range frame: absent quiet hours count as zero history") {
+    // hours 0 and 1 active, hour 2 absent, burst at hour 3: trailing
+    // window (hours 0-2) sums 4+4+0 — a rows-frame would instead reach
+    // back to hour 0's predecessor and miss the quiet hour
+    val out = storm(("k", 0, 4), ("k", 1, 4), ("k", 3, 9))
+    assert(out.last === ((9L, 8L, true))) // 9·3/8 = 3.375 ≥ 2
+  }
+
+  test("storm ratio never flags the history-free head") {
+    val out = storm(("k", 0, 1000))
+    assert(out.toSeq === Seq((1000L, 0L, false)))
+  }
+
   test("window is partitioned: no single-task global window in the plan") {
     val df = Anomaly.withEwma(series(Seq.fill(10)(1.0)), Seq("key"), Seq("t"), "value")
     val plan = df.queryExecution.optimizedPlan.toString
