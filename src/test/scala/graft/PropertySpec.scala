@@ -87,4 +87,84 @@ class PropertySpec extends AnyFunSuite {
       assert(left === right)
     }
   }
+
+  test("property: cusum window identity equals the sequential recursion on any series") {
+    forAll(seriesGen) { rows =>
+      val out = graft.operators.Anomaly.withCusum(
+        toDf(rows), Seq("k"), Seq("ts"), "v", slack = 0.25, threshold = 10.0)
+        .select("k", "ts", "cusum").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+        .groupBy(_._1)
+      rows.groupBy(_._1).foreach { case (k, krows) =>
+        // reference recursion replicating the operator's exact pipeline:
+        // 4-dp decimal grid via BigDecimal.valueOf (Spark's cast/round
+        // use the double's STRING form — scala's BigDecimal(double)
+        // exact-binary constructor rounds grid midpoints differently),
+        // exact decimal accumulation, one double division for μ
+        def g4(d: Double) = BigDecimal(
+          java.math.BigDecimal.valueOf(d).setScale(4, java.math.RoundingMode.HALF_UP))
+        val xsD = krows.sortBy(_._2).map(t => g4(t._3))
+        val muD = g4(xsD.sum.toDouble / xsD.size)
+        val slackD = BigDecimal("0.25")
+        var s = BigDecimal(0)
+        val want = xsD.map { x =>
+          s = (s + x - muD - slackD).max(BigDecimal(0)); s.toDouble
+        }
+        val got = out(k).sortBy(_._2).map(_._3)
+        got.zip(want).foreach { case (g, w) =>
+          assert(g === w, s"key $k: ${got.toSeq} vs $want")
+        }
+      }
+    }
+  }
+
+  /** Reference DP levenshtein for the fuzzy-join law. */
+  private def lev(a: String, b: String): Int = {
+    val (x, y) = (a.toCharArray, b.toCharArray)
+    val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    d(x.length)(y.length)
+  }
+
+  private val namesGen: Gen[List[String]] = for {
+    n <- Gen.choose(2, 30)
+    // short strings over a tiny alphabet force plenty of ≤1-edit pairs
+    ss <- Gen.listOfN(n, for {
+      len <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+  } yield ss
+
+  test("property: fuzzy ER pairs equal brute-force levenshtein ≤ 1 on any corpus") {
+    forAll(namesGen) { names =>
+      val df = names.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name")
+      val got = graft.operators.FuzzyJoin.editDistancePairs(df, col("id"), col("name"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+      val want = for {
+        (sa, ia) <- names.zipWithIndex; (sb, ib) <- names.zipWithIndex
+        if ia < ib && lev(sa, sb) <= 1
+      } yield (ia.toLong, ib.toLong)
+      assert(got.size === got.distinct.size, "duplicate pair emitted")
+      assert(got.sorted === want.sorted)
+    }
+  }
+
+  test("property: count-min estimates dominate true counts and merge losslessly") {
+    forAll(namesGen) { names =>
+      val df = names.zipWithIndex.map { case (s, i) => (s"s${i % 3}", s) }.toDF("src", "k")
+      val whole = graft.operators.CountMin.build(df, col("k"), 3, 16)
+      val merged = graft.operators.CountMin.merge(
+        graft.operators.CountMin.build(df, col("k"), 3, 16, Seq("src")))
+      assert(
+        merged.select("depth", "bucket", "cnt").as[(Long, Long, Long)].collect().toSet ===
+          whole.select("depth", "bucket", "cnt").as[(Long, Long, Long)].collect().toSet)
+      val truth = df.groupBy("k").agg(count(lit(1)).as("t"))
+      graft.operators.CountMin.estimate(whole, truth, col("k"), 3, 16)
+        .select("t", "est").as[(Long, Long)].collect()
+        .foreach { case (t, e) => assert(e >= t) }
+    }
+  }
 }
