@@ -62,4 +62,26 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("_bin")
   }
+
+  /** Anti form: `points` rows NOT contained in ANY interval — the NOC
+    * maintenance-window suppression step (alarms raised during a
+    * planned window are expected, not pageable) and the corpus-side
+    * embargo filter (drop documents dated inside a blackout range).
+    *
+    * A bare NOT EXISTS range predicate hits the same nested-loop trap
+    * as the inner form, so this reuses the binned candidate generator:
+    * the matched distinct point ids (ids ONLY — one narrow shuffle)
+    * left-anti-join back onto the full rows. The id column must be
+    * unique per point row (it names what "the same row" means). */
+  def antiPointInInterval(
+      points: DataFrame, idCol: String, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binSizeDays: Int): DataFrame = {
+    val matched = pointInInterval(
+      points.select(col(idCol), col(pointCol)), pointCol,
+      intervals.select(col(startCol), col(endCol)), startCol, endCol,
+      binSizeDays)
+      .select(col(idCol)).distinct()
+    points.join(matched, Seq(idCol), "left_anti")
+  }
 }

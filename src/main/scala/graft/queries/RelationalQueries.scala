@@ -244,6 +244,31 @@ object RelationalQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** J11: interval ANTI join — orders placed OUTSIDE every maintenance
+    * window (operators.RangeJoin.antiPointInInterval): the NOC
+    * alarm-suppression / embargo-filter shape. Same binned candidate
+    * generator as J9 (no nested-loop NOT EXISTS), matched ids-only
+    * anti-joined back; the oracle runs the plain NOT EXISTS. */
+  private val j11anti = QuerySpec(
+    "q_j11_anti_range",
+    """WITH iv AS (SELECT CAST(l_shipdate AS DATE) AS w_start,
+      |              CAST(l_shipdate AS DATE) + ((l_partkey % 14 + 1)::INT) AS w_end
+      |            FROM lineitem WHERE l_quantity = 50)
+      |SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM iv
+      |                  WHERE CAST(o.o_orderdate AS DATE) BETWEEN iv.w_start AND iv.w_end)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val iv = Tables.lineitem(s, d).filter(col("l_quantity") === 50)
+      .select(to_date(col("l_shipdate")).as("w_start"),
+        date_add(to_date(col("l_shipdate")), (col("l_partkey") % 14 + 1).cast("int")).as("w_end"))
+    val pts = Tables.orders(s, d)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+    graft.operators.RangeJoin.antiPointInInterval(
+      pts, "o_orderkey", "o_orderdate", iv, "w_start", "w_end", 7)
+      .orderBy("o_orderkey")
+  }
+
   /** J7a: left-semi — sites WITH open tickets (reference README.md:61-63
     * dispatch dedup); EXISTS shape, no row multiplication. */
   private val j7semi = QuerySpec(
@@ -678,7 +703,7 @@ object RelationalQueries {
 
   val all: Seq[QuerySpec] = Seq(
     s1, s2, s7, p2, p3, p4, p5,
-    j1, j2, j4, j6, j6holiday, j7semi, j7anti, j9range,
+    j1, j2, j4, j6, j6holiday, j7semi, j7anti, j9range, j11anti,
     a1, a4, a6, a6b, a6c, a6d, a7, a8, a8approx, a9,
     t1, u1, u2, u3,
     f1, f2, f3, f5, f6, f7)

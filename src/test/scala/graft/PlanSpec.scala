@@ -278,6 +278,15 @@ class PlanSpec extends AnyFunSuite {
       "skip-earlier-variants filter missing from the candidate join")
   }
 
+  test("anti range join: binned equi-join + left-anti, no nested-loop NOT EXISTS") {
+    val p = finalPlan("q_j11_anti_range")
+    assert(!p.contains("CartesianProduct"), "cartesian product in plan")
+    // the single-row bounds attach is the ONLY nested-loop allowed; the
+    // interval side must never BNL against the fact side
+    assert(p.contains("LeftAnti"), "suppression must be a left-anti join")
+    assert(p.contains("_bin"), "candidates must come from the bin equi-join")
+  }
+
   test("profiler: one melt exchange on (column, value); min/max broadcast back") {
     val df = SparkEntry.queries("q_a15_profile")(spark, sfDir)
     df.collect()

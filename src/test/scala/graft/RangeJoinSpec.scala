@@ -49,4 +49,30 @@ class RangeJoinSpec extends AnyFunSuite {
       .count()
     assert(binRows <= 5, s"expected a handful of bins, got $binRows")
   }
+
+  test("anti form keeps exactly the points outside every interval, rows intact") {
+    val intervals = Seq(("2024-01-05", "2024-01-10"), ("2024-01-08", "2024-01-12"))
+      .toDF("s", "e")
+      .select(col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = (0 until 20).toDF("i")
+      .select(col("i").cast("long").as("id"),
+        date_add(lit("2024-01-01").cast("date"), col("i")).as("p"),
+        concat(lit("x"), col("i")).as("payload"))
+    val out = RangeJoin.antiPointInInterval(points, "id", "p", intervals, "s", "e", 7)
+      .orderBy("id").collect()
+    // suppressed: Jan 5-12 inclusive = ids 4..11; survivors keep payload
+    assert(out.map(_.getLong(0)).toSeq === ((0 to 3) ++ (12 to 19)).map(_.toLong))
+    assert(out.forall(r => r.getString(2) == s"x${r.getLong(0)}"))
+    // a point inside TWO overlapping windows is dropped once, not twice
+    assert(out.length === 12)
+  }
+
+  test("anti form with no intervals is the identity") {
+    val intervals = Seq.empty[(java.sql.Date, java.sql.Date)].toDF("s", "e")
+    val points = (0 until 5).toDF("i")
+      .select(col("i").cast("long").as("id"),
+        date_add(lit("2024-01-01").cast("date"), col("i")).as("p"))
+    val out = RangeJoin.antiPointInInterval(points, "id", "p", intervals, "s", "e", 7)
+    assert(out.count() === 5)
+  }
 }
