@@ -69,6 +69,32 @@ object FuzzyJoin {
     verified(a.join(b, Seq("_h")).filter(col("id_a") < col("id_b")))
   }
 
+  /** Entity groups from the ≤1-edit pair graph — the record-linkage
+    * "golden record" step: transitively link keys through typo chains
+    * (A↔B and B↔C group A,B,C even when A and C are two edits apart)
+    * with the engine's alternating-star connected components
+    * ([[Components.connectedComponents]], the same machinery behind
+    * minhash clusters). Keys with no fuzzy neighbor are their own
+    * entity. Output: (id, entity_rep, entity_size) where entity_rep is
+    * the smallest id in the group.
+    *
+    * Scale shape: pairs come from the blocked generator above (never a
+    * cross product); CC iterates on the id-only edge list; the
+    * size/label attach is one keyed window + one left join — all
+    * shuffles carry ids, never payloads. */
+  def entityClusters(df: DataFrame, id: Column, str: Column): DataFrame = {
+    val pairs = editDistancePairs(df, id, str).select("id_a", "id_b")
+    val comps = Components.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("node", "id")
+    val labeled = df.select(id.cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("entity_rep", coalesce(col("comp"), col("id")))
+      .drop("comp")
+    labeled.withColumn("entity_size",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("entity_rep"))))
+  }
+
   /** Bipartite record linkage: every (left, right) pair within one edit
     * — cross-side candidates ONLY, no self-join work on either side
     * (the N37/N38 decontamination shape). */

@@ -262,6 +262,34 @@ object AdvancedQueries {
       .orderBy("column_name")
   }
 
+  /** J10b: entity-resolution clusters over part names (operators.
+    * FuzzyJoin.entityClusters) — typo chains group transitively; the
+    * oracle walks the BRUTE-FORCE pair graph with a recursive CTE, so
+    * blocking recall AND the distributed component labels are both
+    * hash-certified (56 entities over 2,000 parts at sf0.01, max 65). */
+  private val entityClusters = QuerySpec(
+    "q_er_entity_clusters",
+    """WITH RECURSIVE p AS (
+      |  SELECT a.p_partkey AS u, b.p_partkey AS v
+      |  FROM part a, part b
+      |  WHERE a.p_partkey < b.p_partkey AND levenshtein(a.p_name, b.p_name) <= 1),
+      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
+      |walk(node, comp) AS (
+      |  SELECT u, u FROM e
+      |  UNION
+      |  SELECT e.u, walk.comp FROM e JOIN walk ON e.v = walk.node),
+      |labels AS (SELECT node, MIN(comp) AS rep FROM walk GROUP BY node),
+      |lab AS (
+      |  SELECT p_partkey AS id, COALESCE(l.rep, p_partkey) AS entity_rep
+      |  FROM part LEFT JOIN labels l ON l.node = p_partkey)
+      |SELECT id, CAST(entity_rep AS BIGINT) AS entity_rep,
+      |       CAST(COUNT(*) OVER (PARTITION BY entity_rep) AS BIGINT) AS entity_size
+      |FROM lab ORDER BY id""".stripMargin) { (s, d) =>
+    graft.operators.FuzzyJoin.entityClusters(
+      Tables.part(s, d), col("p_partkey"), col("p_name"))
+      .orderBy("id")
+  }
+
   val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin,
-    zorderKey, snapshotDiff, snapshotApply, fuzzyNames, profiler)
+    zorderKey, snapshotDiff, snapshotApply, fuzzyNames, profiler, entityClusters)
 }

@@ -75,6 +75,17 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got.sorted === want)
   }
 
+  test("entity clusters link transitively and keep isolated keys as singletons") {
+    // chain: aaaa–aaab–aabb (a↔c are TWO edits apart but share b);
+    // "zzzz" has no neighbor
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aabb"), (9L, "zzzz"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.entityClusters(df, col("id"), col("name"))
+      .select("id", "entity_rep", "entity_size").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L)))
+  }
+
   test("multibyte codepoints delete as single characters") {
     val uni = Seq((0L, "café"), (1L, "cafe"), (2L, "caf"),
       (3L, "😀ok"), (4L, "ok")).toDF("id", "name")
