@@ -49,6 +49,21 @@ object Components {
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .localCheckpoint(false)
+    // Right-size tiny graphs: localCheckpoint PINS the frame's
+    // partitioning, and every subsequent round re-scans those
+    // partitions — a 20k-node typo graph inherited 32 near-empty
+    // partitions from the candidate join and burned ~54 s executor CPU
+    // in pure task overhead across the fixpoint's stages (measured,
+    // BASELINE.md). The count is an O(1)-ish action on the
+    // already-materialized checkpoint; big graphs (where wide rounds
+    // are the point) keep their width.
+    val parallelism = e.sparkSession.sparkContext.defaultParallelism
+    val nEdges = e.count()
+    val rightSize = math.max(2, math.min(parallelism,
+      (nEdges / 250000L).toInt * 4 + 2))
+    if (nEdges < 250000L * parallelism &&
+        rightSize < e.rdd.getNumPartitions)
+      e = e.repartition(rightSize).localCheckpoint(false)
     // sentinel: round 1 always runs and its signature both materializes
     // the round and seeds the fixpoint test — the raw input needs no
     // action of its own

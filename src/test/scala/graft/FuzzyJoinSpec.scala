@@ -86,6 +86,18 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (9L, 9L, 1L)))
   }
 
+  test("entity clusters collapse duplicate keys before pairing, labels intact") {
+    // 6 rows over 3 distinct names; "aaaa" dups + "aaab" link into one
+    // entity of 5 rows labeled by the global min id
+    val df = Seq((7L, "aaaa"), (3L, "aaaa"), (5L, "aaaa"),
+      (10L, "aaab"), (11L, "aaab"), (9L, "zzzz")).toDF("id", "name")
+    val got = FuzzyJoin.entityClusters(df, col("id"), col("name"))
+      .select("id", "entity_rep", "entity_size").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((3L, 3L, 5L), (5L, 3L, 5L), (7L, 3L, 5L),
+      (9L, 9L, 1L), (10L, 3L, 5L), (11L, 3L, 5L)))
+  }
+
   test("multibyte codepoints delete as single characters") {
     val uni = Seq((0L, "café"), (1L, "cafe"), (2L, "caf"),
       (3L, "😀ok"), (4L, "ok")).toDF("id", "name")
