@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the
+  * vocabulary-LEARNING step upstream of the engine's vocabulary build
+  * (N11) and token-id encode (N12): greedily merge the most frequent
+  * adjacent symbol pair k times, starting from characters.
+  *
+  * Scale shape — the standard decomposition: merges depend ONLY on the
+  * word-frequency table, so the corpus aggregates once to
+  * (word, freq) — O(distinct words), shuffled once — and every round
+  * runs over that table: adjacent-pair counting is an explode +
+  * map-side-combinable groupBy, argmax is a 1-row TakeOrdered to the
+  * driver (the KMeans/IVF iterative contract: one scalar-ish action per
+  * round), and re-encoding is a per-row fold. Round frames checkpoint
+  * (bounded lineage, the CC discipline). Corpus size only ever enters
+  * through the one word-count aggregation.
+  *
+  * Determinism: ties break (pair count DESC, left ASC, right ASC) — a
+  * total order, so the merge table is identical on any cluster at any
+  * partition count (spec-asserted).
+  *
+  * The per-round merge is the greedy LEFT-TO-RIGHT non-overlapping
+  * scan, expressed as a fold: keep appending symbols; when the
+  * accumulator's last symbol is `l` and the next is `r`, replace the
+  * last with `l||r`. The fold equals the two-pointer scan because a
+  * just-merged last symbol `l||r` can never equal `l` again (r is
+  * non-empty), so no double-merge chain can form — BpeSpec pins this
+  * equivalence against a reference scan on the adversarial shapes
+  * (aaa, aaaa, abab, aab).
+  */
+object Bpe {
+
+  /** One greedy left-to-right merge pass of (l, r) over a symbol
+    * array (fold form — see object doc). */
+  private[graft] def mergeOnce(arr: Column, l: Column, r: Column): Column =
+    aggregate(arr, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Corpus → (word, freq), the only corpus-sized pass. */
+  def wordFreq(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Train up to `k` merges on a (word, freq) table. Output:
+    * (rank, left, right, pair_freq), rank 1-based in merge order.
+    * Stops early when no adjacent pair remains. */
+  def train(words: DataFrame, wordCol: String, freqCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one merge round")
+    val spark = words.sparkSession
+    var vocab = words
+      .select(split(col(wordCol), "").as("_syms"), col(freqCol).cast("long").as("_f"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val n = size(col("_syms"))
+      val best = vocab
+        .select(col("_f"), explode(zip_with(
+          slice(col("_syms"), lit(1), n - 1),
+          slice(col("_syms"), lit(2), n - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("_p"))
+        .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+        .agg(sum(col("_f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best.head
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((round.toLong, l, r, c))
+        vocab = vocab
+          .withColumn("_syms", mergeOnce(col("_syms"), lit(l), lit(r)))
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** The symbol vocabulary after training: every distinct symbol in the
+    * re-encoded word table, with its total weighted frequency. */
+  def symbolVocab(words: DataFrame, wordCol: String, freqCol: String, k: Int): DataFrame = {
+    val mergeList = train(words, wordCol, freqCol, k)
+      .select("left", "right").collect().map(r => (r.getString(0), r.getString(1)))
+    val syms = mergeList.foldLeft(
+      words.select(split(col(wordCol), "").as("_syms"), col(freqCol).cast("long").as("_f"))) {
+      case (acc, (l, r)) =>
+        acc.withColumn("_syms", mergeOnce(col("_syms"), lit(l), lit(r)))
+          .localCheckpoint(false)
+    }
+    syms.select(explode(col("_syms")).as("symbol"), col("_f"))
+      .groupBy("symbol").agg(sum(col("_f")).as("freq"))
+  }
+}

@@ -1116,8 +1116,45 @@ object TextVectorQueries {
       .orderBy(col("true_cnt").desc, col("term").asc)
   }
 
+  /** BPE tokenizer training (operators.Bpe): 12 greedy merges on the
+    * corpus word-frequency table. Iterative-greedy output can't replay
+    * in one SQL pass, so the oracle is the in-band form the seeded-ML
+    * queries use: round 1's argmax IS independently recomputable (char
+    * pairs of raw words) and is hash-checked exactly; the rest of the
+    * merge table certifies via BpeSpec's reference-implementation
+    * parity, surfacing here as structural invariant booleans. */
+  private val vocabBpe = QuerySpec(
+    "q_vocab_bpe",
+    """WITH w AS (
+      |  SELECT term AS word, COUNT(*) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+      |  WHERE term <> '' GROUP BY term
+      |), cp AS (
+      |  SELECT substring(w.word, s.i, 1) AS l, substring(w.word, s.i + 1, 1) AS r,
+      |         CAST(SUM(w.f) AS BIGINT) AS cnt
+      |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+      |  WHERE s.i <= length(w.word) - 1
+      |  GROUP BY 1, 2
+      |), best AS (SELECT l, r, cnt FROM cp ORDER BY cnt DESC, l, r LIMIT 1)
+      |SELECT CAST(12 AS BIGINT) AS n_merges,
+      |       best.l AS r1_left, best.r AS r1_right, best.cnt AS r1_freq,
+      |       TRUE AS pairs_distinct, TRUE AS freqs_positive, TRUE AS ranks_contiguous
+      |FROM best""".stripMargin) { (s, d) =>
+    import graft.operators.Bpe
+    val merges = Bpe.train(
+      Bpe.wordFreq(Tables.documents(s, d), col("text")), "word", "freq", k = 12)
+    merges.agg(
+      count(lit(1)).as("n_merges"),
+      min(when(col("rank") === 1, col("left"))).as("r1_left"),
+      min(when(col("rank") === 1, col("right"))).as("r1_right"),
+      min(when(col("rank") === 1, col("pair_freq"))).as("r1_freq"),
+      (countDistinct(col("left"), col("right")) === count(lit(1))).as("pairs_distinct"),
+      (min(col("pair_freq")) > 0).as("freqs_positive"),
+      (max(col("rank")) === count(lit(1)) && min(col("rank")) === 1).as("ranks_contiguous"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, hybridRrf,
+    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, hybridRrf, vocabBpe,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,

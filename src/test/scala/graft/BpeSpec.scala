@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  /** Reference greedy left-to-right non-overlapping merge scan. */
+  private def scanMerge(syms: List[String], l: String, r: String): List[String] = {
+    val buf = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        buf += (l + r); i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.toList
+  }
+
+  /** Reference single-threaded BPE trainer (Sennrich). */
+  private def refBpe(words: Map[String, Long], k: Int): Seq[(Long, String, String, Long)] = {
+    var vocab = words.toSeq.map { case (w, f) => (w.split("").toList, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val counts = vocab.flatMap { case (s, f) =>
+        s.zip(s.drop(1)).map(p => p -> f)
+      }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((round.toLong, l, r, c))
+        vocab = vocab.map { case (s, f) => (scanMerge(s, l, r), f) }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def trainOn(words: Map[String, Long], k: Int, parts: Int = 1) =
+    Bpe.train(words.toSeq.toDF("word", "freq").repartition(parts), "word", "freq", k)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+
+  test("the fold merge equals the left-to-right scan on adversarial shapes") {
+    val cases = Seq(
+      ("aaa", "a", "a"), ("aaaa", "a", "a"), ("aaaaa", "a", "a"),
+      ("abab", "a", "b"), ("aab", "a", "b"), ("bab", "b", "a"),
+      ("xyx", "x", "y"), ("", "a", "b"), ("a", "a", "a"))
+    cases.foreach { case (w, l, r) =>
+      val got = Seq(w).toDF("w")
+        .select(graft.operators.Bpe.mergeOnce(split(col("w"), ""), lit(l), lit(r)))
+        .as[Seq[String]].collect().head.toList
+      assert(got === scanMerge(w.split("").toList, l, r), s"word=$w merge=($l,$r)")
+    }
+  }
+
+  test("training matches the reference on a tie-heavy corpus") {
+    // 'ab' and 'ba' pair counts tie; lexicographic break picks ('a','b')
+    val words = Map("abab" -> 2L, "baba" -> 2L, "cc" -> 5L)
+    assert(trainOn(words, 6) === refBpe(words, 6))
+  }
+
+  test("training matches the reference on seeded random corpora") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val words = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (Seq.fill(len)("abcd" (rnd.nextInt(4))).mkString, 1L + rnd.nextInt(20))
+      }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+      assert(trainOn(words, 10) === refBpe(words, 10))
+    }
+  }
+
+  test("the merge table is partition-count-insensitive") {
+    val words = Map("hello" -> 10L, "help" -> 7L, "hull" -> 3L, "jello" -> 5L)
+    assert(trainOn(words, 8, parts = 1) === trainOn(words, 8, parts = 7))
+  }
+
+  test("training stops early when no pair remains") {
+    val words = Map("ab" -> 3L) // one pair, then single symbols only
+    val got = trainOn(words, 10)
+    assert(got === Seq((1L, "a", "b", 3L)))
+  }
+
+  test("symbol vocab conserves weighted symbol mass through merges") {
+    val words = Map("aaab" -> 4L, "ab" -> 2L)
+    val ref = refBpe(words, 3)
+    val vocabDf = Bpe.symbolVocab(words.toSeq.toDF("word", "freq"), "word", "freq", 3)
+      .as[(String, Long)].collect().toMap
+    // replay the reference encoding and count symbols
+    var enc = words.toSeq.map { case (w, f) => (w.split("").toList, f) }
+    ref.foreach { case (_, l, r, _) => enc = enc.map { case (s, f) => (scanMerge(s, l, r), f) } }
+    val want = enc.flatMap { case (s, f) => s.map(_ -> f) }
+      .groupBy(_._1).map { case (sym, xs) => (sym, xs.map(_._2).sum) }
+    assert(vocabDf === want)
+  }
+}
