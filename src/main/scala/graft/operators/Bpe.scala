@@ -86,6 +86,32 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** Re-encode a corpus under a trained merge list — the apply side of
+    * [[train]], shaped for scale the way every tokenizer pipeline
+    * shards it: the DISTINCT-WORD vocabulary encodes once (k folds over
+    * the vocab table, checkpointed), and the corpus-sized side only
+    * broadcast-joins the encoded vocabulary — the k merge passes never
+    * touch corpus-scale data. Output: one row per corpus token
+    * (id, pos, word, subwords). */
+  def encodeCorpus(
+      docs: DataFrame, id: Column, text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = docs.select(explode(split(text, " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+    val encoded = merges.zipWithIndex.foldLeft(
+      vocab.withColumn("subwords", split(col("word"), ""))) {
+      case (acc, ((l, r), i)) =>
+        val next = acc.withColumn("subwords", mergeOnce(col("subwords"), lit(l), lit(r)))
+        // bound the fold's plan depth like the training loop does
+        if ((i + 1) % 4 == 0) next.localCheckpoint(false) else next
+    }
+    docs
+      .select(id.as("id"), posexplode(split(text, " ")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(encoded), "word")
+      .select(col("id"), col("pos").cast("long").as("pos"), col("word"), col("subwords"))
+  }
+
   /** The symbol vocabulary after training: every distinct symbol in the
     * re-encoded word table, with its total weighted frequency. */
   def symbolVocab(words: DataFrame, wordCol: String, freqCol: String, k: Int): DataFrame = {

@@ -1153,8 +1153,41 @@ object TextVectorQueries {
       (max(col("rank")) === count(lit(1)) && min(col("rank")) === 1).as("ranks_contiguous"))
   }
 
+  /** BPE corpus encoding under the trained merges (operators.Bpe.
+    * encodeCorpus) — the apply half of q_vocab_bpe. The oracle checks
+    * the exactly-recomputable corpus accounting (token/char totals)
+    * plus the engine-certified invariants: every token's subwords
+    * reconstruct it, and the subword count sits in (n_tokens, n_chars]
+    * strictly compressed; per-token parity vs the reference merge
+    * sequence is BpeSpec's job. */
+  private val vocabBpeApply = QuerySpec(
+    "q_vocab_bpe_apply",
+    """WITH t AS (
+      |  SELECT word FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) x
+      |  WHERE word <> ''
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |       TRUE AS subwords_bounded, TRUE AS reconstruct_ok, TRUE AS compressed
+      |FROM t""".stripMargin) { (s, d) =>
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.train(
+      Bpe.wordFreq(docs, col("text")), "word", "freq", k = 12)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.encodeCorpus(docs, col("doc_id"), col("text"), merges).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("word"))).as("n_chars"),
+      (sum(size(col("subwords"))) > count(lit(1)) &&
+        sum(size(col("subwords"))) <= sum(length(col("word")))).as("subwords_bounded"),
+      (sum(when(concat_ws("", col("subwords")) =!= col("word"), 1).otherwise(0)) === 0)
+        .as("reconstruct_ok"),
+      (sum(size(col("subwords"))) < sum(length(col("word")))).as("compressed"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, hybridRrf, vocabBpe,
+    vocabBpeApply,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,

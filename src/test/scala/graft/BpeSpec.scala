@@ -86,6 +86,23 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq((1L, "a", "b", 3L)))
   }
 
+  test("corpus encoding applies merges in rank order and reconstructs every word") {
+    val docs = Seq((1L, "aaab ab cc"), (2L, "ab aaab")).toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs, col("text"))
+    val merges = Bpe.train(words, "word", "freq", 3)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encodeCorpus(docs, col("doc_id"), col("text"), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getSeq[String](3)))
+    assert(enc.length === 5) // every non-empty token once
+    enc.foreach { case (_, _, word, subs) =>
+      assert(subs.mkString === word, "subwords must concatenate back to the word")
+      assert(subs === merges.foldLeft(word.split("").toList) {
+        case (s, (l, r)) => scanMerge(s, l, r)
+      }, s"encoding of $word must equal the reference merge sequence")
+    }
+  }
+
   test("symbol vocab conserves weighted symbol mass through merges") {
     val words = Map("aaab" -> 4L, "ab" -> 2L)
     val ref = refBpe(words, 3)
