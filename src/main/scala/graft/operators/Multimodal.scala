@@ -303,6 +303,106 @@ object Multimodal {
     }
   }
 
+  /** Parsed video metadata; `format` is "mp4" or "unknown" (all fields
+    * −1) for unrecognized payloads. */
+  final case class VideoMeta(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      timescale: Long,
+      duration_ms: Long)
+
+  /** REAL ISO-BMFF (MP4) container parsing — the video member of the
+    * header-decode family ([[ImageHeaders]], [[AudioHeaders]]):
+    * big-endian box-chain walk to `moov` → `mvhd` (timescale +
+    * duration, version 0 and 1 layouts) and the first video `trak` →
+    * `tkhd` (16.16 fixed-point width/height). Frame/sample DECODE
+    * stays behind the [[MediaDecoder]] stub boundary; frame SAMPLING
+    * plumbing is [[sampleChunks]]. */
+  object VideoHeaders {
+    private def be32(p: Array[Byte], i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+    private def be64(p: Array[Byte], i: Int): Long =
+      (be32(p, i) << 32) | be32(p, i + 4)
+    private def tag(p: Array[Byte], i: Int): String =
+      new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk sibling boxes in [from, until), returning (payloadStart,
+      * payloadEnd) of the first box named `name`. */
+    private def findBox(
+        p: Array[Byte], from: Int, until: Int, name: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= until) {
+        val sz = be32(p, off)
+        if (sz < 8 || off + sz > until) return None // corrupt size
+        if (tag(p, off + 4) == name) return Some((off + 8, off + sz.toInt))
+        off += sz.toInt
+      }
+      None
+    }
+
+    /** (width, height, timescale, durationUnits) or None. */
+    def decode(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+      if (p.length < 16 || tag(p, 4) != "ftyp") return None
+      for {
+        (ms, me) <- findBox(p, 0, p.length, "moov")
+        (hs, _) <- findBox(p, ms, me, "mvhd")
+        (ts, dur) <- Some(p(hs) match {
+          case 0 => (be32(p, hs + 12), be32(p, hs + 16)) // v0: u32 times
+          case _ => (be32(p, hs + 20), be64(p, hs + 24)) // v1: u64 times
+        })
+        (ks, ke) <- findBox(p, ms, me, "trak")
+        (ths, _) <- findBox(p, ks, ke, "tkhd")
+      } yield {
+        val base = if (p(ths) == 0) ths + 76 else ths + 88 // after matrix
+        ((be32(p, base) >> 16).toInt, (be32(p, base + 4) >> 16).toInt, ts, dur)
+      }
+    }
+
+    /** Minimal valid MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+    def syntheticMp4(
+        width: Int, height: Int, timescale: Long, durationUnits: Long): Array[Byte] = {
+      def box(name: String, payload: Array[Byte]): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+        b.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+        b.array()
+      }
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
+      val mvhd = {
+        val b = java.nio.ByteBuffer.allocate(100)
+        b.putInt(0).putInt(0).putInt(0) // ver/flags, ctime, mtime
+          .putInt(timescale.toInt).putInt(durationUnits.toInt)
+        box("mvhd", b.array())
+      }
+      val tkhd = {
+        val b = java.nio.ByteBuffer.allocate(84)
+        b.putInt(0).putInt(0).putInt(0).putInt(1) // ver/flags, ctime, mtime, track
+          .putInt(0).putInt(durationUnits.toInt)  // reserved, duration
+        b.position(76)
+        b.putInt(width << 16).putInt(height << 16)
+        box("tkhd", b.array())
+      }
+      ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    }
+  }
+
+  /** Partition-batched video header decode (same mapPartitions shape as
+    * [[decodeDims]]/[[decodeAudio]]); duration_ms = ⌊units·1000/ts⌋. */
+  def decodeVideo(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        VideoHeaders.decode(r.payload) match {
+          case Some((w, h, ts, dur)) if ts > 0 =>
+            VideoMeta(r.media_id, "mp4", w, h, ts, dur * 1000L / ts)
+          case _ => VideoMeta(r.media_id, "unknown", -1, -1, -1L, -1L)
+        }
+      }
+    }
+  }
+
   /** Build a media table from the documents table: payload = UTF-8 bytes
     * of the text (deterministic stand-in for image/audio blobs). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {

@@ -89,5 +89,27 @@ object MultimodalQueries {
     Multimodal.decodeAudio(media).toDF().orderBy("media_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio)
+  /** Video ISO-BMFF/MP4 metadata (operators.Multimodal.VideoHeaders) —
+    * same contract as q_mm_dims/q_mm_audio: payloads are REAL
+    * synthesized MP4 containers parameterized by doc_id, the engine
+    * walks the box chain, the oracle recomputes the arithmetic. */
+  private val video = QuerySpec(
+    "q_mm_video",
+    """SELECT doc_id AS media_id, 'mp4' AS format,
+      |       CAST(doc_id % 640 + 16 AS INTEGER) AS width,
+      |       CAST(doc_id % 360 + 16 AS INTEGER) AS height,
+      |       CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS timescale,
+      |       CAST((doc_id % 1000 + 1) * 1000 AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val ts = (id % 3) match { case 0 => 600L; case 1 => 1000L; case _ => 90000L }
+      Multimodal.MediaRecord(id, "video/mp4",
+        Multimodal.VideoHeaders.syntheticMp4(
+          (id % 640 + 16).toInt, (id % 360 + 16).toInt, ts, (id % 1000 + 1) * ts), 0, 0)
+    }
+    Multimodal.decodeVideo(media).toDF().orderBy("media_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video)
 }

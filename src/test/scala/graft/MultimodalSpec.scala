@@ -117,6 +117,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AudioHeaders.decode(spliced) === Some((2, 16000, 16, 10L)))
   }
 
+  test("mp4 round trip: synthesized containers parse back to their parameters") {
+    import Multimodal.VideoHeaders
+    val cases = Seq((320, 240, 600L, 1200L), (1920, 1080, 90000L, 90000L * 7),
+      (16, 16, 1000L, 1L))
+    cases.foreach { case (w, h, ts, dur) =>
+      val got = VideoHeaders.decode(VideoHeaders.syntheticMp4(w, h, ts, dur))
+      assert(got === Some((w, h, ts, dur)), s"case $w×$h ts=$ts dur=$dur")
+    }
+  }
+
+  test("mp4 box walk skips unknown boxes before moov and inside it") {
+    import Multimodal.VideoHeaders
+    val base = VideoHeaders.syntheticMp4(640, 360, 1000L, 5000L)
+    // splice a free box between ftyp (8 hdr + 8 payload = 16 bytes) and moov
+    val free = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("free".getBytes("US-ASCII")).put(Array.fill[Byte](8)(0x11))
+      .array()
+    val spliced = base.take(16) ++ free ++ base.drop(16)
+    assert(VideoHeaders.decode(spliced) === Some((640, 360, 1000L, 5000L)))
+  }
+
+  test("non-mp4 payloads decode as unknown, not a crash") {
+    import spark.implicits._
+    val junk = Seq(
+      Multimodal.MediaRecord(1L, "x", "no boxes here at all....".getBytes, 0, 0),
+      Multimodal.MediaRecord(2L, "x", Array[Byte](0, 0, 0, 9), 0, 0),
+      Multimodal.MediaRecord(3L, "x", Array.emptyByteArray, 0, 0)).toDS()
+    val out = Multimodal.decodeVideo(junk).collect()
+    assert(out.forall(v => v.format == "unknown" && v.width == -1))
+  }
+
   test("non-wav payloads decode as unknown, not a crash") {
     import spark.implicits._
     val junk = Seq(
