@@ -666,6 +666,37 @@ object TimeSeriesQueries {
       .orderBy("event_type", "bucket_ms")
   }
 
+  /** A19: event-type co-occurrence lift per (user, hour) bucket
+    * (operators.Association) — the root-cause-correlation table; the
+    * oracle replays presence, pair counts and every lift. */
+  private val a19 = QuerySpec(
+    "q_a19_cooccur",
+    """WITH pres AS (
+      |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+      |  FROM events
+      |), nb AS (SELECT COUNT(*) AS n_buckets FROM (SELECT DISTINCT user_id, hr FROM pres) t),
+      |s AS (SELECT event_type, COUNT(*) AS n FROM pres GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_ab
+      |  FROM pres a JOIN pres b ON a.user_id = b.user_id AND a.hr = b.hr
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.type_a, p.type_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+      |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |       CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+      |       CAST(p.n_ab * nb.n_buckets AS DOUBLE) / (sa.n * sb.n) AS lift
+      |FROM p JOIN s sa ON sa.event_type = p.type_a
+      |       JOIN s sb ON sb.event_type = p.type_b
+      |       CROSS JOIN nb
+      |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+    graft.operators.Association.cooccurrenceLift(
+      Tables.events(s, d),
+      Seq(col("user_id"), date_trunc("hour", col("ts")).as("hr")),
+      col("event_type"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** X4: rolling-origin seasonal-naive forecast backtest (operators.
     * Backtest) — three historical folds score day-over-day predictions
     * on hourly KPI means; the oracle replays every fold's RMSE/MAE. */
@@ -725,5 +756,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      a11, a13, a14, a16, a17, a18, x4)
+      a11, a13, a14, a16, a17, a18, a19, x4)
 }
