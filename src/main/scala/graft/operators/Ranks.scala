@@ -153,6 +153,51 @@ object Ranks {
       .select(col("bin"), col("n"), col("conf"), col("acc"), col("gap"), col("ece"))
   }
 
+  /** Weight-of-evidence feature binning + information value — the
+    * risk-modeling companion to [[calibration]] (ECE asks "is the
+    * score's level trustworthy?"; WOE/IV asks "how much does this
+    * FEATURE separate the classes, bin by bin?" — the standard
+    * credit-risk / feature-selection diagnostic):
+    *
+    *   woe(b) = ln( (pos_b/P) / (neg_b/N) ),
+    *   IV     = Σ_b (pos_b/P − neg_b/N) · woe(b)
+    *
+    * with +0.5 Laplace smoothing so empty cells stay finite (IV rules
+    * of thumb: < 0.02 useless, > 0.3 strong). Equi-width bins over
+    * [lo, hi) share HistogramSketch.binOf's clamped arithmetic.
+    *
+    * Oracle parity: the one ln() per bin rounds to 6 dp before the
+    * exact-decimal IV sum (the BM25 trick); everything else is exact
+    * integers + deterministic double ops. One map-side-combinable
+    * groupBy on the bin; totals and the IV row ride broadcasts. */
+  def woeBins(
+      df: DataFrame, feature: Column, isPos: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df
+      .select(HistogramSketch.binOf(feature, lo, hi, bins).as("bin"),
+        isPos.cast("int").as("_y"))
+      .groupBy("bin")
+      .agg(sum(col("_y")).as("n_pos"), sum(lit(1) - col("_y")).as("n_neg"))
+    // totals and the IV come from windows over the ALREADY-aggregated
+    // ≤bins-row grid — an agg + self-crossjoin would re-execute the
+    // data-sized cells scan per branch (the shardStats lesson)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .withColumn("_pr",
+        (col("n_pos") + lit(0.5)) / (sum(col("n_pos")).over(wAll) + lit(bins / 2.0)))
+      .withColumn("_nr",
+        (col("n_neg") + lit(0.5)) / (sum(col("n_neg")).over(wAll) + lit(bins / 2.0)))
+      .withColumn("woe", round(log(col("_pr") / col("_nr")), 6))
+      .withColumn("iv",
+        sum(round((col("_pr") - col("_nr")) * col("woe"), 6)
+          .cast(DecimalType(27, 6))).over(wAll).cast("double"))
+      .select(col("bin"), col("n_pos"), col("n_neg"), col("woe"), col("iv"))
+  }
+
   /** One-row (npos: long, nneg: long, auc: double) via the tie-corrected
     * Mann-Whitney statistic over [[tieAveragedRanks]]. */
   def aucStats(df: DataFrame, score: Column, isPos: Column): DataFrame = {

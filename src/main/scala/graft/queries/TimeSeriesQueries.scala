@@ -697,6 +697,76 @@ object TimeSeriesQueries {
       .orderBy("type_a", "type_b")
   }
 
+  /** A20: per-type OLS KPI trend (operators.Regression.trendPerKey) —
+    * closed-form slope/intercept/r² from five exact-decimal moments in
+    * ONE aggregation; the oracle replays the identical moment algebra
+    * and double expression tree. */
+  private val a20 = QuerySpec(
+    "q_a20_trend",
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |         MIN(CAST(epoch_ms(ts) // 1000 AS DECIMAL(38,6))) AS xmin,
+      |         SUM(CAST(epoch_ms(ts) // 1000 AS DECIMAL(38,6))) AS sx0,
+      |         SUM(CAST(value AS DECIMAL(38,6))) AS sy0,
+      |         SUM(CAST(CAST(epoch_ms(ts) // 1000 AS DECIMAL(38,6)) * CAST(epoch_ms(ts) // 1000 AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS sxx0,
+      |         SUM(CAST(CAST(epoch_ms(ts) // 1000 AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS sxy0,
+      |         SUM(CAST(CAST(value AS DECIMAL(38,6)) * CAST(value AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS syy0
+      |  FROM events GROUP BY 1
+      |), s AS (
+      |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+      |         CAST(sx0 AS DOUBLE) - CAST(n AS DOUBLE) * CAST(xmin AS DOUBLE) AS sx,
+      |         CAST(sy0 AS DOUBLE) AS sy,
+      |         CAST(sxx0 AS DOUBLE) - 2.0 * CAST(xmin AS DOUBLE) * CAST(sx0 AS DOUBLE)
+      |           + CAST(n AS DOUBLE) * CAST(xmin AS DOUBLE) * CAST(xmin AS DOUBLE) AS sxx,
+      |         CAST(sxy0 AS DOUBLE) - CAST(xmin AS DOUBLE) * CAST(sy0 AS DOUBLE) AS sxy,
+      |         CAST(syy0 AS DOUBLE) AS syy
+      |  FROM m
+      |), f AS (
+      |  SELECT event_type, n, nd, sx, sy, sxx, sxy, syy,
+      |         nd * sxx - sx * sx AS dxx, nd * syy - sy * sy AS dyy,
+      |         (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope
+      |  FROM s
+      |)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |       ROUND((CASE WHEN n >= 2 AND dxx > 0.0 THEN slope END) * 86400.0, 6) AS slope_per_day,
+      |       ROUND(CASE WHEN n >= 2 AND dxx > 0.0 THEN (sy - slope * sx) / nd END, 6) AS intercept,
+      |       ROUND(CASE WHEN n >= 2 AND dxx > 0.0 AND dyy > 0.0 THEN slope * slope * dxx / dyy END, 6) AS r2
+      |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+    graft.operators.Regression.trendPerKey(
+      Tables.events(s, d), Seq("event_type"), "ts", col("value"))
+      .orderBy("event_type")
+  }
+
+  /** A21: weight-of-evidence bins + information value for the KPI
+    * feature vs the error label (operators.Ranks.woeBins) — the
+    * feature-separation diagnostic next to AUC (discrimination) and
+    * ECE (calibration); oracle replays shares, WOE and the IV. */
+  private val a21 = QuerySpec(
+    "q_a21_woe",
+    """WITH cells AS (
+      |  SELECT CAST(least(9, greatest(0, CAST(floor((value - 0.0) / 51.2) AS INTEGER))) AS BIGINT) AS bin,
+      |         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_pos,
+      |         SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS n_neg
+      |  FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT bin, n_pos, n_neg,
+      |         (n_pos + 0.5) / (SUM(n_pos) OVER () + 5.0) AS pr,
+      |         (n_neg + 0.5) / (SUM(n_neg) OVER () + 5.0) AS nr
+      |  FROM cells
+      |), w AS (
+      |  SELECT bin, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+      |         ROUND(LN(pr / nr), 6) AS woe, pr, nr
+      |  FROM t
+      |)
+      |SELECT bin, n_pos, n_neg, woe,
+      |       CAST(SUM(CAST(ROUND((pr - nr) * woe, 6) AS DECIMAL(27,6))) OVER () AS DOUBLE) AS iv
+      |FROM w ORDER BY bin""".stripMargin) { (s, d) =>
+    graft.operators.Ranks.woeBins(
+      Tables.events(s, d), col("value"), col("event_type") === "error",
+      lo = 0.0, hi = 512.0, bins = 10)
+      .orderBy("bin")
+  }
+
   /** X4: rolling-origin seasonal-naive forecast backtest (operators.
     * Backtest) — three historical folds score day-over-day predictions
     * on hourly KPI means; the oracle replays every fold's RMSE/MAE. */
@@ -756,5 +826,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      a11, a13, a14, a16, a17, a18, a19, x4)
+      a11, a13, a14, a16, a17, a18, a19, a20, a21, x4)
 }

@@ -110,6 +110,38 @@ class RanksSpec extends AnyFunSuite {
     assert(out.agg(sum("n")).collect().head.getLong(0) === 101L)
   }
 
+  test("woe bins: separating feature reads large |woe| and IV; uniform reads ~0") {
+    import spark.implicits._
+    // bin 0 (v<5) almost all negative, bin 1 (v≥5) almost all positive
+    val sep = (1 to 40).map(i =>
+      (if (i % 2 == 0) 1.0 else 9.0, i % 2 == 1)) ++ Seq((1.0, true), (9.0, false))
+    val sepOut = Ranks.woeBins(sep.toDF("v", "y"), col("v"), col("y"), 0.0, 10.0, 2)
+      .orderBy("bin").collect()
+    val woes = sepOut.map(_.getAs[Double]("woe"))
+    assert(woes(0) < -1.0 && woes(1) > 1.0, woes.toSeq.toString)
+    assert(sepOut.head.getAs[Double]("iv") > 0.3, "separating feature must read strong IV")
+    // feature exactly balanced against the label: woe = 0, IV = 0
+    val ind = for { v <- 0 until 10; y <- Seq(true, false) } yield (v.toDouble, y)
+    val indOut = Ranks.woeBins(ind.toDF("v", "y"), col("v"), col("y"), 0.0, 10.0, 2)
+      .collect()
+    assert(indOut.forall(r => r.getAs[Double]("woe") === 0.0))
+    assert(indOut.head.getAs[Double]("iv") === 0.0)
+  }
+
+  test("woe bins: counts are exact and the laplace floor keeps empty cells finite") {
+    import spark.implicits._
+    // all positives in bin 0; bin 1 exists with only negatives
+    val df = Seq((1.0, true), (1.0, true), (9.0, false)).toDF("v", "y")
+    val out = Ranks.woeBins(df, col("v"), col("y"), 0.0, 10.0, 2)
+      .orderBy("bin").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((0L, 2L, 0L), (1L, 0L, 1L)))
+    out.foreach { r =>
+      val w = r.getAs[Double]("woe")
+      assert(!w.isNaN && !w.isInfinite, "smoothing must keep WOE finite")
+    }
+  }
+
   test("calibration of a well-calibrated scorer reads near-zero ECE") {
     import spark.implicits._
     // 20 rows per level; positives at each level = level · 20 exactly
