@@ -18,6 +18,13 @@ object TextAnalysis {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** Hashing-trick count features: `dim`-length token-count vector via
+    * portable md5 buckets (vocabulary-free O(dim) featurization — see
+    * plans.HashedCountVecExpr). Pure projection: no shuffle, no
+    * vocabulary state, every component SQL-recomputable. */
+  def hashedFeatures(text: Column, dim: Int): Column =
+    graft.plans.TextHashNative.hashedCountVec(text, dim)
+
   private val stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
   /** Fraction of tokens that are stopwords — a fluency signal. */

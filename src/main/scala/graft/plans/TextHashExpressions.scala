@@ -79,6 +79,9 @@ object TextHashNative {
   def deletionHashSet(text: Column): Column =
     ColumnBridge.column(DeletionHashSetExpr(ColumnBridge.expression(text)))
 
+  def hashedCountVec(text: Column, dim: Int): Column =
+    ColumnBridge.column(HashedCountVecExpr(ColumnBridge.expression(text), dim))
+
   /** Fail at ANALYSIS time on a non-string input, like the HOF forms
     * these expressions replace would — without this, a mistyped column
     * passes resolution and every task dies in a mid-job
@@ -269,6 +272,40 @@ case class DeletionHashSetExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_deletion_hash_set"
+}
+
+/** Hashing-trick count vectorizer (Weinberger et al., "Feature Hashing
+  * for Large Scale Multitask Learning", ICML'09): token counts folded
+  * into a fixed `dim`-length vector by bucket = md5₆₀(token) mod dim —
+  * the classic vocabulary-free featurizer whose memory is O(dim)
+  * regardless of corpus vocabulary. Buckets use the PORTABLE md5
+  * family ([[graft.functions.PortableHash]]), so an ANSI-SQL engine
+  * recomputes every vector component bit-identically (the Count-Min
+  * discipline applied to per-row features). One imperative pass per
+  * row; Σ components = token count by construction. */
+case class HashedCountVecExpr(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(dim >= 2, "need dim ≥ 2")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = graft.functions.PortableHash.md5ThreadLocal
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val vec = new Array[Long](dim)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val b = (graft.functions.PortableHash.md5Hash60(toks(i), md) % dim).toInt
+        vec(b) += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(vec)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_hashed_count_vec"
 }
 
 /** 60-bit SimHash of a space-separated string's distinct token set —

@@ -1076,6 +1076,35 @@ object TextVectorQueries {
       .orderBy(col("rrf").desc, col("id").asc)
   }
 
+  /** Hashing-trick count features (operators.TextAnalysis.
+    * hashedFeatures): each doc's tokens fold into a fixed 32-dim count
+    * vector via the portable md5 buckets — flattened to (doc, bucket,
+    * n) rows so every component hash-checks exactly against the SQL
+    * recomputation (the driver's hash can't compare array cells). */
+  private val textHashvec = QuerySpec(
+    "q_text_hashvec",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), bc AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(term), 1, 15))::BIGINT % 32 AS bucket,
+      |         COUNT(*) AS n
+      |  FROM tok WHERE term <> '' GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT d.doc_id, s.bucket
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS bucket) s
+      |)
+      |SELECT sp.doc_id AS doc_id, sp.bucket AS bucket, CAST(COALESCE(bc.n, 0) AS BIGINT) AS n
+      |FROM spine sp LEFT JOIN bc ON sp.doc_id = bc.doc_id AND sp.bucket = bc.bucket
+      |ORDER BY sp.doc_id, sp.bucket""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.hashedFeatures(col("text"), 32)).as(Seq("bucket", "n")))
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("n"))
+      .orderBy("doc_id", "bucket")
+  }
+
   /** Count–Min point-frequency sketch (operators.CountMin): per-source
     * sketches merge into the whole-corpus sketch; the 20 heaviest
     * tokens' estimates read off the merged counters. The portable md5
@@ -1186,7 +1215,7 @@ object TextVectorQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, hybridRrf, vocabBpe,
+    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, hybridRrf, vocabBpe, textHashvec,
     vocabBpeApply,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,

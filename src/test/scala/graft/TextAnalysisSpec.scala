@@ -76,4 +76,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(v === Array(("y", 1L), ("z", 2L), ("x", 3L)))
     spark.catalog.clearCache()
   }
+
+  test("hashed features match the portable-bucket recomputation, mass-conserving") {
+    val docs = Seq((1L, "a b a c"), (2L, ""), (3L, "a  a")).toDF("doc_id", "text")
+    val dim = 8
+    val got = docs.select(col("doc_id"),
+      TextAnalysis.hashedFeatures(col("text"), dim).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // recompute via the column-level portable hash the oracle mirrors
+    def bucket(t: String): Int = {
+      val md = graft.functions.PortableHash.md5ThreadLocal
+      (graft.functions.PortableHash.md5Hash60(t, md) % dim).toInt
+    }
+    def ref(text: String): Seq[Long] = {
+      val v = Array.fill(dim)(0L)
+      text.split(" ", -1).filter(_.nonEmpty).foreach(t => v(bucket(t)) += 1)
+      v.toSeq
+    }
+    assert(got(1L) === ref("a b a c"))
+    assert(got(1L).sum === 4L, "components must conserve token mass")
+    assert(got(2L) === Seq.fill(dim)(0L), "empty text → zero vector")
+    assert(got(3L) === ref("a  a"), "empty tokens from double spaces don't count")
+    assert(got(3L).sum === 2L)
+  }
 }
