@@ -526,6 +526,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((2L, 100.0, false), (14L, 100.0, true), (14L, 11.0, false)))
   }
 
+  test("streaming drift monitoring: PSI over two stream-folded histograms") {
+    import graft.operators.HistogramSketch
+    // the composition the sketch family exists for: two ingest streams
+    // fold their own additive histograms (N57); PSI (N66) reads the
+    // merged sketches — whole-corpus drift scoring with zero rescans
+    val dirA = java.nio.file.Files.createTempDirectory("graft-psi-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-psi-b").toString
+    try {
+      def ingest(dir: String, name: String, batches: Seq[Seq[(Long, Double)]]): Unit = {
+        val in = MemoryStream[(Long, Double)](spark)
+        val q = in.toDF().toDF("id", "v").writeStream
+          .foreachBatch(StreamingOps.histogramAppendBatch(dir, "v", 0.0, 100.0, 20))
+          .option("checkpointLocation", s"$dir/_chk").queryName(name).start()
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        q.stop()
+      }
+      // corpus A centered low, corpus B shifted high — each in 2 batches
+      ingest(dirA, "psi_a", Seq(
+        (1 to 150).map(i => (i.toLong, (i % 40) + 0.5)),
+        (151 to 300).map(i => (i.toLong, (i % 40) + 0.5))))
+      ingest(dirB, "psi_b", Seq(
+        (1 to 150).map(i => (i.toLong, 55.0 + (i % 40))),
+        (151 to 300).map(i => (i.toLong, 55.0 + (i % 40)))))
+      val drifted = HistogramSketch.psi(
+        StreamingOps.readHistogram(spark, dirA),
+        StreamingOps.readHistogram(spark, dirB), 20).collect().head
+      assert(drifted.getAs[Long]("n_a") === 300L && drifted.getAs[Long]("n_b") === 300L)
+      assert(drifted.getAs[Double]("psi") > 0.25, "disjoint streams must read as drifted")
+      // a stream against its own fold is exactly zero drift
+      val self = HistogramSketch.psi(
+        StreamingOps.readHistogram(spark, dirA),
+        StreamingOps.readHistogram(spark, dirA), 20).collect().head
+      assert(self.getAs[Double]("psi") === 0.0)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirB)).deleteRecursively()
+    }
+  }
+
   test("streaming count-min fold: micro-batches merge to the single-pass sketch; redelivery no-op") {
     import graft.operators.CountMin
     val (depth, width) = (4, 32)
