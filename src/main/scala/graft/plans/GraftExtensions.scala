@@ -86,5 +86,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         litInt(exprs(1), "graft_cdc_boundaries", 1),
         litInt(exprs(2), "graft_cdc_boundaries", 2))
     }
+    reg(e, "graft_deletion_hash_set", classOf[DeletionHashSetExpr]) {
+      exprs => DeletionHashSetExpr(exprs.head)
+    }
+    reg(e, "graft_hashed_count_vec", classOf[HashedCountVecExpr]) {
+      exprs => HashedCountVecExpr(exprs.head,
+        litInt(exprs(1), "graft_hashed_count_vec", 1))
+    }
   }
 }

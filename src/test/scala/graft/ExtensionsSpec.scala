@@ -59,7 +59,9 @@ class ExtensionsSpec extends AnyFunSuite {
         |  graft_shingle_hash_set('a b c d', 3) AS shs,
         |  size(graft_minhash_sig(graft_token_hash_set('a b c'), 64)) AS sig_k,
         |  graft_simhash60('alpha beta gamma') AS sh,
-        |  graft_cdc_boundaries('some text to chunk here', 8, 4) AS cdc
+        |  graft_cdc_boundaries('some text to chunk here', 8, 4) AS cdc,
+        |  size(graft_deletion_hash_set('abc')) AS dhs_n,
+        |  graft_hashed_count_vec('a b a', 8) AS hcv
         |""".stripMargin).collect().head
     assert(r.getAs[Int]("isz") === 2)
     assert(r.getAs[Int]("fei") === 1)
@@ -73,6 +75,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(r.getAs[Long]("sh") === viaColumn)
     assert(r.getSeq[Int](r.fieldIndex("cdc")).nonEmpty)
+    assert(r.getAs[Int]("dhs_n") === 4) // 'abc' + three single-char deletions
+    assert(r.getSeq[Long](r.fieldIndex("hcv")).sum === 3L) // mass-conserving
   }
 
   test("parameterized SQL functions reject non-literal parameters") {
