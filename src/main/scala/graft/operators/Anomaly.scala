@@ -97,12 +97,19 @@ object Anomaly {
       rows: DataFrame, profile: DataFrame, keys: Seq[String],
       value: String, minN: Int, zThreshold: Double): DataFrame =
     rows
-      .join(broadcast(profile), keys :+ "slot")
+      // LEFT join: a (key, slot) absent from the profile — a new site, or
+      // a slot never observed in training — must flow through UNFLAGGED
+      // (s_z NULL, seasonal_anomaly false), not be silently dropped; the
+      // batch form is unaffected (its profile comes from the same input,
+      // so every row matches)
+      .join(broadcast(profile), keys :+ "slot", "left")
       .withColumn("s_z",
         when(col("s_sd") > 0.0, (col(value) - col("s_mean")) / col("s_sd")))
       .withColumn("seasonal_anomaly",
-        col("s_n") >= minN &&
-          abs(col(value) - col("s_mean")) > lit(zThreshold) * col("s_sd"))
+        coalesce(
+          col("s_n") >= minN &&
+            abs(col(value) - col("s_mean")) > lit(zThreshold) * col("s_sd"),
+          lit(false)))
 
   def withSeasonalDeviation(
       df: DataFrame,

@@ -258,7 +258,9 @@ object Multimodal {
       var dataSize = -1L
       while (off + 8 <= p.length && (fmt.isEmpty || dataSize < 0)) {
         val id = tag(p, off)
-        val sz = le32(p, off + 4)
+        val sz = le32(p, off + 4) // unsigned 32-bit, kept as Long: a corrupt
+        // size near 2^32 would overflow Int and stall or rewind the walk
+        if (sz < 0L || off.toLong + 8L + sz > p.length.toLong) return None
         if (id == "fmt " && sz >= 16 && off + 8 + 16 <= p.length)
           fmt = Some((le16(p, off + 10), le32(p, off + 12).toInt,
             le16(p, off + 22), le16(p, off + 20)))
@@ -343,7 +345,37 @@ object Multimodal {
       None
     }
 
-    /** (width, height, timescale, durationUnits) or None. */
+    /** Walk sibling boxes in [from, until), returning payload spans of
+      * ALL boxes named `name` in order (stops at the first corrupt size,
+      * like [[findBox]]). */
+    private def findBoxes(
+        p: Array[Byte], from: Int, until: Int, name: String): List[(Int, Int)] = {
+      val out = List.newBuilder[(Int, Int)]
+      var off = from
+      var ok = true
+      while (ok && off + 8 <= until) {
+        val sz = be32(p, off)
+        if (sz < 8 || off + sz > until) ok = false // corrupt size
+        else {
+          if (tag(p, off + 4) == name) out += ((off + 8, off + sz.toInt))
+          off += sz.toInt
+        }
+      }
+      out.result()
+    }
+
+    /** (width, height) from a tkhd payload, or None. */
+    private def tkhdDims(p: Array[Byte], ths: Int, the: Int): Option[(Int, Int)] = {
+      val base = if (p(ths) == 0) ths + 76 else ths + 88 // after matrix
+      if (base + 8 > the) None
+      else Some(((be32(p, base) >> 16).toInt, (be32(p, base + 4) >> 16).toInt))
+    }
+
+    /** (width, height, timescale, durationUnits) or None. Dimensions
+      * come from the first trak whose tkhd carries nonzero width AND
+      * height (real MP4s often order an audio track — whose tkhd dims
+      * are 0 — before the video track), falling back to the first
+      * trak's dims when no trak reports any. */
     def decode(p: Array[Byte]): Option[(Int, Int, Long, Long)] = {
       if (p.length < 16 || tag(p, 4) != "ftyp") return None
       for {
@@ -353,39 +385,53 @@ object Multimodal {
           case 0 => (be32(p, hs + 12), be32(p, hs + 16)) // v0: u32 times
           case _ => (be32(p, hs + 20), be64(p, hs + 24)) // v1: u64 times
         })
-        (ks, ke) <- findBox(p, ms, me, "trak")
-        (ths, _) <- findBox(p, ks, ke, "tkhd")
-      } yield {
-        val base = if (p(ths) == 0) ths + 76 else ths + 88 // after matrix
-        ((be32(p, base) >> 16).toInt, (be32(p, base + 4) >> 16).toInt, ts, dur)
-      }
+        dims <- {
+          val perTrak = findBoxes(p, ms, me, "trak").flatMap { case (ks, ke) =>
+            findBox(p, ks, ke, "tkhd").flatMap { case (ths, the) =>
+              tkhdDims(p, ths, the)
+            }
+          }
+          perTrak.find { case (w, h) => w > 0 && h > 0 }.orElse(perTrak.headOption)
+        }
+      } yield (dims._1, dims._2, ts, dur)
     }
+
+    private def box(name: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    private def mvhdBox(timescale: Long, durationUnits: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(100)
+      b.putInt(0).putInt(0).putInt(0) // ver/flags, ctime, mtime
+        .putInt(timescale.toInt).putInt(durationUnits.toInt)
+      box("mvhd", b.array())
+    }
+    private def trakBox(width: Int, height: Int, durationUnits: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(84)
+      b.putInt(0).putInt(0).putInt(0).putInt(1) // ver/flags, ctime, mtime, track
+        .putInt(0).putInt(durationUnits.toInt)  // reserved, duration
+      b.position(76)
+      b.putInt(width << 16).putInt(height << 16)
+      box("trak", box("tkhd", b.array()))
+    }
+    private val ftypBox: Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
 
     /** Minimal valid MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
     def syntheticMp4(
-        width: Int, height: Int, timescale: Long, durationUnits: Long): Array[Byte] = {
-      def box(name: String, payload: Array[Byte]): Array[Byte] = {
-        val b = java.nio.ByteBuffer.allocate(8 + payload.length)
-        b.putInt(8 + payload.length).put(name.getBytes("US-ASCII")).put(payload)
-        b.array()
-      }
-      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0))
-      val mvhd = {
-        val b = java.nio.ByteBuffer.allocate(100)
-        b.putInt(0).putInt(0).putInt(0) // ver/flags, ctime, mtime
-          .putInt(timescale.toInt).putInt(durationUnits.toInt)
-        box("mvhd", b.array())
-      }
-      val tkhd = {
-        val b = java.nio.ByteBuffer.allocate(84)
-        b.putInt(0).putInt(0).putInt(0).putInt(1) // ver/flags, ctime, mtime, track
-          .putInt(0).putInt(durationUnits.toInt)  // reserved, duration
-        b.position(76)
-        b.putInt(width << 16).putInt(height << 16)
-        box("tkhd", b.array())
-      }
-      ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
-    }
+        width: Int, height: Int, timescale: Long, durationUnits: Long): Array[Byte] =
+      ftypBox ++ box("moov",
+        mvhdBox(timescale, durationUnits) ++ trakBox(width, height, durationUnits))
+
+    /** Like [[syntheticMp4]], but an audio-style trak (0×0 tkhd dims)
+      * is ordered BEFORE the video trak — the real-world layout the
+      * first-nonzero-dims selection in [[decode]] exists for. */
+    def syntheticMp4AudioFirst(
+        width: Int, height: Int, timescale: Long, durationUnits: Long): Array[Byte] =
+      ftypBox ++ box("moov",
+        mvhdBox(timescale, durationUnits) ++
+          trakBox(0, 0, durationUnits) ++ trakBox(width, height, durationUnits))
   }
 
   /** Partition-batched video header decode (same mapPartitions shape as

@@ -132,8 +132,14 @@ object Ranks {
       .select(score.as("_x"), isPos.cast("int").as("_y"))
       .crossJoin(broadcast(mm))
       .withColumn("bin",
-        least(lit(bins - 1).cast("long"),
-          floor((col("_x") - col("_lo")) / (col("_hi") - col("_lo")) * bins)))
+        // degenerate-range gate (house discipline — Regression's dxx>0,
+        // seasonalProfile's NULL stddev): all-equal scores would make the
+        // bin expression 0/0 (NaN) and conf ±Inf; collapse to one bin
+        // with NULL conf/gap instead
+        when(col("_hi") > col("_lo"),
+          least(lit(bins - 1).cast("long"),
+            floor((col("_x") - col("_lo")) / (col("_hi") - col("_lo")) * bins)))
+          .otherwise(lit(0L)))
       .groupBy("bin")
       .agg(
         count(lit(1)).as("n"),
@@ -141,7 +147,8 @@ object Ranks {
         sum(col("_y")).as("_npos"),
         first(col("_lo")).as("_lo"), first(col("_hi")).as("_hi"))
       .withColumn("conf",
-        (col("_sx").cast("double") / col("n") - col("_lo")) / (col("_hi") - col("_lo")))
+        when(col("_hi") > col("_lo"),
+          (col("_sx").cast("double") / col("n") - col("_lo")) / (col("_hi") - col("_lo"))))
       .withColumn("acc", col("_npos").cast("double") / col("n"))
       .withColumn("gap", col("acc") - col("conf"))
     val ece = cells.agg(

@@ -1000,8 +1000,8 @@ object TextVectorQueries {
       |  FROM (SELECT unnest(embedding) AS x FROM embeddings)
       |)
       |SELECT vec_id,
-      |       list_transform(embedding, x -> least(255, greatest(0,
-      |         CAST(floor((x - rng.lo) / ((rng.hi - rng.lo) / 256.0)) AS INTEGER)))) AS codes,
+      |       array_to_string(list_transform(embedding, x -> least(255, greatest(0,
+      |         CAST(floor((x - rng.lo) / ((rng.hi - rng.lo) / 256.0)) AS INTEGER)))), ',') AS codes,
       |       TRUE AS recon_in_band
       |FROM embeddings, rng ORDER BY vec_id""".stripMargin) { (s, d) =>
     import graft.operators.Quantization
@@ -1013,7 +1013,10 @@ object TextVectorQueries {
       .withColumn("_maxerr",
         array_max(zip_with(col("embedding").cast("array<double>"), col("recon"),
           (x, y) => abs(x - y))))
-      .select(col("vec_id"), col("codes"),
+      .select(col("vec_id"),
+        // serialize for the oracle hash: raw array<int> columns trip the
+        // driver's pandas canonical sort (house convention — see q_w6_sequence)
+        array_join(col("codes"), ",").as("codes"),
         (col("_maxerr") <= step / lit(2.0) + lit(1e-9)).as("recon_in_band"))
       .orderBy("vec_id")
   }

@@ -179,10 +179,13 @@ object StreamingOps {
     * the batch side ([[graft.operators.Anomaly.seasonalProfile]]) — the
     * ingestion-time form of withSeasonalDeviation, completing the
     * contamination-gate pattern for the NOC KPI path. Stateless: the
-    * keys×slots profile BROADCASTS into a stream-static join (no
+    * keys×slots profile BROADCASTS into a stream-static LEFT join (no
     * stream-side shuffle, no state store), the flag expression is
     * shared verbatim with the batch operator, and every reading passes
-    * through exactly once with its flag attached. */
+    * through exactly once with its flag attached — including readings
+    * from keys or slots the profile never saw (a new site mid-stream):
+    * those flow through unflagged (s_z NULL, seasonal_anomaly false)
+    * rather than being dropped by an inner join. */
   def seasonalDeviationFlags(
       stream: DataFrame, profile: DataFrame, keys: Seq[String],
       slot: org.apache.spark.sql.Column, value: String,
@@ -242,7 +245,17 @@ object StreamingOps {
     * redelivered micro-batch a no-op — the same exactly-once-effect
     * contract as the minhash index fold above. A long-running ingest
     * keeps whole-corpus quantiles current with O(bins) work per batch
-    * and zero historical rescans. */
+    * and zero historical rescans.
+    *
+    * Idempotence (stronger than the minhash fold's): the bin counts
+    * are ADDITIVE, so a double-apply silently corrupts frequencies
+    * rather than just duplicating rows. Each batch therefore writes
+    * its increments into a batch-keyed partition directory
+    * (`bins/batch_id=<id>`) in OVERWRITE mode — a crash between the
+    * counter write and the ledger append makes the retry overwrite
+    * the same directory instead of appending a second copy, closing
+    * the non-atomic two-write window; the `_batches` ledger remains
+    * the fast-path skip for routine redelivery. */
   def histogramAppendBatch(
       path: String, value: String,
       lo: Double, hi: Double, bins: Int,
@@ -256,7 +269,7 @@ object StreamingOps {
     if (!applied && !batch.isEmpty) {
       graft.operators.HistogramSketch
         .build(batch, col(value), lo, hi, bins, keys)
-        .write.mode("append").parquet(s"$path/bins")
+        .write.mode("overwrite").parquet(s"$path/bins/batch_id=$batchId")
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerPath)
     }
@@ -275,7 +288,10 @@ object StreamingOps {
     * writes its own (depth, bucket, cnt) increments (≤ d·w rows per
     * batch), a redelivered micro-batch is a no-op, and whole-corpus
     * point-frequency estimates stay current with no historical
-    * rescan. */
+    * rescan. Counter increments land in a batch-keyed partition
+    * directory in OVERWRITE mode (see [[histogramAppendBatch]]) so a
+    * crash between the counter write and the ledger append cannot
+    * double-count on retry. */
   def countMinAppendBatch(
       path: String, key: String, depth: Int, width: Int):
       (DataFrame, Long) => Unit = { (batch, batchId) =>
@@ -288,7 +304,7 @@ object StreamingOps {
     if (!applied && !batch.isEmpty) {
       graft.operators.CountMin
         .build(batch, col(key), depth, width)
-        .write.mode("append").parquet(s"$path/counters")
+        .write.mode("overwrite").parquet(s"$path/counters/batch_id=$batchId")
       spark.range(1).select(lit(batchId).as("batch_id"))
         .write.mode("append").parquet(ledgerPath)
     }

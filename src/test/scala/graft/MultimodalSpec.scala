@@ -117,6 +117,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(AudioHeaders.decode(spliced) === Some((2, 16000, 16, 10L)))
   }
 
+  test("wav walker bails to unknown on corrupt chunk sizes, no hang") {
+    import Multimodal.AudioHeaders
+    val base = AudioHeaders.syntheticWav(2, 16000, 16, 10L)
+    // corrupt the fmt chunk's size field (offset 16): an Int-truncating
+    // walker nets a ZERO advance at 0xFFFFFFF8 (infinite executor loop)
+    // or walks backwards/out-of-bounds at the others — the Long-size
+    // guard must bail to the unknown path instead
+    def withSz(sz: Long): Array[Byte] = {
+      val p = base.clone()
+      java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(16, sz.toInt)
+      p
+    }
+    assert(AudioHeaders.decode(withSz(0xFFFFFFF8L)) === None) // net-zero advance
+    assert(AudioHeaders.decode(withSz(0x80000000L)) === None) // rewind
+    assert(AudioHeaders.decode(withSz(0x7FFFFFF0L)) === None) // far past payload
+  }
+
   test("mp4 round trip: synthesized containers parse back to their parameters") {
     import Multimodal.VideoHeaders
     val cases = Seq((320, 240, 600L, 1200L), (1920, 1080, 90000L, 90000L * 7),
@@ -136,6 +154,15 @@ class MultimodalSpec extends AnyFunSuite {
       .array()
     val spliced = base.take(16) ++ free ++ base.drop(16)
     assert(VideoHeaders.decode(spliced) === Some((640, 360, 1000L, 5000L)))
+  }
+
+  test("mp4 dims come from the first VIDEO trak, skipping an audio-first trak") {
+    import Multimodal.VideoHeaders
+    // real MP4s often order an audio track (tkhd dims 0×0) before the
+    // video track — dims must come from the first trak with nonzero dims
+    val got = VideoHeaders.decode(
+      VideoHeaders.syntheticMp4AudioFirst(1280, 720, 90000L, 180000L))
+    assert(got === Some((1280, 720, 90000L, 180000L)))
   }
 
   test("non-mp4 payloads decode as unknown, not a crash") {

@@ -142,6 +142,21 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("calibration: degenerate score range collapses to one bin, NULL conf/gap/ece") {
+    import spark.implicits._
+    // all-equal scores: the bin expression would be 0/0 and conf ±Inf —
+    // the degenerate-range gate must emit one bin with NULL conf/gap/ece
+    // (the house NULL-on-degenerate-denominator discipline), exact acc
+    val df = Seq((0.7, 1), (0.7, 0), (0.7, 1)).toDF("score", "lab")
+    val out = Ranks.calibration(df, col("score"), col("lab") === 1, bins = 10).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("bin") === 0L && r.getAs[Long]("n") === 3L)
+    assert(r.isNullAt(r.fieldIndex("conf")) && r.isNullAt(r.fieldIndex("gap")))
+    assert(r.isNullAt(r.fieldIndex("ece")))
+    assert(math.abs(r.getAs[Double]("acc") - 2.0 / 3.0) < 1e-12)
+  }
+
   test("calibration of a well-calibrated scorer reads near-zero ECE") {
     import spark.implicits._
     // 20 rows per level; positives at each level = level · 20 exactly

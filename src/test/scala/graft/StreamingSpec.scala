@@ -517,13 +517,22 @@ class StreamingSpec extends AnyFunSuite {
       minN = 30, zThreshold = 3.0)
     val q = gated.writeStream.format("memory").queryName("st_seasonal")
       .outputMode("append").start()
-    // 100 at slot 2 is NORMAL; 100 at slot 14 is anomalous; 11 at 14 normal
-    in.addData(("k", 2L, 100.0), ("k", 14L, 100.0), ("k", 14L, 11.0))
+    // 100 at slot 2 is NORMAL; 100 at slot 14 is anomalous; 11 at 14 normal;
+    // a NEVER-TRAINED key and a never-observed slot must flow through
+    // UNFLAGGED (left join), not be silently dropped
+    in.addData(("k", 2L, 100.0), ("k", 14L, 100.0), ("k", 14L, 11.0),
+      ("new-site", 2L, 9999.0), ("k", 7L, 9999.0))
     q.processAllAvailable(); q.stop()
     val got = spark.table("st_seasonal")
-      .select("hr", "value", "seasonal_anomaly")
-      .as[(Long, Double, Boolean)].collect().toSet
-    assert(got === Set((2L, 100.0, false), (14L, 100.0, true), (14L, 11.0, false)))
+      .select("key", "hr", "value", "seasonal_anomaly")
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(got === Set(
+      ("k", 2L, 100.0, false), ("k", 14L, 100.0, true), ("k", 14L, 11.0, false),
+      ("new-site", 2L, 9999.0, false), ("k", 7L, 9999.0, false)))
+    // and their z-scores are NULL (no baseline), not a number
+    val unseen = spark.table("st_seasonal")
+      .filter(col("key") === "new-site" || col("hr") === 7L)
+    assert(unseen.count() === 2L && unseen.filter(col("s_z").isNotNull).count() === 0L)
   }
 
   test("streaming drift monitoring: PSI over two stream-folded histograms") {
@@ -599,6 +608,15 @@ class StreamingSpec extends AnyFunSuite {
         batch1.toDF("id", "k"), 0L)
       assert(rows(StreamingOps.readCountMin(spark, dir)) === single,
         "ledgered redelivery mutated the sketch")
+      // crash-window redelivery: wipe the ledger, simulating a crash
+      // BETWEEN the counter write and the ledger append — the retry must
+      // OVERWRITE its batch-keyed directory, not append a double-count
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(s"$dir/_batches")).deleteRecursively()
+      StreamingOps.countMinAppendBatch(dir, "k", depth, width)(
+        batch1.toDF("id", "k"), 0L)
+      assert(rows(StreamingOps.readCountMin(spark, dir)) === single,
+        "unledgered redelivery double-counted the additive sketch")
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
