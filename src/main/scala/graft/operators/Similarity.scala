@@ -210,6 +210,24 @@ object Similarity {
       cId: String, cVec: String,
       k: Int,
       nPlanes: Int = 0): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    lshCandidatePairs(queries, corpus, qId, qVec, cId, cVec, nPlanes)
+      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id", "rnk", "cos")
+  }
+
+  /** The distinct (q_id, c_id) candidate pairs [[lshTopK]] scores —
+    * exposed so the recall/cost report (q_sim_recall_report) measures
+    * the EXACT candidate set the search uses, not a re-derivation.
+    * Carries the normalized vectors/norms for downstream scoring. */
+  def lshCandidatePairs(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      nPlanes: Int = 0): DataFrame = {
     val nP = if (nPlanes > 0) nPlanes else planesFor(viewRows(corpus, cId, cVec))
     val planes = hyperplanes(nP, viewDim(corpus, cId, cVec))
     val probes: Column = {
@@ -221,13 +239,8 @@ object Similarity {
       .withColumn("_bucket", explode(probes))
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
       .withColumn("_bucket", signBucket(col("_cv"), planes))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     q.join(c, "_bucket")
       .dropDuplicates("q_id", "c_id")
-      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("q_id", "c_id", "rnk", "cos")
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path
@@ -250,14 +263,32 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
-    // portable hash (not xxhash64) + id tiebreak: the sample — and with
-    // it the whole cell geometry — is reproducible by the DuckDB
-    // oracle, so the hash-seeded IVF query carries an exact hash oracle
-    val centroids = c
-      .withColumn("_h", graft.functions.PortableHash.md5Hash60(col("c_id")))
+    ivfSearch(queries, qId, qVec, c, hashSeededCentroids(c, nCells), k, nProbe)
+  }
+
+  /** The nCells-row hash-seeded centroid table. Portable hash (not
+    * xxhash64) + id tiebreak: the sample — and with it the whole cell
+    * geometry — is reproducible by the DuckDB oracle, so the
+    * hash-seeded IVF query carries an exact hash oracle. */
+  private def hashSeededCentroids(c: DataFrame, nCells: Int): DataFrame =
+    c.withColumn("_h", graft.functions.PortableHash.md5Hash60(col("c_id")))
       .orderBy("_h", "c_id").limit(nCells)
       .select(col("c_id").as("_cell"), col("_cv").as("_cellv"), col("_cn").as("_celln"))
-    ivfSearch(queries, qId, qVec, c, centroids, k, nProbe)
+
+  /** The (q_id, c_id, vectors) candidate rows hash-seeded [[ivfTopK]]
+    * scores (each query's nProbe best cells joined to the inverted
+    * file) — exposed for the recall/cost report, same contract as
+    * [[lshCandidatePairs]]. */
+  def ivfCandidatePairs(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
+    val centroids = hashSeededCentroids(c, nCells)
+    ivfCandidates(queries, qId, qVec, ivfAssign(c, centroids), centroids, nProbe)
   }
 
   /** [[ivfTopK]] with TRAINED cell centroids: a seeded MLlib KMeans fit
@@ -280,6 +311,15 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       maxIter: Int = 10): DataFrame = {
+    val (c, centroids) = trainedGeometry(corpus, cId, cVec, nCells, maxIter)
+    ivfSearch(queries, qId, qVec, c, centroids, k, nProbe)
+  }
+
+  /** The KMeans-trained (corpus view, centroid table) pair shared by
+    * [[ivfTopKTrained]] and [[ivfCandidatePairsTrained]]. */
+  private def trainedGeometry(
+      corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, maxIter: Int): (DataFrame, DataFrame) = {
     import corpus.sparkSession.implicits._
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
     // cached: KMeans.fit makes maxIter passes (same convention as the
@@ -297,7 +337,20 @@ object Similarity {
         val a = v.toArray.toIndexedSeq
         (i.toLong, a, math.sqrt(a.map(x => x * x).sum))
     }.toDF("_cell", "_cellv", "_celln")
-    ivfSearch(queries, qId, qVec, feats.drop("_fv"), centroids, k, nProbe)
+    (feats.drop("_fv"), centroids)
+  }
+
+  /** [[ivfCandidatePairs]] for the TRAINED cell geometry. */
+  def ivfCandidatePairsTrained(
+      queries: DataFrame,
+      corpus: DataFrame,
+      qId: String, qVec: String,
+      cId: String, cVec: String,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      maxIter: Int = 10): DataFrame = {
+    val (c, centroids) = trainedGeometry(corpus, cId, cVec, nCells, maxIter)
+    ivfCandidates(queries, qId, qVec, ivfAssign(c, centroids), centroids, nProbe)
   }
 
   /** Corpus → best cell assignment (one small crossJoin against the
@@ -314,12 +367,13 @@ object Similarity {
     * query's `nProbe` best cells, rank candidates. `assigned` is
     * (c_id, _cell, _cv, _cn); `centroids` is (_cell, _cellv, _celln) —
     * broadcast to the query side. */
-  private def ivfProbe(
+  /** The candidate rows an IVF probe scores: each query's nProbe best
+    * cells joined to the inverted file. */
+  private def ivfCandidates(
       queries: DataFrame,
       qId: String, qVec: String,
       assigned: DataFrame,
       centroids: DataFrame,
-      k: Int,
       nProbe: Int): DataFrame = {
     val q = viewAs(normalizedView(queries, qId, qVec), "q_id", "_qv", "_qn")
     val probes = q.crossJoin(broadcast(centroids))
@@ -328,8 +382,18 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(col("_sim").desc, col("_cell").asc)))
       .filter(col("_pr") <= nProbe)
       .select("q_id", "_qv", "_qn", "_cell")
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     probes.join(assigned, "_cell")
+  }
+
+  private def ivfProbe(
+      queries: DataFrame,
+      qId: String, qVec: String,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    ivfCandidates(queries, qId, qVec, assigned, centroids, nProbe)
       .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -901,6 +901,195 @@ object TextVectorQueries {
         (col("_mean") >= 0.5).as("recall_in_band"))
   }
 
+  /** ANN recall/cost report — the measured tradeoff table behind the
+    * 100 TB similarity story: one row per search method (brute / LSH /
+    * hash-seeded IVF / trained IVF / SQ8-quantized brute) with
+    * recall@k against the exact top-k and the CANDIDATE-SET SIZE the
+    * method actually scored (via Similarity.lshCandidatePairs /
+    * ivfCandidatePairs — the exact sets the searches use, not a
+    * re-derivation). Oracle story: brute/LSH/IVF/SQ8 are fully
+    * deterministic portable arithmetic, so their recalls AND candidate
+    * counts replay exactly in DuckDB (recall = ratio of identical
+    * integers — bit-exact, no rounding); the KMeans-trained row has no
+    * SQL replay, so it carries NULL recall/candidates plus the same
+    * in-band recall boolean q_sim_ivf_trained certifies (cosine-
+    * threshold hit rule, tie-robust, gate 0.5 vs 0.678-0.698 measured).
+    * In-band bounds sit ≥5σ under the cross-scale measurements recorded
+    * in BASELINE.md round 10. */
+  private val simRecallReport = QuerySpec(
+    "q_sim_recall_report",
+    """WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
+      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM c),
+      |exact AS (SELECT q_id, c_id FROM (
+      |  SELECT q.q_id, c.c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q.q_id
+      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id) AS rnk
+      |  FROM q CROSS JOIN c) t WHERE rnk <= 5),
+      |np AS (
+      |  SELECT COALESCE((SELECT MIN(t.p) FROM generate_series(4, 20) t(p)
+      |                   WHERE (1::BIGINT << t.p) >= ((SELECT COUNT(*) FROM embeddings) + 8191) // 8192),
+      |                  20) AS n),
+      |planes AS (
+      |  SELECT p.p,
+      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
+      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
+      |  FROM generate_series(0, 19) p(p), generate_series(0, 63) d(d)
+      |  GROUP BY p.p),
+      |cb AS (SELECT c.c_id,
+      |         SUM(CASE WHEN list_dot_product(c.cv, pl.pw) >= 0
+      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
+      |       FROM c, planes pl, np WHERE pl.p < np.n GROUP BY c.c_id),
+      |qb AS (SELECT q.q_id,
+      |         SUM(CASE WHEN list_dot_product(q.qv, pl.pw) >= 0
+      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
+      |       FROM q, planes pl, np WHERE pl.p < np.n GROUP BY q.q_id),
+      |qp AS (SELECT q_id, bucket FROM qb
+      |       UNION
+      |       SELECT qb.q_id, xor(qb.bucket, 1::BIGINT << t.p) AS bucket
+      |       FROM qb, generate_series(0, 19) t(p), np WHERE t.p < np.n),
+      |lshcand AS (SELECT DISTINCT qp.q_id, cb.c_id
+      |            FROM qp JOIN cb ON qp.bucket = cb.bucket),
+      |lshtop AS (SELECT q_id, c_id FROM (
+      |  SELECT cand.q_id, cand.c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY cand.q_id
+      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, cand.c_id) AS rnk
+      |  FROM lshcand cand JOIN q ON q.q_id = cand.q_id JOIN c ON c.c_id = cand.c_id) t
+      |  WHERE rnk <= 5),
+      |cent AS (SELECT c_id AS cell, cv AS cellv FROM c
+      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
+      |asg AS (SELECT c_id, cell FROM (
+      |          SELECT c.c_id, cent.cell,
+      |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
+      |                   list_dot_product(c.cv, cent.cellv)
+      |                     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
+      |                   cent.cell ASC) AS rn
+      |          FROM c CROSS JOIN cent) t WHERE rn = 1),
+      |probes AS (SELECT q_id, cell FROM (
+      |            SELECT q.q_id, cent.cell,
+      |                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |                     list_dot_product(q.qv, cent.cellv)
+      |                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
+      |                     cent.cell ASC) AS pr
+      |            FROM q CROSS JOIN cent) t WHERE pr <= 4),
+      |ivfcand AS (SELECT p.q_id, a.c_id FROM probes p JOIN asg a ON a.cell = p.cell),
+      |ivftop AS (SELECT q_id, c_id FROM (
+      |  SELECT ic.q_id, ic.c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY ic.q_id
+      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, ic.c_id) AS rnk
+      |  FROM ivfcand ic JOIN q ON q.q_id = ic.q_id JOIN c ON c.c_id = ic.c_id) t
+      |  WHERE rnk <= 5),
+      |rng AS (SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
+      |        FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+      |rc AS (SELECT c_id,
+      |         list_transform(cv, x -> rng.lo +
+      |           (CAST(least(255, greatest(0,
+      |              CAST(floor((x - rng.lo) / ((rng.hi - rng.lo) / 256.0)) AS INTEGER))) AS DOUBLE) + 0.5)
+      |           * ((rng.hi - rng.lo) / 256.0)) AS rv
+      |       FROM c, rng),
+      |sq8top AS (SELECT q_id, c_id FROM (
+      |  SELECT q.q_id, rc.c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY q.q_id
+      |           ORDER BY list_dot_product(q.qv, rc.rv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(rc.rv, rc.rv))) DESC, rc.c_id) AS rnk
+      |  FROM q CROSS JOIN rc) t WHERE rnk <= 5)
+      |SELECT * FROM (
+      |SELECT 'brute' AS method, CAST(5 AS BIGINT) AS k, nq.n_queries,
+      |       CAST(nq.n_queries * nc.n_corpus AS BIGINT) AS candidates,
+      |       CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_in_band
+      |FROM nq, nc
+      |UNION ALL
+      |SELECT 'ivf', CAST(5 AS BIGINT), nq.n_queries,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfcand),
+      |       CAST((SELECT COUNT(*) FROM ivftop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
+      |         / CAST(nq.n_queries * 5 AS DOUBLE),
+      |       TRUE FROM nq
+      |UNION ALL
+      |SELECT 'ivf_trained', CAST(5 AS BIGINT), nq.n_queries,
+      |       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TRUE FROM nq
+      |UNION ALL
+      |SELECT 'lsh', CAST(5 AS BIGINT), nq.n_queries,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lshcand),
+      |       CAST((SELECT COUNT(*) FROM lshtop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
+      |         / CAST(nq.n_queries * 5 AS DOUBLE),
+      |       TRUE FROM nq
+      |UNION ALL
+      |SELECT 'sq8', CAST(5 AS BIGINT), nq.n_queries,
+      |       CAST(nq.n_queries * nc.n_corpus AS BIGINT),
+      |       CAST((SELECT COUNT(*) FROM sq8top t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
+      |         / CAST(nq.n_queries * 5 AS DOUBLE),
+      |       TRUE FROM nq, nc) r
+      |ORDER BY method""".stripMargin) { (s, d) =>
+    import graft.operators.Quantization
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 100)
+    val k = 5
+    val exactPairs = graft.core.CacheGovernor.persistTracked(
+      Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k)
+        .select("q_id", "c_id", "cos"))
+    val nq = queries.agg(count(lit(1)).cast("long").as("n_queries"))
+    val nc = emb.agg(count(lit(1)).cast("long").as("_nc"))
+    val allPairs = nq.crossJoin(nc)
+      .select(col("n_queries"), (col("n_queries") * col("_nc")).as("candidates"))
+
+    // recall = hits / (n_queries·k): a ratio of identical integers on
+    // both engines → the division is bit-exact IEEE, no rounding needed
+    def methodRow(
+        method: String, topk: org.apache.spark.sql.DataFrame,
+        cand: org.apache.spark.sql.DataFrame,
+        bound: Double): org.apache.spark.sql.DataFrame = {
+      val hits = topk
+        .join(exactPairs.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("_hits"))
+      nq.crossJoin(hits).crossJoin(cand.select(col("candidates")))
+        .withColumn("recall",
+          col("_hits").cast("double") / (col("n_queries") * lit(k)).cast("double"))
+        .select(lit(method).as("method"), lit(k.toLong).as("k"), col("n_queries"),
+          col("candidates"), col("recall"),
+          (col("recall") >= lit(bound)).as("recall_in_band"))
+    }
+
+    val brute = methodRow("brute", exactPairs, allPairs, 1.0)
+    val lsh = methodRow("lsh",
+      Similarity.lshTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k),
+      Similarity.lshCandidatePairs(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding")
+        .agg(count(lit(1)).cast("long").as("candidates")),
+      0.3)
+    val ivf = methodRow("ivf",
+      Similarity.ivfTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k, nCells = 16, nProbe = 4),
+      Similarity.ivfCandidatePairs(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", nCells = 16, nProbe = 4)
+        .agg(count(lit(1)).cast("long").as("candidates")),
+      0.3)
+    val sq8 = methodRow("sq8",
+      Similarity.bruteForceTopK(queries,
+        Quantization.withQuantized(emb, col("embedding"), 256)
+          .select(col("vec_id"), col("recon")),
+        "vec_id", "embedding", "vec_id", "recon", k),
+      allPairs, 0.9)
+    // trained IVF: no SQL replay (iterative ML) — NULL recall/candidates,
+    // in-band boolean via the tie-robust cosine-threshold hit rule
+    // (shared contract with q_sim_ivf_trained, gate 0.5)
+    val kth = exactPairs.groupBy("q_id").agg(min(col("cos")).as("_kth"))
+    val trained = Similarity.ivfTopKTrained(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k, nCells = 16, nProbe = 4)
+      .join(kth, "q_id")
+      .agg(sum(when(col("cos") >= col("_kth") - 1e-9, 1).otherwise(0))
+        .cast("double").as("_hits"))
+      .crossJoin(nq)
+      .select(lit("ivf_trained").as("method"), lit(k.toLong).as("k"), col("n_queries"),
+        lit(null).cast("long").as("candidates"), lit(null).cast("double").as("recall"),
+        (col("_hits") / (col("n_queries") * lit(k)).cast("double") >= 0.5)
+          .as("recall_in_band"))
+
+    brute.unionAll(ivf).unionAll(trained).unionAll(lsh).unionAll(sq8)
+      .orderBy("method")
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed bag-of-words
     * query (operators.Retrieval). Per-(doc, term) partials rounded to
     * 6 dp then summed as exact decimal — ln() sits behind the rounding,
@@ -1227,5 +1416,5 @@ object TextVectorQueries {
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
-    simIvfTrained)
+    simIvfTrained, simRecallReport)
 }
