@@ -50,7 +50,13 @@ object Bpe {
 
   /** Train up to `k` merges on a (word, freq) table. Output:
     * (rank, left, right, pair_freq), rank 1-based in merge order.
-    * Stops early when no adjacent pair remains. */
+    * Stops early when no adjacent pair remains.
+    *
+    * This is the REFERENCE implementation (full pair recount each
+    * round, O(total symbols) shuffled per round) — simple enough to
+    * audit against the single-threaded Sennrich trainer. Production
+    * paths use [[trainDelta]], which maintains the pair table
+    * incrementally and is spec-pinned identical to this. */
   def train(words: DataFrame, wordCol: String, freqCol: String, k: Int): DataFrame = {
     require(k >= 1, "need at least one merge round")
     val spark = words.sparkSession
@@ -78,6 +84,82 @@ object Bpe {
         merges += ((round.toLong, l, r, c))
         vocab = vocab
           .withColumn("_syms", mergeOnce(col("_syms"), lit(l), lit(r)))
+          .localCheckpoint(false)
+        round += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** Adjacent symbol pairs of a symbol array, as (l, r) structs. */
+  private def pairsOf(syms: Column): Column = {
+    val n = size(syms)
+    zip_with(slice(syms, lit(1), n - 1), slice(syms, lit(2), n - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+  }
+
+  /** [[train]] with PER-ROUND PAIR-COUNT DELTAS — the production path
+    * for large k. [[train]] re-counts every adjacent pair of every word
+    * each round: an O(total symbols) explode + shuffle per round, which
+    * at production vocab sizes (k ≈ 32k merges) dominates. Here the
+    * pair-count table is MAINTAINED instead: after merging (l, r), only
+    * words that actually contain the (l, r) adjacency change, so their
+    * old pairs retract (−freq) and their re-encoded pairs add (+freq),
+    * and the per-round SHUFFLE is O(pairs of touched words) — under the
+    * Zipfian corpus shape the touched set shrinks rapidly with rank,
+    * which is what makes large-k training tractable. The argmax stays
+    * one 1-row action per round over the O(distinct pairs) state table
+    * (the KMeans/IVF iterative-driver contract), and the per-round
+    * projection over the word table stays shuffle-free.
+    *
+    * Exactness: deltas are exact integer arithmetic, so the maintained
+    * table equals [[train]]'s per-round recount bit-for-bit and the
+    * merge table is IDENTICAL — BpeSpec pins trainDelta ≡ train on the
+    * adversarial fixtures, under repartitioning, and on the corpus
+    * word-frequency table; the q_text_vocab_bpe hash oracle certifies
+    * it against the reference-implementation SQL per run. */
+  def trainDelta(words: DataFrame, wordCol: String, freqCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one merge round")
+    val spark = words.sparkSession
+    var vocab = words
+      .select(split(col(wordCol), "").as("_syms"), col(freqCol).cast("long").as("_f"))
+      .localCheckpoint(false)
+    var pairCounts = vocab
+      .select(col("_f"), explode(pairsOf(col("_syms"))).as("_p"))
+      .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+      .agg(sum(col("_f")).as("cnt"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val best = pairCounts
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best.head
+        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((round.toLong, l, r, c))
+        val isHit = exists(pairsOf(col("_syms")),
+          p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
+        val aff = vocab.filter(isHit)
+          .withColumn("_new", mergeOnce(col("_syms"), lit(l), lit(r)))
+        val deltas = aff
+          .select((-col("_f")).as("_d"), explode(pairsOf(col("_syms"))).as("_p"))
+          .unionAll(aff
+            .select(col("_f").as("_d"), explode(pairsOf(col("_new"))).as("_p")))
+          .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+          .agg(sum(col("_d")).as("cnt"))
+        pairCounts = pairCounts.unionAll(deltas)
+          .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0L)
+          .localCheckpoint(false)
+        vocab = vocab
+          .withColumn("_syms",
+            when(isHit, mergeOnce(col("_syms"), lit(l), lit(r)))
+              .otherwise(col("_syms")))
           .localCheckpoint(false)
         round += 1
       }

@@ -1338,7 +1338,11 @@ object TextVectorQueries {
   }
 
   /** BPE tokenizer training (operators.Bpe): 12 greedy merges on the
-    * corpus word-frequency table. Iterative-greedy output can't replay
+    * corpus word-frequency table. At this toy k the full-recount
+    * trainer is the measured-faster path (0.31 vs 0.73 s CPU at
+    * sf0.1 — per-round fixed overheads dominate, BASELINE.md r10);
+    * large-k production training uses Bpe.trainDelta, spec-pinned
+    * bit-identical. Iterative-greedy output can't replay
     * in one SQL pass, so the oracle is the in-band form the seeded-ML
     * queries use: round 1's argmax IS independently recomputable (char
     * pairs of raw words) and is hash-checked exactly; the rest of the

@@ -86,6 +86,46 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq((1L, "a", "b", 3L)))
   }
 
+  private def trainDeltaOn(words: Map[String, Long], k: Int, parts: Int = 1) =
+    Bpe.trainDelta(words.toSeq.toDF("word", "freq").repartition(parts), "word", "freq", k)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+
+  test("delta training equals full-recount training on tie-heavy and random corpora") {
+    // exact-integer retract/add deltas must reproduce the recounted
+    // pair table bit-for-bit, so the merge tables are identical
+    val tie = Map("abab" -> 2L, "baba" -> 2L, "cc" -> 5L)
+    assert(trainDeltaOn(tie, 6) === refBpe(tie, 6))
+    val rnd = new scala.util.Random(7)
+    (1 to 2).foreach { _ =>
+      val words = (1 to 30).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (Seq.fill(len)("abcd" (rnd.nextInt(4))).mkString, 1L + rnd.nextInt(20))
+      }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+      assert(trainDeltaOn(words, 10) === refBpe(words, 10), s"words=$words")
+    }
+  }
+
+  test("delta training: overlapping-run retraction (aaaa) and early stop match") {
+    // 'aaaa' merging (a,a) retracts 3 pairs and adds 1 — the signed-
+    // delta arithmetic must handle overlapping runs exactly
+    val runs = Map("aaaa" -> 3L, "aaa" -> 2L, "ba" -> 1L)
+    assert(trainDeltaOn(runs, 8) === refBpe(runs, 8))
+    assert(trainDeltaOn(Map("ab" -> 3L), 10) === Seq((1L, "a", "b", 3L)))
+  }
+
+  test("delta training is partition-count-insensitive and equals train on the corpus table") {
+    val words = Map("hello" -> 10L, "help" -> 7L, "hull" -> 3L, "jello" -> 5L)
+    assert(trainDeltaOn(words, 8, parts = 7) === trainOn(words, 8, parts = 1))
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "the bat and the cat"),
+      (3L, "on and on and on")).toDF("doc_id", "text")
+    val freq = Bpe.wordFreq(docs, col("text"))
+    val full = Bpe.train(freq, "word", "freq", 10)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    val delta = Bpe.trainDelta(freq, "word", "freq", 10)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(delta === full)
+  }
+
   test("corpus encoding applies merges in rank order and reconstructs every word") {
     val docs = Seq((1L, "aaab ab cc"), (2L, "ab aaab")).toDF("doc_id", "text")
     val words = Bpe.wordFreq(docs, col("text"))
