@@ -316,6 +316,34 @@ object StreamingOps {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     graft.operators.CountMin.merge(spark.read.parquet(s"$path/counters"))
 
+  /** Compact an appended sketch relation into a fresh versioned
+    * directory (the Dedup.compactMinHashRelation convention: never
+    * overwrite the live relation) — after many appended micro-batches
+    * the per-batch directories tax scan PLANNING (file/partition
+    * listing), not data volume; compaction collapses them to the
+    * merged sketch in one directory and CARRIES THE LEDGER OVER, so a
+    * redelivered pre-compaction batch id is still a no-op against the
+    * compacted relation. */
+  def compactCountMin(
+      spark: org.apache.spark.sql.SparkSession, path: String, dest: String): Unit = {
+    require(path != dest, "compaction writes a NEW versioned directory")
+    readCountMin(spark, path).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/counters/batch_id=0")
+    spark.read.parquet(s"$path/_batches").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/_batches")
+  }
+
+  /** [[compactCountMin]] for a [[histogramAppendBatch]] relation. */
+  def compactHistogram(
+      spark: org.apache.spark.sql.SparkSession, path: String, dest: String,
+      keys: Seq[String] = Nil): Unit = {
+    require(path != dest, "compaction writes a NEW versioned directory")
+    readHistogram(spark, path, keys).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/bins/batch_id=0")
+    spark.read.parquet(s"$path/_batches").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/_batches")
+  }
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)

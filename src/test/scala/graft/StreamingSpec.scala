@@ -63,6 +63,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.exists(_.getAs[Timestamp]("session_start") == ts("2024-01-01 12:00:00")))
   }
 
+  test("ST4: an out-of-order bridge event MERGES two provisional sessions; " +
+      "finalized sessions drop too-late data") {
+    val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
+    val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
+    val q = StreamingOps.sessions(df, "30 minutes")
+      .writeStream.format("memory").queryName("st4_merge").outputMode("append").start()
+    // 35 min apart: provisionally TWO sessions ([10:00,10:30) and
+    // [10:35,11:05) at gap 30); the 10-min lateness keeps the watermark
+    // at 10:25 — BELOW the first session's end, so neither finalizes yet
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 5L),
+      (2L, ts("2024-01-01 10:35:00"), 1.0, 5L))
+    q.processAllAvailable()
+    // the bridge arrives out of order (10:28 ≥ watermark 10:25): its
+    // window [10:28,10:58) overlaps BOTH open sessions — the
+    // state-store three-way merge the native session_window operator
+    // exists for
+    in.addData((3L, ts("2024-01-01 10:28:00"), 1.0, 5L))
+    // advance the watermark past session end + gap to finalize (append
+    // mode emits only closed sessions)
+    in.addData((4L, ts("2024-01-01 15:00:00"), 1.0, 5L))
+    q.processAllAvailable()
+    val closed = spark.table("st4_merge")
+      .filter(col("session_start") < ts("2024-01-01 12:00:00")).collect()
+    assert(closed.length === 1, s"bridge must merge to ONE session, got ${closed.toSeq}")
+    assert(closed.head.getAs[Long]("n") === 3)
+    assert(closed.head.getAs[Timestamp]("session_start") === ts("2024-01-01 10:00:00"))
+    // end = last event + gap
+    assert(closed.head.getAs[Timestamp]("session_end") === ts("2024-01-01 11:05:00"))
+    // an hours-late event inside the CLOSED session: dropped — no
+    // re-emit, no new fragment session
+    in.addData((5L, ts("2024-01-01 10:05:00"), 1.0, 5L))
+    in.addData((6L, ts("2024-01-01 18:00:00"), 1.0, 5L))
+    q.processAllAvailable(); q.stop()
+    val after = spark.table("st4_merge")
+      .filter(col("session_start") < ts("2024-01-01 12:00:00")).collect()
+    assert(after.length === 1 && after.head.getAs[Long]("n") === 3,
+      "closed session must not re-emit or fragment on too-late data")
+  }
+
   test("ST5: duplicate event_id within watermark is dropped exactly once") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
@@ -617,6 +657,22 @@ class StreamingSpec extends AnyFunSuite {
         batch1.toDF("id", "k"), 0L)
       assert(rows(StreamingOps.readCountMin(spark, dir)) === single,
         "unledgered redelivery double-counted the additive sketch")
+      // restore batch 1's ledger entry the same way a real retry would:
+      // redelivery overwrites its batch-keyed dir with identical content
+      StreamingOps.countMinAppendBatch(dir, "k", depth, width)(
+        batch2.toDF("id", "k"), 1L)
+      assert(rows(StreamingOps.readCountMin(spark, dir)) === single)
+      // compaction: merged counters identical in a fresh versioned dir,
+      // ledger carried over so pre-compaction batch ids stay no-ops
+      val dir2 = s"$dir-v2"
+      StreamingOps.compactCountMin(spark, dir, dir2)
+      assert(rows(StreamingOps.readCountMin(spark, dir2)) === single,
+        "compaction changed the merged sketch")
+      StreamingOps.countMinAppendBatch(dir2, "k", depth, width)(
+        batch2.toDF("id", "k"), 1L)
+      assert(rows(StreamingOps.readCountMin(spark, dir2)) === single,
+        "compacted relation re-applied an already-ledgered batch id")
+      new Directory(new java.io.File(dir2)).deleteRecursively()
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
