@@ -38,6 +38,74 @@ object SamplingQueries {
       .orderBy("split", "lang")
   }
 
+  /** LEAKAGE-SAFE split (operators.Splits): the coin flip lands on the
+    * exact-dup fingerprint group, not the row, so duplicate families
+    * can never straddle train/val/test — and the oracle replays every
+    * group hash, every threshold, and the straddle-count invariant
+    * (exactly 0) in SQL. Thresholds are spelled as summed DOUBLE casts
+    * on both sides so the cumulative boundary is the identical IEEE
+    * double. */
+  private val splitGroupAware = QuerySpec(
+    "q_split_group_aware",
+    """WITH g AS (SELECT doc_id, md5(text) AS grp FROM documents),
+      |u AS (SELECT doc_id, grp,
+      |        ('0x' || substr(md5('split:0:' || grp), 1, 15))::BIGINT
+      |          / 1152921504606846976.0 AS u
+      |      FROM g),
+      |s AS (SELECT doc_id, grp,
+      |        CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+      |             WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+      |             ELSE 'test' END AS split
+      |      FROM u),
+      |st AS (SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |               AS straddling_groups
+      |       FROM (SELECT grp, COUNT(DISTINCT split) AS ns FROM s GROUP BY grp) t)
+      |SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(DISTINCT s.grp) AS BIGINT) AS n_groups,
+      |       st.straddling_groups
+      |FROM s, st GROUP BY s.split, st.straddling_groups
+      |ORDER BY split""".stripMargin) { (s, d) =>
+    import graft.operators.Splits
+    val docs = Tables.documents(s, d)
+      .withColumn("grp", md5(col("text").cast("binary")))
+    Splits.splitStats(
+      Splits.groupAwareSplit(docs, col("grp"), 0.8, 0.1), col("grp"))
+      .orderBy("split")
+  }
+
+  /** HARD-CAP sequence packing (operators.Packing): next-fit per hash
+    * shard with no document straddling a bin boundary — the complement
+    * of q_sample_pack's soft running-sum packs. The oracle walks each
+    * shard's docs in id order with a linear-recursion CTE and replays
+    * EVERY (doc, shard, bin) assignment exactly. */
+  private val packHardcap = QuerySpec(
+    "q_pack_hardcap",
+    """WITH RECURSIVE d0 AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, toks,
+      |         ('0x' || substr(md5('pack:0:' || doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard
+      |       FROM d0),
+      |t AS (SELECT doc_id, toks, shard,
+      |        ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS pos
+      |      FROM sh),
+      |rec(shard, pos, doc_id, toks, bin, s) AS (
+      |  SELECT shard, pos, doc_id, toks, 0, toks FROM t WHERE pos = 1
+      |  UNION ALL
+      |  SELECT t.shard, t.pos, t.doc_id, t.toks,
+      |         CASE WHEN r.s + t.toks > 512 THEN r.bin + 1 ELSE r.bin END,
+      |         CASE WHEN r.s + t.toks > 512 THEN t.toks ELSE r.s + t.toks END
+      |  FROM rec r JOIN t ON t.shard = r.shard AND t.pos = r.pos + 1)
+      |SELECT doc_id, toks AS doc_tokens, CAST(shard AS BIGINT) AS shard,
+      |       CAST(bin AS INTEGER) AS bin
+      |FROM rec ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Packing
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    Packing.packBins(docs, col("doc_id"), col("toks"), capacity = 512L, nShards = 8)
+      .orderBy("doc_id")
+  }
+
   /** Per-event-type stratified sample (rebalancing a skewed corpus:
     * keep all rare error rows, downsample the common types). */
   private val stratified = QuerySpec(
@@ -177,5 +245,6 @@ object SamplingQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(splitQ, stratified, pack, curriculum, temperature, shuffleQ, weighted, shards)
+    Seq(splitQ, splitGroupAware, stratified, pack, packHardcap, curriculum,
+      temperature, shuffleQ, weighted, shards)
 }
