@@ -320,4 +320,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "weighted sampling must not hash-shuffle the corpus")
   }
+
+  test("group-aware split: the split column is a pure projection; " +
+      "only the stats aggregates shuffle") {
+    val df = SparkEntry.queries("q_split_group_aware")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the straddle audit's 1-row result must broadcast, never join wide
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "straddle count must attach via broadcast")
+    assert(!p.contains("CartesianProduct"), "no data-sized cartesian")
+    // exchanges: each countDistinct audit plans as the standard
+    // two-phase distinct rewrite (keys: (group, split) then the final
+    // key), so the straddle audit + the per-split stats cost 2+2 hash
+    // exchanges over GROUP-sized keys — never one per row-op
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 4, s"expected at most four hash exchanges, found $n:\n$p")
+  }
+
+  test("hard-cap packing: one shard exchange feeds the fold; no window over data") {
+    val df = SparkEntry.queries("q_pack_hardcap")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the per-shard fold rides the single groupBy(shard) exchange (plus
+    // the deterministic output sort); a Window here would mean the pack
+    // went sequential over data
+    assert(!p.contains("Window"), "packing must not window over the corpus")
+    assert(!p.contains("CartesianProduct"))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"expected at most one hash exchange (shard groupBy), found $n:\n$p")
+  }
 }
