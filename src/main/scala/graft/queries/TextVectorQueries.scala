@@ -715,6 +715,34 @@ object TextVectorQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Bigram-LM perplexity quality scoring (operators.NgramLm): each
+    * doc's cross-entropy under the corpus's own add-k bigram model —
+    * the CCNet-style quality filter. Every ln rounds to 6 dp before the
+    * exact-decimal per-doc sum (the BM25 discipline), so the whole
+    * score table hash-matches; arithmetic is forced to DOUBLE on both
+    * sides so the smoothed ratio is the identical IEEE value. */
+  private val textPerplexity = QuerySpec(
+    "q_text_perplexity",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |b AS (SELECT doc_id, tk[i] AS l, tk[i + 1] AS r
+      |      FROM toks, UNNEST(range(1, len(tk))) AS t(i)),
+      |lr AS (SELECT l, r, COUNT(*) AS c_lr FROM b GROUP BY l, r),
+      |lc AS (SELECT l, COUNT(*) AS c_l FROM b GROUP BY l),
+      |v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+      |      FROM (SELECT unnest(tk) AS w FROM toks)),
+      |s AS (SELECT b.doc_id,
+      |        CAST(ROUND(LN((CAST(lr.c_lr AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |                      / (CAST(lc.c_l AS DOUBLE) + CAST(0.5 AS DOUBLE) * v.v)), 6)
+      |          AS DECIMAL(18,6)) AS lp
+      |      FROM b JOIN lr USING (l, r) JOIN lc USING (l) CROSS JOIN v)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |       -(CAST(SUM(lp) AS DOUBLE)) / COUNT(*) AS xent
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.NgramLm.selfCrossEntropy(
+      Tables.documents(s, d), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** Token-familiarity quality signal: per-doc mean corpus frequency of
     * its tokens (integer sums, one final division → engine-exact
     * doubles). Gibberish/OOV-heavy docs rank low, boilerplate high. */
@@ -1416,7 +1444,7 @@ object TextVectorQueries {
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     corpusMix, textRedact,
-    textChunksCdc, textFamiliarity, textLineDedup, textHeavyHitters,
+    textChunksCdc, textFamiliarity, textPerplexity, textLineDedup, textHeavyHitters,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
