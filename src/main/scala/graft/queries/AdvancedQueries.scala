@@ -290,6 +290,37 @@ object AdvancedQueries {
       .orderBy("id")
   }
 
-  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin,
+  /** PageRank over the customer↔supplier interaction graph
+    * (operators.PageRank): both directions of the orders×lineitem
+    * bipartite relation, 10 damped rounds — which entities the
+    * transaction graph actually centers on. The oracle replays every
+    * round bit-identically (unrolled CTEs generated by the SAME code
+    * that drives the Spark loop, 9-dp contribution rounding + exact
+    * decimal sums). */
+  private val pagerank = QuerySpec(
+    "q_graph_pagerank",
+    graft.operators.PageRank.oracleSql(
+      """e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |  UNION
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+        |         'c' || CAST(o_custkey AS VARCHAR)
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin,
+      iterations = 10, damping = 0.85)) { (s, d) =>
+    import graft.operators.PageRank
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("c"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("sup"))
+    val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
+      .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
+    PageRank.ranks(edges, "src", "dst", iterations = 10)
+      .orderBy("node")
+  }
+
+  val all: Seq[QuerySpec] = Seq(stddev, pivot, scalarSubquery, cube, saltedAgg, saltedJoin, pagerank,
     zorderKey, snapshotDiff, snapshotApply, fuzzyNames, profiler, entityClusters)
 }
