@@ -21,17 +21,29 @@ import org.apache.spark.sql.types.DecimalType
   * can't drift silently).
   *
   * Scale shape: the iterative-driver contract (KMeans/IVF/BPE/CC
-  * discipline) — k rounds, each ONE edge-sized equi-join plus a
-  * map-side-combinable groupBy on dst; the rank table localCheckpoints
-  * per round (bounded lineage). No driver-side data, no windows, no
-  * cartesian.
+  * discipline) — and the EDGES NEVER RE-SHUFFLE OR RE-SORT: the edge
+  * table (out-degree attached) is cached once, and each round
+  * BROADCASTS the node-sized rank vector onto it, then ships map-side
+  * partial sums into the groupBy(dst). Per round that is O(nodes)
+  * traffic, not O(edges) — the naive checkpoint-and-rejoin form
+  * measured 96 s CPU / 224 MiB shuffle on the sf0.1 graph; this shape
+  * (cached graph-sized layout + broadcast rank + node-side rounding +
+  * long-backed decimal agg) runs the same 10 rounds in 9.9 s / 13.5
+  * MiB (BASELINE.md round 10). The rank vector is PageRank's entire state;
+  * it broadcasts comfortably to ~10⁸ nodes, and past that the same
+  * algebra runs as a co-partitioned shuffled-hash join on the cached
+  * edge layout. The rank table localCheckpoints per round (bounded
+  * lineage). No driver-side data, no windows, no cartesian.
   *
   * Oracle parity: a distributed float Σ is order-nondeterministic, so
-  * each contribution rounds to 9 dp and sums as EXACT DECIMAL (the
-  * BM25/CUSUM discipline); the damping update is then one
-  * deterministic double expression per node per round. Both engines
-  * replay every round bit-identically — the oracle UNROLLS the k
-  * iterations as chained CTEs rather than trusting recursive-CTE
+  * each contribution quantizes to INTEGER NANO-UNITS — floor(rank·10⁹
+  * / outdeg) as a long — and sums exactly (floor is tie-free on
+  * identical IEEE inputs, unlike 9-dp ROUND, whose half-up ties broke
+  * cross-engine at sf0.1; long nano-units cap at ~9.2·10¹⁸, i.e.
+  * ~10⁹ nodes of incoming mass per destination). The damping update is
+  * then one deterministic double expression per node per round. Both
+  * engines replay every round bit-identically — the oracle UNROLLS the
+  * k iterations as chained CTEs rather than trusting recursive-CTE
   * aggregation. */
 object PageRank {
 
@@ -44,24 +56,52 @@ object PageRank {
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val e = edges.select(col(src).cast("string").as("_s"),
-      col(dst).cast("string").as("_d")).distinct()
-      .localCheckpoint(false)
-    val outdeg = e.groupBy("_s").agg(count(lit(1)).as("_od"))
-    val nodes = e.select(col("_s").as("node"))
-      .union(e.select(col("_d").as("node"))).distinct()
-      .localCheckpoint(false)
+    // the edge table (with its source's out-degree attached) is cached
+    // ONCE and never moves again: every round broadcasts the NODE-sized
+    // rank vector onto it (explicit hint — a checkpointed rank has no
+    // stats, and without the hint the planner falls back to
+    // sorting+shuffling the edges every round: measured 224 MiB / 85 s
+    // CPU for the 1.2M-edge sf0.1 graph vs ~4 s this way). The rank
+    // vector is PageRank's whole state — broadcastable up to ~10⁸
+    // nodes; beyond that the escape hatch is a co-partitioned
+    // shuffled-hash join on the cached edge layout, same algebra.
+    // ALL three static tables cache — the loop body must never
+    // recompute a corpus-sized distinct/aggregate inside a broadcast
+    // job (an uncached out-degree table re-shuffled the edge set every
+    // round: measured as the entire 90 MiB / 80 s CPU overhead)
+    // node ids keep their native type — numeric keys join and hash
+    // measurably leaner than strings at this per-round frequency
+    val eRaw = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
+    // size the cached layout to the GRAPH, not the session default:
+    // every round scans these partitions ~2×, and on a small graph
+    // 32-wide stages spend more CPU on per-task constants than on rank
+    // flow; ~250k edges per partition keeps task overhead ~2% of task
+    // work at any scale (0.25 s of flow vs ~5 ms of setup)
+    val nParts = math.max(2L, eRaw.count() / 250000L + 1L).toInt
+    val e = graft.core.CacheGovernor.persistTracked(eRaw.repartition(nParts))
+    val outdegN = graft.core.CacheGovernor.persistTracked(
+      e.groupBy("_s").agg(count(lit(1)).as("_od")))
+    val nodes = graft.core.CacheGovernor.persistTracked(
+      e.select(col("_s").as("node"))
+        .union(e.select(col("_d").as("node"))).distinct())
     var rank = nodes.withColumn("rank", lit(1.0))
     (1 to iterations).foreach { _ =>
+      // the rounded per-SOURCE contribution is computed on the
+      // node-sized table (16k BigDecimal roundings per round, not one
+      // per edge), and the per-edge aggregate is a Long-backed
+      // DECIMAL(18,9) sum (precision ≤ 18 stays in whole-stage codegen's
+      // long path; contributions are ≤ 1 each, so 9 integer digits
+      // cover any graph up to 10⁹ nodes of incoming mass)
+      val w = rank.withColumnRenamed("node", "_s")
+        .join(broadcast(outdegN), "_s")
+        .select(col("_s"),
+          floor(col("rank") * lit(1e9) / col("_od")).cast("long").as("_c"))
       val contrib = e
-        .join(rank.withColumnRenamed("node", "_s"), "_s")
-        .join(outdeg, "_s")
-        .select(col("_d").as("node"),
-          round(col("rank") / col("_od"), 9).cast(DecimalType(27, 9)).as("_c"))
-        .groupBy("node")
-        .agg(sum(col("_c")).cast("double").as("_in"))
+        .join(broadcast(w), "_s")
+        .groupBy(col("_d").as("node"))
+        .agg((sum(col("_c")).cast("double") / lit(1e9)).as("_in"))
       rank = nodes
-        .join(contrib, Seq("node"), "left")
+        .join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("rank"))
@@ -80,10 +120,11 @@ object PageRank {
       s"""r$t AS (
          |  SELECT n.node,
          |         CAST(${1.0 - d} AS DOUBLE) + CAST($d AS DOUBLE) *
-         |           CAST(COALESCE(c.s, 0) AS DOUBLE) AS rank
+         |           COALESCE(c.s, CAST(0 AS DOUBLE)) AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node,
-         |           SUM(CAST(ROUND(r.rank / o.od, 9) AS DECIMAL(27,9))) AS s
+         |           CAST(SUM(CAST(FLOOR(r.rank * 1000000000.0 / o.od) AS BIGINT))
+         |             AS DOUBLE) / 1000000000.0 AS s
          |    FROM e JOIN r${t - 1} r ON r.node = e.src
          |         JOIN outd o ON o.src = e.src
          |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin

@@ -8,7 +8,8 @@ class PageRankSpec extends AnyFunSuite {
   import TestSession.spark
   import spark.implicits._
 
-  /** Reference single-threaded iteration with the same 9-dp rounding. */
+  /** Reference single-threaded iteration with the same integer
+    * nano-unit contribution quantization. */
   private def ref(
       edges: Seq[(String, String)], iters: Int, d: Double): Map[String, Double] = {
     val e = edges.distinct
@@ -18,8 +19,8 @@ class PageRankSpec extends AnyFunSuite {
     (1 to iters).foreach { _ =>
       val in = e.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map { case (s, _) =>
-          BigDecimal(rank(s) / out(s)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-        }.sum.toDouble
+          math.floor(rank(s) * 1e9 / out(s)).toLong
+        }.sum.toDouble / 1e9
       }
       rank = nodes.map(n => n -> ((1.0 - d) + d * in.getOrElse(n, 0.0))).toMap
     }
