@@ -172,13 +172,20 @@ object Bench {
     val benchJsonPath = java.nio.file.Paths.get("bench.json").toAbsolutePath
     def compactAt(k: Int): String = {
       val top = results.sortBy(-_._2).take(k)
-      s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3},"unit":"sec","queries":${jmapAt(top, 1e3)},"queries_omitted":${results.size - top.size},"runs":$repeat,"cpu_total":${math.round(cpuTotal * 1e3) / 1e3},"steal_pct":$stealPct,"errors":$errs,"sf":"$sfDir","bench_json":"$benchJsonPath"}"""
+      val pathField =
+        if (only.isEmpty) s""","bench_json":"$benchJsonPath"""" else ""
+      s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3},"unit":"sec","queries":${jmapAt(top, 1e3)},"queries_omitted":${results.size - top.size},"runs":$repeat,"cpu_total":${math.round(cpuTotal * 1e3) / 1e3},"steal_pct":$stealPct,"errors":$errs,"sf":"$sfDir"$pathField}"""
     }
+    // bounded walk (a mass-failure errors array can exceed the budget
+    // even at k=1 — never loop on it, just emit the smallest form)
     val compact = Iterator.iterate(results.size)(_ - 4)
-      .map(k => compactAt(math.max(k, 1)))
+      .takeWhile(_ >= 1)
+      .map(compactAt)
       .find(_.length <= 1800)
-      .getOrElse(compactAt(1))
-    println(s"BENCH_JSON: $benchJsonPath")
+      .getOrElse(compactAt(0))
+    // the sentinel + bench_json path refer to the FULL-run artifact;
+    // ONLY-restricted profiling runs don't write it, so don't advertise
+    if (only.isEmpty) println(s"BENCH_JSON: $benchJsonPath")
     println(compact)
     // ONLY-restricted profiling runs never enter history: a partial
     // entry would become the next full run's drift baseline and its

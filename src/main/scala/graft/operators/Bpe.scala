@@ -67,12 +67,8 @@ object Bpe {
     var round = 1
     var done = false
     while (round <= k && !done) {
-      val n = size(col("_syms"))
       val best = vocab
-        .select(col("_f"), explode(zip_with(
-          slice(col("_syms"), lit(1), n - 1),
-          slice(col("_syms"), lit(2), n - 1),
-          (a, b) => struct(a.as("l"), b.as("r")))).as("_p"))
+        .select(col("_f"), explode(pairsOf(col("_syms"))).as("_p"))
         .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
         .agg(sum(col("_f")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
@@ -92,8 +88,10 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
 
-  /** Adjacent symbol pairs of a symbol array, as (l, r) structs. */
-  private def pairsOf(syms: Column): Column = {
+  /** Adjacent symbol pairs of a symbol array, as (l, r) structs —
+    * shared by both trainers and NgramLm's bigram model (one
+    * definition, so pair construction can never silently diverge). */
+  private[operators] def pairsOf(syms: Column): Column = {
     val n = size(syms)
     zip_with(slice(syms, lit(1), n - 1), slice(syms, lit(2), n - 1),
       (a, b) => struct(a.as("l"), b.as("r")))

@@ -364,8 +364,11 @@ object Multimodal {
       out.result()
     }
 
-    /** (width, height) from a tkhd payload, or None. */
+    /** (width, height) from a tkhd payload, or None. Guards the version
+      * byte read too: findBox allows an EMPTY payload (sz == 8), where
+      * ths == the and p(ths) may sit past the buffer. */
     private def tkhdDims(p: Array[Byte], ths: Int, the: Int): Option[(Int, Int)] = {
+      if (ths >= the || ths >= p.length) return None
       val base = if (p(ths) == 0) ths + 76 else ths + 88 // after matrix
       if (base + 8 > the) None
       else Some(((be32(p, base) >> 16).toInt, (be32(p, base + 4) >> 16).toInt))
@@ -380,11 +383,16 @@ object Multimodal {
       if (p.length < 16 || tag(p, 4) != "ftyp") return None
       for {
         (ms, me) <- findBox(p, 0, p.length, "moov")
-        (hs, _) <- findBox(p, ms, me, "mvhd")
-        (ts, dur) <- Some(p(hs) match {
-          case 0 => (be32(p, hs + 12), be32(p, hs + 16)) // v0: u32 times
-          case _ => (be32(p, hs + 20), be64(p, hs + 24)) // v1: u64 times
-        })
+        (hs, he) <- findBox(p, ms, me, "mvhd")
+        // a truncated/empty mvhd payload decodes as unknown, not AIOOBE
+        (ts, dur) <- if (hs >= he) None
+          else p(hs) match {
+            case 0 if hs + 20 <= he =>
+              Some((be32(p, hs + 12), be32(p, hs + 16))) // v0: u32 times
+            case v if v != 0 && hs + 32 <= he =>
+              Some((be32(p, hs + 20), be64(p, hs + 24))) // v1: u64 times
+            case _ => None
+          }
         dims <- {
           val perTrak = findBoxes(p, ms, me, "trak").flatMap { case (ks, ke) =>
             findBox(p, ks, ke, "tkhd").flatMap { case (ths, the) =>

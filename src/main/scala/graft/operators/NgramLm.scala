@@ -46,12 +46,9 @@ object NgramLm {
       .crossJoin(broadcast(v))
   }
 
-  /** Adjacent-token (l, r) structs of a token array. */
-  private def bigramsOf(tk: Column): Column = {
-    val n = size(tk)
-    zip_with(slice(tk, lit(1), n - 1), slice(tk, lit(2), n - 1),
-      (a, b) => struct(a.as("l"), b.as("r")))
-  }
+  /** Adjacent-token (l, r) structs of a token array (the shared
+    * Bpe.pairsOf expression — symbols and tokens pair identically). */
+  private def bigramsOf(tk: Column): Column = Bpe.pairsOf(tk)
 
   /** Score `docs` against `model` (a [[bigramModel]] frame): one row
     * per doc with ≥ 1 bigram — (doc_id, n_bigrams, xent). Lower xent =

@@ -71,7 +71,12 @@ object PageRank {
     // round: measured as the entire 90 MiB / 80 s CPU overhead)
     // node ids keep their native type — numeric keys join and hash
     // measurably leaner than strings at this per-round frequency
-    val eRaw = edges.select(col(src).as("_s"), col(dst).as("_d")).distinct()
+    // the dedup shuffle runs ONCE: the distinct caches first, the
+    // sizing count reads the cache, and the repartitioned copy derives
+    // from the cache (counting the uncached frame would execute the
+    // O(edges) distinct twice)
+    val eRaw = graft.core.CacheGovernor.persistTracked(
+      edges.select(col(src).as("_s"), col(dst).as("_d")).distinct())
     // size the cached layout to the GRAPH, not the session default:
     // every round scans these partitions ~2×, and on a small graph
     // 32-wide stages spend more CPU on per-task constants than on rank

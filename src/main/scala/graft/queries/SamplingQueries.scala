@@ -93,8 +93,8 @@ object SamplingQueries {
       |  SELECT shard, pos, doc_id, toks, 0, toks FROM t WHERE pos = 1
       |  UNION ALL
       |  SELECT t.shard, t.pos, t.doc_id, t.toks,
-      |         CASE WHEN r.s + t.toks > 512 THEN r.bin + 1 ELSE r.bin END,
-      |         CASE WHEN r.s + t.toks > 512 THEN t.toks ELSE r.s + t.toks END
+      |         CASE WHEN r.s > 0 AND r.s + t.toks > 512 THEN r.bin + 1 ELSE r.bin END,
+      |         CASE WHEN r.s > 0 AND r.s + t.toks > 512 THEN t.toks ELSE r.s + t.toks END
       |  FROM rec r JOIN t ON t.shard = r.shard AND t.pos = r.pos + 1)
       |SELECT doc_id, toks AS doc_tokens, CAST(shard AS BIGINT) AS shard,
       |       CAST(bin AS INTEGER) AS bin

@@ -256,6 +256,22 @@ object StreamingOps {
     * the same directory instead of appending a second copy, closing
     * the non-atomic two-write window; the `_batches` ledger remains
     * the fast-path skip for routine redelivery. */
+  /** Fail fast when `dir` holds the pre-r10 FLAT layout (parquet files
+    * directly under it): mixing flat files with `batch_id=` partition
+    * directories breaks Spark's partition discovery for every reader,
+    * so a legacy relation must be migrated (one compactCountMin/
+    * compactHistogram into a fresh directory — the compacted form IS
+    * the new layout) before new batches land in it. */
+  private def requireBatchDirLayout(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (d.isDirectory) {
+      val flat = d.listFiles((_, n) => n.endsWith(".parquet"))
+      require(flat == null || flat.isEmpty,
+        s"$dir holds a legacy flat sketch layout; compact it into a fresh " +
+          "versioned directory (compactCountMin/compactHistogram) before appending")
+    }
+  }
+
   def histogramAppendBatch(
       path: String, value: String,
       lo: Double, hi: Double, bins: Int,
@@ -267,6 +283,7 @@ object StreamingOps {
         .filter(col("batch_id") === batchId).head(1).nonEmpty
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!applied && !batch.isEmpty) {
+      requireBatchDirLayout(s"$path/bins")
       graft.operators.HistogramSketch
         .build(batch, col(value), lo, hi, bins, keys)
         .write.mode("overwrite").parquet(s"$path/bins/batch_id=$batchId")
@@ -302,6 +319,7 @@ object StreamingOps {
         .filter(col("batch_id") === batchId).head(1).nonEmpty
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!applied && !batch.isEmpty) {
+      requireBatchDirLayout(s"$path/counters")
       graft.operators.CountMin
         .build(batch, col(key), depth, width)
         .write.mode("overwrite").parquet(s"$path/counters/batch_id=$batchId")
