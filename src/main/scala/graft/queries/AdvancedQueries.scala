@@ -301,11 +301,13 @@ object AdvancedQueries {
     "q_graph_pagerank",
     graft.operators.PageRank.oracleSql(
       """e AS (
-        |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+        |  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+        |         CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  WHERE o_orderkey % 4 = 0
         |  UNION
-        |  SELECT DISTINCT 2 * l_suppkey + 1, 2 * o_custkey
+        |  SELECT DISTINCT CAST(2 * l_suppkey + 1 AS BIGINT),
+        |         CAST(2 * o_custkey AS BIGINT)
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  WHERE o_orderkey % 4 = 0)""".stripMargin,
       iterations = 10, damping = 0.85)) { (s, d) =>
@@ -318,7 +320,10 @@ object AdvancedQueries {
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("sup"))
+      // BIGINT on both sides: node ids must not inherit whatever integer
+      // width this round's parquet generator chose for the keys
+      .select((col("o_custkey") * 2).cast("long").as("c"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("sup"))
     val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
       .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
     PageRank.ranks(edges, "src", "dst", iterations = 10)
