@@ -1238,6 +1238,52 @@ object TextVectorQueries {
       .orderBy("vec_id")
   }
 
+  /** Johnson–Lindenstrauss projection 64→16 dims (operators.
+    * RandomProjection): every projected component replays bit-identically
+    * in SQL (portable plane family + sequential list_dot_product parity),
+    * hash-certified via integer micro-unit floors (the tie-free
+    * quantization discipline — floor, never ROUND, on accumulated
+    * floats); the variance-unbiased √(3/m) scale makes E‖y‖²=‖x‖²,
+    * certified per-vector by the norm-ratio envelope boolean (the tight
+    * statistical bands live in ProjectionSpec). */
+  private val simJlProject = QuerySpec(
+    "q_sim_jl_project",
+    """WITH planes AS (
+      |  SELECT j.j,
+      |         list(((('0x' || substr(md5('graft:plane:' || j.j || ':' || d.d), 1, 15))::BIGINT
+      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
+      |  FROM generate_series(0, 15) j(j), generate_series(0, 63) d(d)
+      |  GROUP BY j.j),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |y AS (SELECT e.vec_id,
+      |        list(list_dot_product(e.v, pl.pw) * sqrt(3.0 / 16.0) ORDER BY pl.j) AS yv,
+      |        list(CAST(floor(list_dot_product(e.v, pl.pw) * sqrt(3.0 / 16.0) * 1000000.0) AS BIGINT)
+      |             ORDER BY pl.j) AS yq
+      |      FROM e CROSS JOIN planes pl GROUP BY e.vec_id)
+      |SELECT y.vec_id,
+      |       array_to_string(y.yq, ',') AS proj_q,
+      |       CASE WHEN list_dot_product(e.v, e.v) > 0
+      |            THEN CAST(floor(list_dot_product(y.yv, y.yv) / list_dot_product(e.v, e.v)
+      |                            * 1000000.0) AS BIGINT) END AS norm_ratio_q,
+      |       CASE WHEN list_dot_product(e.v, e.v) > 0
+      |            THEN list_dot_product(y.yv, y.yv) / list_dot_product(e.v, e.v)
+      |                   BETWEEN 0.05 AND 4.0 END AS norm_in_band
+      |FROM y JOIN e ON e.vec_id = y.vec_id
+      |ORDER BY y.vec_id""".stripMargin) { (s, d) =>
+    import graft.operators.RandomProjection
+    val emb = Tables.embeddings(s, d)
+    RandomProjection.withProjection(emb, col("embedding"), outDim = 16)
+      .select(
+        col("vec_id"),
+        // micro-unit floors serialize the projection for the oracle hash
+        // (raw array<double> would trip the driver's pandas sorter)
+        array_join(transform(col("proj"),
+          y => floor(y * lit(1000000.0)).cast("long")), ",").as("proj_q"),
+        floor(col("norm_ratio") * lit(1000000.0)).cast("long").as("norm_ratio_q"),
+        col("norm_ratio").between(lit(0.05), lit(4.0)).as("norm_in_band"))
+      .orderBy("vec_id")
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     * ranking and the exact-cosine semantic ranking for one query
     * (operators.Retrieval.rrfFuse; embeddings key the same id space as
@@ -1448,5 +1494,5 @@ object TextVectorQueries {
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
-    simIvfTrained, simRecallReport)
+    simIvfTrained, simRecallReport, simJlProject)
 }
