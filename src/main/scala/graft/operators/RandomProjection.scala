@@ -49,21 +49,26 @@ object RandomProjection {
 
   /** Attach `proj` (array<double>, length `outDim`) and `norm_ratio`
     * (‖y‖²/‖x‖², double — E[·]=1 under the unbiased scale; null for
-    * zero vectors) to an embedding frame. `dim` ≤ 0 probes the width
-    * from the first non-null vector. */
+    * zero vectors AND for dimension-mismatched vectors, whose proj
+    * components are all null — the null-component guard keeps DotProduct
+    * off null element slots, which its contract does not cover) to an
+    * embedding frame. `dim` ≤ 0 probes the width from the first
+    * non-null vector ([[Similarity.dimOf]]). */
   def withProjection(df: DataFrame, vec: Column, outDim: Int, dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else dimOf(df, vec)
-    val sq = VectorNative.dot(vec.cast("array<double>"), vec.cast("array<double>"))
+    val sq = VectorNative.dot(vec, vec)
     df.withColumn("proj", project(vec, outDim, d))
+      // proj components are null all-together (one shared length
+      // mismatch), so testing the first suffices
       .withColumn("norm_ratio",
-        when(sq > 0d, VectorNative.dot(col("proj"), col("proj")) / sq))
+        when(sq > 0d && col("proj").getItem(0).isNotNull,
+          VectorNative.dot(col("proj"), col("proj")) / sq))
   }
 
-  /** Vector width from the first non-null, non-empty vector (one tiny
-    * eager job at plan-build time); 1 for an empty/all-null frame so
-    * construction stays total. */
-  private def dimOf(df: DataFrame, vec: Column): Int =
-    df.select(size(vec).as("_d"))
-      .filter(col("_d").isNotNull && col("_d") > 0)
-      .head(1).headOption.map(_.getInt(0)).getOrElse(1)
+  /** Vector width from the first non-null, non-empty vector — shared
+    * probe with the LSH/IVF builders ([[Similarity.dimOf]]). */
+  private def dimOf(df: DataFrame, vec: Column): Int = {
+    val tmp = df.select(vec.as("_v"))
+    Similarity.dimOf(tmp, "_v")
+  }
 }

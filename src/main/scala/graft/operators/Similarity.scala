@@ -162,7 +162,7 @@ object Similarity {
     * which codegen'd comparisons treat as false, so mismatched rows
     * drop rather than error (documented, matches the HOF-form
     * semantics). */
-  private def dimOf(df: DataFrame, vec: String): Int =
+  private[graft] def dimOf(df: DataFrame, vec: String): Int =
     df.select(size(col(vec)).as("_d"))
       .filter(col("_d").isNotNull && col("_d") > 0) // skip null AND empty vectors
       .head(1).headOption.map(_.getInt(0)).getOrElse(1)

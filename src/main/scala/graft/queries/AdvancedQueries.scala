@@ -301,13 +301,13 @@ object AdvancedQueries {
     "q_graph_pagerank",
     graft.operators.PageRank.oracleSql(
       """e AS (
-        |  SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
-        |         CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+        |  SELECT DISTINCT 2 * CAST(o_custkey AS BIGINT) AS src,
+        |         2 * CAST(l_suppkey AS BIGINT) + 1 AS dst
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  WHERE o_orderkey % 4 = 0
         |  UNION
-        |  SELECT DISTINCT CAST(2 * l_suppkey + 1 AS BIGINT),
-        |         CAST(2 * o_custkey AS BIGINT)
+        |  SELECT DISTINCT 2 * CAST(l_suppkey AS BIGINT) + 1,
+        |         2 * CAST(o_custkey AS BIGINT)
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |  WHERE o_orderkey % 4 = 0)""".stripMargin,
       iterations = 10, damping = 0.85)) { (s, d) =>
@@ -320,10 +320,12 @@ object AdvancedQueries {
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      // BIGINT on both sides: node ids must not inherit whatever integer
-      // width this round's parquet generator chose for the keys
-      .select((col("o_custkey") * 2).cast("long").as("c"),
-        (col("l_suppkey") * 2 + 1).cast("long").as("sup"))
+      // BIGINT on both sides, cast BEFORE the multiply: the id arithmetic
+      // must not run in whatever integer width this round's parquet
+      // generator chose for the keys (an INT32 2·key can wrap where the
+      // oracle's BIGINT arithmetic cannot)
+      .select((col("o_custkey").cast("long") * 2).as("c"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("sup"))
     val edges = pairs.select(col("c").as("src"), col("sup").as("dst"))
       .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
     PageRank.ranks(edges, "src", "dst", iterations = 10)

@@ -1272,14 +1272,17 @@ object TextVectorQueries {
       |ORDER BY y.vec_id""".stripMargin) { (s, d) =>
     import graft.operators.RandomProjection
     val emb = Tables.embeddings(s, d)
-    RandomProjection.withProjection(emb, col("embedding"), outDim = 16)
+    // dim pinned to 64: the oracle freezes generate_series(0, 63), so the
+    // probe job would only ever confirm a constant
+    RandomProjection.withProjection(emb, col("embedding"), outDim = 16, dim = 64)
       .select(
         col("vec_id"),
-        // micro-unit floors serialize the projection for the oracle hash
-        // (raw array<double> would trip the driver's pandas sorter)
+        // micro-unit floors (already LongType) serialize the projection for
+        // the oracle hash (raw array<double> would trip the driver's
+        // pandas sorter)
         array_join(transform(col("proj"),
-          y => floor(y * lit(1000000.0)).cast("long")), ",").as("proj_q"),
-        floor(col("norm_ratio") * lit(1000000.0)).cast("long").as("norm_ratio_q"),
+          y => floor(y * lit(1000000.0))), ",").as("proj_q"),
+        floor(col("norm_ratio") * lit(1000000.0)).as("norm_ratio_q"),
         col("norm_ratio").between(lit(0.05), lit(4.0)).as("norm_in_band"))
       .orderBy("vec_id")
   }

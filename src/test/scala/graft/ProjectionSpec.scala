@@ -53,11 +53,13 @@ class ProjectionSpec extends AnyFunSuite {
 
   test("pairwise distances are preserved in band (the JL guarantee, sampled pairs)") {
     import graft.plans.VectorNative
-    val p = RandomProjection.withProjection(emb.limit(400), col("embedding"), outDim = 16)
+    val p = RandomProjection.withProjection(
+      emb.filter(col("vec_id") < 400), col("embedding"), outDim = 16)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("x"), col("proj"))
     val a = p.toDF("ida", "xa", "ya")
     val b = p.toDF("idb", "xb", "yb")
-    // consecutive-id pairs — deterministic sample, no shuffle games
+    // consecutive-id pairs — deterministic sample (id-filtered, not
+    // limit(): unordered limit is not a stable row selection)
     val pairs = a.join(b, col("idb") === col("ida") + 1)
       .withColumn("dx", VectorNative.dot(zip_with(col("xa"), col("xb"), (u, v) => u - v),
         zip_with(col("xa"), col("xb"), (u, v) => u - v)))
@@ -73,7 +75,7 @@ class ProjectionSpec extends AnyFunSuite {
   }
 
   test("ANN recall survives projection well above the random-selection floor") {
-    val base = emb.limit(500).cache()
+    val base = emb.filter(col("vec_id") < 500).cache()
     val proj = RandomProjection.withProjection(base, col("embedding"), outDim = 16)
       .select(col("vec_id"), col("proj").as("embedding"))
     val queries = base.filter(col("vec_id") < 20).select("vec_id", "embedding")
@@ -91,12 +93,26 @@ class ProjectionSpec extends AnyFunSuite {
     assert(recall >= 0.15, s"projected recall $recall at the random floor")
   }
 
+  test("dimension-mismatched and zero vectors get null norm_ratio, not garbage") {
+    val mixed = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),  // matches dim=4
+      (2L, Seq(1.0, 2.0)),            // mismatched → proj all null
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))   // zero vector → sq = 0
+    ).toDF("id", "v")
+    val out = RandomProjection.withProjection(mixed, col("v"), outDim = 4, dim = 4)
+      .orderBy("id").select("norm_ratio").collect()
+    assert(!out(0).isNullAt(0) && out(0).getDouble(0) > 0.0)
+    assert(out(1).isNullAt(0), "mismatched vector must yield null norm_ratio")
+    assert(out(2).isNullAt(0), "zero vector must yield null norm_ratio")
+  }
+
   test("determinism and partition-insensitivity: repartitioned input, identical output") {
-    val once = RandomProjection.withProjection(emb.limit(100), col("embedding"), outDim = 8)
+    val sub = emb.filter(col("vec_id") < 100)
+    val once = RandomProjection.withProjection(sub, col("embedding"), outDim = 8)
       .select(col("vec_id"), to_json(col("proj")).as("p")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     val again = RandomProjection.withProjection(
-      emb.limit(100).repartition(7), col("embedding"), outDim = 8)
+      sub.repartition(7), col("embedding"), outDim = 8)
       .select(col("vec_id"), to_json(col("proj")).as("p")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(once === again)
