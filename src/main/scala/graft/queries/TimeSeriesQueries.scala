@@ -504,8 +504,8 @@ object TimeSeriesQueries {
   /** A14: mergeable histogram quantile sketch (operators.
     * HistogramSketch) — per-day histograms merge into per-type
     * sketches; p50/p90/p99 read off the merged counts; a within-2-bins
-    * boolean vs the EXACT percentile certifies the error bound
-    * in-band. */
+    * boolean vs the exact DISCRETE (ceil-rank) percentile certifies the
+    * error bound in-band at any data size. */
   private val a14 = QuerySpec(
     "q_a14_hist_quantiles",
     """WITH h AS (
@@ -530,7 +530,9 @@ object TimeSeriesQueries {
       |       TRUE AS within_2w
       |FROM sel ORDER BY event_type, q""".stripMargin) { (s, d) =>
     import graft.operators.HistogramSketch
+    import org.apache.spark.sql.expressions.Window
     val (lo, hi, bins) = (0.0, 512.0, 256)
+    val binW = (hi - lo) / bins
     val ev = Tables.events(s, d)
     val perDay = HistogramSketch.build(
       ev.withColumn("_day", to_date(col("ts"))),
@@ -538,16 +540,30 @@ object TimeSeriesQueries {
     val merged = HistogramSketch.merge(perDay, Seq("event_type"))
     val qs = HistogramSketch.quantiles(merged, Seq(0.5, 0.9, 0.99), lo, hi, bins,
       Seq("event_type"))
-    val exact = ev.groupBy("event_type").agg(
-      expr("percentile(value, 0.5D)").as("_p50"),
-      expr("percentile(value, 0.9D)").as("_p90"),
-      expr("percentile(value, 0.99D)").as("_p99"))
-    qs.join(broadcast(exact), "event_type")
-      .withColumn("_exact",
-        when(col("q") === 0.5, col("_p50"))
-          .when(col("q") === 0.9, col("_p90"))
-          .otherwise(col("_p99")))
-      .withColumn("within_2w", abs(col("est") - col("_exact")) <= lit(2.0 * (hi - lo) / bins))
+    // in-band bound vs the DISCRETE ceil-rank quantile — the statistic
+    // the sketch actually tracks (same ceil(q·n) convention as the
+    // read-off). The bin containing that order statistic puts est
+    // within ONE bin width of it at ANY n, so the 2w band is
+    // scale-independent; Spark's interpolated percentile() sat between
+    // tail order statistics that drift arbitrarily far apart at tiny n
+    // (broke the band at sf0.001 while passing larger scales by luck —
+    // the approx-band lesson). Ties share a value, so row_number's
+    // arbitrary tie order cannot change the selected value.
+    val byVal = Window.partitionBy("event_type").orderBy("value")
+    val ranked = ev.select(col("event_type"), col("value"))
+      .withColumn("_rn", row_number().over(byVal))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("event_type")))
+    import s.implicits._
+    val qdf = Seq(0.5, 0.9, 0.99).toDF("q")
+    val exactDisc = ranked.crossJoin(broadcast(qdf))
+      .filter(col("_rn") === ceil(col("q") * col("_n")).cast("long"))
+      .select(col("event_type"), col("q"), col("value").as("_exact"))
+    qs.join(broadcast(exactDisc), Seq("event_type", "q"))
+      .withColumn("within_2w",
+        (abs(col("est") - col("_exact")) <= lit(2.0 * binW)) ||
+          // above-range clamp: values ≥ hi all land in the top bin, whose
+          // upper edge est == hi is the sketch's honest answer
+          (col("_exact") >= lit(hi) && col("est") === lit(hi)))
       .select("event_type", "q", "est", "n", "within_2w")
       .orderBy("event_type", "q")
   }
