@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver captures a 2000-char stdout TAIL of `sbt runMain
+// graft.Bench` and parses the final line as JSON. Two pieces of sbt
+// framing defeated that for 10 straight rounds ("parsed": null):
+//  - LoggedOutput prefixes every forked line with "[info] " — so the
+//    JSON line never *starts* with '{'. StdoutOutput passes the forked
+//    process's stdout through verbatim.
+//  - the "[success] Total time: ..." epilogue lands AFTER the JSON
+//    line, so a last-line parse reads sbt's epilogue instead.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

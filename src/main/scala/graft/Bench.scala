@@ -50,6 +50,15 @@ object Bench {
     val spark = graft.core.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The driver's 2000-char stdout tail must end with the compact JSON
+    // line. WindowExecBase WARNs "Moving all data to a single partition"
+    // for the three deliberately-bounded global windows (≤bins/≤k rows,
+    // see Sampling/Ranks/TextVectorQueries) and that chatter landed
+    // inside the tail every round — drop the window package to ERROR.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     // warm-up: JVM/codegen/session init + file-index priming, so the
     // first timed query doesn't absorb ~4s of one-time cost
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -157,6 +166,14 @@ object Bench {
     val drift = driftOf(results, prev)
     val cpuDrift = driftOf(cpuResults, prevCpu)
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // bounded form for the stdout line: a mass-failure round's full
+    // errors array alone can blow the 2000-char tail even at k=0, so the
+    // compact line carries at most 8 names + an omitted count (the full
+    // array still goes to bench.json / history)
+    val errsCompact =
+      if (failed.size <= 8) errs
+      else failed.take(8).map("\"" + _ + "\"")
+        .mkString("[", ",", s",\"+${failed.size - 8}_more\"]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"cpu_total":${math.round(cpuTotal * 1e6) / 1e6},"cpu":$cq,"cpu_drift":$cpuDrift,"steal_pct":$stealPct,"errors":$errs,"sf":"$sfDir"}"""
     // the driver stores a stdout TAIL of 2000 chars (measured across
@@ -174,7 +191,7 @@ object Bench {
       val top = results.sortBy(-_._2).take(k)
       val pathField =
         if (only.isEmpty) s""","bench_json":"$benchJsonPath"""" else ""
-      s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3},"unit":"sec","queries":${jmapAt(top, 1e3)},"queries_omitted":${results.size - top.size},"runs":$repeat,"cpu_total":${math.round(cpuTotal * 1e3) / 1e3},"steal_pct":$stealPct,"errors":$errs,"sf":"$sfDir"$pathField}"""
+      s"""{"metric":"total","value":${math.round(total * 1e3) / 1e3},"unit":"sec","queries":${jmapAt(top, 1e3)},"queries_omitted":${results.size - top.size},"runs":$repeat,"cpu_total":${math.round(cpuTotal * 1e3) / 1e3},"steal_pct":$stealPct,"errors":$errsCompact,"sf":"$sfDir"$pathField}"""
     }
     // bounded walk (a mass-failure errors array can exceed the budget
     // even at k=1 — never loop on it, just emit the smallest form)
@@ -183,10 +200,6 @@ object Bench {
       .map(compactAt)
       .find(_.length <= 1800)
       .getOrElse(compactAt(0))
-    // the sentinel + bench_json path refer to the FULL-run artifact;
-    // ONLY-restricted profiling runs don't write it, so don't advertise
-    if (only.isEmpty) println(s"BENCH_JSON: $benchJsonPath")
-    println(compact)
     // ONLY-restricted profiling runs never enter history: a partial
     // entry would become the next full run's drift baseline and its
     // partial total pollutes trend tooling
@@ -206,6 +219,17 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     } catch { case _: Throwable => () } // history is best-effort
+    // Quiesce BEFORE printing the driver-parsed line: stop() emits WARN
+    // shutdown chatter, and under a merged 2>&1 capture that would land
+    // AFTER the JSON line — the exact framing that kept BENCH_r*.json
+    // "parsed": null for ten rounds. Drop to ERROR, stop, THEN print the
+    // sentinel + compact line as this process's very last stdout.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    // the sentinel + bench_json path refer to the FULL-run artifact;
+    // ONLY-restricted profiling runs don't write it, so don't advertise
+    if (only.isEmpty) println(s"BENCH_JSON: $benchJsonPath")
+    println(compact)
+    System.out.flush()
   }
 }
