@@ -118,6 +118,60 @@ object Components {
     neigh.unionByName(self)
   }
 
+  /** Oracle SQL replaying [[connectedComponents]]' labels with the
+    * fixpoint UNROLLED as `rounds` min-label-propagation rounds — the
+    * same generated-from-the-loop-code discipline as
+    * [[PageRank.oracleSql]]. A recursive-CTE transitive closure walks
+    * O(n·component-size) states and was unevaluatable in DuckDB at
+    * bench scale (>100 CPU-min at sf0.1, the registry's one excluded
+    * row through round 10); label propagation is O(|e|) per round, and
+    * each round ALSO pointer-jumps (comp := comp of comp), so k rounds
+    * cover components of diameter ~2^k. Every CTE is MATERIALIZED —
+    * each round references the previous one three times, and without
+    * materialization DuckDB re-evaluates the whole chain per reference
+    * (measured: 222 s at 500 docs for the plain-CTE form vs ~3 s
+    * materialized).
+    *
+    * Correctness does not rest on picking `rounds` big enough by luck:
+    * the emitted `converged` column is TRUE iff the last two rounds
+    * agree on every label — propagation at a fixpoint means every
+    * node's label ≤ all neighbors' labels, which over the symmetrized
+    * edge list forces labels constant per component and equal to the
+    * component minimum (the Spark side's comp). An under-unrolled
+    * oracle therefore emits FALSE and fails the hash loudly instead of
+    * silently certifying partial labels; Spark emits literal TRUE
+    * because [[connectedComponents]] throws on non-convergence.
+    *
+    * @param pairCte CTE text defining `p(u, v)` (undirected pairs, any
+    *                orientation, u ≠ v)
+    * @return SQL yielding (doc_id, cluster_rep, cluster_size, converged)
+    *         for every node that appears in at least one pair */
+  def labelPropOracleSql(pairCte: String, rounds: Int): String = {
+    require(rounds >= 2, "need ≥2 rounds for the convergence self-check")
+    val iters = (1 to rounds).map { k =>
+      s"""h$k AS MATERIALIZED (
+         |  SELECT n.node, LEAST(n.comp, COALESCE(m.mn, n.comp)) AS comp
+         |  FROM r${k - 1} n LEFT JOIN (
+         |    SELECT e.u AS node, MIN(r.comp) AS mn
+         |    FROM e JOIN r${k - 1} r ON r.node = e.v GROUP BY e.u) m
+         |  ON m.node = n.node),
+         |r$k AS MATERIALIZED (
+         |  SELECT h.node, LEAST(h.comp, COALESCE(h2.comp, h.comp)) AS comp
+         |  FROM h$k h LEFT JOIN h$k h2 ON h2.node = h.comp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairCte,
+       |e AS MATERIALIZED (SELECT u, v FROM p UNION SELECT v, u FROM p),
+       |r0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS comp FROM e),
+       |$iters,
+       |conv AS (SELECT COUNT(*) = 0 AS fx
+       |         FROM r$rounds a JOIN r${rounds - 1} b
+       |           ON a.node = b.node AND a.comp <> b.comp)
+       |SELECT a.node AS doc_id, a.comp AS cluster_rep,
+       |       CAST(COUNT(*) OVER (PARTITION BY a.comp) AS BIGINT) AS cluster_size,
+       |       conv.fx AS converged
+       |FROM r$rounds a CROSS JOIN conv ORDER BY doc_id""".stripMargin
+  }
+
   /** Order-independent multiset signature of an edge list, used as the
     * fixpoint test: (count, sum of per-edge hashes folded into
     * Z_(2³¹−1)). The sum accumulates as DECIMAL(38,0) — headroom for

@@ -328,29 +328,29 @@ object TextVectorQueries {
   /** Pairs → transitive clusters → canonical doc per cluster: the form
     * a cleaning pipeline consumes. Spark runs connected components
     * (alternating star rounds) on the collapsed fingerprint graph; the
-    * oracle closes the brute-force pair relation with a recursive CTE.
-    * Matching per-doc labels prove the collapsed-graph components equal
-    * the full doc-level transitive closure. */
+    * oracle closes the brute-force pair relation with UNROLLED
+    * min-label-propagation rounds generated by
+    * [[Components.labelPropOracleSql]] (a recursive-CTE closure was
+    * unevaluatable in DuckDB at sf0.1 — the registry's one excluded
+    * bench-scale row through round 10). Matching per-doc labels prove
+    * the collapsed-graph components equal the full doc-level transitive
+    * closure; the in-band `converged` flag makes an under-unrolled
+    * oracle fail loudly (Spark's loop throws on non-convergence, so its
+    * side is literal TRUE). 8 hop+jump rounds cover diameter ~2⁸;
+    * measured convergence is 5 rounds at sf0.01/sf0.1. */
   private val dedupClusters = QuerySpec(
     "q_dedup_clusters",
-    """WITH RECURSIVE
-      |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-      |p AS (
-      |  SELECT a.doc_id AS u, b.doc_id AS v
-      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
-      |          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
-      |e AS (SELECT u, v FROM p UNION SELECT v, u FROM p),
-      |walk(node, comp) AS (
-      |  SELECT u, u FROM e
-      |  UNION
-      |  SELECT e.u, walk.comp FROM e JOIN walk ON e.v = walk.node),
-      |labels AS (SELECT node AS doc_id, MIN(comp) AS cluster_rep FROM walk GROUP BY node)
-      |SELECT doc_id, cluster_rep,
-      |       CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
-      |FROM labels ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Components.labelPropOracleSql(
+      """t AS MATERIALIZED (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS MATERIALIZED (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        |          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9)""".stripMargin,
+      rounds = 8)) { (s, d) =>
     Dedup.minHashClusters(Tables.documents(s, d), "doc_id", "text",
       numHashes = 64, bands = 16, threshold = 0.9)
+      .withColumn("converged", lit(true))
       .orderBy("doc_id")
   }
 

@@ -217,7 +217,7 @@ object TimeSeriesQueries {
       |)
       |SELECT s.event_id, s.event_type, s.slot, s.value, p.s_n, p.s_mean, p.s_sd,
       |       CASE WHEN p.s_sd > 0.0 THEN (s.value - p.s_mean) / p.s_sd END AS s_z,
-      |       (p.s_n >= 30 AND ABS(s.value - p.s_mean) > 3.0 * p.s_sd) AS seasonal_anomaly
+      |       COALESCE(p.s_n >= 30 AND ABS(s.value - p.s_mean) > 3.0 * p.s_sd, FALSE) AS seasonal_anomaly
       |FROM s JOIN p USING (event_type, slot)
       |ORDER BY event_id""".stripMargin) { (s, d) =>
     Anomaly.withSeasonalDeviation(

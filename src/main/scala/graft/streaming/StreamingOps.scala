@@ -262,11 +262,20 @@ object StreamingOps {
     * so a legacy relation must be migrated (one compactCountMin/
     * compactHistogram into a fresh directory — the compacted form IS
     * the new layout) before new batches land in it. */
-  private def requireBatchDirLayout(dir: String): Unit = {
-    val d = new java.io.File(dir)
-    if (d.isDirectory) {
-      val flat = d.listFiles((_, n) => n.endsWith(".parquet"))
-      require(flat == null || flat.isEmpty,
+  private def requireBatchDirLayout(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    // resolve through the Hadoop FileSystem, NOT java.io.File: sketch
+    // relations live on hdfs:// or s3a:// in production, and a local-File
+    // probe silently never fires there — exactly the deployments where a
+    // flat/partitioned mix breaks partition discovery for every reader
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val isDir = try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    if (isDir) {
+      val flat = fs.listStatus(p)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      require(flat.isEmpty,
         s"$dir holds a legacy flat sketch layout; compact it into a fresh " +
           "versioned directory (compactCountMin/compactHistogram) before appending")
     }
@@ -283,7 +292,7 @@ object StreamingOps {
         .filter(col("batch_id") === batchId).head(1).nonEmpty
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!applied && !batch.isEmpty) {
-      requireBatchDirLayout(s"$path/bins")
+      requireBatchDirLayout(spark, s"$path/bins")
       graft.operators.HistogramSketch
         .build(batch, col(value), lo, hi, bins, keys)
         .write.mode("overwrite").parquet(s"$path/bins/batch_id=$batchId")
@@ -319,7 +328,7 @@ object StreamingOps {
         .filter(col("batch_id") === batchId).head(1).nonEmpty
       catch { case _: org.apache.spark.sql.AnalysisException => false }
     if (!applied && !batch.isEmpty) {
-      requireBatchDirLayout(s"$path/counters")
+      requireBatchDirLayout(spark, s"$path/counters")
       graft.operators.CountMin
         .build(batch, col(key), depth, width)
         .write.mode("overwrite").parquet(s"$path/counters/batch_id=$batchId")
