@@ -30,9 +30,12 @@ import org.apache.spark.sql.types.DecimalType
   * (cached graph-sized layout + broadcast rank + node-side rounding +
   * long-backed decimal agg) runs the same 10 rounds in 9.9 s / 13.5
   * MiB (BASELINE.md round 10). The rank vector is PageRank's entire state;
-  * it broadcasts comfortably to ~10⁸ nodes, and past that the same
-  * algebra runs as a co-partitioned shuffled-hash join on the cached
-  * edge layout. The rank table localCheckpoints per round (bounded
+  * it broadcasts comfortably to ~10⁸ nodes, and past
+  * `broadcastNodeLimit` the loop AUTOMATICALLY switches to the
+  * co-partitioned escape hatch: edges cached pre-hashed on `_s`,
+  * per-round shuffle-hash joins that move only the node-sized rank /
+  * out-degree / contribution tables (PageRankSpec pins both paths
+  * bit-identical). The rank table localCheckpoints per round (bounded
   * lineage). No driver-side data, no windows, no cartesian.
   *
   * Oracle parity: a distributed float Σ is order-nondeterministic, so
@@ -50,10 +53,20 @@ object PageRank {
   /** (node, rank) after `iterations` rounds over directed `edges`.
     * Nodes = every distinct src or dst. Parallel edges collapse first
     * (rank flows once per distinct edge — document multi-edges by
-    * pre-aggregating a weight column upstream if needed). */
+    * pre-aggregating a weight column upstream if needed).
+    *
+    * @param broadcastNodeLimit rank vectors up to this many nodes ship
+    *        per round as a broadcast onto the cached edge layout (the
+    *        fast path — zero edge movement); past it the SAME algebra
+    *        runs as co-partitioned shuffle-hash joins with the edges
+    *        cached pre-hashed on `_s`, so only the node-sized tables
+    *        move per round. Both paths are bit-identical (the nano-unit
+    *        quantization is exact either way; PageRankSpec pins parity).
+    *        0 forces the shuffled path (used by the parity spec). */
   def ranks(
       edges: DataFrame, src: String, dst: String,
-      iterations: Int, damping: Double = 0.85): DataFrame = {
+      iterations: Int, damping: Double = 0.85,
+      broadcastNodeLimit: Long = 100000000L): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     // the edge table (with its source's out-degree attached) is cached
@@ -83,30 +96,49 @@ object PageRank {
     // flow; ~250k edges per partition keeps task overhead ~2% of task
     // work at any scale (0.25 s of flow vs ~5 ms of setup)
     val nParts = math.max(2L, eRaw.count() / 250000L + 1L).toInt
-    val e = graft.core.CacheGovernor.persistTracked(eRaw.repartition(nParts))
+    // the node table caches (and counts) FIRST: its size decides the
+    // per-round join regime before the cached edge layout is fixed.
+    // The broadcast path wants a skew-free round-robin layout (no edge
+    // ever moves again, so src-hash skew would only hurt); the shuffled
+    // fallback wants the edges PRE-HASHED on _s so each round's
+    // rank⋈edge join moves only the node-sized side
+    val nodes = graft.core.CacheGovernor.persistTracked(
+      eRaw.select(col("_s").as("node"))
+        .union(eRaw.select(col("_d").as("node"))).distinct())
+    val useBroadcast = nodes.count() <= broadcastNodeLimit
+    val e = graft.core.CacheGovernor.persistTracked(
+      if (useBroadcast) eRaw.repartition(nParts)
+      else eRaw.repartition(nParts, col("_s")))
     val outdegN = graft.core.CacheGovernor.persistTracked(
       e.groupBy("_s").agg(count(lit(1)).as("_od")))
-    val nodes = graft.core.CacheGovernor.persistTracked(
-      e.select(col("_s").as("node"))
-        .union(e.select(col("_d").as("node"))).distinct())
+    // hint factory for the node-sized side of each per-round join:
+    // broadcast under the limit, shuffle-hash past it (sort-merge would
+    // re-sort the cached edge partitions every round for nothing —
+    // the aggregation downstream doesn't need sorted output)
+    def nodeSized(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
     var rank = nodes.withColumn("rank", lit(1.0))
     (1 to iterations).foreach { _ =>
       // the rounded per-SOURCE contribution is computed on the
       // node-sized table (16k BigDecimal roundings per round, not one
-      // per edge), and the per-edge aggregate is a Long-backed
-      // DECIMAL(18,9) sum (precision ≤ 18 stays in whole-stage codegen's
-      // long path; contributions are ≤ 1 each, so 9 integer digits
-      // cover any graph up to 10⁹ nodes of incoming mass)
+      // per edge), and the per-edge aggregate sums the nano-unit longs
+      // as DECIMAL(18,0) → DECIMAL(28,0): exact at any graph size (the
+      // earlier raw-BIGINT sum silently wrapped past ~9.2e18 nano-units
+      // ≈ 10⁹ rank units of incoming mass per destination — DuckDB's
+      // HUGEINT sum doesn't, so the wrap regime was also a cross-engine
+      // divergence). Decimal(28) aggregation buffers stay in whole-stage
+      // codegen; measured CPU delta on the sf0.1 graph is noise-level.
       val w = rank.withColumnRenamed("node", "_s")
-        .join(broadcast(outdegN), "_s")
+        .join(nodeSized(outdegN), "_s")
         .select(col("_s"),
           floor(col("rank") * lit(1e9) / col("_od")).cast("long").as("_c"))
       val contrib = e
-        .join(broadcast(w), "_s")
+        .join(nodeSized(w), "_s")
         .groupBy(col("_d").as("node"))
-        .agg((sum(col("_c")).cast("double") / lit(1e9)).as("_in"))
+        .agg((sum(col("_c").cast(DecimalType(18, 0))).cast("double") / lit(1e9))
+          .as("_in"))
       rank = nodes
-        .join(broadcast(contrib), Seq("node"), "left")
+        .join(nodeSized(contrib), Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("rank"))

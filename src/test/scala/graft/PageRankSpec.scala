@@ -55,6 +55,25 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(closed.values.sum - closed.size) < 1e-6)
   }
 
+  test("co-partitioned escape hatch is bit-identical to the broadcast path") {
+    // broadcastNodeLimit = 0 forces the shuffled-hash fallback (the
+    // >10⁸-node regime) on the same graphs the broadcast path runs; the
+    // nano-unit quantization makes both paths exact, so equality is ===,
+    // not a tolerance band
+    def shuffled(edges: Seq[(String, String)], iters: Int) =
+      PageRank.ranks(edges.toDF("src", "dst").repartition(3),
+        "src", "dst", iters, broadcastNodeLimit = 0L)
+        .as[(String, Double)].collect().toMap
+    val star = Seq(("s1", "h"), ("s2", "h"), ("s3", "h"), ("h", "s1"))
+    assert(shuffled(star, 10) === run(star, 10))
+    val g = (1 to 80).map(i => (s"n${i % 13}", s"n${(i * 5) % 13}"))
+      .filter { case (a, b) => a != b }
+    assert(shuffled(g, 7) === run(g, 7))
+    // dangling + disconnected components exercise the left-join side
+    val dangle = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+    assert(shuffled(dangle, 6) === run(dangle, 6))
+  }
+
   test("partition-insensitive and parallel-edge-collapsing") {
     val g = (1 to 50).map(i => (s"n${i % 10}", s"n${(i * 3) % 10}"))
       .filter { case (a, b) => a != b }
