@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   * Why next-fit and not first-fit-decreasing: FFD packs ~8% tighter on
   * typical length distributions but needs random access to open bins —
   * a sequential, stateful structure that does not distribute. Next-fit
-  * is a pure per-shard FOLD: shards are the unit of parallelism (the
-  * blocksFor discipline — size shards so a shard's doc list is
-  * comfortably task-local), the fold is one codegen'd HOF `aggregate`
+  * is a pure per-shard FOLD: shards are the unit of parallelism
+  * ([[shardsFor]] sizes them from a row-count probe so a shard's doc
+  * list is comfortably task-local at any corpus scale), the fold is
+  * one codegen'd HOF `aggregate`
   * over the shard's sorted (id, tokens) array, and the whole operator
   * is one map-side-combinable groupBy — no driver loop, no window over
   * data, nothing sequential across shards. Utilization is measured,
@@ -42,13 +43,38 @@ import org.apache.spark.sql.functions._
   * real batches. */
 object Packing {
 
+  /** Shard count for a corpus of `docs` documents: targets
+    * `targetDocsPerShard` docs per shard so the per-shard fold array
+    * (one ~32-byte struct per doc through collect_list) stays
+    * comfortably task-local — ~2 MiB at the 64k default — no matter
+    * how large the corpus grows (a fixed shard count means per-shard
+    * payload grows linearly with the data and eventually OOMs the
+    * aggregation buffer). Clamped to ≥8 so small corpora still pack in
+    * parallel; unbounded above — shard count is just a groupBy key
+    * cardinality, and at 10¹¹ docs ~1.5M shards is exactly what the
+    * shuffle wants. Same plan-build-time count() discipline as
+    * [[Similarity.blocksFor]]. */
+  def shardsFor(docs: Long, targetDocsPerShard: Long = 65536L): Int = {
+    require(targetDocsPerShard >= 1, "need a positive shard target")
+    math.max(8L, (docs + targetDocsPerShard - 1) / targetDocsPerShard)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** One row per input doc: (doc_id, doc_tokens, shard, bin) — bin ids
-    * are dense per shard, 0-based, in id order. */
+    * are dense per shard, 0-based, in id order.
+    *
+    * @param nShards explicit shard count (a different count is a
+    *        different — equally valid — packing, so pin it when a
+    *        replayable assignment matters, e.g. the oracle query);
+    *        0 (the default) derives it from a corpus row-count probe
+    *        via [[shardsFor]] so shard payloads stay bounded at any
+    *        scale. */
   def packBins(
       df: DataFrame, id: Column, tokens: Column,
-      capacity: Long, nShards: Int, seed: Long = 0L): DataFrame = {
+      capacity: Long, nShards: Int = 0, seed: Long = 0L): DataFrame = {
     require(capacity >= 1, "need a positive token capacity")
-    require(nShards >= 1, "need at least one shard")
+    require(nShards >= 0, "nShards: explicit positive count, or 0 = auto")
+    val shards = if (nShards > 0) nShards else shardsFor(df.count())
     val fold =
       s"""aggregate(
          |  _arr,
@@ -64,7 +90,7 @@ object Packing {
       .withColumn("_shard",
         pmod(graft.functions.PortableHash
           .md5Hash60(concat(lit(s"pack:$seed:"), col("_id").cast("string"))),
-          lit(nShards.toLong)))
+          lit(shards.toLong)))
       .groupBy("_shard")
       // sort_array canonicalizes collect_list's arrival order: the fold
       // input is the shard's docs in ascending id order, deterministically

@@ -79,6 +79,26 @@ class PackingSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
 
+  test("auto-derived shard count bounds the per-shard fold payload") {
+    // shardsFor scales with the corpus (never a fixed fan-in) ...
+    assert(Packing.shardsFor(100L) === 8)               // small stays parallel
+    assert(Packing.shardsFor(1000000L) === 16)          // 1M docs / 64k target
+    assert(Packing.shardsFor(100000000000L) === 1525879) // 10¹¹ docs: ~1.5M shards
+    // ... and the auto path (nShards omitted) keeps every doc exactly
+    // once with the max per-shard doc list bounded near the target —
+    // the task-local guarantee the collect_list fold rests on
+    val docs = (1L to 5000L).map(i => (i, 7L))
+    val packed = Packing.packBins(docs.toDF("doc_id", "toks"),
+      col("doc_id"), col("toks"), capacity = 64L,
+      nShards = Packing.shardsFor(5000L, targetDocsPerShard = 256L))
+    assert(packed.count() === 5000L)
+    assert(packed.select("doc_id").distinct().count() === 5000L)
+    val maxShard = packed.groupBy("shard").count()
+      .agg(max("count")).as[Long].head()
+    // md5 sharding is balanced: no shard should hold > 2x the target
+    assert(maxShard <= 512L, s"shard payload unbounded: $maxShard docs")
+  }
+
   test("a different seed re-shards; bins stay dense and 0-based per shard") {
     val docs = (1L to 500L).map(i => (i, 10L))
     val a = pack(docs, 100L, 4).select("doc_id", "shard").as[(Long, Long)].collect().toMap
