@@ -568,6 +568,39 @@ object TimeSeriesQueries {
       .orderBy("event_type", "q")
   }
 
+  /** The streaming sketch-ledger READ path under the driver's hash
+    * gate (round-10 verdict item 6 — every `_batches` ledger path was
+    * spec-only before this): the query itself plays a 3-micro-batch
+    * stream into a fresh histogramAppendBatch relation (deterministic
+    * event_id%3 slices as batches 0..2), REDELIVERS batch 1 (the
+    * at-least-once case — a double-count would shift every replayed
+    * bin's cnt by ~⅓ and fail the hash), compacts the relation into a
+    * fresh versioned directory, and reads the merged histogram back
+    * off the COMPACTED relation. The oracle is the direct whole-corpus
+    * bin count — additive merge means slice-built == direct, exactly.
+    * So append, idempotent redelivery, merge-at-read, and compaction
+    * all sit under the DuckDB hash, not just under specs. */
+  private val stHistLedger = QuerySpec(
+    "q_st_hist_ledger",
+    """SELECT CAST(least(255, greatest(0, CAST(floor((value - 0.0) / 2.0) AS INTEGER))) AS BIGINT) AS bin,
+      |       COUNT(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY bin""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingOps
+    val (lo, hi, bins) = (0.0, 512.0, 256)
+    val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hist_ledger").toString
+    val append = StreamingOps.histogramAppendBatch(path, "value", lo, hi, bins)
+    (0 to 2).foreach { i =>
+      append(ev.filter(pmod(col("event_id"), lit(3)) === i), i.toLong)
+    }
+    append(ev.filter(pmod(col("event_id"), lit(3)) === 1), 1L) // redelivery
+    val compacted = java.nio.file.Files
+      .createTempDirectory("graft_hist_compact").toString
+    StreamingOps.compactHistogram(s, path, compacted)
+    StreamingOps.readHistogram(s, compacted).orderBy("bin")
+  }
+
   /** A16: PSI distribution drift between the first and second half of
     * the corpus (operators.HistogramSketch.psi) — the retrain-trigger
     * score over the mergeable histograms; the oracle enumerates the
@@ -842,5 +875,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      a11, a13, a14, a16, a17, a18, a19, a20, a21, x4)
+      a11, a13, a14, stHistLedger, a16, a17, a18, a19, a20, a21, x4)
 }
