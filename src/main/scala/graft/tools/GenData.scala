@@ -1,0 +1,223 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic-data generator for SCALING-CURVE runs past
+  * the driver's largest fixture (sf0.1) — the round-10 verdict's "cash
+  * the 100 TB claims" item: the plan-shape arguments want at least one
+  * measured wall/CPU/shuffle curve across scales, and the driver's
+  * testdata stops at sf0.1.
+  *
+  * Generates the six tables the top-CPU query family reads (documents,
+  * embeddings, customer, part, orders, lineitem) with the same
+  * statistical fingerprint as the driver fixtures (measured round 11):
+  *  - documents: uniform-length 10..100 texts of words drawn uniformly
+  *    from the same 30-word vocab; lang 40/15×4; source =
+  *    'src'||(doc_id%20); n_chars = len(text). Two near-dup regimes,
+  *    both present in the fixtures: token-SET similarity is intrinsic
+  *    to the tiny vocab (9,020 of 124,750 sf0.01 pairs at J≥0.9), and
+  *    SEQUENCE-level near-dups are planted — 5% of docs copy a partner
+  *    doc's text verbatim with ' dup' appended (the n-gram/PPJoin
+  *    family's workload).
+  *  - embeddings: unit-norm 64-dim gaussians (Box–Muller over hash
+  *    uniforms), label 0..9 independent of the vector (fixture
+  *    within-label mean cosine ≈ 0.0008 — no cluster structure).
+  *  - customer/part: the 'Customer#%09d' and adj+noun (8×8 = 64 names)
+  *    formats whose digit-edit / typo-chain pair structure drives the
+  *    fuzzy-ER queries.
+  *  - orders/lineitem: sequential orderkeys, uniform custkeys, lines
+  *    per order ≈ 1+U(0,3)+U(0,3) (fixture is Poisson-4-ish, 1..17),
+  *    uniform suppkeys — the pagerank bipartite graph's degree shape.
+  *
+  * All randomness is xxhash64(column-id, stream-tag) bit-mixing — no
+  * RNG state, so any row regenerates identically at any parallelism and
+  * the output is byte-stable across runs. Everything is spark.range +
+  * column expressions: generation itself is shuffle-free and scales to
+  * any sf.
+  *
+  * Usage: runMain graft.tools.GenData <outDir> <sf> — writes
+  * <outDir>/{documents,embeddings,customer,part,orders,lineitem}.parquet
+  * with row counts = sf × the per-sf1 cardinalities (50k docs, 20k
+  * vectors, 150k customers, 200k parts, 1.5M orders, ~6M lineitem).
+  */
+object GenData {
+
+  private val vocab: Seq[String] = Seq(
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch")
+
+  /** Uniform double in [0, 1) from a hashed (id, tag) stream. */
+  private def u(id: Column, tag: String): Column =
+    (pmod(xxhash64(lit(tag), id), lit(1L << 40)).cast("double")
+      / lit((1L << 40).toDouble))
+
+  /** Uniform long in [0, n) from a hashed (id, tag) stream. */
+  private def ui(id: Column, tag: String, n: Long): Column =
+    pmod(xxhash64(lit(tag), id), lit(n))
+
+  def main(args: Array[String]): Unit = {
+    val Array(outDir, sfStr) = args.take(2)
+    val sf = sfStr.toDouble
+    require(sf > 0, s"sf must be positive, got $sf")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.core.GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def n(base: Long): Long = math.max(1L, (base * sf).toLong)
+    val vocabCol = array(vocab.map(lit): _*)
+
+    // documents ------------------------------------------------------
+    // 5% of docs are PLANTED near-duplicates — a partner doc's full
+    // text with " dup" appended, exactly the fixture structure (250 of
+    // 5000 sf0.1 docs carry a single trailing 'dup' token and share
+    // their entire 8-gram prefix with one partner; all 250 'dup'
+    // occurrences in the corpus are those markers). Because base text
+    // is a PURE FUNCTION of doc_id, the dup doc regenerates its
+    // partner's words without any join — generation stays shuffle-free.
+    val nDocs = n(50000)
+    def baseText(idCol: Column): Column = {
+      val len = (lit(10) + ui(idCol, "len", 91)).cast("int")
+      concat_ws(" ", transform(sequence(lit(0), len - 1),
+        j => element_at(vocabCol,
+          (pmod(xxhash64(lit("w"), idCol, j), lit(30)) + 1).cast("int"))))
+    }
+    spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("_isdup", ui(col("doc_id"), "isdup", 20) === 0)
+      .withColumn("_partner", ui(col("doc_id"), "partner", nDocs))
+      .withColumn("text",
+        when(col("_isdup") && col("_partner") =!= col("doc_id"),
+          concat(baseText(col("_partner")), lit(" dup")))
+          .otherwise(baseText(col("doc_id"))))
+      .withColumn("lang",
+        when(u(col("doc_id"), "lang") < 0.40, "en")
+          .when(u(col("doc_id"), "lang") < 0.55, "zh")
+          .when(u(col("doc_id"), "lang") < 0.70, "es")
+          .when(u(col("doc_id"), "lang") < 0.85, "fr")
+          .otherwise("de"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("_isdup", "_partner")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings -----------------------------------------------------
+    val nVecs = n(20000)
+    spark.range(nVecs).select(col("id").as("vec_id"))
+      .withColumn("_raw", transform(sequence(lit(0), lit(63)), j => {
+        // Box–Muller: two independent uniform streams per (vec, dim)
+        val u1 = (pmod(xxhash64(lit("g1"), col("vec_id"), j), lit(1L << 40))
+          .cast("double") + lit(1.0)) / lit((1L << 40).toDouble)
+        val u2 = pmod(xxhash64(lit("g2"), col("vec_id"), j), lit(1L << 40))
+          .cast("double") / lit((1L << 40).toDouble)
+        sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+      }))
+      .withColumn("_norm", sqrt(aggregate(col("_raw"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("embedding",
+        transform(col("_raw"), x => (x / col("_norm")).cast("double")))
+      .withColumn("label", ui(col("vec_id"), "label", 10).cast("int"))
+      .select("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // customer -------------------------------------------------------
+    val nCust = n(150000)
+    spark.range(nCust).select(col("id").as("c_custkey"))
+      .withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+      .withColumn("c_nationkey", ui(col("c_custkey"), "nat", 25).cast("int"))
+      .withColumn("c_acctbal",
+        round(u(col("c_custkey"), "bal") * 10000.0, 2))
+      .withColumn("c_mktsegment",
+        element_at(array(lit("AUTOMOBILE"), lit("BUILDING"), lit("FURNITURE"),
+          lit("HOUSEHOLD"), lit("MACHINERY")),
+          (ui(col("c_custkey"), "seg", 5) + 1).cast("int")))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    // part -----------------------------------------------------------
+    val nPart = n(200000)
+    val adjs = array(Seq("large", "hot", "blue", "old", "cold", "new",
+      "red", "small").map(lit): _*)
+    val nouns = array(Seq("ring", "bolt", "plate", "gear", "wheel", "pin",
+      "rod", "cap").map(lit): _*)
+    spark.range(nPart).select(col("id").as("p_partkey"))
+      .withColumn("p_name", concat(
+        element_at(adjs, (ui(col("p_partkey"), "adj", 8) + 1).cast("int")),
+        lit(" "),
+        element_at(nouns, (ui(col("p_partkey"), "noun", 8) + 1).cast("int"))))
+      .withColumn("p_brand",
+        concat(lit("Brand#"), ui(col("p_partkey"), "brand", 25)))
+      .withColumn("p_type",
+        concat(lit("TYPE "), ui(col("p_partkey"), "type", 30)))
+      .withColumn("p_size", (ui(col("p_partkey"), "size", 50) + 1).cast("int"))
+      .withColumn("p_retailprice",
+        round(lit(900.0) + u(col("p_partkey"), "rp") * 1200.0, 2))
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    // orders ---------------------------------------------------------
+    val nOrders = n(1500000)
+    val orders = spark.range(nOrders).select(col("id").as("o_orderkey"))
+      .withColumn("o_custkey", ui(col("o_orderkey"), "cust", nCust))
+      .withColumn("o_orderstatus",
+        element_at(array(lit("F"), lit("O"), lit("P")),
+          (ui(col("o_orderkey"), "stat", 3) + 1).cast("int")))
+      .withColumn("o_totalprice",
+        round(u(col("o_orderkey"), "tp") * 400000.0, 2))
+      .withColumn("o_orderdate",
+        date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+          ui(col("o_orderkey"), "od", 2400).cast("int")))
+      .withColumn("o_orderpriority",
+        element_at(array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+          lit("4-NOT SPECIFIED"), lit("5-LOW")),
+          (ui(col("o_orderkey"), "pri", 5) + 1).cast("int")))
+    orders.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // lineitem -------------------------------------------------------
+    val nSupp = n(10000)
+    spark.range(nOrders).select(col("id").as("l_orderkey"))
+      // 1 + U(0,3) + U(0,3): triangular on 1..7, mean 4 (fixture shape)
+      .withColumn("_k", (lit(1) + ui(col("l_orderkey"), "k1", 4)
+        + ui(col("l_orderkey"), "k2", 4)).cast("int"))
+      .select(col("l_orderkey"),
+        explode(sequence(lit(1), col("_k"))).as("l_linenumber"))
+      .withColumn("l_partkey",
+        pmod(xxhash64(lit("pk"), col("l_orderkey"), col("l_linenumber")),
+          lit(nPart)))
+      .withColumn("l_suppkey",
+        pmod(xxhash64(lit("sk"), col("l_orderkey"), col("l_linenumber")),
+          lit(nSupp)))
+      .withColumn("l_quantity",
+        (pmod(xxhash64(lit("q"), col("l_orderkey"), col("l_linenumber")),
+          lit(50)) + 1).cast("double"))
+      .withColumn("l_extendedprice",
+        round(col("l_quantity") * (lit(900.0) +
+          pmod(xxhash64(lit("ep"), col("l_orderkey"), col("l_linenumber")),
+            lit(1200)).cast("double")), 2))
+      .withColumn("l_discount",
+        (pmod(xxhash64(lit("d"), col("l_orderkey"), col("l_linenumber")),
+          lit(11)).cast("double") / 100.0))
+      .withColumn("l_tax",
+        (pmod(xxhash64(lit("t"), col("l_orderkey"), col("l_linenumber")),
+          lit(9)).cast("double") / 100.0))
+      .withColumn("l_returnflag",
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(xxhash64(lit("rf"), col("l_orderkey"), col("l_linenumber")),
+            lit(3)) + 1).cast("int")))
+      .withColumn("l_linestatus",
+        element_at(array(lit("F"), lit("O")),
+          (pmod(xxhash64(lit("ls"), col("l_orderkey"), col("l_linenumber")),
+            lit(2)) + 1).cast("int")))
+      .withColumn("l_shipdate",
+        date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+          pmod(xxhash64(lit("sd"), col("l_orderkey"), col("l_linenumber")),
+            lit(2500)).cast("int")))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    println(s"GENDATA_DONE: $outDir sf=$sf docs=$nDocs vecs=$nVecs " +
+      s"cust=$nCust part=$nPart orders=$nOrders")
+    spark.stop()
+  }
+}
