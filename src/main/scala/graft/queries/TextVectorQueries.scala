@@ -1466,6 +1466,41 @@ object TextVectorQueries {
       .orderBy(col("true_cnt").desc, col("term").asc)
   }
 
+  /** The Count–Min `_batches` ledger read path under the driver's hash
+    * gate — same contract as q_st_hist_ledger on the histogram side:
+    * three deterministic doc_id%3 token micro-batches append into a
+    * fresh countMinAppendBatch relation, batch 2 is REDELIVERED (a
+    * double-count would inflate ~⅓ of every counter and fail the
+    * hash), the relation compacts into a fresh versioned directory,
+    * and the merged (depth, bucket, cnt) counter table reads back off
+    * the COMPACTED relation. Counters are additive, so slice-built ==
+    * direct whole-corpus build exactly; the oracle is the direct build
+    * with the same portable md5 bucket hash. */
+  private val stCmsLedger = QuerySpec(
+    "q_st_cms_ledger",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |dep AS (SELECT unnest(generate_series(0, 3)) AS depth)
+      |SELECT CAST(d.depth AS BIGINT) AS depth,
+      |       ('0x' || substr(md5(CAST(d.depth AS VARCHAR) || '|' || t.term), 1, 15))::BIGINT % 2048 AS bucket,
+      |       COUNT(*) AS cnt
+      |FROM tok t CROSS JOIN dep d GROUP BY 1, 2
+      |ORDER BY depth, bucket""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingOps
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.wsTokens(col("text"))).as("term"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cms_ledger").toString
+    val append = StreamingOps.countMinAppendBatch(path, "term", 4, 2048)
+    (0 to 2).foreach { i =>
+      append(toks.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
+    }
+    append(toks.filter(pmod(col("doc_id"), lit(3)) === 2), 2L) // redelivery
+    val compacted = java.nio.file.Files
+      .createTempDirectory("graft_cms_compact").toString
+    StreamingOps.compactCountMin(s, path, compacted)
+    StreamingOps.readCountMin(s, compacted).orderBy("depth", "bucket")
+  }
+
   /** BPE tokenizer training (operators.Bpe): 12 greedy merges on the
     * corpus word-frequency table. At this toy k the full-recount
     * trainer is the measured-faster path (0.31 vs 0.73 s CPU at
@@ -1540,7 +1575,7 @@ object TextVectorQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, hybridRrf, vocabBpe, textHashvec,
+    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, stCmsLedger, hybridRrf, vocabBpe, textHashvec,
     vocabBpeApply,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
