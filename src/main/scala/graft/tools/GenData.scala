@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * measured wall/CPU/shuffle curve across scales, and the driver's
   * testdata stops at sf0.1.
   *
-  * Generates the six tables the top-CPU query family reads (documents,
-  * embeddings, customer, part, orders, lineitem) with the same
-  * statistical fingerprint as the driver fixtures (measured round 11):
+  * Generates all ten harness tables (documents, embeddings, customer,
+  * part, orders, lineitem, events, supplier, nation, region) with the
+  * same statistical fingerprint as the driver fixtures (measured round
+  * 11), so the ENTIRE registry can bench at generated scales:
   *  - documents: uniform-length 10..100 texts of words drawn uniformly
   *    from the same 30-word vocab; lang 40/15×4; source =
   *    'src'||(doc_id%20); n_chars = len(text). Two near-dup regimes,
@@ -216,8 +217,48 @@ object GenData {
             lit(2500)).cast("int")))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
 
+    // events ---------------------------------------------------------
+    // fixture fingerprint: value ~ Exponential(mean 50) (measured
+    // stddev ≈ mean, median ≈ 50·ln2), ts uniform over 2024-01-01 ..
+    // 2024-01-31, uniform event_type over 5, props = {"k": 0..99},
+    // user_id uniform over 15000·sf users
+    val nEvents = n(1000000)
+    val nUsers = n(15000)
+    spark.range(nEvents).select(col("id").as("event_id"))
+      .withColumn("ts", timestamp_micros(
+        lit(java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .toEpochMilli * 1000L) +
+          (u(col("event_id"), "ts") * lit(30.0 * 86400 * 1e6)).cast("long")))
+      .withColumn("user_id", ui(col("event_id"), "uid", nUsers))
+      .withColumn("event_type",
+        element_at(array(lit("view"), lit("click"), lit("purchase"),
+          lit("signup"), lit("error")),
+          (ui(col("event_id"), "et", 5) + 1).cast("int")))
+      .withColumn("value",
+        -lit(50.0) * log(lit(1.0) - u(col("event_id"), "val")))
+      .withColumn("props",
+        concat(lit("{\"k\": "), ui(col("event_id"), "pk", 100), lit("}")))
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // supplier / nation / region ------------------------------------
+    spark.range(n(10000)).select(col("id").as("s_suppkey"))
+      .withColumn("s_name",
+        concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0")))
+      .withColumn("s_nationkey", ui(col("s_suppkey"), "snat", 25).cast("int"))
+      .withColumn("s_acctbal", round(u(col("s_suppkey"), "sbal") * 10000.0, 2))
+      .write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    spark.range(25).select(col("id").cast("int").as("n_nationkey"))
+      .withColumn("n_name", concat(lit("NATION_"), col("n_nationkey")))
+      .withColumn("n_regionkey", pmod(col("n_nationkey"), lit(5)).cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/nation.parquet")
+    spark.range(5).select(col("id").cast("int").as("r_regionkey"))
+      .withColumn("r_name", element_at(
+        array(lit("AFRICA"), lit("AMERICA"), lit("ASIA"), lit("EUROPE"),
+          lit("MIDDLE EAST")), (col("r_regionkey") + 1).cast("int")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/region.parquet")
+
     println(s"GENDATA_DONE: $outDir sf=$sf docs=$nDocs vecs=$nVecs " +
-      s"cust=$nCust part=$nPart orders=$nOrders")
+      s"cust=$nCust part=$nPart orders=$nOrders events=$nEvents")
     spark.stop()
   }
 }

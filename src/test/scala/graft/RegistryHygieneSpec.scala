@@ -66,9 +66,11 @@ class RegistryHygieneSpec extends AnyFunSuite {
         " = ") // comparison operator, not a table reference
       val fromTargets = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(scannable).map(_.group(1).toLowerCase).toSet
-      // CTE names, with or without a column list: `x AS (`, `walk(a, b) AS (`
-      val ctes = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
-        .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      // CTE names, with or without a column list or a materialization
+      // hint: `x AS (`, `walk(a, b) AS (`, `r1 AS MATERIALIZED (`
+      val ctes =
+        "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*|NOT\\s+MATERIALIZED\\s*)?\\(".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = fromTargets -- known -- ctes --
         Set("unnest", "read_parquet", "generate_series", "range", "values")
       assert(unknown.isEmpty, s"$name references unknown tables: ${unknown.mkString(", ")}")
