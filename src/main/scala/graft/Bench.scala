@@ -153,7 +153,12 @@ object Bench {
       else {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.readAllLines(p).asScala.reverseIterator
-          .find(l => parseMap(l, "queries").size >= 32) // full runs carry 90+ queries
+          .find(l => parseMap(l, "queries").size >= 32 && // full runs carry 90+ queries
+            // ... AND at the SAME SCALE: a full sf0.001 smoke run in this
+            // cwd once became the sf0.1 baseline and flagged the whole
+            // registry as 2-50x "drift" (round 11) — cross-scale ratios
+            // are workload growth, not regression
+            l.contains("\"sf\":\"" + sfDir + "\""))
       }
     } catch { case _: Throwable => None }
     val prev = prevLine.map(parseMap(_, "queries")).getOrElse(Map.empty)
