@@ -246,9 +246,11 @@ object RelationalQueries {
 
   /** J11: interval ANTI join — orders placed OUTSIDE every maintenance
     * window (operators.RangeJoin.antiPointInInterval): the NOC
-    * alarm-suppression / embargo-filter shape. Same binned candidate
-    * generator as J9 (no nested-loop NOT EXISTS), matched ids-only
-    * anti-joined back; the oracle runs the plain NOT EXISTS. */
+    * alarm-suppression / embargo-filter shape. Unlike J9's binned pair
+    * generator, the anti form aggregates intervals into their distinct
+    * covered-day set (bounded by the calendar span, broadcast) and
+    * runs one equi anti join — density-proof at any data volume
+    * (round-11 scaling fix); the oracle runs the plain NOT EXISTS. */
   private val j11anti = QuerySpec(
     "q_j11_anti_range",
     """WITH iv AS (SELECT CAST(l_shipdate AS DATE) AS w_start,
@@ -265,7 +267,7 @@ object RelationalQueries {
     val pts = Tables.orders(s, d)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
     graft.operators.RangeJoin.antiPointInInterval(
-      pts, "o_orderkey", "o_orderdate", iv, "w_start", "w_end", 7)
+      pts, "o_orderdate", iv, "w_start", "w_end")
       .orderBy("o_orderkey")
   }
 

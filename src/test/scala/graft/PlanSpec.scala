@@ -278,13 +278,20 @@ class PlanSpec extends AnyFunSuite {
       "skip-earlier-variants filter missing from the candidate join")
   }
 
-  test("anti range join: binned equi-join + left-anti, no nested-loop NOT EXISTS") {
+  test("anti range join: broadcast covered-day anti join, no nested-loop NOT EXISTS") {
     val p = finalPlan("q_j11_anti_range")
     assert(!p.contains("CartesianProduct"), "cartesian product in plan")
     // the single-row bounds attach is the ONLY nested-loop allowed; the
     // interval side must never BNL against the fact side
     assert(p.contains("LeftAnti"), "suppression must be a left-anti join")
-    assert(p.contains("_bin"), "candidates must come from the bin equi-join")
+    // round-11 shape: the anti form aggregates intervals into the
+    // distinct covered-day set (bounded by the calendar span) and
+    // BROADCASTS it into one equi anti join — no pair expansion, so no
+    // bin column anywhere and the anti join's build side is a broadcast
+    assert(p.contains("_day"), "suppression must probe the covered-day set")
+    assert(!p.contains("_bin"), "anti form must not pair-expand onto bins")
+    assert("BroadcastHashJoin LeftAnti|LeftAnti, BuildRight|BroadcastExchange".r
+      .findFirstIn(p).nonEmpty, "covered-day set must broadcast")
   }
 
   test("profiler: one melt exchange on (column, value); min/max broadcast back") {

@@ -58,7 +58,7 @@ class RangeJoinSpec extends AnyFunSuite {
       .select(col("i").cast("long").as("id"),
         date_add(lit("2024-01-01").cast("date"), col("i")).as("p"),
         concat(lit("x"), col("i")).as("payload"))
-    val out = RangeJoin.antiPointInInterval(points, "id", "p", intervals, "s", "e", 7)
+    val out = RangeJoin.antiPointInInterval(points, "p", intervals, "s", "e")
       .orderBy("id").collect()
     // suppressed: Jan 5-12 inclusive = ids 4..11; survivors keep payload
     assert(out.map(_.getLong(0)).toSeq === ((0 to 3) ++ (12 to 19)).map(_.toLong))
@@ -67,12 +67,22 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.length === 12)
   }
 
+  test("anti form keeps null-dated points, matching NOT EXISTS") {
+    val intervals = Seq(("2024-01-01", "2024-12-31")).toDF("s", "e")
+      .select(col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = Seq((1L, "2024-06-01"), (2L, null), (3L, "2025-06-01"))
+      .toDF("id", "ps").select(col("id"), col("ps").cast("date").as("p"))
+    val out = RangeJoin.antiPointInInterval(points, "p", intervals, "s", "e")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(2L, 3L)) // covered date dropped; null + outside kept
+  }
+
   test("anti form with no intervals is the identity") {
     val intervals = Seq.empty[(java.sql.Date, java.sql.Date)].toDF("s", "e")
     val points = (0 until 5).toDF("i")
       .select(col("i").cast("long").as("id"),
         date_add(lit("2024-01-01").cast("date"), col("i")).as("p"))
-    val out = RangeJoin.antiPointInInterval(points, "id", "p", intervals, "s", "e", 7)
+    val out = RangeJoin.antiPointInInterval(points, "p", intervals, "s", "e")
     assert(out.count() === 5)
   }
 }
