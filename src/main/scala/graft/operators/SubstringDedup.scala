@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact substring-level deduplication — the span-granular member of
+  * the dedup family (N-gram-anchored form of Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better" — public
+  * knowledge; reference README.md:102 "training data preparation").
+  * Document-level dedup ([[Dedup]]) removes whole near-copies; this
+  * operator finds the REGIONS duplicated across (or within) documents
+  * — boilerplate headers, license blocks, quoted passages — so a
+  * cleaning pipeline can cut spans instead of dropping documents.
+  *
+  * Semantics: a position p of a document is MARKED iff the L-token
+  * window starting at p occurs more than once in the corpus (any doc,
+  * including the same one — self-repeats are duplication too). Marked
+  * windows then coalesce per document into maximal spans
+  * ([[Intervals.mergeIntervals]] — strictly-after opens, touching
+  * windows merge). Every duplicated substring of ≥ L tokens is covered
+  * (each of its windows is duplicated); spans shorter than L cannot
+  * trigger (the window never matches). This is the standard practical
+  * criterion: a span is reported when every L-window of it occurs
+  * elsewhere, the window-anchored relaxation of "the span itself
+  * occurs elsewhere" that makes the problem one equi-shuffle instead
+  * of a suffix array.
+  *
+  * Scale shape: the gram digest (md5 of the window's joined tokens) is
+  * computed MAP-SIDE in the scan stage — the exploded rows that reach
+  * the shuffle are narrow (doc, pos, 32-byte digest), never token
+  * arrays. Then: one groupBy(gram) with map-side partial counts for
+  * the >1 filter, one semi-join back (same key, AQE-coalesced), and
+  * the per-DOC window for span merge (no global window). Work is
+  * O(tokens · L) digest bytes map-side and O(positions) through both
+  * exchanges — linear in corpus size at any duplication density.
+  *
+  * Determinism: md5 over the explicit ' '-joined window replays
+  * identically in ANSI SQL (array_to_string + md5), positions are
+  * exact integers, and the island merge is the hash-certified
+  * [[Intervals]] discipline — the full span table hash-oracles.
+  */
+object SubstringDedup {
+
+  /** One row per (doc, maximal duplicated span):
+    * (doc_id, span_start, span_end, span_tokens, n_windows) with
+    * token positions 0-based, end exclusive. `minTokens` = L, the
+    * anchor window length: nothing shorter than L is ever reported,
+    * and window-wise duplication is exact at ≥ L (see class doc). */
+  def duplicatedSpans(
+      df: DataFrame, id: Column, tokens: Column,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "need an anchor window of at least 2 tokens")
+    val L = minTokens
+    // digest map-side: rows past this projection are (doc, pos, md5) —
+    // the token arrays never enter a shuffle
+    val grams = df
+      .select(id.as("_doc"), tokens.as("_toks"))
+      .filter(size(col("_toks")) >= L)
+      .select(col("_doc"), explode(transform(
+        sequence(lit(0), size(col("_toks")) - lit(L)),
+        p => struct(p.as("pos"),
+          md5(concat_ws(" ", slice(col("_toks"), p + 1, lit(L))))
+            .as("gram")))).as("_w"))
+      .select(col("_doc"), col("_w.pos").as("pos"), col("_w.gram").as("gram"))
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+    val marked = grams
+      .join(dup.select("gram"), Seq("gram"), "left_semi")
+      .select(col("_doc").as("doc_id"),
+        col("pos").cast("long").as("_s"),
+        (col("pos") + lit(L)).cast("long").as("_e"))
+    Intervals.mergeIntervals(marked, Seq("doc_id"), "_s", "_e")
+      .select(col("doc_id"),
+        col("w_start").as("span_start"), col("w_end").as("span_end"),
+        (col("w_end") - col("w_start")).as("span_tokens"),
+        col("n_merged").as("n_windows"))
+  }
+
+  /** Per-doc summary over [[duplicatedSpans]]: duplicated-token count
+    * and ratio against the doc's token total — the "what fraction of
+    * this document is boilerplate" number a mixing policy consumes.
+    * Docs with no duplicated span report 0 (left join on the spine). */
+  def duplicationReport(
+      df: DataFrame, id: Column, tokens: Column,
+      minTokens: Int): DataFrame = {
+    val spans = duplicatedSpans(df, id, tokens, minTokens)
+      .groupBy("doc_id")
+      .agg(sum(col("span_tokens")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    df.select(id.as("doc_id"), size(tokens).cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("n_tokens")).as("dup_ratio"))
+  }
+}

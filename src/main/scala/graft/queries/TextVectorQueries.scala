@@ -354,6 +354,45 @@ object TextVectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-level dedup (operators.SubstringDedup, the Lee
+    * et al. 2022 span-granular member of the dedup family): every
+    * maximal region whose 8-token windows all occur more than once
+    * corpus-wide — boilerplate/quotation spans a cleaner cuts without
+    * dropping documents. The corpus's planted partner-copies make both
+    * sides of each pair report their shared region. Digests are
+    * md5-of-joined-window on both engines, positions exact integers,
+    * island merge the Intervals discipline — the whole span table
+    * hash-oracles. */
+  private val dedupSubstring = QuerySpec(
+    "q_dedup_substring",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |px AS (SELECT doc_id, toks,
+      |         unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      |       FROM t),
+      |g AS (SELECT doc_id, pos,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS gram
+      |      FROM px),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |m AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 8 AS BIGINT) AS e
+      |      FROM g JOIN d USING (gram)),
+      |i AS (SELECT doc_id, s, e,
+      |        CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS opens
+      |      FROM m),
+      |j AS (SELECT doc_id, s, e,
+      |        SUM(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |      FROM i)
+      |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+      |       MAX(e) - MIN(s) AS span_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM j GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    graft.operators.SubstringDedup.duplicatedSpans(
+      Tables.documents(s, d), col("doc_id"),
+      TextAnalysis.wsTokens(col("text")), minTokens = 8)
+      .orderBy("doc_id", "span_start")
+  }
+
   private val dedupNgram = QuerySpec(
     "q_dedup_ngram_jaccard",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1582,7 +1621,7 @@ object TextVectorQueries {
     corpusMix, textRedact,
     textChunksCdc, textFamiliarity, textPerplexity, textLineDedup, textHeavyHitters,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
-    dedupNgram, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupNgram, dedupSubstring, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained, simRecallReport, simJlProject)
 }
