@@ -46,15 +46,11 @@ object SubstringDedup {
     * token positions 0-based, end exclusive. `minTokens` = L, the
     * anchor window length: nothing shorter than L is ever reported,
     * and window-wise duplication is exact at ≥ L (see class doc). */
-  def duplicatedSpans(
-      df: DataFrame, id: Column, tokens: Column,
-      minTokens: Int): DataFrame = {
-    require(minTokens >= 2, "need an anchor window of at least 2 tokens")
-    val L = minTokens
-    // digest map-side: rows past this projection are (doc, pos, md5) —
-    // the token arrays never enter a shuffle
-    val grams = df
-      .select(id.as("_doc"), tokens.as("_toks"))
+  /** (doc, pos, gram-digest) rows, digest computed MAP-SIDE so the
+    * token arrays never enter a shuffle. */
+  private def gramPositions(
+      df: DataFrame, id: Column, tokens: Column, L: Int): DataFrame =
+    df.select(id.as("_doc"), tokens.as("_toks"))
       .filter(size(col("_toks")) >= L)
       .select(col("_doc"), explode(transform(
         sequence(lit(0), size(col("_toks")) - lit(L)),
@@ -62,18 +58,48 @@ object SubstringDedup {
           md5(concat_ws(" ", slice(col("_toks"), p + 1, lit(L))))
             .as("gram")))).as("_w"))
       .select(col("_doc"), col("_w.pos").as("pos"), col("_w.gram").as("gram"))
-    val dup = grams.groupBy("gram")
-      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
-    val marked = grams
-      .join(dup.select("gram"), Seq("gram"), "left_semi")
-      .select(col("_doc").as("doc_id"),
+
+  /** Coalesce marked windows [pos, pos+L) into maximal per-doc spans. */
+  private def toSpans(marked: DataFrame, L: Int): DataFrame =
+    Intervals.mergeIntervals(
+      marked.select(col("_doc").as("doc_id"),
         col("pos").cast("long").as("_s"),
-        (col("pos") + lit(L)).cast("long").as("_e"))
-    Intervals.mergeIntervals(marked, Seq("doc_id"), "_s", "_e")
+        (col("pos") + lit(L)).cast("long").as("_e")),
+      Seq("doc_id"), "_s", "_e")
       .select(col("doc_id"),
         col("w_start").as("span_start"), col("w_end").as("span_end"),
         (col("w_end") - col("w_start")).as("span_tokens"),
         col("n_merged").as("n_windows"))
+
+  def duplicatedSpans(
+      df: DataFrame, id: Column, tokens: Column,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "need an anchor window of at least 2 tokens")
+    val grams = gramPositions(df, id, tokens, minTokens)
+    val dup = grams.groupBy("gram")
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+    toSpans(grams.join(dup.select("gram"), Seq("gram"), "left_semi"),
+      minTokens)
+  }
+
+  /** Cross-corpus contamination SPANS — the GPT-3-style n-gram
+    * decontamination criterion at span granularity: regions of
+    * `corpus` documents every L-window of which also occurs in the
+    * `bench` set (the spans to CUT, where the doc-level
+    * [[TextAnalysis.contamination]] only counts shared shingles).
+    * Same machinery as [[duplicatedSpans]] with the mark condition
+    * "gram ∈ bench grams" instead of "gram count > 1": one distinct
+    * over bench digests, one semi-join, the per-doc island merge —
+    * O(corpus positions + bench positions) through narrow shuffles. */
+  def crossSpans(
+      corpus: DataFrame, idC: Column, tokensC: Column,
+      bench: DataFrame, idB: Column, tokensB: Column,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "need an anchor window of at least 2 tokens")
+    val cg = gramPositions(corpus, idC, tokensC, minTokens)
+    val bg = gramPositions(bench, idB, tokensB, minTokens)
+      .select("gram").distinct()
+    toSpans(cg.join(bg, Seq("gram"), "left_semi"), minTokens)
   }
 
   /** Per-doc summary over [[duplicatedSpans]]: duplicated-token count

@@ -393,6 +393,46 @@ object TextVectorQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Cross-corpus contamination spans (operators.SubstringDedup
+    * .crossSpans): the GPT-3-style n-gram decontamination criterion at
+    * SPAN granularity — regions of non-src0 corpus docs whose every
+    * 8-token window also occurs in the src0 benchmark slice, i.e. the
+    * text to cut rather than the doc to drop. Complements
+    * q_contamination (doc-level shared-shingle counts) and
+    * q_contamination_fuzzy (near-dup docs). */
+  private val contaminationSpans = QuerySpec(
+    "q_contamination_spans",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      |px AS (SELECT doc_id, source, toks,
+      |         unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      |       FROM t),
+      |g AS (SELECT doc_id, source, pos,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS gram
+      |      FROM px),
+      |bg AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+      |m AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 8 AS BIGINT) AS e
+      |      FROM g JOIN bg USING (gram) WHERE g.source <> 'src0'),
+      |i AS (SELECT doc_id, s, e,
+      |        CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS opens
+      |      FROM m),
+      |j AS (SELECT doc_id, s, e,
+      |        SUM(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |      FROM i)
+      |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+      |       MAX(e) - MIN(s) AS span_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM j GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.operators.SubstringDedup.crossSpans(
+      docs.filter(col("source") =!= "src0"), col("doc_id"),
+      TextAnalysis.wsTokens(col("text")),
+      docs.filter(col("source") === "src0"), col("doc_id"),
+      TextAnalysis.wsTokens(col("text")), minTokens = 8)
+      .orderBy("doc_id", "span_start")
+  }
+
   private val dedupNgram = QuerySpec(
     "q_dedup_ngram_jaccard",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1618,6 +1658,7 @@ object TextVectorQueries {
     vocabBpeApply,
     tokenize, quality, langid, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
+    contaminationSpans,
     corpusMix, textRedact,
     textChunksCdc, textFamiliarity, textPerplexity, textLineDedup, textHeavyHitters,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,

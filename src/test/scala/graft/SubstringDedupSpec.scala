@@ -83,6 +83,23 @@ class SubstringDedupSpec extends AnyFunSuite {
       .collect().toSet === ref(docs))
   }
 
+  test("cross spans mark only corpus regions present in the bench side") {
+    val bench = Seq(10L -> "the quick brown fox jumps over lazy dogs")
+    val corpus = Seq(
+      1L -> "intro words the quick brown fox jumps over lazy dogs outro",
+      2L -> "no overlap with anything benchy in this doc at all",
+      // corpus-only duplication must NOT mark (cross, not self, criterion)
+      3L -> "repeat me now ok repeat me now ok",
+      4L -> "repeat me now ok repeat me now ok")
+    val got = SubstringDedup.crossSpans(
+        corpus.toDF("id", "text"), col("id"), split(col("text"), " "),
+        bench.toDF("id", "text"), col("id"), split(col("text"), " "), L)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect().toSet
+    // doc 1: the 8 shared tokens sit at positions 2..10
+    assert(got === Set((1L, 2L, 10L)))
+  }
+
   test("duplication report: ratios per doc, zero rows for clean docs") {
     val docs = Seq(
       1L -> "p q r s t u v w",
