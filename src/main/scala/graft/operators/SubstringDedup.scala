@@ -102,6 +102,39 @@ object SubstringDedup {
     toSpans(cg.join(bg, Seq("gram"), "left_semi"), minTokens)
   }
 
+  /** Apply a span table (from [[duplicatedSpans]] or [[crossSpans]])
+    * to the documents: tokens inside any span are CUT and the
+    * remainder re-joined — the "remove the boilerplate, keep the doc"
+    * transform a cleaning pipeline actually ships. Docs without spans
+    * pass through untouched (left join); a fully-covered doc yields an
+    * empty clean_text, not a dropped row — the caller's min-length
+    * filter decides its fate downstream.
+    *
+    * Shape: spans collapse to one array per doc (bounded by doc
+    * length), one equi join, then a pure per-row HOF projection —
+    * O(doc tokens × its spans) with no further shuffle. */
+  def cutSpans(
+      df: DataFrame, id: Column, tokens: Column,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy("doc_id").agg(
+      collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("_spans"))
+    df.select(id.as("doc_id"), tokens.as("_toks"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("_kept", filter(
+        transform(col("_toks"), (t, i) => struct(i.cast("long").as("p"), t.as("t"))),
+        x => coalesce(
+          !exists(col("_spans"),
+            s => x.getField("p") >= s.getField("s") &&
+              x.getField("p") < s.getField("e")),
+          lit(true))))
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("_kept"), x => x.getField("t")))
+          .as("clean_text"))
+  }
+
   /** Per-doc summary over [[duplicatedSpans]]: duplicated-token count
     * and ratio against the doc's token total — the "what fraction of
     * this document is boilerplate" number a mixing policy consumes.

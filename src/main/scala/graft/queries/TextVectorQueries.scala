@@ -433,6 +433,44 @@ object TextVectorQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** End-to-end span-cut cleaning (operators.SubstringDedup.cutSpans
+    * over duplicatedSpans): every doc with its duplicated ≥8-token
+    * regions REMOVED and the remainder re-joined — the transform a
+    * cleaning pipeline ships, certified per-token: the oracle re-derives
+    * the covered positions and string-aggregates the survivors in
+    * order, so clean_text must match character-for-character. */
+  private val corpusCutSpans = QuerySpec(
+    "q_corpus_cut_spans",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |px AS (SELECT doc_id, toks,
+      |         unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      |       FROM t),
+      |g AS (SELECT doc_id, pos,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS gram
+      |      FROM px),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p FROM m),
+      |tp AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM t),
+      |tk AS (SELECT doc_id, p, toks[p + 1] AS tok FROM tp),
+      |keep AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk ANTI JOIN cov USING (doc_id, p)),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |               string_agg(tok, ' ' ORDER BY p) AS clean_text
+      |        FROM keep GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |       CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |       COALESCE(a.clean_text, '') AS clean_text
+      |FROM t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.SubstringDedup
+    val docs = Tables.documents(s, d)
+    SubstringDedup.cutSpans(docs, col("doc_id"),
+      TextAnalysis.wsTokens(col("text")),
+      SubstringDedup.duplicatedSpans(docs, col("doc_id"),
+        TextAnalysis.wsTokens(col("text")), minTokens = 8))
+      .orderBy("doc_id")
+  }
+
   private val dedupNgram = QuerySpec(
     "q_dedup_ngram_jaccard",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1662,7 +1700,7 @@ object TextVectorQueries {
     corpusMix, textRedact,
     textChunksCdc, textFamiliarity, textPerplexity, textLineDedup, textHeavyHitters,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
-    dedupNgram, dedupSubstring, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupNgram, dedupSubstring, corpusCutSpans, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained, simRecallReport, simJlProject)
 }

@@ -100,6 +100,21 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got === Set((1L, 2L, 10L)))
   }
 
+  test("cutSpans removes exactly the span tokens; spanless and fully-covered docs handled") {
+    val docs = Seq(
+      1L -> "keep1 keep2 a b c d cut cut keep3",
+      2L -> "untouched doc with no spans at all",
+      3L -> "x x x x")
+    val spans = Seq((1L, 6L, 8L), (3L, 0L, 4L))
+      .toDF("doc_id", "span_start", "span_end")
+    val got = SubstringDedup.cutSpans(
+        docs.toDF("id", "text"), col("id"), split(col("text"), " "), spans)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 9L, 2L, "keep1 keep2 a b c d keep3")))
+    assert(got(2L) === ((2L, 7L, 0L, "untouched doc with no spans at all")))
+    assert(got(3L) === ((3L, 4L, 4L, "")))
+  }
+
   test("duplication report: ratios per doc, zero rows for clean docs") {
     val docs = Seq(
       1L -> "p q r s t u v w",
