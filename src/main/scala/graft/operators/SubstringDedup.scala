@@ -82,6 +82,34 @@ object SubstringDedup {
       minTokens)
   }
 
+  /** Additive per-corpus gram-occurrence counts (gram, cnt) — the
+    * mergeable state behind INCREMENTAL substring dedup: per-batch
+    * counts simply SUM (the histogram/CMS ledger discipline), so a new
+    * crawl batch dedups against everything ever seen by merging counter
+    * batches instead of rescanning history. Exact counts, not a
+    * sketch: the digest already compressed the window, and the >1 mark
+    * needs no tolerance story. */
+  def gramCounts(
+      df: DataFrame, id: Column, tokens: Column, minTokens: Int): DataFrame =
+    gramPositions(df, id, tokens, minTokens)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+
+  /** Duplicated spans of `df` judged against an EXTERNAL gram-count
+    * state (e.g. the merged read-out of a [[gramCounts]] ledger that
+    * already includes this batch): positions whose gram has total
+    * count > 1 are marked, then windows coalesce per doc. With state =
+    * the whole corpus's counts this returns exactly
+    * [[duplicatedSpans]] restricted to `df`'s docs — the incremental
+    * path is equivalence-testable against the batch one. */
+  def spansAgainstCounts(
+      df: DataFrame, id: Column, tokens: Column,
+      counts: DataFrame, minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "need an anchor window of at least 2 tokens")
+    val dup = counts.filter(col("cnt") > 1).select("gram")
+    toSpans(gramPositions(df, id, tokens, minTokens)
+      .join(dup, Seq("gram"), "left_semi"), minTokens)
+  }
+
   /** Cross-corpus contamination SPANS — the GPT-3-style n-gram
     * decontamination criterion at span granularity: regions of
     * `corpus` documents every L-window of which also occurs in the

@@ -471,6 +471,58 @@ object TextVectorQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental substring dedup through the gram-count LEDGER
+    * (StreamingOps.gramCountAppendBatch / readGramCounts +
+    * SubstringDedup.spansAgainstCounts): three doc_id%3 micro-batches
+    * append their exact gram counts (batch 0 redelivered — the
+    * at-least-once no-op), then batch 1's documents mark their
+    * duplicated spans against the MERGED whole-history counts with no
+    * rescan. The oracle is the whole-corpus span computation
+    * restricted to batch 1's docs — hash equality certifies the
+    * incremental path ≡ the batch path, plus append/redelivery/merge
+    * under the driver's gate (third ledger family after histogram and
+    * CMS). */
+  private val stSubstringLedger = QuerySpec(
+    "q_st_substring_ledger",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |px AS (SELECT doc_id, toks,
+      |         unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      |       FROM t),
+      |g AS (SELECT doc_id, pos,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS gram
+      |      FROM px),
+      |d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+      |m AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 8 AS BIGINT) AS e
+      |      FROM g JOIN d USING (gram) WHERE g.doc_id % 3 = 1),
+      |i AS (SELECT doc_id, s, e,
+      |        CASE WHEN s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS opens
+      |      FROM m),
+      |j AS (SELECT doc_id, s, e,
+      |        SUM(opens) OVER (PARTITION BY doc_id ORDER BY s, e
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |      FROM i)
+      |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+      |       MAX(e) - MIN(s) AS span_tokens, CAST(COUNT(*) AS BIGINT) AS n_windows
+      |FROM j GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingOps
+    import graft.operators.SubstringDedup
+    val docs = Tables.documents(s, d)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_gram_ledger").toString
+    val append = StreamingOps.gramCountAppendBatch(path, "doc_id", "text", 8)
+    (0 to 2).foreach { i =>
+      append(docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
+    }
+    append(docs.filter(pmod(col("doc_id"), lit(3)) === 0), 0L) // redelivery
+    SubstringDedup.spansAgainstCounts(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1),
+      col("doc_id"), TextAnalysis.wsTokens(col("text")),
+      StreamingOps.readGramCounts(s, path), minTokens = 8)
+      .orderBy("doc_id", "span_start")
+  }
+
   private val dedupNgram = QuerySpec(
     "q_dedup_ngram_jaccard",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1700,7 +1752,7 @@ object TextVectorQueries {
     corpusMix, textRedact,
     textChunksCdc, textFamiliarity, textPerplexity, textLineDedup, textHeavyHitters,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
-    dedupNgram, dedupSubstring, corpusCutSpans, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupNgram, dedupSubstring, corpusCutSpans, stSubstringLedger, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained, simRecallReport, simJlProject)
 }

@@ -343,6 +343,44 @@ object StreamingOps {
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     graft.operators.CountMin.merge(spark.read.parquet(s"$path/counters"))
 
+  /** Streaming fold for INCREMENTAL substring dedup (the N86 family's
+    * ledger path): each micro-batch appends its exact L-token-window
+    * gram counts (SubstringDedup.gramCounts — additive, so the merged
+    * read-out is the whole-history count table), under the same
+    * `_batches` redelivery ledger + batch-keyed overwrite contract as
+    * the histogram/CMS folds. A new crawl batch then marks its
+    * duplicated spans against everything ever ingested
+    * (SubstringDedup.spansAgainstCounts) with NO rescan of history —
+    * and with state = all batches the result provably equals the batch
+    * computation restricted to the new docs (q_st_substring_ledger
+    * hash-certifies exactly that identity). */
+  def gramCountAppendBatch(
+      path: String, id: String, text: String, minTokens: Int):
+      (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val ledgerPath = s"$path/_batches"
+    val applied =
+      try spark.read.parquet(ledgerPath)
+        .filter(col("batch_id") === batchId).head(1).nonEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!applied && !batch.isEmpty) {
+      requireBatchDirLayout(spark, s"$path/grams")
+      graft.operators.SubstringDedup
+        .gramCounts(batch, col(id),
+          graft.operators.TextAnalysis.wsTokens(col(text)), minTokens)
+        .write.mode("overwrite").parquet(s"$path/grams/batch_id=$batchId")
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerPath)
+    }
+  }
+
+  /** Merged whole-history gram counts of a [[gramCountAppendBatch]]
+    * relation — feed straight into SubstringDedup.spansAgainstCounts. */
+  def readGramCounts(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/grams")
+      .groupBy("gram").agg(sum(col("cnt")).as("cnt"))
+
   /** Compact an appended sketch relation into a fresh versioned
     * directory (the Dedup.compactMinHashRelation convention: never
     * overwrite the live relation) — after many appended micro-batches
