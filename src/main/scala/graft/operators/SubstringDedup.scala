@@ -130,6 +130,30 @@ object SubstringDedup {
     toSpans(cg.join(bg, Seq("gram"), "left_semi"), minTokens)
   }
 
+  /** Per-doc NOVELTY of a batch against a history gram state (the
+    * merged read-out of a [[gramCounts]] ledger that does NOT yet
+    * include this batch): what fraction of each doc's L-windows was
+    * never seen before — the "is this crawl adding anything" signal an
+    * ingest pipeline reads per batch before paying to keep it.
+    * Returns (doc_id, n_windows, novel_windows, novelty) for every doc
+    * with ≥ L tokens; the ratio divides two per-doc integers, so it is
+    * bit-exact cross-engine. One narrow equi join against the distinct
+    * history digests, one map-side-combinable groupBy — O(batch
+    * positions) regardless of history size. */
+  def noveltyReport(
+      df: DataFrame, id: Column, tokens: Column,
+      history: DataFrame, minTokens: Int): DataFrame = {
+    require(minTokens >= 2, "need an anchor window of at least 2 tokens")
+    val seen = history.select("gram").distinct().withColumn("_seen", lit(1))
+    gramPositions(df, id, tokens, minTokens)
+      .join(seen, Seq("gram"), "left")
+      .groupBy(col("_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("novel_windows"))
+      .withColumn("novelty",
+        col("novel_windows").cast("double") / col("n_windows").cast("double"))
+  }
+
   /** Apply a span table (from [[duplicatedSpans]] or [[crossSpans]])
     * to the documents: tokens inside any span are CUT and the
     * remainder re-joined — the "remove the boilerplate, keep the doc"

@@ -523,6 +523,46 @@ object TextVectorQueries {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Batch novelty against ingest history (SubstringDedup
+    * .noveltyReport over the gram-count ledger): batches 0 and 1
+    * append, then batch 2's docs score what fraction of their 8-token
+    * windows history has never seen — the keep-or-skip signal an
+    * ingest pipeline reads per crawl batch. The ratio divides two
+    * per-doc integers (bit-exact); planted partner-copies whose
+    * partner landed in an earlier batch surface as low-novelty docs. */
+  private val stCorpusNovelty = QuerySpec(
+    "q_st_corpus_novelty",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |px AS (SELECT doc_id, toks,
+      |         unnest(range(0, greatest(len(toks) - 7, 0))) AS pos
+      |       FROM t),
+      |g AS (SELECT doc_id, pos,
+      |        md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS gram
+      |      FROM px),
+      |hist AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 <> 2),
+      |b AS (SELECT g.doc_id, g.gram, h.gram IS NOT NULL AS seen
+      |      FROM g LEFT JOIN hist h USING (gram) WHERE g.doc_id % 3 = 2)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS novel_windows,
+      |       CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS DOUBLE)
+      |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingOps
+    import graft.operators.SubstringDedup
+    val docs = Tables.documents(s, d)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_novelty_ledger").toString
+    val append = StreamingOps.gramCountAppendBatch(path, "doc_id", "text", 8)
+    (0 to 1).foreach { i =>
+      append(docs.filter(pmod(col("doc_id"), lit(3)) === i), i.toLong)
+    }
+    SubstringDedup.noveltyReport(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+      col("doc_id"), TextAnalysis.wsTokens(col("text")),
+      StreamingOps.readGramCounts(s, path), minTokens = 8)
+      .orderBy("doc_id")
+  }
+
   private val dedupNgram = QuerySpec(
     "q_dedup_ngram_jaccard",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1752,7 +1792,8 @@ object TextVectorQueries {
     corpusMix, textRedact,
     textChunksCdc, textFamiliarity, textPerplexity, textLineDedup, textHeavyHitters,
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
-    dedupNgram, dedupSubstring, corpusCutSpans, stSubstringLedger, dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupNgram, dedupSubstring, corpusCutSpans, stSubstringLedger, stCorpusNovelty,
+    dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained, simRecallReport, simJlProject)
 }

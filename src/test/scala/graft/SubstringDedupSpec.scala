@@ -115,6 +115,22 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 4L, 4L, "")))
   }
 
+  test("novelty report scores batch windows against history grams") {
+    val history = Seq(1L -> "a b c d e f g h")
+    val batch = Seq(
+      10L -> "a b c d e f g h",        // full copy of history: novelty 0
+      11L -> "q r s t u v w x y z",    // nothing shared: novelty 1
+      12L -> "a b c d x y z w q")      // window 0 seen (a b c d), rest novel
+    val hist = SubstringDedup.gramCounts(
+      history.toDF("id", "text"), col("id"), split(col("text"), " "), L)
+    val got = SubstringDedup.noveltyReport(
+        batch.toDF("id", "text"), col("id"), split(col("text"), " "), hist, L)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(10L) === ((10L, 5L, 0L, 0.0)))
+    assert(got(11L) === ((11L, 7L, 7L, 1.0)))
+    assert(got(12L)._2 === 6L && got(12L)._3 === 5L)
+  }
+
   test("duplication report: ratios per doc, zero rows for clean docs") {
     val docs = Seq(
       1L -> "p q r s t u v w",
