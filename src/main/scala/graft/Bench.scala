@@ -230,7 +230,9 @@ object Bench {
     // "parsed": null for ten rounds. Drop to ERROR, stop, THEN print the
     // sentinel + compact line as this process's very last stdout.
     spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
+    // best-effort: a shutdown exception must never suppress the one
+    // line the driver parses
+    try spark.stop() catch { case _: Throwable => () }
     // the sentinel + bench_json path refer to the FULL-run artifact;
     // ONLY-restricted profiling runs don't write it, so don't advertise
     if (only.isEmpty) println(s"BENCH_JSON: $benchJsonPath")

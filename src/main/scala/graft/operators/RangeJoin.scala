@@ -95,6 +95,14 @@ object RangeJoin {
       min(col(pointCol)).as("_pmin"), max(col(pointCol)).as("_pmax"))
     val covered = intervals
       .crossJoin(broadcast(bounds))
+      // If the points side is empty or all point dates are NULL, the
+      // bounds row is (NULL, NULL) and greatest/least would SKIP the
+      // null clamp — each open-ended (9999-12-31 sentinel) interval
+      // would explode into a multi-million-day sequence feeding an
+      // anti join that keeps everything anyway. Guard: no bounds → no
+      // covered days → points pass through unchanged (correct: a null
+      // point date never matches, and there is nothing to subtract).
+      .filter(col("_pmin").isNotNull && col("_pmax").isNotNull)
       .withColumn("_cs", greatest(col(startCol), col("_pmin")))
       .withColumn("_ce", least(col(endCol), col("_pmax")))
       .filter(col("_cs") <= col("_ce"))

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * ([[Intervals.mergeIntervals]] — strictly-after opens, touching
   * windows merge). Every duplicated substring of ≥ L tokens is covered
   * (each of its windows is duplicated); spans shorter than L cannot
-  * trigger (the window never matches). This is the standard practical
-  * criterion: a span is reported when every L-window of it occurs
-  * elsewhere, the window-anchored relaxation of "the span itself
-  * occurs elsewhere" that makes the problem one equi-shuffle instead
-  * of a suffix array.
+  * trigger (the window never matches). Reported spans are the per-doc
+  * UNION of duplicated L-windows, with touching windows coalescing —
+  * so a merged span may contain interior L-windows that are not
+  * themselves duplicated (two marked windows ≤ L apart bridge across
+  * unmarked straddle windows). That union-of-windows criterion is the
+  * window-anchored relaxation of "the span itself occurs elsewhere"
+  * that makes the problem one equi-shuffle instead of a suffix array.
   *
   * Scale shape: the gram digest (md5 of the window's joined tokens) is
   * computed MAP-SIDE in the scan stage — the exploded rows that reach
@@ -41,11 +43,6 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** One row per (doc, maximal duplicated span):
-    * (doc_id, span_start, span_end, span_tokens, n_windows) with
-    * token positions 0-based, end exclusive. `minTokens` = L, the
-    * anchor window length: nothing shorter than L is ever reported,
-    * and window-wise duplication is exact at ≥ L (see class doc). */
   /** (doc, pos, gram-digest) rows, digest computed MAP-SIDE so the
     * token arrays never enter a shuffle. */
   private def gramPositions(
@@ -71,6 +68,11 @@ object SubstringDedup {
         (col("w_end") - col("w_start")).as("span_tokens"),
         col("n_merged").as("n_windows"))
 
+  /** One row per (doc, maximal duplicated span):
+    * (doc_id, span_start, span_end, span_tokens, n_windows) with
+    * token positions 0-based, end exclusive. `minTokens` = L, the
+    * anchor window length: nothing shorter than L is ever reported,
+    * and window-wise duplication is exact at ≥ L (see class doc). */
   def duplicatedSpans(
       df: DataFrame, id: Column, tokens: Column,
       minTokens: Int): DataFrame = {

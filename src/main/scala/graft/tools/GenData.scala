@@ -87,9 +87,22 @@ object GenData {
         j => element_at(vocabCol,
           (pmod(xxhash64(lit("w"), idCol, j), lit(30)) + 1).cast("int"))))
     }
+    // Partner must not itself be a dup doc (a dup partner's STORED
+    // text is its own partner's text + " dup", so the plant would
+    // duplicate no stored document). Pure-function fix: try three
+    // independent candidate streams, take the first non-dup; the
+    // all-three-dup fallback leaves ~0.05^3 of plants (≈6e-6 of the
+    // corpus) short, noted here. Because the doc itself IS a dup,
+    // any non-dup candidate is automatically ≠ doc_id.
+    def isDupId(idCol: Column): Column = ui(idCol, "isdup", 20) === 0
+    def cand(tag: String): Column = ui(col("doc_id"), tag, nDocs)
     spark.range(nDocs).select(col("id").as("doc_id"))
-      .withColumn("_isdup", ui(col("doc_id"), "isdup", 20) === 0)
-      .withColumn("_partner", ui(col("doc_id"), "partner", nDocs))
+      .withColumn("_isdup", isDupId(col("doc_id")))
+      .withColumn("_partner",
+        when(!isDupId(cand("partner")), cand("partner"))
+          .when(!isDupId(cand("partnerB")), cand("partnerB"))
+          .when(!isDupId(cand("partnerC")), cand("partnerC"))
+          .otherwise(cand("partner")))
       .withColumn("text",
         when(col("_isdup") && col("_partner") =!= col("doc_id"),
           concat(baseText(col("_partner")), lit(" dup")))

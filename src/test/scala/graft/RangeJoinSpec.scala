@@ -85,4 +85,27 @@ class RangeJoinSpec extends AnyFunSuite {
     val out = RangeJoin.antiPointInInterval(points, "p", intervals, "s", "e")
     assert(out.count() === 5)
   }
+
+  test("anti form with all-null point dates does not explode SCD sentinels") {
+    // With no non-null point date the bounds row is (NULL, NULL); the
+    // null-bounds guard must keep the open-ended 9999-12-31 interval
+    // from generating a ~2.9M-day sequence, and all points survive.
+    val intervals = Seq(("2024-01-01", "9999-12-31")).toDF("s", "e")
+      .select(col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = Seq((1L, null: String), (2L, null: String)).toDF("id", "ps")
+      .select(col("id"), col("ps").cast("date").as("p"))
+    val t0 = System.nanoTime()
+    val out = RangeJoin.antiPointInInterval(points, "p", intervals, "s", "e")
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(1L, 2L))
+    assert((System.nanoTime() - t0) < 30e9, "sentinel interval exploded")
+  }
+
+  test("anti form with empty points side returns empty, fast") {
+    val intervals = Seq(("2024-01-01", "9999-12-31")).toDF("s", "e")
+      .select(col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val points = Seq.empty[(Long, java.sql.Date)].toDF("id", "p")
+    assert(RangeJoin.antiPointInInterval(points, "p", intervals, "s", "e")
+      .count() === 0)
+  }
 }
