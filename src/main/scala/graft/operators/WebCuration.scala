@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Host/domain-level web-corpus curation — the C4/RefinedWeb-style
+  * cleaning steps a 100 TB crawl pipeline runs before any text-level
+  * dedup (reference README.md:102 "training data preparation"; the
+  * steps themselves are public knowledge from Raffel et al. 2020 (C4)
+  * and Penedo et al. 2023 (RefinedWeb)): URL canonicalization, host /
+  * registrable-domain extraction, per-domain quota capping (so no
+  * single site dominates the corpus), host blocklist removal, and the
+  * per-domain composition report that drives mixing decisions.
+  *
+  * Scale shape: normalization/extraction are PURE PROJECTIONS built
+  * from codegen'd builtins (regexp + array HOFs — no UDF, no shuffle).
+  * The quota cap is a salted exact top-k per host — two bounded
+  * windows instead of one per-host sort, so a hot host (billions of
+  * pages on one domain is the NORM in web crawls) spreads over
+  * `salts` tasks in the first pass and the second pass sees ≤
+  * quota·salts rows per host. Blocklists broadcast (they are
+  * host-cardinality, not page-cardinality). The composition report is
+  * one map-side-combining groupBy.
+  *
+  * URL grammar handled: scheme://host[:port][/path][?query][#fragment]
+  * (the crawl-relevant subset — no userinfo, no relative refs).
+  * Canonical form: lowercase scheme + host, `www.` prefix dropped,
+  * default ports (http:80, https:443) dropped, fragment dropped,
+  * tracking params (utm_*, gclid, fbclid, ref) dropped, remaining
+  * query params sorted bytewise, trailing slashes stripped from the
+  * path (so `https://h/` ≡ `https://h`). Deterministic, so the full
+  * normalized column hash-oracles.
+  */
+object WebCuration {
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostRe   = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+  private val portRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+  private val pathRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val queryRe  = "\\?([^#]*)"
+
+  /** Lowercased scheme ("" when the value is not URL-shaped). */
+  def schemeOf(url: Column): Column = lower(regexp_extract(url, schemeRe, 1))
+
+  /** Lowercased host with any leading `www.` stripped. */
+  def hostOf(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, hostRe, 1)), "^www\\.", "")
+
+  /** Registrable domain by the last-two-labels heuristic (no public
+    * suffix list ships here, so `a.b.co.uk` yields `co.uk` — the
+    * documented approximation; swap in a PSL lookup table via a
+    * broadcast join when one is available). Single-label hosts
+    * (`localhost`) pass through unchanged. */
+  def domainOf(host: Column): Column = {
+    val labels = split(host, "\\.")
+    when(size(labels) <= 2, host)
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
+  /** Canonical URL string (see class doc for the exact rules). Rows
+    * that do not parse as scheme://host... normalize to NULL — the
+    * caller decides whether unparseable means drop or keep-raw. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val host = hostOf(url)
+    val port = regexp_extract(url, portRe, 1)
+    val path = regexp_extract(url, pathRe, 1)
+    val query = regexp_extract(url, queryRe, 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val cleanPath = regexp_replace(path, "/+$", "")
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)")))
+    val cleanQuery = array_join(keptParams, "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        cleanPath,
+        when(cleanQuery =!= "", concat(lit("?"), cleanQuery))
+          .otherwise(lit(""))))
+  }
+
+  /** Exact top-`k` rows per group by ascending `priority` (ties broken
+    * by `tiebreak`, which must be unique within a group for a
+    * deterministic result) — computed SKEW-SAFE: a first ROW_NUMBER
+    * over (group, salt) keeps ≤ k per salt (the global top-k of a
+    * group is a subset of the union of its per-salt top-k's), so the
+    * second, exact window sees ≤ k·salts rows per group no matter how
+    * many billions of rows the hottest group has. */
+  def topKPerGroup(df: DataFrame, group: Column, priority: Column,
+      tiebreak: Column, k: Int, salts: Int = 16): DataFrame = {
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    val salted = df
+      .withColumn("_grp", group).withColumn("_prio", priority)
+      .withColumn("_tie", tiebreak)
+      .withColumn("_salt", pmod(xxhash64(lit("quota"), tiebreak), lit(salts)))
+    val pre = salted
+      .withColumn("_rn1", row_number().over(Window
+        .partitionBy(col("_grp"), col("_salt"))
+        .orderBy(col("_prio"), col("_tie"))))
+      .filter(col("_rn1") <= k).drop("_rn1", "_salt")
+    pre
+      .withColumn("keep_rank", row_number().over(Window
+        .partitionBy(col("_grp")).orderBy(col("_prio"), col("_tie"))))
+      .filter(col("keep_rank") <= k)
+      .drop("_grp", "_prio", "_tie")
+  }
+
+  /** Per-domain quota cap: keep at most `quota` rows per `host`,
+    * chosen by the engine-portable md5 priority over `key` (so the
+    * kept set is a deterministic pseudo-random sample, identical on
+    * any cluster at any partition count, and replayable in ANSI SQL:
+    * ORDER BY md5(CAST(key AS VARCHAR)), key). Adds `keep_rank`
+    * (1-based position within the host's kept set). */
+  def domainQuota(df: DataFrame, host: Column, key: Column,
+      quota: Int): DataFrame =
+    topKPerGroup(df, host, md5(key.cast("string")), key, quota)
+
+  /** Remove rows whose `host` appears in `blocklist` (a one-column
+    * DataFrame of hosts). Blocklists are host-cardinality — always
+    * broadcast, one equi left-anti join, no shuffle of the corpus. */
+  def blockHosts(df: DataFrame, host: Column, blocklist: DataFrame): DataFrame = {
+    val b = blocklist.toDF("_blocked_host")
+    df.join(broadcast(b), host === col("_blocked_host"), "left_anti")
+  }
+
+  /** Per-domain composition report: doc count, total chars, distinct
+    * languages, and share of docs in `langValue` — one
+    * map-side-combining groupBy over the registrable domain. */
+  def domainComposition(df: DataFrame, host: Column, chars: Column,
+      lang: Column, langValue: String): DataFrame =
+    df.groupBy(domainOf(host).as("domain"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(chars).cast("long").as("total_chars"),
+        countDistinct(lang).as("n_langs"),
+        (sum(when(lang === langValue, 1).otherwise(0)).cast("double") /
+          count(lit(1)).cast("double")).as(s"${langValue}_share"))
+}

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.WebCuration
+
+/** Host/domain-level web-curation surface ([[graft.operators.WebCuration]]
+  * — the C4/RefinedWeb cleaning steps). The fixtures carry no URL
+  * column, so each query SYNTHESIZES a deterministic messy URL from
+  * (source, doc_id) — six variants exercising www-prefix, case, default
+  * and non-default ports, trailing slash, fragments, tracking params
+  * and unsorted params — then the Spark side PARSES and normalizes
+  * while the oracle derives the expected canonical form independently
+  * from the components it planted. The two derivations meeting at the
+  * hash gate is a stronger check than replaying one parser twice.
+  */
+object WebQueries {
+
+  /** The messy-URL synthesis, Spark side. Variant = doc_id % 6. */
+  private def messyUrl = {
+    val id = col("doc_id").cast("string")
+    val v = col("doc_id") % 6
+    when(v === 0, concat(lit("https://www."), col("source"),
+        lit(".example.com/docs/"), id))
+      .when(v === 1, concat(lit("HTTPS://"), col("source"),
+        lit(".Example.COM:443/docs/"), id, lit("/")))
+      .when(v === 2, concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), id, lit("?utm_source=feed&id="), id))
+      .when(v === 3, concat(lit("http://docs."), col("source"),
+        lit(".net:8080/d/"), id, lit("#frag")))
+      .when(v === 4, concat(lit("https://"), col("source"),
+        lit(".example.com/docs/"), id, lit("?b=2&a=1&ref=tw")))
+      .otherwise(concat(lit("https://cdn."), col("source"),
+        lit(".example.com/")))
+  }
+
+  /** URL canonicalization + host/domain extraction (pure projection —
+    * the plan is scan → project, nothing else). The oracle constructs
+    * the canonical string per variant rather than re-parsing, so a
+    * parser bug on EITHER side breaks the hash. */
+  private val urlNormalize = QuerySpec(
+    "q_url_normalize",
+    """WITH u AS (
+      |  SELECT doc_id, source, doc_id % 6 AS v,
+      |         CAST(doc_id AS VARCHAR) AS id FROM documents)
+      |SELECT doc_id,
+      |  CASE v
+      |    WHEN 2 THEN 'https://' || source || '.example.com/docs/' || id || '?id=' || id
+      |    WHEN 3 THEN 'http://docs.' || source || '.net:8080/d/' || id
+      |    WHEN 4 THEN 'https://' || source || '.example.com/docs/' || id || '?a=1&b=2'
+      |    WHEN 5 THEN 'https://cdn.' || source || '.example.com'
+      |    ELSE 'https://' || source || '.example.com/docs/' || id
+      |  END AS url_norm,
+      |  CASE v
+      |    WHEN 3 THEN 'docs.' || source || '.net'
+      |    WHEN 5 THEN 'cdn.' || source || '.example.com'
+      |    ELSE source || '.example.com'
+      |  END AS host,
+      |  CASE v WHEN 3 THEN source || '.net' ELSE 'example.com' END AS domain
+      |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val url = messyUrl
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        WebCuration.normalizeUrl(url).as("url_norm"),
+        WebCuration.hostOf(url).as("host"),
+        WebCuration.domainOf(WebCuration.hostOf(url)).as("domain"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain quota cap: ≤ 5 docs per host, selected by the
+    * engine-portable md5(doc_id) priority — the skew-safe salted
+    * top-k ([[WebCuration.topKPerGroup]]); the oracle is one plain
+    * ROW_NUMBER, which must pick the identical set. */
+  private val domainQuota = QuerySpec(
+    "q_domain_quota",
+    """WITH h AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+      |r AS (SELECT host, doc_id,
+      |        ROW_NUMBER() OVER (PARTITION BY host
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS keep_rank
+      |      FROM h)
+      |SELECT host, doc_id, CAST(keep_rank AS BIGINT) AS keep_rank
+      |FROM r WHERE keep_rank <= 5 ORDER BY host, keep_rank""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("host", concat(col("source"), lit(".example.com")))
+    WebCuration.domainQuota(docs, col("host"), col("doc_id"), quota = 5)
+      .select(col("host"), col("doc_id"), col("keep_rank").cast("long"))
+      .orderBy("host", "keep_rank")
+  }
+
+  /** Blocklist anti-join + per-domain composition report: drop two
+    * blocked hosts (broadcast anti join), then group the survivors by
+    * registrable domain — docs, chars, language spread, en share. */
+  private val domainMix = QuerySpec(
+    "q_domain_mix",
+    """WITH h AS (
+      |  SELECT doc_id, n_chars, lang,
+      |         CASE doc_id % 6
+      |           WHEN 3 THEN 'docs.' || source || '.net'
+      |           WHEN 5 THEN 'cdn.' || source || '.example.com'
+      |           ELSE source || '.example.com'
+      |         END AS host,
+      |         CASE WHEN doc_id % 6 = 3 THEN source || '.net'
+      |              ELSE 'example.com' END AS domain
+      |  FROM documents),
+      |f AS (SELECT * FROM h
+      |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net'))
+      |SELECT domain, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / COUNT(*) AS en_share
+      |FROM f GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val withHost = Tables.documents(s, d)
+      .withColumn("host", WebCuration.hostOf(messyUrl))
+    val blocklist = Seq("src0.example.com", "docs.src3.net").toDF("host")
+    val kept = WebCuration.blockHosts(withHost, col("host"), blocklist)
+    WebCuration.domainComposition(kept, col("host"), col("n_chars"),
+        col("lang"), "en")
+      .orderBy("domain")
+  }
+
+  def all: Seq[QuerySpec] = Seq(urlNormalize, domainQuota, domainMix)
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.WebCuration
+
+class WebCurationSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(WebCuration.normalizeUrl(col("u")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+
+  test("normalizeUrl canonicalizes case, www, default ports, slash") {
+    assert(norm(
+      "HTTPS://WWW.Example.COM:443/A/b/",
+      "http://example.com:80/",
+      "http://example.com:8080/x",
+      "https://example.com") === Seq(
+      "https://example.com/A/b", // path case preserved, host lowered
+      "http://example.com",
+      "http://example.com:8080/x",
+      "https://example.com"))
+  }
+
+  test("normalizeUrl drops fragments and tracking params, sorts the rest") {
+    assert(norm(
+      "https://h.io/p?utm_source=x&b=2&a=1#frag",
+      "https://h.io/p?gclid=1&fbclid=2&ref=tw&utm_campaign=c",
+      "https://h.io/p?ref=tw&refresh=1") === Seq(
+      "https://h.io/p?a=1&b=2",
+      "https://h.io/p",
+      // 'refresh' is NOT the tracking param 'ref' — boundary anchored
+      "https://h.io/p?refresh=1"))
+  }
+
+  test("normalizeUrl yields NULL for non-URL-shaped input") {
+    assert(norm("not a url", "", "ftp//broken") === Seq(null, null, null))
+  }
+
+  test("hostOf and domainOf extract host and last-two-label domain") {
+    val r = Seq("https://www.Docs.Site.example.org:8080/x?q=1")
+      .toDF("u")
+      .select(WebCuration.hostOf(col("u")).as("h"))
+      .withColumn("d", WebCuration.domainOf(col("h")))
+      .as[(String, String)].head()
+    assert(r === ("docs.site.example.org", "example.org"))
+    // single- and two-label hosts pass through domainOf unchanged
+    val two = Seq(("localhost"), ("a.io")).toDF("h")
+      .select(WebCuration.domainOf(col("h"))).as[String].collect().toSeq
+    assert(two === Seq("localhost", "a.io"))
+  }
+
+  test("domainQuota keeps exactly quota rows per host, deterministically") {
+    val df = (0L until 400L).toDF("id")
+      .select(col("id"), concat(lit("h"), pmod(col("id"), lit(4))).as("host"))
+    val kept = WebCuration.domainQuota(df, col("host"), col("id"), quota = 7)
+    val byHost = kept.groupBy("host").count().as[(String, Long)]
+      .collect().toMap
+    assert(byHost.values.toSet === Set(7L))
+    // partition-insensitive: a reshuffled input picks the same set
+    val kept2 = WebCuration
+      .domainQuota(df.repartition(13), col("host"), col("id"), quota = 7)
+    assert(kept.select("host", "id", "keep_rank").collect().toSet ===
+      kept2.select("host", "id", "keep_rank").collect().toSet)
+    // and the salted path equals the direct single-window answer
+    import org.apache.spark.sql.expressions.Window
+    val direct = df
+      .withColumn("keep_rank", row_number().over(Window.partitionBy("host")
+        .orderBy(md5(col("id").cast("string")), col("id"))))
+      .filter(col("keep_rank") <= 7)
+    assert(kept.select("host", "id", "keep_rank").collect().toSet ===
+      direct.select("host", "id", "keep_rank").collect().toSet)
+  }
+
+  test("domainQuota under-quota hosts keep everything") {
+    val df = (0L until 5L).toDF("id").withColumn("host", lit("only"))
+    assert(WebCuration.domainQuota(df, col("host"), col("id"), 10)
+      .count() === 5)
+  }
+
+  test("blockHosts removes exactly the blocked hosts via broadcast anti join") {
+    val df = Seq(("a.com", 1L), ("b.com", 2L), ("a.com", 3L), ("c.com", 4L))
+      .toDF("host", "id")
+    val out = WebCuration.blockHosts(df, col("host"),
+      Seq("a.com").toDF("host"))
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"))
+  }
+
+  test("domainComposition aggregates per registrable domain") {
+    val df = Seq(
+      ("x.example.com", 10L, "en"), ("y.example.com", 20L, "de"),
+      ("z.other.net", 5L, "en"))
+      .toDF("host", "n_chars", "lang")
+    val r = WebCuration.domainComposition(df, col("host"), col("n_chars"),
+        col("lang"), "en")
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(r === Seq(
+      ("example.com", 2L, 30L, 2L, 0.5),
+      ("other.net", 1L, 5L, 1L, 1.0)))
+  }
+}
