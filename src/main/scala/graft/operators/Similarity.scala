@@ -442,6 +442,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
   }
 
+  /** [[writeIvfIndex]] with the HASH-SEEDED cell geometry of
+    * [[ivfTopK]] instead of a KMeans fit: centroids are the `nCells`
+    * corpus vectors with smallest portable md5-60 id hash. Same layout
+    * (`centroids` + cell-partitioned `assigned`), same append/search
+    * paths — but the whole index, including every maintenance step, is
+    * reproducible in ANSI SQL, which is what puts the delta-append /
+    * redelivery / read contract under the driver's hash gate
+    * (q_st_ivf_ledger); the trained variant keeps spec coverage. */
+  def writeIvfIndexSeeded(
+      corpus: DataFrame, cId: String, cVec: String, path: String,
+      nCells: Int = 16): Unit = {
+    val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
+    val centroids = hashSeededCentroids(c, nCells)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(c, centroids)
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
+  }
+
   /** Delta-only APPEND into a [[writeIvfIndex]] table: assign the new
     * batch to the STORED centroids and append only truly-new vectors,
     * cell-partitioned like the original write. Existing files are never

@@ -241,6 +241,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("seeded IVF index: storage round-trip equals the in-process hash-seeded search") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-seeded").toString
+    try {
+      Similarity.writeIvfIndexSeeded(emb, "vec_id", "embedding", path,
+        nCells = 8)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+          r.getAs[Long]("rnk"), r.getAs[Double]("cos")))
+        .toSet
+      val direct = key(Similarity.ivfTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 2))
+      val stored = key(Similarity.ivfTopKFrom(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2))
+      assert(stored === direct)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
+
   test("IVF index append: delta-only, assignment-identical to a one-shot build, idempotent") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-ivf-append").toString
