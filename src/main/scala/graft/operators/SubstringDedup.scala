@@ -44,16 +44,20 @@ import org.apache.spark.sql.functions._
 object SubstringDedup {
 
   /** (doc, pos, gram-digest) rows, digest computed MAP-SIDE so the
-    * token arrays never enter a shuffle. */
+    * token arrays never enter a shuffle. The digest projection is the
+    * native single-pass [[graft.plans.TextHashNative.gramDigests]]
+    * (one joined buffer per doc, MD5 over contiguous regions) —
+    * value-identical to the HOF
+    * `md5(concat_ws(' ', slice(toks, p+1, L)))` it replaced, which
+    * allocated an L-token slice + joined string PER POSITION and made
+    * the g1.0 decade run GC-bound (round-11 verdict item 4). */
   private def gramPositions(
       df: DataFrame, id: Column, tokens: Column, L: Int): DataFrame =
     df.select(id.as("_doc"), tokens.as("_toks"))
       .filter(size(col("_toks")) >= L)
-      .select(col("_doc"), explode(transform(
-        sequence(lit(0), size(col("_toks")) - lit(L)),
-        p => struct(p.as("pos"),
-          md5(concat_ws(" ", slice(col("_toks"), p + 1, lit(L))))
-            .as("gram")))).as("_w"))
+      .select(col("_doc"),
+        explode(graft.plans.TextHashNative.gramDigests(col("_toks"), L))
+          .as("_w"))
       .select(col("_doc"), col("_w.pos").as("pos"), col("_w.gram").as("gram"))
 
   /** Coalesce marked windows [pos, pos+L) into maximal per-doc spans. */

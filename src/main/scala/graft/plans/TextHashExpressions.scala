@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftops.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass imperative eval for the dedup suite's per-row text
@@ -81,6 +81,17 @@ object TextHashNative {
 
   def hashedCountVec(text: Column, dim: Int): Column =
     ColumnBridge.column(HashedCountVecExpr(ColumnBridge.expression(text), dim))
+
+  def gramDigests(tokens: Column, L: Int): Column =
+    ColumnBridge.column(GramDigestsExpr(ColumnBridge.expression(tokens), L))
+
+  /** One shared MD5 instance per thread: expression objects are shared
+    * across concurrently-running partitions through the codegen
+    * references array, so a per-instance digest would race. */
+  private[plans] val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  private[plans] val HexDigits = "0123456789abcdef".getBytes
 
   /** Fail at ANALYSIS time on a non-string input, like the HOF forms
     * these expressions replace would — without this, a mistyped column
@@ -350,4 +361,118 @@ case class SimHash60Expr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash60"
+}
+
+/** (pos, gram) rows for every L-token window of an ARRAY<STRING>
+  * document, gram = md5 hex of the ' '-joined window — value-identical
+  * to the HOF form
+  * `transform(sequence(0, n-L), p -> struct(p, md5(concat_ws(' ',
+  * slice(toks, p+1, L)))))` but computed in ONE pass: the whole
+  * document joins into a single byte buffer once, every window is then
+  * a CONTIGUOUS region of that buffer (token byte offsets), and MD5
+  * runs over each region in place. The HOF form allocates an L-element
+  * slice array plus a joined window string per position — O(tokens·L)
+  * transient garbage that the g1.0 scaling run showed as GC-bound CPU
+  * (round-11 verdict item 4); here the 32-char hex output is the only
+  * per-window allocation. Null tokens would break buffer contiguity
+  * (concat_ws SKIPS nulls), so arrays containing any null take an
+  * exact per-window streaming-update slow path; whitespace tokenizers
+  * never produce null tokens. */
+case class GramDigestsExpr(child: Expression, L: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(L >= 1, "window length must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ARRAY<STRING>, got ${t.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val h = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      h(2 * i) = TextHashNative.HexDigits((d(i) >> 4) & 0xf)
+      h(2 * i + 1) = TextHashNative.HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(h)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - L + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = arr.isNullAt(i); i += 1 }
+    val md = TextHashNative.md5Local.get()
+    val out = new Array[Any](m)
+    if (!hasNull) {
+      // fast path: one joined buffer, windows are contiguous regions.
+      // starts(i) = byte offset of token i in the joined buffer
+      // (i separators precede it); starts(n) is a virtual token past
+      // the end, so window [p, p+L) spans starts(p) .. starts(p+L)-1
+      // exclusive (dropping the trailing separator slot).
+      val toks = new Array[Array[Byte]](n)
+      val starts = new Array[Int](n + 1)
+      var total = 0
+      i = 0
+      while (i < n) {
+        toks(i) = arr.getUTF8String(i).getBytes
+        starts(i) = total + i
+        total += toks(i).length
+        i += 1
+      }
+      starts(n) = total + n
+      val buf = new Array[Byte](total + math.max(0, n - 1))
+      var off = 0
+      i = 0
+      while (i < n) {
+        if (i > 0) { buf(off) = ' '; off += 1 }
+        System.arraycopy(toks(i), 0, buf, off, toks(i).length)
+        off += toks(i).length
+        i += 1
+      }
+      var p = 0
+      while (p < m) {
+        val s = starts(p)
+        md.reset()
+        md.update(buf, s, starts(p + L) - 1 - s)
+        out(p) = new GenericInternalRow(Array[Any](p, hex(md.digest())))
+        p += 1
+      }
+    } else {
+      // exact slow path: concat_ws semantics (nulls skipped) via
+      // streaming digest updates, no joined string materialized
+      val space = Array(' '.toByte)
+      var p = 0
+      while (p < m) {
+        md.reset()
+        var first = true
+        var j = p
+        while (j < p + L) {
+          if (!arr.isNullAt(j)) {
+            if (!first) md.update(space, 0, 1)
+            val b = arr.getUTF8String(j).getBytes
+            md.update(b, 0, b.length)
+            first = false
+          }
+          j += 1
+        }
+        out(p) = new GenericInternalRow(Array[Any](p, hex(md.digest())))
+        p += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gram_digests"
 }

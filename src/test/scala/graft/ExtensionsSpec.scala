@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class ExtensionsSpec extends AnyFunSuite {
   import TestSession.spark
+  import spark.implicits._
 
   test("graft_dot is registered on the SQL surface via SparkSessionExtensions") {
     val r = spark.sql(
@@ -157,6 +158,37 @@ class ExtensionsSpec extends AnyFunSuite {
     val simHof = graft.operators.Dedup.simHash(graft.operators.Dedup.tokenSet(col("text")))
     assert(docs.select((TextHashNative.simHash(col("text")) === simHof).as("ok"))
       .filter(!col("ok")).count() === 0)
+  }
+
+  test("native gram digests are value-equal to the md5-over-slice HOF form") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.TextHashNative
+    val L = 8
+    val docs = graft.core.Tables.documents(spark, TestSession.sfDir).limit(200)
+      .select(split(col("text"), " ").as("_toks"))
+      .filter(size(col("_toks")) >= L)
+    val hof = transform(sequence(lit(0), size(col("_toks")) - lit(L)),
+      p => struct(p.as("pos"),
+        md5(concat_ws(" ", slice(col("_toks"), p + 1, lit(L)))).as("gram")))
+    assert(docs
+      .select((TextHashNative.gramDigests(col("_toks"), L) === hof).as("ok"))
+      .filter(!col("ok")).count() === 0)
+    // explicit edges: exact-L doc, multi-byte UTF-8, empty-string and
+    // null tokens (null takes the slow path; concat_ws skips it)
+    val edge = Seq(
+      Seq("a", "b", "c"), Seq("héllo", "wörld", "✓"),
+      Seq("", "x", ""), Seq("a", null, "b"))
+      .toDF("_toks")
+    val eHof = transform(sequence(lit(0), size(col("_toks")) - lit(2)),
+      p => struct(p.as("pos"),
+        md5(concat_ws(" ", slice(col("_toks"), p + 1, lit(2)))).as("gram")))
+    assert(edge
+      .select((TextHashNative.gramDigests(col("_toks"), 2) === eHof).as("ok"))
+      .filter(!col("ok")).count() === 0)
+    // shorter than L yields the empty array
+    assert(Seq(Seq("one")).toDF("_toks")
+      .select(size(TextHashNative.gramDigests(col("_toks"), 2)).as("n"))
+      .head().getInt(0) === 0)
   }
 
   test("native CDC boundaries are value-equal to the composed-HOF form") {
