@@ -95,19 +95,37 @@ object PageRank {
     // 32-wide stages spend more CPU on per-task constants than on rank
     // flow; ~250k edges per partition keeps task overhead ~2% of task
     // work at any scale (0.25 s of flow vs ~5 ms of setup)
-    val nParts = math.max(2L, eRaw.count() / 250000L + 1L).toInt
+    val nEdges = eRaw.count()
+    val nParts = math.max(2L, nEdges / 250000L + 1L).toInt
     // the node table caches (and counts) FIRST: its size decides the
     // per-round join regime before the cached edge layout is fixed.
-    // The broadcast path wants a skew-free round-robin layout (no edge
-    // ever moves again, so src-hash skew would only hurt); the shuffled
-    // fallback wants the edges PRE-HASHED on _s so each round's
-    // rank⋈edge join moves only the node-sized side
+    // The broadcast path wants the edges PRE-HASHED ON `_d`: the
+    // per-round groupBy(_d) then reuses the cached partitioning and
+    // the round body has ZERO exchanges (the rank vector broadcasts,
+    // the aggregation is partition-local) — this removes the
+    // partial-combine transition the g-scale curve measured (per-round
+    // shuffle grew 18× at 10× data through the round-robin layout's
+    // map-side-combine). The one risk is IN-DEGREE skew: a hub dst
+    // concentrates its whole inbound edge set in one partition every
+    // round, so the layout is chosen by MEASUREMENT — one extra
+    // O(edges) max-indegree aggregation, once — and a graph whose
+    // hottest dst would overload its partition (> 4× the mean load)
+    // keeps the skew-free round-robin layout + per-round exchange of
+    // map-side-combined partials instead. The shuffled fallback wants
+    // the edges PRE-HASHED on _s so each round's rank⋈edge join moves
+    // only the node-sized side.
     val nodes = graft.core.CacheGovernor.persistTracked(
       eRaw.select(col("_s").as("node"))
         .union(eRaw.select(col("_d").as("node"))).distinct())
     val useBroadcast = nodes.count() <= broadcastNodeLimit
+    val dstHashSafe = useBroadcast && {
+      val maxIndeg = eRaw.groupBy("_d").agg(count(lit(1)).as("_c"))
+        .agg(max(col("_c"))).head().getLong(0)
+      maxIndeg <= math.max(1L, 4L * nEdges / nParts)
+    }
     val e = graft.core.CacheGovernor.persistTracked(
-      if (useBroadcast) eRaw.repartition(nParts)
+      if (dstHashSafe) eRaw.repartition(nParts, col("_d"))
+      else if (useBroadcast) eRaw.repartition(nParts)
       else eRaw.repartition(nParts, col("_s")))
     val outdegN = graft.core.CacheGovernor.persistTracked(
       e.groupBy("_s").agg(count(lit(1)).as("_od")))
@@ -132,11 +150,15 @@ object PageRank {
         .join(nodeSized(outdegN), "_s")
         .select(col("_s"),
           floor(col("rank") * lit(1e9) / col("_od")).cast("long").as("_c"))
+      // grouping by the BARE `_d` attribute (aliasing after the agg):
+      // the dst-hashed cached layout then satisfies the aggregation's
+      // required distribution outright — no exchange in the round body
       val contrib = e
         .join(nodeSized(w), "_s")
-        .groupBy(col("_d").as("node"))
+        .groupBy(col("_d"))
         .agg((sum(col("_c").cast(DecimalType(18, 0))).cast("double") / lit(1e9))
           .as("_in"))
+        .select(col("_d").as("node"), col("_in"))
       rank = nodes
         .join(nodeSized(contrib), Seq("node"), "left")
         .select(col("node"),
