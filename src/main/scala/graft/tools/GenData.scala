@@ -13,14 +13,19 @@ import org.apache.spark.sql.functions._
   * part, orders, lineitem, events, supplier, nation, region) with the
   * same statistical fingerprint as the driver fixtures (measured round
   * 11), so the ENTIRE registry can bench at generated scales:
-  *  - documents: uniform-length 10..100 texts of words drawn uniformly
-  *    from the same 30-word vocab; lang 40/15×4; source =
-  *    'src'||(doc_id%20); n_chars = len(text). Two near-dup regimes,
-  *    both present in the fixtures: token-SET similarity is intrinsic
-  *    to the tiny vocab (9,020 of 124,750 sf0.01 pairs at J≥0.9), and
-  *    SEQUENCE-level near-dups are planted — 5% of docs copy a partner
-  *    doc's text verbatim with ' dup' appended (the n-gram/PPJoin
-  *    family's workload).
+  *  - documents: uniform-length 10..100 texts; lang 40/15×4; source =
+  *    'src'||(doc_id%20); n_chars = len(text). DEFAULT mode "real"
+  *    (round-12): Heaps-law vocabulary (V = ⌈10·√tokens⌉, so vocab
+  *    grows with the corpus like real text) with Zipf(1) word draw —
+  *    the 30 fixture words are the top ranks, rarer ranks render as
+  *    "w<rank>"; near-dup truth is then ~only the PLANTED 5% of docs
+  *    that copy a partner doc's text verbatim with ' dup' appended
+  *    (fixed dup RATE — cluster-family answers scale Θ(n), the
+  *    production shape). Mode "fixture30" (3rd CLI arg) reproduces the
+  *    round-11 uniform-30-word corpus, where token-SET J ≥ 0.9 holds
+  *    intrinsically for ~7% of ALL pairs (Θ(n²) true answers —
+  *    measured as the round-11 curve's honest outlier), for replaying
+  *    historical curves.
   *  - embeddings: unit-norm 64-dim gaussians (Box–Muller over hash
   *    uniforms), label 0..9 independent of the vector (fixture
   *    within-label mean cosine ≈ 0.0008 — no cluster structure).
@@ -59,8 +64,16 @@ object GenData {
   private def ui(id: Column, tag: String, n: Long): Column =
     pmod(xxhash64(lit(tag), id), lit(n))
 
+  /** Uniform double in [0, 1) from a hashed (id, position, tag) stream. */
+  private def u2(id: Column, pos: Column, tag: String): Column =
+    (pmod(xxhash64(lit(tag), id, pos), lit(1L << 40)).cast("double")
+      / lit((1L << 40).toDouble))
+
   def main(args: Array[String]): Unit = {
     val Array(outDir, sfStr) = args.take(2)
+    val mode = args.lift(2).getOrElse("real")
+    require(mode == "real" || mode == "fixture30",
+      s"mode must be 'real' or 'fixture30', got $mode")
     val sf = sfStr.toDouble
     require(sf > 0, s"sf must be positive, got $sf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -81,11 +94,42 @@ object GenData {
     // is a PURE FUNCTION of doc_id, the dup doc regenerates its
     // partner's words without any join — generation stays shuffle-free.
     val nDocs = n(50000)
+    // mode "real" (default): statistically realistic corpus — the
+    // round-11 verdict's top item. The old 30-word uniform vocabulary
+    // made token-SET Jaccard ≥ 0.9 an INTRINSIC property of ~7% of all
+    // doc pairs, so the measured dedup-family scaling curve tracked
+    // the generator's degeneracy (a Θ(n²) true answer) instead of
+    // production behavior. Realistic shape: Heaps-law vocabulary
+    // V = max(30, ceil(10·√T)) for T = expected corpus tokens (vocab
+    // grows ~√corpus, the empirical law), Zipf(s=1) word draw via the
+    // exact inverse CDF of the continuous Zipf approximation
+    // (r = floor(exp(u · ln(V+1))) − 1 gives P(r) ∝ 1/(1+r)), and the
+    // 30 fixture words serve as ranks 0-29 so the most frequent
+    // tokens stay the fixture's real words (incl. the stopword 'the'
+    // the quality queries look for); rarer ranks render as "w<rank>".
+    // Non-planted near-dup pairs are then vanishingly rare, while the
+    // planted 5% partner-copy RATE (below) is unchanged — cluster-
+    // family truth becomes Θ(n), the production shape.
+    // mode "fixture30" reproduces the old uniform-30-word corpus for
+    // replaying historical curves.
+    val avgLen = 55.0
+    val vocabSize: Long =
+      if (mode == "fixture30") 30L
+      else math.max(30L, math.ceil(10.0 * math.sqrt(nDocs * avgLen)).toLong)
+    println(s"[gendata] documents mode=$mode vocab=$vocabSize")
+    def zipfWord(idCol: Column, j: Column): Column = {
+      val r =
+        if (mode == "fixture30") pmod(xxhash64(lit("w"), idCol, j), lit(30))
+        else least(lit(vocabSize - 1),
+          floor(exp(u2(idCol, j, "w") * math.log(vocabSize + 1.0)))
+            .cast("long") - 1)
+      when(r < 30, element_at(vocabCol, (r + 1).cast("int")))
+        .otherwise(concat(lit("w"), r))
+    }
     def baseText(idCol: Column): Column = {
       val len = (lit(10) + ui(idCol, "len", 91)).cast("int")
       concat_ws(" ", transform(sequence(lit(0), len - 1),
-        j => element_at(vocabCol,
-          (pmod(xxhash64(lit("w"), idCol, j), lit(30)) + 1).cast("int"))))
+        j => zipfWord(idCol, j)))
     }
     // Partner must not itself be a dup doc (a dup partner's STORED
     // text is its own partner's text + " dup", so the plant would

@@ -21,6 +21,8 @@ object ProfileQuery {
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -29,6 +31,8 @@ object ProfileQuery {
         tasks.incrementAndGet()
         shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
       }
     }
   }
@@ -79,7 +83,10 @@ object ProfileQuery {
         Thread.sleep(1500) // listener settle (single-JVM profiler)
         spark.sparkContext.removeSparkListener(tally)
         graft.core.CacheGovernor.isolate()
-        println(f"[profile] rep$rep $name%-28s wall ${wall}%7.2f s  cpu ${tally.cpuNs.get / 1e9}%8.2f s  run ${tally.runMs.get / 1e3}%8.2f s  tasks ${tally.tasks.get}%6d  shufR ${tally.shufRead.get / 1048576.0}%8.1f MiB  shufW ${tally.shufWrite.get / 1048576.0}%8.1f MiB  ($n rows)")
+        val spill =
+          if (tally.memSpill.get == 0 && tally.diskSpill.get == 0) ""
+          else f"  spillM ${tally.memSpill.get / 1048576.0}%8.1f MiB  spillD ${tally.diskSpill.get / 1048576.0}%8.1f MiB"
+        println(f"[profile] rep$rep $name%-28s wall ${wall}%7.2f s  cpu ${tally.cpuNs.get / 1e9}%8.2f s  run ${tally.runMs.get / 1e3}%8.2f s  tasks ${tally.tasks.get}%6d  shufR ${tally.shufRead.get / 1048576.0}%8.1f MiB  shufW ${tally.shufWrite.get / 1048576.0}%8.1f MiB$spill  ($n rows)")
       }
     }
     spark.stop()
