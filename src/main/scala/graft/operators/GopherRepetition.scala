@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+  * Models: ... Gopher", Table A1 — public knowledge; also the
+  * MassiveText / Dolma / RefinedWeb cleaning stacks): per-document
+  * n-gram repetition signals used to drop boilerplate- and
+  * spam-shaped pages from web corpora (reference README.md:102
+  * "training data preparation").
+  *
+  * Two signal families over whitespace tokens:
+  *  - TOP n-gram char fraction (n = 2,3,4): characters covered by all
+  *    occurrences of the single most frequent n-gram, over total text
+  *    chars — `cnt(top) · charlen(top) / length(text)`. The "most
+  *    frequent" gram is chosen by (count, charlen) descending; the
+  *    gram's identity never reaches the output, so any gram achieving
+  *    the maximal pair yields the same fraction and the choice is
+  *    deterministic BY VALUE (and replayable in ANSI SQL as a packed
+  *    MAX — see oracleSql).
+  *  - DUPLICATE n-gram char fraction (n = 5..10): characters covered
+  *    by ALL occurrences of every n-gram that occurs ≥ 2 times —
+  *    `Σ_{cnt(g)≥2} cnt(g)·charlen(g) / length(text)`. Occurrences
+  *    may overlap, so the fraction can exceed 1 on degenerate text;
+  *    Gopher's thresholds apply to the raw (uncapped) value and so do
+  *    we.
+  *
+  * A document is KEPT when every fraction is at or under its Gopher
+  * Table-A1 threshold (top: 0.20/0.18/0.16; dup: 0.15 down to 0.10).
+  * Documents shorter than n tokens have no n-grams → fraction 0 →
+  * that filter passes.
+  *
+  * Scale shape: one explode of (tokens × 9 window sizes) feeding a
+  * map-side-combining groupBy on (doc, n, gram) — the same linear
+  * O(tokens·Σn) gram discipline as [[SubstringDedup]]; everything
+  * after the first aggregation is per-(doc,n)-sized (≤ 9 rows per doc
+  * reach the final per-doc fold). No windows over corpus-sized rows,
+  * no driver-side state; exact integer char counts shuffle, the only
+  * float is one final division of two exact BIGINTs (IEEE-identical
+  * in any engine — the oracle-parity discipline).
+  */
+object GopherRepetition {
+
+  /** Gopher Table A1: top n-gram char-fraction thresholds. */
+  val topThresholds: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+
+  /** Gopher Table A1: duplicate n-gram char-fraction thresholds. */
+  val dupThresholds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  private def fracCol(chars: Column, total: Column): Column =
+    when(total > 0, chars.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+
+  /** Per-document repetition report. Output: the id column, one
+    * `top<n>_frac` per top window size, one `dup<n>_frac` per dup
+    * window size, and `gopher_keep` (1 when every fraction is at or
+    * under its threshold). One row per input document, including
+    * documents too short to form any gram (all-zero fractions). */
+  def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ns = topThresholds.map(_._1) ++ dupThresholds.map(_._1)
+    val base = docs.select(
+      col(idCol).as("_id"),
+      split(col(textCol), " ").as("_toks"),
+      length(col(textCol)).as("_total"))
+    // (doc, n, gram) occurrences — the single corpus-sized explode.
+    // sequence() is guarded (size ≥ n) because Spark's sequence(1, k)
+    // DESCENDS for k < 1 instead of returning empty.
+    val grams = base
+      .select(col("_id"), col("_toks"),
+        explode(lit(ns.toArray)).as("_n"))
+      .select(col("_id"), col("_n"),
+        explode(when(size(col("_toks")) >= col("_n"),
+          transform(
+            sequence(lit(1), size(col("_toks")) - col("_n") + 1),
+            i => array_join(slice(col("_toks"), i, col("_n")), " ")))
+          .otherwise(array().cast("array<string>"))).as("_gram"))
+    // exact integer char mass per distinct gram (map-side combined)
+    val gramCounts = grams
+      .groupBy(col("_id"), col("_n"), col("_gram"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_len", length(col("_gram")).cast("long"))
+    // per (doc, n): the top gram's char mass by the (cnt, len) order,
+    // and the duplicated-gram char mass. The pair packs into ONE
+    // BIGNIT-comparable long (cnt·2²⁰ + len) so the fold stays a
+    // codegen'd HashAggregate — max(struct(...)) would fall to a
+    // SortAggregate over the largest intermediate. Sound because the
+    // output never names the gram (only cnt·len of the chosen one),
+    // so any gram achieving the maximal (cnt, len) yields the same
+    // fraction; bounds: len < 2²⁰ chars per gram and cnt < 2⁴³
+    // occurrences per (doc, gram) — both doc-local quantities.
+    val packedTop = max(col("_cnt") * lit(1L << 20) + col("_len"))
+    val perN = gramCounts
+      .groupBy(col("_id"), col("_n"))
+      .agg(
+        packedTop.as("_topkey"),
+        sum(when(col("_cnt") >= 2, col("_cnt") * col("_len"))
+          .otherwise(lit(0L))).as("_dup_chars"))
+      .select(col("_id"), col("_n"),
+        (shiftright(col("_topkey"), 20) *
+          (col("_topkey") % lit(1L << 20))).as("_top_chars"),
+        col("_dup_chars"))
+    // ≤ 9 rows per doc reach this fold; missing n (short doc) → 0
+    val perDocAggs = topThresholds.map { case (n, _) =>
+      sum(when(col("_n") === n, col("_top_chars")).otherwise(lit(0L)))
+        .as(s"_top${n}_chars")
+    } ++ dupThresholds.map { case (n, _) =>
+      sum(when(col("_n") === n, col("_dup_chars")).otherwise(lit(0L)))
+        .as(s"_dup${n}_chars")
+    }
+    val perDoc = perN.groupBy(col("_id"))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val joined = base.select(col("_id"), col("_total"))
+      .join(perDoc, Seq("_id"), "left")
+    val fracs =
+      topThresholds.map { case (n, _) =>
+        fracCol(coalesce(col(s"_top${n}_chars"), lit(0L)), col("_total"))
+          .as(s"top${n}_frac")
+      } ++ dupThresholds.map { case (n, _) =>
+        fracCol(coalesce(col(s"_dup${n}_chars"), lit(0L)), col("_total"))
+          .as(s"dup${n}_frac")
+      }
+    val keep = (topThresholds.map { case (n, t) =>
+      col(s"top${n}_frac") <= t
+    } ++ dupThresholds.map { case (n, t) =>
+      col(s"dup${n}_frac") <= t
+    }).reduce(_ && _)
+    joined
+      .select(col("_id").as(idCol) +: fracs: _*)
+      .withColumn("gopher_keep", when(keep, 1).otherwise(0))
+  }
+
+  /** The unrolled ANSI SQL equivalent of [[report]], generated from
+    * the same threshold tables that drive the engine (the
+    * generate-oracles-from-the-loop-code discipline): a DuckDB-
+    * runnable replay over a `documents` view with (idCol, textCol).
+    * Kept adjacent to the implementation so a threshold change cannot
+    * drift between the two. */
+  def oracleSql(idCol: String, textCol: String): String =
+    s"${oracleCore(idCol, textCol)}\nORDER BY $idCol"
+
+  /** [[oracleSql]] without the final ORDER BY — embeddable as a CTE
+    * body by downstream report queries. */
+  def oracleCore(idCol: String, textCol: String): String = {
+    val ns = (topThresholds.map(_._1) ++ dupThresholds.map(_._1))
+      .map(n => s"($n)").mkString(",")
+    val topCols = topThresholds.map { case (n, _) =>
+      s"COALESCE(MAX(CASE WHEN p.n = $n THEN p.top_chars END), 0) AS top${n}_chars"
+    }
+    val dupCols = dupThresholds.map { case (n, _) =>
+      s"COALESCE(MAX(CASE WHEN p.n = $n THEN p.dup_chars END), 0) AS dup${n}_chars"
+    }
+    val fracCols = topThresholds.map { case (n, _) =>
+      s"CASE WHEN total_chars > 0 THEN CAST(top${n}_chars AS DOUBLE) / total_chars ELSE 0.0 END AS top${n}_frac"
+    } ++ dupThresholds.map { case (n, _) =>
+      s"CASE WHEN total_chars > 0 THEN CAST(dup${n}_chars AS DOUBLE) / total_chars ELSE 0.0 END AS dup${n}_frac"
+    }
+    val keepPred = (topThresholds.map { case (n, t) =>
+      s"top${n}_frac <= $t"
+    } ++ dupThresholds.map { case (n, t) =>
+      s"dup${n}_frac <= $t"
+    }).mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT $idCol AS id, string_split($textCol, ' ') AS ts,
+       |         length($textCol) AS total_chars
+       |  FROM documents),
+       |grams AS (
+       |  -- the lateral references only t (positions 1..len); the
+       |  -- window-size join guards with WHERE — DuckDB's binder
+       |  -- rejects a lateral range() expression over two tables
+       |  SELECT t.id, w.n,
+       |         array_to_string(list_slice(t.ts, i.i, i.i + w.n - 1), ' ') AS gram
+       |  FROM toks t
+       |  CROSS JOIN LATERAL (
+       |    SELECT unnest(range(1, len(t.ts) + 1)) AS i) AS i(i)
+       |  CROSS JOIN (VALUES $ns) AS w(n)
+       |  WHERE i.i + w.n - 1 <= len(t.ts)),
+       |gc AS (
+       |  SELECT id, n, gram, COUNT(*) AS cnt,
+       |         CAST(length(gram) AS BIGINT) AS glen
+       |  FROM grams GROUP BY id, n, gram),
+       |per_n AS (
+       |  -- the engine's packed (cnt, len) lexicographic max: the top
+       |  -- fraction only uses cnt*len of the maximal pair, never the
+       |  -- gram itself
+       |  SELECT id, n,
+       |         (MAX(cnt * 1048576 + glen) // 1048576)
+       |           * (MAX(cnt * 1048576 + glen) % 1048576) AS top_chars,
+       |         COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END), 0) AS dup_chars
+       |  FROM gc GROUP BY id, n),
+       |per_doc AS (
+       |  SELECT t.id, t.total_chars,
+       |         ${(topCols ++ dupCols).mkString(",\n         ")}
+       |  FROM toks t LEFT JOIN per_n p ON p.id = t.id
+       |  GROUP BY t.id, t.total_chars),
+       |fracs AS (
+       |  SELECT id,
+       |         ${fracCols.mkString(",\n         ")}
+       |  FROM per_doc)
+       |SELECT id AS $idCol,
+       |       ${(topThresholds.map(t => s"top${t._1}_frac") ++
+                  dupThresholds.map(t => s"dup${t._1}_frac")).mkString(", ")},
+       |       CASE WHEN $keepPred THEN 1 ELSE 0 END AS gopher_keep
+       |FROM fracs""".stripMargin
+  }
+}

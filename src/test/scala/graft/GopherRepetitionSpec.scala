@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.operators.GopherRepetition
+
+class GopherRepetitionSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def reportOf(texts: (Long, String)*): Map[Long, Row] =
+    GopherRepetition.report(
+      texts.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  private def frac(r: Row, name: String): Double =
+    r.getDouble(r.fieldIndex(name))
+
+  test("top-gram fractions match a hand computation") {
+    // "a b a b a b" (11 chars): tokens a,b,a,b,a,b
+    // 2-grams: "a b"×3, "b a"×2 → top = 3·3 = 9 chars → 9/11
+    // 3-grams: "a b a"×2, "b a b"×2 → tie on (cnt, len) → either
+    //   yields 2·5 = 10 → 10/11
+    // 4-grams: "a b a b"×2, "b a b a"×1 → wait: positions 1..3 give
+    //   "a b a b", "b a b a", "a b a b" → top 2·7 = 14 → 14/11 (>1 OK)
+    val r = reportOf(1L -> "a b a b a b")(1L)
+    assert(frac(r, "top2_frac") === 9.0 / 11)
+    assert(frac(r, "top3_frac") === 10.0 / 11)
+    assert(frac(r, "top4_frac") === 14.0 / 11)
+  }
+
+  test("dup-gram fraction counts all occurrences of repeated grams") {
+    // 12 tokens: the 5-gram "x y z w v" occurs twice (pos 1 and 7,
+    // non-overlapping), every other 5-gram once.
+    // text chars: 12 tokens ·1 char + 11 spaces = 23
+    // dup5 = 2 · 9 = 18 → 18/23; 6-gram "x y z w v q" twice? pos1:
+    // x y z w v q, pos7: x y z w v r → no. dup6 = 0 unless another
+    // repeat exists; grams at pos 2..6 unique. → dup6_frac = 0
+    val r = reportOf(1L -> "x y z w v q x y z w v r")(1L)
+    assert(frac(r, "dup5_frac") === 18.0 / 23)
+    assert(frac(r, "dup6_frac") === 0.0)
+  }
+
+  test("short and gram-free docs report all-zero fractions and keep=1") {
+    val m = reportOf(1L -> "one", 2L -> "a b")
+    val r1 = m(1L) // 1 token: no 2-grams at all
+    GopherRepetition.topThresholds.foreach { case (n, _) =>
+      assert(frac(r1, s"top${n}_frac") === 0.0) }
+    GopherRepetition.dupThresholds.foreach { case (n, _) =>
+      assert(frac(r1, s"dup${n}_frac") === 0.0) }
+    assert(r1.getInt(r1.fieldIndex("gopher_keep")) === 1)
+    val r2 = m(2L) // one 2-gram occurring once → top2 = 3/3 = 1.0
+    assert(frac(r2, "top2_frac") === 1.0)
+    assert(r2.getInt(r2.fieldIndex("gopher_keep")) === 0)
+  }
+
+  test("keep decision applies each Gopher threshold") {
+    // 80 distinct tokens: every gram unique → top-n fraction is one
+    // gram's chars over the whole text (well under every threshold at
+    // this length — the thresholds implicitly assume non-tiny docs),
+    // dup fractions 0
+    val clean = reportOf(1L -> (0 until 80).map(i => s"t$i").mkString(" "))(1L)
+    assert(clean.getInt(clean.fieldIndex("gopher_keep")) === 1)
+    // heavy 2-gram repetition → top2 way over 0.20 → reject
+    val spam = reportOf(2L -> "buy now buy now buy now buy now")(2L)
+    assert(frac(spam, "top2_frac") > 0.20)
+    assert(spam.getInt(spam.fieldIndex("gopher_keep")) === 0)
+  }
+
+  test("report is partition-insensitive and one row per doc") {
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 3 == 0) "spam spam spam spam spam"
+                    else s"tok${i} alpha beta gamma delta tok${i + 1}"))
+    val a = GopherRepetition.report(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = GopherRepetition.report(
+      docs.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.size === 40)
+  }
+
+  test("top-gram tie-break is the (cnt, len, gram) total order") {
+    // two 2-grams each ×2: "aa b" (4 chars) and "c dd" (4 chars) —
+    // tie on cnt and len → lexicographically larger gram "c dd" wins;
+    // fraction identical either way, so assert via a len-distinct tie:
+    // "aaa b"×2 (5 chars) vs "c d"×2 (3 chars) → longer wins.
+    val r = reportOf(1L -> "aaa b x aaa b y c d z c d")(1L)
+    // text chars: 4·3 + 7·1 ... compute: tokens aaa,b,x,aaa,b,y,c,d,z,c,d
+    // chars = 3+1+1+3+1+1+1+1+1+1+1 = 15 + 10 spaces = 25
+    // top2 by (cnt,len): "aaa b"×2 len5 → 10/25 = 0.4
+    assert(frac(r, "top2_frac") === 10.0 / 25)
+  }
+}
