@@ -168,7 +168,7 @@ object GopherRepetition {
        |  FROM documents),
        |grams AS (
        |  -- the lateral references only t (positions 1..len); the
-       |  -- window-size join guards with WHERE — DuckDB's binder
+       |  -- window sizes attach with a WHERE guard — DuckDB's binder
        |  -- rejects a lateral range() expression over two tables
        |  SELECT t.id, w.n,
        |         array_to_string(list_slice(t.ts, i.i, i.i + w.n - 1), ' ') AS gram

@@ -72,7 +72,8 @@ class RegistryHygieneSpec extends AnyFunSuite {
         "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*|NOT\\s+MATERIALIZED\\s*)?\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = fromTargets -- known -- ctes --
-        Set("unnest", "read_parquet", "generate_series", "range", "values")
+        Set("unnest", "read_parquet", "generate_series", "range", "values",
+          "lateral") // JOIN LATERAL (...) — keyword, not a table
       assert(unknown.isEmpty, s"$name references unknown tables: ${unknown.mkString(", ")}")
     }
   }
