@@ -87,7 +87,16 @@ object Bench {
         drain()
         val c0 = tally.cpuNs.get
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        // noop-sink consumption (round 12): count() let Catalyst
+        // ELIMINATE row-count-preserving tails — unique-key left joins
+        // and every projection-only query (redaction, URL normalize,
+        // the gopher report) benched at scan cost with their real work
+        // pruned. The noop v2 writer consumes every column of every
+        // row (Spark's own benchmarking sink), so a query's price is
+        // what a consumer of its full output would pay.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }

@@ -58,8 +58,48 @@ object GopherRepetition {
     * `top<n>_frac` per top window size, one `dup<n>_frac` per dup
     * window size, and `gopher_keep` (1 when every fraction is at or
     * under its threshold). One row per input document, including
-    * documents too short to form any gram (all-zero fractions). */
+    * documents too short to form any gram (all-zero fractions).
+    *
+    * Every Gopher signal is PER-DOCUMENT, so the whole report is one
+    * zero-shuffle projection: [[graft.plans.GopherStatsExpr]] computes
+    * all nine numerators in a single pass over each text (the plan is
+    * scan → project, nothing else — the distributed groupBy form this
+    * replaced shuffled 708 MiB of gram strings at g1.0 for identical
+    * per-doc answers; it survives as [[reportViaShuffle]], the parity
+    * reference GopherRepetitionSpec checks value-for-value). */
   def report(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topNs = topThresholds.map(_._1)
+    val dupNs = dupThresholds.map(_._1)
+    val base = docs.select(
+      col(idCol),
+      length(col(textCol)).as("_total"),
+      graft.plans.TextHashNative
+        .gopherStats(col(textCol), topNs, dupNs).as("_s"))
+    val fracs =
+      topNs.map { n =>
+        fracCol(coalesce(col(s"_s.top$n"), lit(0L)), col("_total"))
+          .as(s"top${n}_frac")
+      } ++ dupNs.map { n =>
+        fracCol(coalesce(col(s"_s.dup$n"), lit(0L)), col("_total"))
+          .as(s"dup${n}_frac")
+      }
+    val keep = (topThresholds.map { case (n, t) =>
+      col(s"top${n}_frac") <= t
+    } ++ dupThresholds.map { case (n, t) =>
+      col(s"dup${n}_frac") <= t
+    }).reduce(_ && _)
+    base
+      .select(col(idCol) +: fracs: _*)
+      .withColumn("gopher_keep", when(keep, 1).otherwise(0))
+  }
+
+  /** The distributed groupBy form of [[report]] — value-identical, kept
+    * as the parity reference for GopherRepetitionSpec (and as the shape
+    * a version of this operator would take if per-doc texts ever
+    * exceeded executor memory, which whole-document rows already
+    * preclude elsewhere). */
+  private[graft] def reportViaShuffle(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ns = topThresholds.map(_._1) ++ dupThresholds.map(_._1)
     val base = docs.select(
       col(idCol).as("_id"),

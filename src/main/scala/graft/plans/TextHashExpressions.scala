@@ -85,6 +85,10 @@ object TextHashNative {
   def gramDigests(tokens: Column, L: Int): Column =
     ColumnBridge.column(GramDigestsExpr(ColumnBridge.expression(tokens), L))
 
+  def gopherStats(text: Column, topNs: Seq[Int], dupNs: Seq[Int]): Column =
+    ColumnBridge.column(
+      GopherStatsExpr(ColumnBridge.expression(text), topNs, dupNs))
+
   /** One shared MD5 instance per thread: expression objects are shared
     * across concurrently-running partitions through the codegen
     * references array, so a per-instance digest would race. */
@@ -475,4 +479,99 @@ case class GramDigestsExpr(child: Expression, L: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_gram_digests"
+}
+
+/** All of Gopher repetition's per-doc numerators in ONE pass over the
+  * text — for each top window size the char mass `cnt·charlen` of the
+  * (count, charlen)-lexicographic-max n-gram, for each dup window size
+  * the summed char mass of every n-gram occurring ≥ 2 times
+  * ([[graft.operators.GopherRepetition]] turns these into fractions).
+  *
+  * Value-identical to the distributed form (split → explode grams →
+  * groupBy(doc, n, gram) → packed max / conditional sum) that
+  * GopherRepetitionSpec keeps as the parity reference — but because
+  * every Gopher signal is PER-DOCUMENT, the groupBy shuffled gram
+  * strings for nothing: measured 708 MiB shuffle / 153 s CPU at g1.0
+  * for what is a per-row fold. Here the gram never leaves the row:
+  * `split(text, ' ')` reproduces the input byte-for-byte when
+  * re-joined (empty tokens preserve consecutive separators), so the
+  * input's OWN byte buffer is the joined buffer — windows are
+  * contiguous regions located by one separator scan, each counted via
+  * a zero-copy UTF8String region view (hashCode/equals read the
+  * region in place; charlen = numChars once per distinct gram).
+  */
+case class GopherStatsExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
+    extends UnaryExpression with CodegenFallback {
+  require(topNs.nonEmpty && dupNs.nonEmpty && (topNs ++ dupNs).forall(_ >= 1),
+    "window sizes must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
+  override def dataType: DataType = StructType(
+    topNs.map(n => StructField(s"top$n", LongType, nullable = false)) ++
+      dupNs.map(n => StructField(s"dup$n", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes // one materialization; windows view into it
+    // token byte offsets by separator scan: starts(i) = first byte of
+    // token i, starts(T) = one past the buffer plus a virtual
+    // separator, so window [p, p+n) spans starts(p) .. starts(p+n)-1
+    var t = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') t += 1; i += 1 }
+    val nToks = t
+    val starts = new Array[Int](nToks + 1)
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    starts(nToks) = bytes.length + 1
+    val out = new Array[Any](topNs.size + dupNs.size)
+    var field = 0
+    val allNs = topNs ++ dupNs
+    val isTop = topNs.map(_ => true) ++ dupNs.map(_ => false)
+    allNs.indices.foreach { ni =>
+      val n = allNs(ni)
+      val m = nToks - n + 1
+      if (m <= 0) { out(field) = 0L; field += 1 }
+      else {
+        // distinct-gram counts over zero-copy region views
+        val counts = new java.util.HashMap[UTF8String, Array[Long]](m * 2)
+        var p = 0
+        while (p < m) {
+          val off = starts(p)
+          val view =
+            UTF8String.fromBytes(bytes, off, starts(p + n) - 1 - off)
+          val slot = counts.get(view)
+          if (slot == null) counts.put(view, Array(1L, view.numChars().toLong))
+          else slot(0) += 1L
+          p += 1
+        }
+        var acc = 0L // packed (cnt, len) max for top; char-mass sum for dup
+        val it = counts.values().iterator()
+        if (isTop(ni)) {
+          while (it.hasNext) {
+            val e = it.next()
+            val packed = e(0) * (1L << 20) + e(1)
+            if (packed > acc) acc = packed
+          }
+          acc = (acc >> 20) * (acc & ((1L << 20) - 1))
+        } else {
+          while (it.hasNext) {
+            val e = it.next()
+            if (e(0) >= 2L) acc += e(0) * e(1)
+          }
+        }
+        out(field) = acc
+        field += 1
+      }
+    }
+    new GenericInternalRow(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_gopher_stats"
 }

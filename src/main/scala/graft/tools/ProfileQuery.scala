@@ -78,10 +78,16 @@ object ProfileQuery {
         val tally = new Tally
         spark.sparkContext.addSparkListener(tally)
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        // noop-sink consumption, same contract as Bench (round 12):
+        // count() silently pruned projection-only tails and
+        // unique-key left joins out of the measurement
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1500) // listener settle (single-JVM profiler)
         spark.sparkContext.removeSparkListener(tally)
+        // row count OUTSIDE the tally window (re-runs the query; kept
+        // for the curve tables' result-mass column)
+        val n = fn(spark, sfDir).count()
         graft.core.CacheGovernor.isolate()
         val spill =
           if (tally.memSpill.get == 0 && tally.diskSpill.get == 0) ""

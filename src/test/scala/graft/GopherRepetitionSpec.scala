@@ -81,6 +81,28 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(a.size === 40)
   }
 
+  test("single-pass expression matches the distributed groupBy reference") {
+    // adversarial shapes: consecutive/leading/trailing spaces (empty
+    // tokens), multi-byte UTF-8, heavy repetition, unique text, and a
+    // doc shorter than every window
+    val docs = Seq(
+      0L -> "a  b a  b a  b",           // empty tokens preserve structure
+      1L -> "héllo wörld héllo wörld héllo wörld x",
+      2L -> " lead and trail ",
+      3L -> "spam spam spam spam spam spam spam spam",
+      4L -> (0 until 60).map(i => s"u$i").mkString(" "),
+      5L -> "tiny",
+      6L -> "x y z w v q x y z w v r x y z w v q") ++
+      (0L until 50L).map(i =>
+        (100L + i, s"w${i % 7} w${(i + 1) % 5} w${i % 3} w${i % 7} w${(i + 1) % 5} common tail w${i % 11}"))
+    val df = docs.toDF("doc_id", "text")
+    val a = GopherRepetition.report(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = GopherRepetition.reportViaShuffle(df.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("top-gram tie-break is the (cnt, len, gram) total order") {
     // two 2-grams each ×2: "aa b" (4 chars) and "c dd" (4 chars) —
     // tie on cnt and len → lexicographically larger gram "c dd" wins;
