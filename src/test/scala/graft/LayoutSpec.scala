@@ -21,6 +21,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(got === Seq(0L, 1L, 2L, 3L, 39L, 4294967295L, 34666758L))
   }
 
+  test("mask-ladder zValue equals the HOF fold (all bit widths, edges)") {
+    val pairs = Seq((0L, 0L), (1L, 2L), (65535L, 65535L),
+      ((1L << 31) - 1, 0L), (0L, (1L << 31) - 1),
+      ((1L << 31) - 1, (1L << 31) - 1), (123456789L, 987654321L)) ++
+      (0 until 200).map(i => ((i * 2654435761L) % (1L << 31),
+        (i * 1103515245L + 12345L) % (1L << 31)))
+    val df = pairs.toDF("a", "b")
+    Seq(1, 7, 16, 31).foreach { bits =>
+      val diff = df.select(
+        Layout.zValue("a", "b", bits).as("z1"),
+        Layout.zValueViaFold("a", "b", bits).as("z2"))
+        .filter(col("z1") =!= col("z2")).count()
+      assert(diff === 0L, s"ladder != fold at bits=$bits")
+    }
+  }
+
   test("z-order bounds both dims per partition; single-column sort does not") {
     // deterministic uniform 16-bit pairs (independent multiplicative hashes)
     val df = (0 until 4096).map { i =>
