@@ -182,11 +182,16 @@ object TimeSeries {
     val known = when(col("_v").isNotNull, struct(col("_g").as("_t"), col("_v").as("_x")))
     val wAsc = Window.partitionBy(key).orderBy("_g")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDesc = Window.partitionBy(key).orderBy("_g")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next known at-or-after" = last-at-or-before under the REVERSED
+    // sort: a (current → unbounded following) frame makes Spark rescan
+    // the partition remainder per row (O(n²) in partition size); the
+    // descending running frame streams in O(n) for one extra
+    // in-partition sort
+    val wDescStream = Window.partitionBy(key).orderBy(col("_g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lerp(j
       .withColumn("_prev", last(known, ignoreNulls = true).over(wAsc))
-      .withColumn("_next", first(known, ignoreNulls = true).over(wDesc)), key)
+      .withColumn("_next", last(known, ignoreNulls = true).over(wDescStream)), key)
   }
 
   /** Skew-safe [[interpolate]]: identical results, but both window
@@ -215,8 +220,11 @@ object TimeSeries {
     val known = when(col("_v").isNotNull, struct(col("_g").as("_t"), col("_v").as("_x")))
     val wAsc = Window.partitionBy(col(key), col("_bkt")).orderBy("_g")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDesc = Window.partitionBy(col(key), col("_bkt")).orderBy("_g")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // streaming reverse frame — see [[interpolate]]: (current →
+    // unbounded following) is O(n²) per partition in Spark's WindowExec
+    val wDesc = Window.partitionBy(col(key), col("_bkt"))
+      .orderBy(col("_g").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-(key, bucket) extremes of the KNOWN observations; struct
     // min/max order by (_t, _x) = grid-time order (grid times are
     // unique per key, so the value field never decides)
@@ -231,7 +239,7 @@ object TimeSeries {
       .select(col(key), col("_bkt"), col("_carryPrev"), col("_carryNext"))
     lerp(j
       .withColumn("_localPrev", last(known, ignoreNulls = true).over(wAsc))
-      .withColumn("_localNext", first(known, ignoreNulls = true).over(wDesc))
+      .withColumn("_localNext", last(known, ignoreNulls = true).over(wDesc))
       .join(carry, Seq(key, "_bkt"), "left")
       .withColumn("_prev", coalesce(col("_localPrev"), col("_carryPrev")))
       .withColumn("_next", coalesce(col("_localNext"), col("_carryNext"))), key)
