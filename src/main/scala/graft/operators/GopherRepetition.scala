@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   * Documents shorter than n tokens have no n-grams → fraction 0 →
   * that filter passes.
   *
+  * Relation to [[TextAnalysis.repetitionStats]] (q_text_repetition):
+  * that row carries the token-RATIO subset of §A1.1 (duplicate-token,
+  * most-frequent-token, distinct-bigram ratios — occurrence counts
+  * over token counts). This operator is the char-FRACTION n-gram
+  * family those ratios approximate: char mass of the top 2/3/4-gram
+  * and of duplicated 5..10-grams over text chars, plus the published
+  * thresholds and the keep decision — the form Gopher actually
+  * filters with (a 40-char boilerplate block repeated twice weighs
+  * its chars, not its one extra occurrence).
+  *
   * Scale shape: one explode of (tokens × 9 window sizes) feeding a
   * map-side-combining groupBy on (doc, n, gram) — the same linear
   * O(tokens·Σn) gram discipline as [[SubstringDedup]]; everything
