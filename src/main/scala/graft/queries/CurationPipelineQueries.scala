@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{GopherRepetition, PiiRedact, WebCuration}
+
+/** The end-to-end corpus-curation pipeline, certified as ONE query:
+  * URL canonicalization → host blocklist → per-host quota → Gopher
+  * repetition filter → PII redaction → per-domain shipping report.
+  * Each stage is an operator already hash-certified in isolation;
+  * this row certifies they COMPOSE — every stage's row set feeds the
+  * next, so a subtle contract mismatch between any two stages (a
+  * column renamed, a filter applied to the wrong side, a quota
+  * computed before the blocklist instead of after) breaks the hash
+  * even though every piece passes alone. This is the shape a real
+  * 100 TB curation run has: the whole chain is projections, one
+  * broadcast anti join, the salted quota windows, and one final
+  * map-side-combining groupBy — no corpus-sized shuffle anywhere
+  * except the quota's id-priority windows.
+  */
+object CurationPipelineQueries {
+
+  private val quota = 8
+
+  private val pipeline = QuerySpec(
+    "q_curation_pipeline",
+    s"""WITH u AS (
+       |  SELECT doc_id, text, source, doc_id % 6 AS v6,
+       |         doc_id % 7 % 5 AS v5, CAST(doc_id AS VARCHAR) AS id
+       |  FROM documents),
+       |h AS (
+       |  SELECT *,
+       |    CASE v6 WHEN 3 THEN 'docs.' || source || '.net'
+       |            WHEN 5 THEN 'cdn.' || source || '.example.com'
+       |            ELSE source || '.example.com' END AS host,
+       |    CASE WHEN v6 = 3 THEN source || '.net'
+       |         ELSE 'example.com' END AS domain
+       |  FROM u),
+       |f AS (SELECT * FROM h
+       |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net')),
+       |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+       |        ORDER BY md5(id), doc_id) AS rn FROM f),
+       |qk AS (SELECT * FROM q WHERE rn <= $quota),
+       |rep AS (
+       |${GopherRepetition.oracleCore("doc_id", "text")}),
+       |g AS (SELECT qk.* FROM qk
+       |      JOIN rep ON rep.doc_id = qk.doc_id AND rep.gopher_keep = 1),
+       |p AS (
+       |  SELECT doc_id, domain,
+       |         length(text || ${PiiQueries.redactedSuffixSqlFor("v5")}) AS out_chars,
+       |         CASE WHEN v5 = 0 THEN 0 ELSE 1 END AS redacted
+       |  FROM g)
+       |SELECT domain, COUNT(*) AS n_docs,
+       |       CAST(SUM(redacted) AS BIGINT) AS n_redacted,
+       |       CAST(SUM(out_chars) AS BIGINT) AS out_chars
+       |FROM p GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    // stage 1: canonical host/domain from the synthesized messy URL
+    val url = WebQueries.messyUrl
+    val withHost = docs
+      .withColumn("host", WebCuration.hostOf(url))
+      .withColumn("domain", WebCuration.domainOf(col("host")))
+    // stage 2: host blocklist (broadcast anti join)
+    val blocklist = Seq("src0.example.com", "docs.src3.net").toDF("h")
+    val unblocked = WebCuration.blockHosts(withHost, col("host"), blocklist)
+    // stage 3: per-host quota (salted exact top-k by md5 priority)
+    val underQuota = WebCuration
+      .domainQuota(unblocked, col("host"), col("doc_id"), quota)
+    // stage 4: Gopher repetition filter on the ORIGINAL text
+    val kept = underQuota
+      .join(GopherRepetition.report(docs, "doc_id", "text")
+        .filter(col("gopher_keep") === 1).select("doc_id"), "doc_id")
+    // stage 5: PII scrub of the shipped text
+    val scrubbed = kept
+      .withColumn("_t", concat(col("text"), PiiQueries.suffix))
+      .withColumn("_red", PiiRedact.redact(col("_t")))
+    // stage 6: per-domain shipping report
+    scrubbed.groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(PiiRedact.hasPii(col("_t")), 1).otherwise(0))
+          .cast("long").as("n_redacted"),
+        sum(length(col("_red"))).cast("long").as("out_chars"))
+      .orderBy("domain")
+  }
+
+  def all: Seq[QuerySpec] = Seq(pipeline)
+}

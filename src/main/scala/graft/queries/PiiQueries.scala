@@ -17,11 +17,11 @@ import graft.operators.PiiRedact
 object PiiQueries {
 
   /** Variant selector decoupled from `source` (= doc_id % 20). */
-  private def variant = pmod(pmod(col("doc_id"), lit(7)), lit(5))
+  private[queries] def variant = pmod(pmod(col("doc_id"), lit(7)), lit(5))
   private val variantSql = "doc_id % 7 % 5"
 
   /** The planted suffix, Spark side (oracle mirrors it verbatim). */
-  private def suffix = {
+  private[queries] def suffix = {
     val id = col("doc_id").cast("string")
     when(variant === 0, lit(" rev 1.2.3.4000 build"))
       .when(variant === 1, concat(lit(" contact user"), id,
@@ -48,8 +48,8 @@ object PiiQueries {
       |           || ' or ops' || id || '@corp.example.org'
       |    END""".stripMargin
 
-  private val redactedSuffixSql =
-    """CASE v
+  private[queries] def redactedSuffixSqlFor(v: String): String =
+    s"""CASE $v
       |      WHEN 0 THEN ' rev 1.2.3.4000 build'
       |      WHEN 1 THEN ' contact <EMAIL> now'
       |      WHEN 2 THEN ' node at <IP> port 8080'
@@ -66,7 +66,7 @@ object PiiQueries {
        |  SELECT doc_id, text, $variantSql AS v,
        |         CAST(doc_id AS VARCHAR) AS id FROM documents)
        |SELECT doc_id,
-       |  text || $redactedSuffixSql AS red_text,
+       |  text || ${redactedSuffixSqlFor("v")} AS red_text,
        |  CAST(CASE WHEN v IN (1, 4) THEN 1 ELSE 0 END AS BIGINT) AS n_email,
        |  CAST(CASE WHEN v = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_card,
        |  CAST(CASE WHEN v = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_phone,

@@ -16,8 +16,9 @@ import graft.operators.WebCuration
   */
 object WebQueries {
 
-  /** The messy-URL synthesis, Spark side. Variant = doc_id % 6. */
-  private def messyUrl = {
+  /** The messy-URL synthesis, Spark side. Variant = doc_id % 6.
+    * Shared with the end-to-end curation pipeline query. */
+  private[queries] def messyUrl = {
     val id = col("doc_id").cast("string")
     val v = col("doc_id") % 6
     when(v === 0, concat(lit("https://www."), col("source"),
