@@ -139,9 +139,12 @@ object GopherRepetition {
     // SortAggregate over the largest intermediate. Sound because the
     // output never names the gram (only cnt·len of the chosen one),
     // so any gram achieving the maximal (cnt, len) yields the same
-    // fraction; bounds: len < 2²⁰ chars per gram and cnt < 2⁴³
-    // occurrences per (doc, gram) — both doc-local quantities.
-    val packedTop = max(col("_cnt") * lit(1L << 20) + col("_len"))
+    // fraction; bounds: cnt < 2⁴³ occurrences per (doc, gram) is
+    // doc-local and safe, while len CLAMPS to the 20-bit width so a
+    // single ≥1M-char token cannot carry into the cnt bits (same
+    // clamp in GopherStatsExpr and oracleCore).
+    val packedTop =
+      max(col("_cnt") * lit(1L << 20) + least(col("_len"), lit((1L << 20) - 1L)))
     val perN = gramCounts
       .groupBy(col("_id"), col("_n"))
       .agg(
@@ -234,10 +237,11 @@ object GopherRepetition {
        |per_n AS (
        |  -- the engine's packed (cnt, len) lexicographic max: the top
        |  -- fraction only uses cnt*len of the maximal pair, never the
-       |  -- gram itself
+       |  -- gram itself; len clamps to the 20-bit pack width exactly
+       |  -- as GopherStatsExpr / reportViaShuffle do
        |  SELECT id, n,
-       |         (MAX(cnt * 1048576 + glen) // 1048576)
-       |           * (MAX(cnt * 1048576 + glen) % 1048576) AS top_chars,
+       |         (MAX(cnt * 1048576 + LEAST(glen, 1048575)) // 1048576)
+       |           * (MAX(cnt * 1048576 + LEAST(glen, 1048575)) % 1048576) AS top_chars,
        |         COALESCE(SUM(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END), 0) AS dup_chars
        |  FROM gc GROUP BY id, n),
        |per_doc AS (

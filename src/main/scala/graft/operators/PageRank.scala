@@ -118,7 +118,10 @@ object PageRank {
       eRaw.select(col("_s").as("node"))
         .union(eRaw.select(col("_d").as("node"))).distinct())
     val useBroadcast = nodes.count() <= broadcastNodeLimit
-    val dstHashSafe = useBroadcast && {
+    val dstHashSafe = useBroadcast && nEdges > 0 && {
+      // nEdges == 0 skips the measurement entirely: max() over an
+      // empty edge set returns NULL and getLong would NPE before the
+      // degenerate-graph paths below ever ran
       val maxIndeg = eRaw.groupBy("_d").agg(count(lit(1)).as("_c"))
         .agg(max(col("_c"))).head().getLong(0)
       maxIndeg <= math.max(1L, 4L * nEdges / nParts)

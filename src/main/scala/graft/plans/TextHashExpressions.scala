@@ -555,7 +555,15 @@ case class GopherStatsExpr(child: Expression, topNs: Seq[Int], dupNs: Seq[Int])
         if (isTop(ni)) {
           while (it.hasNext) {
             val e = it.next()
-            val packed = e(0) * (1L << 20) + e(1)
+            // len clamps to the 20-bit pack width: a single ≥1M-char
+            // token (degenerate web text) must not carry into the cnt
+            // bits — Java would wrap silently where the oracle's
+            // HUGEINT check errors, so engine and oracle could
+            // diverge instead of both failing. The clamp is applied
+            // identically in reportViaShuffle and oracleCore; for a
+            // clamped gram top_chars reads cnt·(2²⁰−1), an
+            // under-count on text that is one token of ≥1M chars.
+            val packed = e(0) * (1L << 20) + math.min(e(1), (1L << 20) - 1)
             if (packed > acc) acc = packed
           }
           acc = (acc >> 20) * (acc & ((1L << 20) - 1))

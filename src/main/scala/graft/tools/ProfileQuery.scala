@@ -80,14 +80,19 @@ object ProfileQuery {
         val t0 = System.nanoTime()
         // noop-sink consumption, same contract as Bench (round 12):
         // count() silently pruned projection-only tails and
-        // unique-key left joins out of the measurement
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // unique-key left joins out of the measurement. Row mass for
+        // the curve tables rides the SAME run via observe() — a
+        // separate count() re-executed the full query, which for the
+        // side-effecting ledger rows rebuilt and rewrote whole
+        // indexes into fresh temp dirs, doubling profile wall time
+        val obs = org.apache.spark.sql.Observation()
+        fn(spark, sfDir).observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1500) // listener settle (single-JVM profiler)
         spark.sparkContext.removeSparkListener(tally)
-        // row count OUTSIDE the tally window (re-runs the query; kept
-        // for the curve tables' result-mass column)
-        val n = fn(spark, sfDir).count()
+        val n = obs.get("rows")
         graft.core.CacheGovernor.isolate()
         val spill =
           if (tally.memSpill.get == 0 && tally.diskSpill.get == 0) ""

@@ -103,10 +103,11 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(a === b)
   }
 
-  test("top-gram tie-break is the (cnt, len, gram) total order") {
-    // two 2-grams each ×2: "aa b" (4 chars) and "c dd" (4 chars) —
-    // tie on cnt and len → lexicographically larger gram "c dd" wins;
-    // fraction identical either way, so assert via a len-distinct tie:
+  test("top-gram choice is the (cnt, len) max; ties value-equivalent") {
+    // the implementation orders by packed (cnt, len) only — grams
+    // tying on both yield the same fraction, so their choice is
+    // arbitrary but output-equivalent (no gram-lexicographic order is
+    // promised). Assert via a len-DISTINCT tie on cnt:
     // "aaa b"×2 (5 chars) vs "c d"×2 (3 chars) → longer wins.
     val r = reportOf(1L -> "aaa b x aaa b y c d z c d")(1L)
     // text chars: 4·3 + 7·1 ... compute: tokens aaa,b,x,aaa,b,y,c,d,z,c,d

@@ -81,4 +81,10 @@ class PageRankSpec extends AnyFunSuite {
     // duplicated edge list gives identical ranks (edges collapse first)
     assert(run(g ++ g, 6) === run(g, 6))
   }
+
+  test("empty edge set yields an empty result, not an NPE") {
+    // the max-in-degree skew measurement reads max() over the edges;
+    // on zero edges that row is NULL — the guard must skip it
+    assert(run(Seq.empty, 3).isEmpty)
+  }
 }
