@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML→text extraction + C4 line-level boilerplate filtering — the
+  * stage a real crawl pipeline runs BEFORE any host/text-level
+  * curation (reference README.md:33 "optional object storage (raw
+  * logs)" is the declared analogue; the rules themselves are public
+  * knowledge from Raffel et al. 2020 (C4, §2.2) and its released
+  * c4_utils implementation).
+  *
+  * Extraction (`extractText`): drop `<script>`/`<style>` blocks and
+  * comments, convert block-level tags to line breaks, strip remaining
+  * inline tags, decode the common named entities (`&amp;` LAST so
+  * double-encoded text stays single-encoded, per HTML semantics —
+  * tags are stripped BEFORE entity decode, so `&lt;tag&gt;` surfaces
+  * as literal text, never as a tag), then per line: collapse
+  * whitespace runs, trim, drop empties. Output is the visible text,
+  * one extracted line per block element, joined with `\n`.
+  *
+  * C4 filtering (`c4Filter`), the published rules:
+  *  - LINE rules: keep a line only if it ends in a terminal
+  *    punctuation mark (`.` `!` `?` `"` — c4_utils' `_END_MARKS`),
+  *    has ≥ `minWords` whitespace words (default 5), and does not
+  *    contain the word "javascript" (case-insensitive).
+  *  - PAGE rules, evaluated on the EXTRACTED page text (so a brace
+  *    hidden in a dropped line still counts, but script/style blocks
+  *    removed by extraction don't): drop pages containing
+  *    "lorem ipsum" (case-insensitive), pages containing a curly
+  *    brace, and pages whose RETAINED text has fewer than
+  *    `minSentences` sentences (terminal `.`/`!`/`?` occurrences —
+  *    c4_utils' `_MIN_NUM_SENTENCES` = 3).
+  *
+  * Scale shape: both stages are PURE PROJECTIONS — regexp builtins
+  * plus array higher-order functions over the per-row line array (no
+  * explode, no shuffle, no UDF); at 100 TB this runs entirely
+  * map-side in the scan stage, exactly like [[PiiRedact]].
+  */
+object HtmlText {
+
+  private val blockTags =
+    "br|p|div|li|h[1-6]|tr|td|th|ul|ol|table|blockquote|section|article|" +
+      "header|footer|nav|aside|title|pre|form|hr"
+
+  /** Named-entity subset decoded (numeric character references pass
+    * through — documented approximation; they need per-match codepoint
+    * arithmetic no builtin expresses). `&amp;` is decoded last. */
+  val entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+
+  /** Visible text of an HTML page, one line per block element, `\n`
+    * joined; blank lines dropped, whitespace runs collapsed. */
+  def extractText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val broke = regexp_replace(noComment,
+      s"(?i)</?(?:$blockTags)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(broke, "<[^>]*>", "")
+    val named = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    val decoded = regexp_replace(named, "&amp;", "&")
+    val clean = filter(
+      transform(split(decoded, "\n"),
+        l => trim(regexp_replace(l, "\\s+", " "))),
+      l => l =!= "")
+    array_join(clean, "\n")
+  }
+
+  /** The C4 line predicate (see class doc). */
+  def keepLine(line: Column, minWords: Int): Column =
+    line.rlike("[.!?\"]$") &&
+      size(filter(split(line, " "), w => w =!= "")) >= minWords &&
+      !lower(line).contains("javascript")
+
+  /** Apply the C4 line + page rules to extracted text in `textCol`.
+    * Adds `c4_text` (retained lines, `\n` joined), `n_lines_kept`,
+    * `n_sentences` (terminal-punct count in the retained text) and
+    * `c4_keep` (1 when every page rule passes). Keeps every input row
+    * — callers filter on `c4_keep`; the per-line verdicts stay
+    * inspectable for dropped pages too. */
+  def c4Filter(df: DataFrame, textCol: String,
+      minWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val kept = filter(split(col(textCol), "\n"), l => keepLine(l, minWords))
+    val retained = array_join(kept, "\n")
+    val nSent = regexp_count(retained, lit("[.!?]"))
+    val pageOk = !lower(col(textCol)).contains("lorem ipsum") &&
+      !col(textCol).contains("{") && !col(textCol).contains("}") &&
+      nSent >= minSentences
+    df.withColumn("c4_text", retained)
+      .withColumn("n_lines_kept", size(kept).cast("long"))
+      .withColumn("n_sentences", nSent.cast("long"))
+      .withColumn("c4_keep", when(pageOk, 1).otherwise(0))
+  }
+}

@@ -47,16 +47,14 @@ object WebCuration {
   def hostOf(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, hostRe, 1)), "^www\\.", "")
 
-  /** Registrable domain by the last-two-labels heuristic (no public
-    * suffix list ships here, so `a.b.co.uk` yields `co.uk` — the
-    * documented approximation; swap in a PSL lookup table via a
-    * broadcast join when one is available). Single-label hosts
-    * (`localhost`) pass through unchanged. */
-  def domainOf(host: Column): Column = {
-    val labels = split(host, "\\.")
-    when(size(labels) <= 2, host)
-      .otherwise(array_join(slice(labels, -2, 2), "."))
-  }
+  /** Registrable domain ("eTLD+1") against the bundled public-suffix
+    * snapshot — [[PublicSuffix.registrableDomain]]: `a.b.co.uk` →
+    * `b.co.uk`, each `github.io` tenant its own site, hosts that ARE
+    * public suffixes (and `localhost`) pass through unchanged. Pure
+    * InSet projection, no join. (Replaces the last-two-labels
+    * heuristic that folded every ccTLD-registered site into one
+    * "domain".) */
+  def domainOf(host: Column): Column = PublicSuffix.registrableDomain(host)
 
   /** Canonical URL string (see class doc for the exact rules). Rows
     * that do not parse as scheme://host... normalize to NULL — the

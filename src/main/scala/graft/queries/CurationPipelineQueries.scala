@@ -2,11 +2,12 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{GopherRepetition, PiiRedact, WebCuration}
+import graft.operators.{GopherRepetition, HtmlText, PiiRedact, WebCuration}
 
 /** The end-to-end corpus-curation pipeline, certified as ONE query:
-  * URL canonicalization → host blocklist → per-host quota → Gopher
-  * repetition filter → PII redaction → per-domain shipping report.
+  * HTML→text extraction + C4 page filter → URL canonicalization →
+  * host blocklist → per-host quota → Gopher repetition filter → PII
+  * redaction → per-domain (PSL registrable) shipping report.
   * Each stage is an operator already hash-certified in isolation;
   * this row certifies they COMPOSE — every stage's row set feeds the
   * next, so a subtle contract mismatch between any two stages (a
@@ -24,18 +25,30 @@ object CurationPipelineQueries {
 
   private val pipeline = QuerySpec(
     "q_curation_pipeline",
-    s"""WITH u AS (
-       |  SELECT doc_id, text, source, doc_id % 6 AS v6,
+    s"""WITH u0 AS (
+       |  SELECT doc_id, text, source, doc_id % 8 AS v8,
        |         doc_id % 7 % 5 AS v5, CAST(doc_id AS VARCHAR) AS id
        |  FROM documents),
-       |h AS (
+       |-- stage 0: HTML extraction + C4 page verdict on the planted
+       |-- markup; the expected keep-set derives off the PLANT
+       |-- (doc-text line present, no lorem-ipsum line, no curly line
+       |-- — HtmlQueries' a/b/c/d selectors), never off the parser
+       |u AS (
+       |  SELECT * FROM u0
+       |  WHERE doc_id % 5 != 2 AND doc_id % 11 != 0 AND doc_id % 13 != 5),
+       |h0 AS (
        |  SELECT *,
-       |    CASE v6 WHEN 3 THEN 'docs.' || source || '.net'
+       |    CASE v8 WHEN 3 THEN 'docs.' || source || '.net'
        |            WHEN 5 THEN 'cdn.' || source || '.example.com'
-       |            ELSE source || '.example.com' END AS host,
-       |    CASE WHEN v6 = 3 THEN source || '.net'
-       |         ELSE 'example.com' END AS domain
+       |            WHEN 6 THEN 'shop.' || source || '.co.uk'
+       |            WHEN 7 THEN source || '.com.au'
+       |            ELSE source || '.example.com' END AS host
        |  FROM u),
+       |-- registrable domain via the GENERATED public-suffix replay
+       |-- (PublicSuffix.domainSqlSelect — same rule tables as the
+       |-- engine, so this row certifies the PSL match cross-engine)
+       |h AS (
+       |${graft.operators.PublicSuffix.domainSqlSelect("h0", "host")}),
        |f AS (SELECT * FROM h
        |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net')),
        |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
@@ -56,9 +69,16 @@ object CurationPipelineQueries {
        |FROM p GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
+    // stage 0: HTML→text extraction + C4 page filter on the planted
+    // markup — only pages passing the C4 page rules enter the chain
+    val extracted = docs
+      .withColumn("_html_text", HtmlText.extractText(HtmlQueries.plantedHtml))
+    val c4Kept = HtmlText.c4Filter(extracted, "_html_text")
+      .filter(col("c4_keep") === 1)
+      .drop("_html_text", "c4_text", "n_lines_kept", "n_sentences", "c4_keep")
     // stage 1: canonical host/domain from the synthesized messy URL
     val url = WebQueries.messyUrl
-    val withHost = docs
+    val withHost = c4Kept
       .withColumn("host", WebCuration.hostOf(url))
       .withColumn("domain", WebCuration.domainOf(col("host")))
     // stage 2: host blocklist (broadcast anti join)

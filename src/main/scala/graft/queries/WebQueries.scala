@@ -16,11 +16,14 @@ import graft.operators.WebCuration
   */
 object WebQueries {
 
-  /** The messy-URL synthesis, Spark side. Variant = doc_id % 6.
-    * Shared with the end-to-end curation pipeline query. */
+  /** The messy-URL synthesis, Spark side. Variant = doc_id % 8 —
+    * variants 6 and 7 plant ccTLD second-level hosts so the PSL
+    * registrable-domain match (not the old last-two-labels heuristic)
+    * is what the oracles certify. Shared with the end-to-end curation
+    * pipeline query. */
   private[queries] def messyUrl = {
     val id = col("doc_id").cast("string")
-    val v = col("doc_id") % 6
+    val v = col("doc_id") % 8
     when(v === 0, concat(lit("https://www."), col("source"),
         lit(".example.com/docs/"), id))
       .when(v === 1, concat(lit("HTTPS://"), col("source"),
@@ -31,8 +34,12 @@ object WebQueries {
         lit(".net:8080/d/"), id, lit("#frag")))
       .when(v === 4, concat(lit("https://"), col("source"),
         lit(".example.com/docs/"), id, lit("?b=2&a=1&ref=tw")))
-      .otherwise(concat(lit("https://cdn."), col("source"),
+      .when(v === 5, concat(lit("https://cdn."), col("source"),
         lit(".example.com/")))
+      .when(v === 6, concat(lit("https://shop."), col("source"),
+        lit(".co.uk/p/"), id))
+      .otherwise(concat(lit("HTTP://"), col("source"),
+        lit(".COM.AU/"), id, lit("/")))
   }
 
   /** URL canonicalization + host/domain extraction (pure projection —
@@ -42,7 +49,7 @@ object WebQueries {
   private val urlNormalize = QuerySpec(
     "q_url_normalize",
     """WITH u AS (
-      |  SELECT doc_id, source, doc_id % 6 AS v,
+      |  SELECT doc_id, source, doc_id % 8 AS v,
       |         CAST(doc_id AS VARCHAR) AS id FROM documents)
       |SELECT doc_id,
       |  CASE v
@@ -50,14 +57,23 @@ object WebQueries {
       |    WHEN 3 THEN 'http://docs.' || source || '.net:8080/d/' || id
       |    WHEN 4 THEN 'https://' || source || '.example.com/docs/' || id || '?a=1&b=2'
       |    WHEN 5 THEN 'https://cdn.' || source || '.example.com'
+      |    WHEN 6 THEN 'https://shop.' || source || '.co.uk/p/' || id
+      |    WHEN 7 THEN 'http://' || source || '.com.au/' || id
       |    ELSE 'https://' || source || '.example.com/docs/' || id
       |  END AS url_norm,
       |  CASE v
       |    WHEN 3 THEN 'docs.' || source || '.net'
       |    WHEN 5 THEN 'cdn.' || source || '.example.com'
+      |    WHEN 6 THEN 'shop.' || source || '.co.uk'
+      |    WHEN 7 THEN source || '.com.au'
       |    ELSE source || '.example.com'
       |  END AS host,
-      |  CASE v WHEN 3 THEN source || '.net' ELSE 'example.com' END AS domain
+      |  CASE v
+      |    WHEN 3 THEN source || '.net'
+      |    WHEN 6 THEN source || '.co.uk'
+      |    WHEN 7 THEN source || '.com.au'
+      |    ELSE 'example.com'
+      |  END AS domain
       |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
     val url = messyUrl
     Tables.documents(s, d)
@@ -95,13 +111,22 @@ object WebQueries {
     "q_domain_mix",
     """WITH h AS (
       |  SELECT doc_id, n_chars, lang,
-      |         CASE doc_id % 6
+      |         CASE doc_id % 8
       |           WHEN 3 THEN 'docs.' || source || '.net'
       |           WHEN 5 THEN 'cdn.' || source || '.example.com'
+      |           WHEN 6 THEN 'shop.' || source || '.co.uk'
+      |           WHEN 7 THEN source || '.com.au'
       |           ELSE source || '.example.com'
       |         END AS host,
-      |         CASE WHEN doc_id % 6 = 3 THEN source || '.net'
-      |              ELSE 'example.com' END AS domain
+      |         -- expected registrable domain planted INDEPENDENTLY of
+      |         -- the engine's PSL matcher: co.uk/com.au are public
+      |         -- suffixes, so one more label is the domain
+      |         CASE doc_id % 8
+      |           WHEN 3 THEN source || '.net'
+      |           WHEN 6 THEN source || '.co.uk'
+      |           WHEN 7 THEN source || '.com.au'
+      |           ELSE 'example.com'
+      |         END AS domain
       |  FROM documents),
       |f AS (SELECT * FROM h
       |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net'))

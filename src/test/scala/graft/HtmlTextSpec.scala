@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.HtmlText
+
+class HtmlTextSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  private def extract(htmls: String*): Seq[String] =
+    htmls.toDF("h").select(HtmlText.extractText(col("h")))
+      .as[String].collect().toSeq
+
+  test("script/style/comment bodies vanish, including braces and '<'") {
+    assert(extract(
+      "<p>a b.</p><script>if (x < 2) { bad(); }</script><p>c d.</p>",
+      "<style>p { color: red }</style><p>keep.</p>",
+      "<!-- <p>not content</p> --><p>real.</p>") ===
+      Seq("a b.\nc d.", "keep.", "real."))
+  }
+
+  test("block tags break lines; inline tags strip in place") {
+    assert(extract(
+      "<div>one</div><div>two</div>",
+      "x<br>y",
+      "<p>a <b>bold</b> word</p>",
+      "<table><tr><td>c1</td><td>c2</td></tr></table>") ===
+      Seq("one\ntwo", "x\ny", "a bold word", "c1\nc2"))
+  }
+
+  test("entities decode after tag strip; &amp; decodes last") {
+    // &lt;p&gt; must surface as literal text, never become a tag
+    assert(extract("<p>a &lt;p&gt; b</p>") === Seq("a <p> b"))
+    // double-encoded stays single-encoded (&amp;lt; -> &lt;)
+    assert(extract("<p>x &amp;lt; y</p>") === Seq("x &lt; y"))
+    assert(extract("<p>a&nbsp;&nbsp;b &quot;q&quot; &#39;s&#39;</p>") ===
+      Seq("a b \"q\" 's'"))
+  }
+
+  test("whitespace collapses per line; blank lines drop") {
+    assert(extract("<p>  a \t b  </p><p>   </p><p>c</p>") ===
+      Seq("a b\nc"))
+  }
+
+  private def c4(texts: Seq[String], minWords: Int = 5, minSent: Int = 3) = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    HtmlText.c4Filter(df, "t", minWords, minSent)
+      .orderBy("id")
+      .select("c4_text", "n_lines_kept", "n_sentences", "c4_keep")
+      .as[(String, Long, Long, Int)].collect().toSeq
+  }
+
+  test("line rule: terminal punctuation, min words, javascript word") {
+    val r = c4(Seq(Seq(
+      "this line has five words.",   // kept: 5 words, '.'
+      "only four words here.",       // dropped: 4 words
+      "no terminal punctuation on this line", // dropped
+      "a quote ended line counts too\"", // kept: ends '"'
+      "please enable JavaScript to continue now.", // dropped: word filter
+      "third sentence makes the page pass!").mkString("\n")))
+    assert(r === Seq((
+      "this line has five words.\n" +
+        "a quote ended line counts too\"\n" +
+        "third sentence makes the page pass!",
+      3L, 2L, 0))) // '"' is not a sentence mark: 2 sentences < 3 → drop
+  }
+
+  test("page rules: lorem ipsum, braces (even in dropped lines), min sentences") {
+    val good = "one good sentence sits here.\n" +
+      "two good sentences sit here.\nthree good sentences sit here."
+    val lorem = good + "\nLorem Ipsum dolor sit amet filler."
+    val brace = good + "\nfunction f() { short }"  // line dropped, page dies
+    val short2 = "one good sentence sits here.\ntwo good sentences sit here."
+    val r = c4(Seq(good, lorem, brace, short2))
+    assert(r.map(_._4) === Seq(1, 0, 0, 0))
+    // the brace page still reports its retained lines and sentences
+    assert(r(2)._2 === 3L && r(2)._3 === 3L)
+    // sentence threshold is on RETAINED text only
+    assert(r(3)._3 === 2L)
+  }
+
+  test("sentence count reads retained text, not the raw page") {
+    // the dropped four-word line contributes no sentence
+    val t = "drop this short line.\n" + // 4 words → dropped
+      "first real sentence goes right here. and a second one follows it!\n" +
+      "the third sentence arrives at last."
+    val r = c4(Seq(t))
+    assert(r.head._3 === 3L && r.head._4 === 1)
+  }
+}

@@ -39,7 +39,7 @@ class WebCurationSpec extends AnyFunSuite {
     assert(norm("not a url", "", "ftp//broken") === Seq(null, null, null))
   }
 
-  test("hostOf and domainOf extract host and last-two-label domain") {
+  test("hostOf and domainOf extract host and PSL registrable domain") {
     val r = Seq("https://www.Docs.Site.example.org:8080/x?q=1")
       .toDF("u")
       .select(WebCuration.hostOf(col("u")).as("h"))
@@ -50,6 +50,48 @@ class WebCurationSpec extends AnyFunSuite {
     val two = Seq(("localhost"), ("a.io")).toDF("h")
       .select(WebCuration.domainOf(col("h"))).as[String].collect().toSeq
     assert(two === Seq("localhost", "a.io"))
+  }
+
+  test("domainOf follows the public-suffix list, not last-two-labels") {
+    def d(hosts: String*): Seq[String] =
+      hosts.toDF("h").select(WebCuration.domainOf(col("h")))
+        .as[String].collect().toSeq
+    // ccTLD second-level registrations: one more label than the rule
+    assert(d("a.b.co.uk", "shop.src1.com.au", "x.co.jp") ===
+      Seq("b.co.uk", "src1.com.au", "x.co.jp"))
+    // a host that IS a public suffix passes through
+    assert(d("co.uk", "com.au", "github.io") ===
+      Seq("co.uk", "com.au", "github.io"))
+    // private-section hosters: every tenant is its own site
+    assert(d("user.github.io", "deep.path.user.github.io", "blog.blogspot.com") ===
+      Seq("user.github.io", "user.github.io", "blog.blogspot.com"))
+    // 3-label rule
+    assert(d("bucket.s3.amazonaws.com", "x.bucket.s3.amazonaws.com") ===
+      Seq("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"))
+    // wildcard *.ck: any direct child is a public suffix; the
+    // exception !www.ck is registrable itself
+    assert(d("a.b.ck", "x.ck", "www.ck", "sub.www.ck") ===
+      Seq("a.b.ck", "x.ck", "www.ck", "www.ck"))
+  }
+
+  test("domainOf Spark and generated DuckDB SQL agree on fixtures") {
+    // the oracle SQL is GENERATED from the same rule Seqs; this pins
+    // the slicing/guard semantics of the two engines to each other
+    // without DuckDB in the JVM: replay the documented clamp rules
+    val hosts = Seq("a.b.co.uk", "co.uk", "localhost", "x.ck", "a.b.ck",
+      "www.ck", "deep.x.s3.amazonaws.com", "foo.example.com",
+      "example.com", "shop.src1.com.au", "user.github.io")
+    val spark2 = d2(hosts)
+    val expected = Seq("b.co.uk", "co.uk", "localhost", "x.ck", "a.b.ck",
+      "www.ck", "x.s3.amazonaws.com", "example.com",
+      "example.com", "src1.com.au", "user.github.io")
+    assert(spark2 === expected)
+  }
+
+  private def d2(hosts: Seq[String]): Seq[String] = {
+    import graft.operators.PublicSuffix
+    hosts.toDF("h").select(PublicSuffix.registrableDomain(col("h")))
+      .as[String].collect().toSeq
   }
 
   test("domainQuota keeps exactly quota rows per host, deterministically") {
