@@ -60,6 +60,49 @@ object GopherRepetition {
   val dupThresholds: Seq[(Int, Double)] =
     Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
 
+  /** Per-language ABSOLUTE threshold adjustment (added to every
+    * top/dup threshold). Gopher's Table A1 was tuned on English;
+    * multilingual curation stacks threshold per language (public
+    * practice: CCNet buckets per language, Dolma's per-language
+    * configs) because whitespace tokenization runs hotter on
+    * non-space-delimited scripts — zh/ja text segments into long
+    * pseudo-tokens whose repetition fractions sit structurally higher
+    * for the same content quality. The values here are a small
+    * explicit table demonstrating the MECHANISM (the real per-language
+    * values are corpus-tuned); unlisted languages get 0.0 = the
+    * published English thresholds. */
+  val langAdjust: Map[String, Double] =
+    Map("zh" -> 0.05, "ja" -> 0.05, "ko" -> 0.03)
+
+  /** The adjustment for a language column (0.0 when unlisted). */
+  def langAdjustCol(lang: Column): Column =
+    coalesce(element_at(typedLit(langAdjust), lang), lit(0.0))
+
+  /** Keep decision over a [[report]] row with every threshold shifted
+    * by `adj` (IEEE double add of the same two constants on both
+    * engine and oracle sides — the parity discipline). */
+  def keepWithAdjust(adj: Column): Column =
+    (topThresholds.map { case (n, t) =>
+      col(s"top${n}_frac") <= lit(t) + adj
+    } ++ dupThresholds.map { case (n, t) =>
+      col(s"dup${n}_frac") <= lit(t) + adj
+    }).reduce(_ && _)
+
+  /** DuckDB replay of [[langAdjustCol]], generated from the SAME map. */
+  def langAdjustSql(langExpr: String): String =
+    "CASE " + langAdjust.toSeq.sorted.map { case (l, a) =>
+      s"WHEN $langExpr = '$l' THEN $a"
+    }.mkString(" ") + " ELSE 0.0 END"
+
+  /** DuckDB replay of [[keepWithAdjust]] over columns named like the
+    * report's, generated from the same threshold tables. */
+  def keepWithAdjustSql(adjExpr: String): String =
+    (topThresholds.map { case (n, t) =>
+      s"top${n}_frac <= $t + $adjExpr"
+    } ++ dupThresholds.map { case (n, t) =>
+      s"dup${n}_frac <= $t + $adjExpr"
+    }).mkString(" AND ")
+
   private def fracCol(chars: Column, total: Column): Column =
     when(total > 0, chars.cast("double") / total.cast("double"))
       .otherwise(lit(0.0))

@@ -26,15 +26,21 @@ object GopherQueries {
   }
 
   /** Per-language curation summary over the report: how many docs each
-    * language keeps and which filter family rejects the rest — the
-    * mixing-decision view. Exact integer counts only (the fractions
-    * stay per-doc; averaging them would accumulate float error). */
+    * language keeps under the GLOBAL Table-A1 thresholds, how many
+    * under the PER-LANGUAGE adjusted thresholds
+    * ([[GopherRepetition.langAdjust]] — the CCNet/Dolma discipline),
+    * and which filter family rejects the rest — the mixing-decision
+    * view. Exact integer counts only (the fractions stay per-doc;
+    * averaging them would accumulate float error). Both the adjustment
+    * CASE and the adjusted-keep predicate in the oracle are GENERATED
+    * from the same tables that drive the engine. */
   private val gopherSummary = QuerySpec(
     "q_gopher_summary",
     s"""WITH rep AS (
        |${GopherRepetition.oracleCore("doc_id", "text")}),
        |j AS (
-       |  SELECT d.lang, r.gopher_keep,
+       |  SELECT d.lang, r.*,
+       |         ${GopherRepetition.langAdjustSql("d.lang")} AS adj,
        |         CASE WHEN ${GopherRepetition.topThresholds
                   .map { case (n, t) => s"r.top${n}_frac > $t" }
                   .mkString(" OR ")} THEN 1 ELSE 0 END AS top_fail,
@@ -44,6 +50,8 @@ object GopherQueries {
        |  FROM rep r JOIN documents d ON d.doc_id = r.doc_id)
        |SELECT lang, COUNT(*) AS n_docs,
        |       CAST(SUM(gopher_keep) AS BIGINT) AS n_kept,
+       |       CAST(SUM(CASE WHEN ${GopherRepetition.keepWithAdjustSql("adj")}
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lang,
        |       CAST(SUM(top_fail) AS BIGINT) AS n_top_fail,
        |       CAST(SUM(dup_fail) AS BIGINT) AS n_dup_fail
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
@@ -53,12 +61,15 @@ object GopherQueries {
       .map { case (n, t) => col(s"top${n}_frac") > t }.reduce(_ || _)
     val dupFail = GopherRepetition.dupThresholds
       .map { case (n, t) => col(s"dup${n}_frac") > t }.reduce(_ || _)
+    val adj = GopherRepetition.langAdjustCol(col("lang"))
     rep
       .join(docs.select("doc_id", "lang"), "doc_id")
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("gopher_keep")).cast("long").as("n_kept"),
+        sum(when(GopherRepetition.keepWithAdjust(adj), 1).otherwise(0))
+          .cast("long").as("n_kept_lang"),
         sum(when(topFail, 1).otherwise(0)).cast("long").as("n_top_fail"),
         sum(when(dupFail, 1).otherwise(0)).cast("long").as("n_dup_fail"))
       .orderBy("lang")

@@ -16,6 +16,36 @@ class GopherRepetitionSpec extends AnyFunSuite {
   private def frac(r: Row, name: String): Double =
     r.getDouble(r.fieldIndex(name))
 
+  test("per-language adjusted thresholds flip a near-threshold doc") {
+    // a doc whose top2 fraction lands in (0.20, 0.25]: fails the
+    // English Table-A1 threshold, passes the zh-adjusted (+0.05) one.
+    // Construction: a 21-char 2-gram ("aaaaaaaaaa bbbbbbbbbb") ×2 =
+    // 42 chars of top-gram mass over a 183-char text (35 distinct
+    // 3-char fillers keep every ≥5-gram unique, so all dup fractions
+    // are 0): top2 = 42/183 ≈ 0.2295.
+    val big = "aaaaaaaaaa bbbbbbbbbb"
+    val fillers = (0 until 35).map(i => f"f$i%02d")
+    val text = (Seq(fillers.head, big, fillers(1), big) ++ fillers.drop(2))
+      .mkString(" ")
+    assert(text.length === 183)
+    val df = Seq((1L, text, "en"), (2L, text, "zh"))
+      .toDF("doc_id", "text", "lang")
+    val rep = GopherRepetition.report(df, "doc_id", "text")
+      .join(df.select("doc_id", "lang"), "doc_id")
+    val got = rep.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("gopher_keep"),
+        GopherRepetition.keepWithAdjust(
+          GopherRepetition.langAdjustCol(
+            org.apache.spark.sql.functions.col("lang"))).as("keep_lang"))
+      .orderBy("doc_id")
+      .as[(Long, Int, Boolean)].collect().toSeq
+    // same signals, different verdicts: en drops, zh keeps
+    assert(got === Seq((1L, 0, false), (2L, 0, true)))
+    val r = reportOf(1L -> text)(1L)
+    assert(frac(r, "top2_frac") === 42.0 / 183)
+  }
+
   test("top-gram fractions match a hand computation") {
     // "a b a b a b" (11 chars): tokens a,b,a,b,a,b
     // 2-grams: "a b"×3, "b a"×2 → top = 3·3 = 9 chars → 9/11
