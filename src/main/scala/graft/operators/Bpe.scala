@@ -166,6 +166,97 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** [[trainDelta]] with BATCHED MERGE SELECTION — the large-k path.
+    * trainDelta's per-merge driver round-trip (one 1-row argmax action
+    * per merge) is a latency wall at production vocab sizes: 32k
+    * merges = 32k Spark jobs regardless of data size. Public fast-BPE
+    * practice batches: per round, take the stale top-`batch` pairs and
+    * accept the maximal PREFIX whose pairs are pairwise
+    * symbol-disjoint (scanning in (cnt DESC, l, r) rank order, STOP at
+    * the first pair sharing a symbol with an accepted one), then apply
+    * all accepted merges in one pass — so the driver round count drops
+    * toward k/batch while each round keeps trainDelta's exact integer
+    * state maintenance.
+    *
+    * Exactness contract (spec-pinned, BpeSpec):
+    *  - the pair-count STATE is always exact — deltas recompute from
+    *    the actual old/new symbol arrays, so no selection policy can
+    *    corrupt counts;
+    *  - the merge TABLE (order + counts) equals sequential greedy
+    *    whenever batch pairs don't interact: merging a disjoint pair
+    *    (A,B) cannot change the count of (C,D) with {C,D}∩{A,B}=∅,
+    *    so every accepted pair's stale count IS its merge-time count;
+    *  - the documented deviation: a merge can CREATE pairs around its
+    *    new symbol (cnt ≤ the merged pair's), and sequential greedy
+    *    would rank those against later batch members while the batch
+    *    cannot — so batched order may differ there (e.g. words
+    *    {"abcd"×95, "ab"×5}: sequential merges (a,b) then (ab,c);
+    *    batch 2 accepts (a,b)+(c,d) because (b,c) conflicts first but
+    *    (c,d) doesn't — that is why acceptance stops at the FIRST
+    *    conflict instead of skipping past it, which narrows, but does
+    *    not close, the window). `batch = 1` degenerates to exact
+    *    [[trainDelta]] behavior. */
+  def trainBatched(words: DataFrame, wordCol: String, freqCol: String,
+      k: Int, batch: Int = 16): DataFrame = {
+    require(k >= 1 && batch >= 1, "need k >= 1 and batch >= 1")
+    val spark = words.sparkSession
+    var vocab = words
+      .select(split(col(wordCol), "").as("_syms"), col(freqCol).cast("long").as("_f"))
+      .localCheckpoint(false)
+    var pairCounts = vocab
+      .select(col("_f"), explode(pairsOf(col("_syms"))).as("_p"))
+      .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+      .agg(sum(col("_f")).as("cnt"))
+      .localCheckpoint(false)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (merges.size < k && !done) {
+      val top = pairCounts
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(math.min(batch, k - merges.size)).collect()
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var conflict = false
+        top.foreach { row =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!conflict && !used(l) && !used(r)) {
+            accepted += ((l, r, c)); used += l; used += r
+          } else conflict = true
+        }
+        accepted.foreach { case (l, r, c) =>
+          merges += ((merges.size + 1L, l, r, c))
+        }
+        val hitAny = accepted.map { case (l, r, _) =>
+          exists(pairsOf(col("_syms")),
+            p => p.getField("l") === lit(l) && p.getField("r") === lit(r))
+        }.reduce(_ || _)
+        def applyAll(syms: Column): Column =
+          accepted.foldLeft(syms) { case (acc, (l, r, _)) =>
+            mergeOnce(acc, lit(l), lit(r))
+          }
+        val aff = vocab.filter(hitAny).withColumn("_new", applyAll(col("_syms")))
+        val deltas = aff
+          .select((-col("_f")).as("_d"), explode(pairsOf(col("_syms"))).as("_p"))
+          .unionAll(aff
+            .select(col("_f").as("_d"), explode(pairsOf(col("_new"))).as("_p")))
+          .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+          .agg(sum(col("_d")).as("cnt"))
+        pairCounts = pairCounts.unionAll(deltas)
+          .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0L)
+          .localCheckpoint(false)
+        vocab = vocab
+          .withColumn("_syms", when(hitAny, applyAll(col("_syms")))
+            .otherwise(col("_syms")))
+          .localCheckpoint(false)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
+
   /** Re-encode a corpus under a trained merge list — the apply side of
     * [[train]], shaped for scale the way every tokenizer pipeline
     * shards it: the DISTINCT-WORD vocabulary encodes once (k folds over

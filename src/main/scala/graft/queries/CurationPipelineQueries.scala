@@ -105,5 +105,74 @@ object CurationPipelineQueries {
       .orderBy("domain")
   }
 
-  def all: Seq[QuerySpec] = Seq(pipeline)
+  /** The STREAMING form of the pipeline under the driver's hash gate
+    * (the N39 ledger discipline applied to curation): documents slice
+    * %3 into three micro-batches driven through
+    * [[graft.streaming.StreamingOps.curationAppendBatch]] (blocklist →
+    * Gopher filter → PII redaction → survivor store), batch 1
+    * REDELIVERS (ledger no-op), the relation compacts into a fresh
+    * pruned layout, and the compacted read's per-host quota view must
+    * hash-match the oracle's one-shot batch replay of the same stages
+    * over the whole corpus — certifying streamed ≡ batch, redelivery ≡
+    * no-op and compaction ≡ identity for the curation chain in one
+    * row. */
+  private val stQuota = 5
+
+  private val streamingLedger = QuerySpec(
+    "q_st_curation_ledger",
+    s"""WITH u AS (
+       |  SELECT doc_id, text, source, doc_id % 8 AS v8,
+       |         doc_id % 7 % 5 AS v5, CAST(doc_id AS VARCHAR) AS id
+       |  FROM documents),
+       |h AS (
+       |  SELECT *,
+       |    CASE v8 WHEN 3 THEN 'docs.' || source || '.net'
+       |            WHEN 5 THEN 'cdn.' || source || '.example.com'
+       |            WHEN 6 THEN 'shop.' || source || '.co.uk'
+       |            WHEN 7 THEN source || '.com.au'
+       |            ELSE source || '.example.com' END AS host
+       |  FROM u),
+       |f AS (SELECT * FROM h
+       |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net')),
+       |-- the fold gophers the text it INGESTS — i.e. with the planted
+       |-- PII suffix already appended — so the replay must too
+       |rep AS (
+       |${GopherRepetition.oracleCore("doc_id",
+          s"(text || ${PiiQueries.suffixSqlFor(
+            "doc_id % 7 % 5", "CAST(doc_id AS VARCHAR)")})")}),
+       |g AS (SELECT f.* FROM f
+       |      JOIN rep ON rep.doc_id = f.doc_id AND rep.gopher_keep = 1),
+       |q AS (SELECT host, doc_id,
+       |        ROW_NUMBER() OVER (PARTITION BY host
+       |          ORDER BY md5(id), doc_id) AS keep_rank,
+       |        length(text || ${PiiQueries.redactedSuffixSqlFor("v5")}) AS red_len
+       |      FROM g)
+       |SELECT host, doc_id, CAST(keep_rank AS BIGINT) AS keep_rank,
+       |       CAST(red_len AS BIGINT) AS red_len
+       |FROM q WHERE keep_rank <= $stQuota
+       |ORDER BY host, keep_rank""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingOps
+    val docs = Tables.documents(s, d)
+      .withColumn("host", WebCuration.hostOf(WebQueries.messyUrl))
+      .withColumn("text", concat(col("text"), PiiQueries.suffix))
+      .select("doc_id", "text", "host")
+    def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_curation_ledger").toString
+    val fold = StreamingOps.curationAppendBatch(path, "doc_id", "text",
+      "host", Seq("src0.example.com", "docs.src3.net"))
+    fold(slice(0), 0L)
+    fold(slice(1), 1L)
+    fold(slice(2), 2L)
+    fold(slice(1), 1L) // redelivered micro-batch — ledger no-op
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft_curation_compact").toString + "/v2"
+    StreamingOps.compactCuration(s, path, dest, "doc_id", stQuota)
+    StreamingOps.readCuration(s, dest, "doc_id", stQuota)
+      .select(col("host"), col("doc_id"), col("keep_rank").cast("long"),
+        length(col("red_text")).cast("long").as("red_len"))
+      .orderBy("host", "keep_rank")
+  }
+
+  def all: Seq[QuerySpec] = Seq(pipeline, streamingLedger)
 }

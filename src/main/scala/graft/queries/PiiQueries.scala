@@ -37,15 +37,22 @@ object PiiQueries {
         lit(" or ops"), id, lit("@corp.example.org")))
   }
 
-  private val suffixSql =
-    """CASE v
+  /** The RAW planted suffix in SQL, with the variant and id
+    * expressions supplied by the caller (so it can inline into
+    * contexts without the u-CTE aliases — e.g. inside
+    * GopherRepetition.oracleCore's textCol slot). MARGIN-SAFE: no
+    * continuation line starts with `|`, because the fragment nests
+    * inside templates that each run their own stripMargin — a leading
+    * `||` would lose one bar per nesting level. */
+  private[queries] def suffixSqlFor(v: String, id: String): String =
+    s"""CASE $v
       |      WHEN 0 THEN ' rev 1.2.3.4000 build'
-      |      WHEN 1 THEN ' contact user' || id || '@mail.example.com now'
+      |      WHEN 1 THEN ' contact user' || $id || '@mail.example.com now'
       |      WHEN 2 THEN ' node at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1 port 8080'
-      |      WHEN 3 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-      |                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
-      |      ELSE ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-      |           || ' or ops' || id || '@corp.example.org'
+      |      WHEN 3 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+      |                  '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      |      ELSE ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |           ' or ops' || $id || '@corp.example.org'
       |    END""".stripMargin
 
   private[queries] def redactedSuffixSqlFor(v: String): String =

@@ -381,6 +381,80 @@ object StreamingOps {
     spark.read.parquet(s"$path/grams")
       .groupBy("gram").agg(sum(col("cnt")).as("cnt"))
 
+  /** Streaming ingestion-time form of the CURATION PIPELINE (the N90
+    * batch chain, re-shaped for foreachBatch): the stateless stages —
+    * host blocklist, Gopher repetition filter, PII redaction — apply
+    * per micro-batch as pure projections/filters, and each batch's
+    * SURVIVORS land in a stored relation (`docs/batch_id=<id>`,
+    * OVERWRITE, under the `_batches` redelivery ledger — the
+    * histogram/CMS fold contract). The one STATEFUL stage, the
+    * per-host quota, becomes a ledger-backed RUNNING top-k: survivors
+    * store their static md5-of-id priority, and [[readCuration]]
+    * applies the skew-safe exact top-k over everything ingested so
+    * far — because priorities never change, the kept set after any
+    * number of batches equals the batch pipeline over the union of
+    * those batches, regardless of arrival order or redelivery
+    * (spec-pinned; q_st_curation_ledger hash-certifies the full
+    * append/redeliver/compact/read loop against the batch replay).
+    *
+    * `blockedHosts` is host-cardinality (a blocklist), so it ships in
+    * the closure and compiles to an InSet filter — no join, no state. */
+  def curationAppendBatch(
+      path: String, id: String, text: String, host: String,
+      blockedHosts: Seq[String]): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val ledgerPath = s"$path/_batches"
+    val applied =
+      try spark.read.parquet(ledgerPath)
+        .filter(col("batch_id") === batchId).head(1).nonEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!applied && !batch.isEmpty) {
+      requireBatchDirLayout(spark, s"$path/docs")
+      val unblocked =
+        if (blockedHosts.isEmpty) batch
+        else batch.filter(!col(host).isin(blockedHosts: _*))
+      val kept = unblocked.join(
+        graft.operators.GopherRepetition.report(unblocked, id, text)
+          .filter(col("gopher_keep") === 1).select(id), id)
+      kept
+        .select(col(host).as("host"), col(id),
+          md5(col(id).cast("string")).as("priority"),
+          graft.operators.PiiRedact.redact(col(text)).as("red_text"))
+        .write.mode("overwrite").parquet(s"$path/docs/batch_id=$batchId")
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerPath)
+    }
+  }
+
+  /** Quota view of a [[curationAppendBatch]] relation: the per-host
+    * top-`quota` survivors by stored priority (adds `keep_rank`) —
+    * exactly [[graft.operators.WebCuration.domainQuota]]'s selection
+    * over the whole ingested history. */
+  def readCuration(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      id: String, quota: Int): DataFrame =
+    graft.operators.WebCuration.topKPerGroup(
+      spark.read.parquet(s"$path/docs"),
+      col("host"), col("priority"), col(id), quota)
+
+  /** Compact a [[curationAppendBatch]] relation into a fresh versioned
+    * directory, PRUNED to the current per-host top-`quota`. Pruning is
+    * safe under the running-top-k contract: priorities are static and
+    * new rows can only push existing ranks DOWN, so a row outside
+    * today's top-quota can never re-enter it — the compacted relation
+    * answers every future [[readCuration]] identically while holding
+    * ≤ quota·hosts rows. The ledger carries over (redelivered
+    * pre-compaction batches stay no-ops). */
+  def compactCuration(
+      spark: org.apache.spark.sql.SparkSession, path: String, dest: String,
+      id: String, quota: Int): Unit = {
+    require(path != dest, "compaction writes a NEW versioned directory")
+    readCuration(spark, path, id, quota).drop("keep_rank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/docs/batch_id=0")
+    spark.read.parquet(s"$path/_batches").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/_batches")
+  }
+
   /** Compact an appended sketch relation into a fresh versioned
     * directory (the Dedup.compactMinHashRelation convention: never
     * overwrite the live relation) — after many appended micro-batches

@@ -126,6 +126,46 @@ class BpeSpec extends AnyFunSuite {
     assert(delta === full)
   }
 
+  private def trainBatchedOn(
+      words: Map[String, Long], k: Int, batch: Int, parts: Int = 1) =
+    Bpe.trainBatched(words.toSeq.toDF("word", "freq").repartition(parts),
+        "word", "freq", k, batch)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+
+  test("batched training equals sequential greedy where pairs don't interact") {
+    // four symbol-disjoint high-count pairs, well separated in count
+    // from anything a merge could create — the exactness condition
+    val words = Map("abab" -> 50L, "cdcd" -> 40L, "efef" -> 30L,
+      "ghgh" -> 20L, "xy" -> 1L)
+    (1 to 4).foreach { b =>
+      assert(trainBatchedOn(words, 4, batch = b) === refBpe(words, 4),
+        s"batch=$b")
+    }
+    // and the state stays exact ACROSS rounds: train far past the
+    // disjoint prefix and compare the full table
+    assert(trainBatchedOn(words, 10, batch = 4) === refBpe(words, 10))
+  }
+
+  test("batched training stops accepting at the first symbol conflict") {
+    // stale top-3 is (a,b)=100, (b,c)=95, (c,d)=95: (b,c) conflicts
+    // with the accepted (a,b), so acceptance STOPS — (c,d) must not
+    // be taken even though its symbols are disjoint, because the
+    // merge of (a,b) creates (ab,c) pairs that sequential greedy
+    // would rank against it
+    val words = Map("abcd" -> 95L, "ab" -> 5L)
+    assert(trainBatchedOn(words, 3, batch = 3) === refBpe(words, 3))
+  }
+
+  test("batched training is partition-insensitive; batch=1 equals delta") {
+    val words = Map("hello" -> 10L, "help" -> 7L, "hull" -> 3L, "jello" -> 5L)
+    assert(trainBatchedOn(words, 8, batch = 4, parts = 7) ===
+      trainBatchedOn(words, 8, batch = 4, parts = 1))
+    assert(trainBatchedOn(words, 8, batch = 1) === trainDeltaOn(words, 8))
+    // early stop: runs out of pairs before k
+    assert(trainBatchedOn(Map("ab" -> 3L), 10, batch = 4) ===
+      Seq((1L, "a", "b", 3L)))
+  }
+
   test("corpus encoding applies merges in rank order and reconstructs every word") {
     val docs = Seq((1L, "aaab ab cc"), (2L, "ab aaab")).toDF("doc_id", "text")
     val words = Bpe.wordFreq(docs, col("text"))

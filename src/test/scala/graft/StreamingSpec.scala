@@ -325,6 +325,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming curation fold: streamed quota view equals the batch pipeline; redelivery no-op; compaction identity") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-stream-curation").toString
+    val dest = java.nio.file.Files
+      .createTempDirectory("graft-stream-curation-v2").toString + "/v2"
+    try {
+      val docs = graft.core.Tables.documents(spark, TestSession.sfDir)
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+        .select("doc_id", "text", "host")
+      val blocked = Seq("src0.example.com", "src7.example.com")
+      val quota = 4
+      val fold = StreamingOps.curationAppendBatch(
+        path, "doc_id", "text", "host", blocked)
+      // three arrival-order-scrambled micro-batches driven through a
+      // real foreachBatch stream
+      val in = MemoryStream[(Long, String, String)](spark)
+      val q = in.toDF().toDF("doc_id", "text", "host").writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) => fold(b.toDF(), id))
+        .start()
+      val rows = docs.as[(Long, String, String)].collect()
+      Seq(2, 0, 1).foreach { i =>
+        in.addData(rows.filter(_._1 % 3 == i).toSeq)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // batch replay of the same stages over the whole corpus
+      val unblocked = docs.filter(!col("host").isin(blocked: _*))
+      val keep = graft.operators.GopherRepetition
+        .report(unblocked, "doc_id", "text")
+        .filter(col("gopher_keep") === 1).select("doc_id")
+      val batchKept = graft.operators.WebCuration
+        .domainQuota(unblocked.join(keep, "doc_id"), col("host"),
+          col("doc_id"), quota)
+        .select("host", "doc_id", "keep_rank")
+        .as[(String, Long, Int)].collect().toSet
+      def streamedSet(p: String) =
+        StreamingOps.readCuration(spark, p, "doc_id", quota)
+          .select("host", "doc_id", "keep_rank")
+          .as[(String, Long, Int)].collect().toSet
+      assert(batchKept.nonEmpty && streamedSet(path) === batchKept)
+      // redelivery of an applied batch id is a no-op
+      val before = spark.read.parquet(s"$path/docs").count()
+      fold(docs.limit(10), 1L)
+      assert(spark.read.parquet(s"$path/docs").count() === before)
+      // compaction prunes to <= quota rows per host and answers the
+      // same quota view
+      StreamingOps.compactCuration(spark, path, dest, "doc_id", quota)
+      assert(streamedSet(dest) === batchKept)
+      val perHost = spark.read.parquet(s"$dest/docs")
+        .groupBy("host").count().as[(String, Long)].collect()
+      assert(perHost.forall(_._2 <= quota))
+      // the stored text is the REDACTED text (the PII stage ran)
+      assert(spark.read.parquet(s"$dest/docs").columns.contains("red_text"))
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+      new scala.reflect.io.Directory(
+        new java.io.File(dest).getParentFile).deleteRecursively()
+    }
+  }
+
   test("ST8: stream-static broadcast enrichment") {
     val in = MemoryStream[(Long, Timestamp, Double, Long)](spark)
     val df = in.toDF().toDF("event_id", "ts", "value", "user_id")
