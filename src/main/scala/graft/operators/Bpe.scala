@@ -150,15 +150,20 @@ object Bpe {
             .select(col("_f").as("_d"), explode(pairsOf(col("_new"))).as("_p")))
           .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
           .agg(sum(col("_d")).as("cnt"))
+        // EAGER checkpoints: the lazy (eager=false) form left an
+        // unmaterialized checkpoint chain threading through every
+        // round's plan — at k ≈ 100+ rounds the nested dependency
+        // stack overflowed executor threads (measured at g0.1
+        // k=256). Eager truncation bounds the chain at one round.
         pairCounts = pairCounts.unionAll(deltas)
           .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0L)
-          .localCheckpoint(false)
+          .localCheckpoint()
         vocab = vocab
           .withColumn("_syms",
             when(isHit, mergeOnce(col("_syms"), lit(l), lit(r)))
               .otherwise(col("_syms")))
-          .localCheckpoint(false)
+          .localCheckpoint()
         round += 1
       }
     }
@@ -243,14 +248,15 @@ object Bpe {
             .select(col("_f").as("_d"), explode(pairsOf(col("_new"))).as("_p")))
           .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
           .agg(sum(col("_d")).as("cnt"))
+        // eager for the same chain-depth reason as trainDelta
         pairCounts = pairCounts.unionAll(deltas)
           .groupBy("l", "r").agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0L)
-          .localCheckpoint(false)
+          .localCheckpoint()
         vocab = vocab
           .withColumn("_syms", when(hitAny, applyAll(col("_syms")))
             .otherwise(col("_syms")))
-          .localCheckpoint(false)
+          .localCheckpoint()
       }
     }
     import spark.implicits._

@@ -489,4 +489,117 @@ object Multimodal {
       }
     }
   }
+
+  /** One record parsed out of a WARC file blob; `warc_type`
+    * "unknown"/-1 fields mark a malformed record (parsing stops at the
+    * first malformed record — trailing garbage cannot fabricate
+    * records). */
+  final case class WarcRecord(
+      media_id: Long,
+      rec_idx: Long,
+      warc_type: String,
+      target_uri: String,
+      content_length: Long,
+      payload_md5: String)
+
+  /** REAL WARC/1.0 (ISO 28500) container parsing — the crawl-container
+    * member of the header-decode family ([[ImageHeaders]] /
+    * [[AudioHeaders]] / [[VideoHeaders]]): a WARC file is a
+    * concatenation of records, each a CRLF-terminated header block
+    * (version line + named fields, ended by an empty line) followed by
+    * exactly Content-Length payload bytes and a CRLF CRLF record
+    * separator. The walker slices records by the DECLARED
+    * Content-Length (never by scanning payload bytes — payloads are
+    * binary and may contain anything, including "WARC/1.0"), reads
+    * WARC-Type / WARC-Target-URI case-insensitively, and md5s the
+    * payload so downstream joins can dedup records without re-reading
+    * file blobs. HTTP-response payload parsing stays behind the
+    * [[MediaDecoder]] boundary like pixel decode does. */
+  object WarcHeaders {
+    private val CRLF = "\r\n"
+
+    /** Parse every record of a WARC blob; stops at the first
+      * malformed record. */
+    def decode(p: Array[Byte]): Seq[(String, String, Long, Array[Byte])] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long, Array[Byte])]
+      var off = 0
+      var ok = true
+      while (ok && off < p.length) {
+        val headEnd = indexOfCrlfCrlf(p, off)
+        if (headEnd < 0) ok = false
+        else {
+          val head = new String(p, off, headEnd - off,
+            java.nio.charset.StandardCharsets.UTF_8)
+          val lines = head.split(CRLF, -1)
+          if (lines.isEmpty || !lines.head.startsWith("WARC/")) ok = false
+          else {
+            val fields = lines.tail.flatMap { l =>
+              val i = l.indexOf(':')
+              if (i < 0) None
+              else Some(l.substring(0, i).trim.toLowerCase ->
+                l.substring(i + 1).trim)
+            }.toMap
+            val len = fields.get("content-length").flatMap(v =>
+              scala.util.Try(v.toLong).toOption).getOrElse(-1L)
+            val body = headEnd + 4
+            if (len < 0 || body + len + 4 > p.length) ok = false
+            else {
+              out += ((fields.getOrElse("warc-type", ""),
+                fields.getOrElse("warc-target-uri", ""), len,
+                java.util.Arrays.copyOfRange(p, body, body + len.toInt)))
+              off = body + len.toInt + 4 // payload + CRLF CRLF
+            }
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    private def indexOfCrlfCrlf(p: Array[Byte], from: Int): Int = {
+      var i = from
+      while (i + 3 < p.length) {
+        if (p(i) == '\r' && p(i + 1) == '\n' &&
+          p(i + 2) == '\r' && p(i + 3) == '\n') return i
+        i += 1
+      }
+      -1
+    }
+
+    /** Synthesize a VALID WARC file from (type, uri, payload) triples
+      * — the round-trip fixture writer (syntheticWav discipline). */
+    def syntheticWarc(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      records.zipWithIndex.foreach { case ((tpe, uri, payload), i) =>
+        val head = s"WARC/1.0$CRLF" +
+          s"WARC-Type: $tpe$CRLF" +
+          s"WARC-Record-ID: <urn:uuid:rec-$i>$CRLF" +
+          s"WARC-Target-URI: $uri$CRLF" +
+          s"Content-Length: ${payload.length}$CRLF$CRLF"
+        bos.write(head.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        bos.write(payload)
+        bos.write(s"$CRLF$CRLF".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      bos.toByteArray
+    }
+  }
+
+  /** Partition-batched WARC record extraction: one row per parsed
+    * record, flattened (media_id, rec_idx, type, uri, length,
+    * payload md5) — the shape that scales: file blobs never leave
+    * their partition, only record-sized metadata rows move. */
+  def decodeWarc(media: Dataset[MediaRecord]): Dataset[WarcRecord] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val recs = WarcHeaders.decode(r.payload)
+      if (recs.isEmpty)
+        Seq(WarcRecord(r.media_id, -1L, "unknown", "", -1L, ""))
+      else recs.zipWithIndex.map { case ((tpe, uri, len, payload), i) =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map("%02x".format(_)).mkString
+        WarcRecord(r.media_id, i.toLong, tpe, uri, len, md5)
+      }
+    }
+  }
 }

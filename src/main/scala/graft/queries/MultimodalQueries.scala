@@ -111,5 +111,53 @@ object MultimodalQueries {
     Multimodal.decodeVideo(media).toDF().orderBy("media_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video)
+  /** WARC crawl-container records (operators.Multimodal.WarcHeaders) —
+    * completes the container family with the format crawl corpora
+    * actually arrive in: payloads are REAL synthesized WARC/1.0 files
+    * (1 + doc_id%3 records each), the engine walks the record chain by
+    * DECLARED Content-Length, and the oracle recomputes every field
+    * and payload md5 from the same planted parameters. The first
+    * record's payload embeds a decoy "WARC/1.0" + blank line, so a
+    * parser that scans bytes instead of honoring Content-Length
+    * fabricates records and breaks the hash. */
+  private val warc = QuerySpec(
+    "q_mm_warc",
+    """WITH u AS (SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id FROM documents),
+      |r AS (SELECT doc_id, source, id,
+      |        unnest(range(0, 1 + doc_id % 3)) AS j FROM u),
+      |p AS (SELECT doc_id AS media_id, j AS rec_idx,
+      |        CASE (doc_id + j) % 3 WHEN 0 THEN 'response'
+      |             WHEN 1 THEN 'request' ELSE 'metadata' END AS warc_type,
+      |        'https://' || source || '.example.com/doc/' || id || '/' ||
+      |          CAST(j AS VARCHAR) AS target_uri,
+      |        CASE WHEN j = 0
+      |             THEN 'payload ' || id || ' WARC/1.0' || chr(13) || chr(10) ||
+      |                  chr(13) || chr(10) || 'decoy'
+      |             ELSE 'payload ' || id || '-' || CAST(j AS VARCHAR) END AS payload
+      |      FROM r)
+      |SELECT media_id, rec_idx, warc_type, target_uri,
+      |       CAST(length(payload) AS BIGINT) AS content_length,
+      |       md5(payload) AS payload_md5
+      |FROM p ORDER BY media_id, rec_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("source")).as[(Long, String)].map {
+        case (id, src) =>
+          val recs = (0 until (1 + id % 3).toInt).map { j =>
+            val tpe = ((id + j) % 3) match {
+              case 0 => "response"; case 1 => "request"; case _ => "metadata"
+            }
+            val payload =
+              if (j == 0) s"payload $id WARC/1.0\r\n\r\ndecoy"
+              else s"payload $id-$j"
+            (tpe, s"https://$src.example.com/doc/$id/$j",
+              payload.getBytes("UTF-8"))
+          }
+          Multimodal.MediaRecord(id, "application/warc",
+            Multimodal.WarcHeaders.syntheticWarc(recs), 0, 0)
+      }
+    Multimodal.decodeWarc(media).toDF().orderBy("media_id", "rec_idx")
+  }
+
+  val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video, warc)
 }

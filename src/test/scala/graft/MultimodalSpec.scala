@@ -198,4 +198,42 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.n_chunks === (f.byte_len + 255) / 256)
     }
   }
+
+  test("warc round-trip: synthesized records parse back field-for-field") {
+    import Multimodal.WarcHeaders
+    val recs = Seq(
+      ("response", "https://a.example/1", "hello world".getBytes("UTF-8")),
+      ("request", "https://a.example/2", Array[Byte](0, 1, 2, '\r', '\n', 3)),
+      ("metadata", "https://a.example/3", Array.emptyByteArray))
+    val parsed = WarcHeaders.decode(WarcHeaders.syntheticWarc(recs))
+    assert(parsed.map(r => (r._1, r._2, r._3)) ===
+      recs.map(r => (r._1, r._2, r._3.length.toLong)))
+    assert(parsed(1)._4.toSeq === recs(1)._3.toSeq) // binary payload intact
+  }
+
+  test("warc walker honors Content-Length over in-payload decoys") {
+    import Multimodal.WarcHeaders
+    // payload contains a full fake record header + blank line: a
+    // scanner-based parser would split here; the length-based walker
+    // must not
+    val decoy = "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n"
+    val recs = Seq(
+      ("response", "u1", s"x $decoy y".getBytes("UTF-8")),
+      ("metadata", "u2", "tail".getBytes("UTF-8")))
+    val parsed = WarcHeaders.decode(WarcHeaders.syntheticWarc(recs))
+    assert(parsed.map(_._2) === Seq("u1", "u2"))
+    assert(new String(parsed.head._4, "UTF-8") === s"x $decoy y")
+  }
+
+  test("warc malformed records stop the walk; garbage yields no records") {
+    import Multimodal.WarcHeaders
+    val good = WarcHeaders.syntheticWarc(
+      Seq(("response", "u1", "ok".getBytes("UTF-8"))))
+    // truncate the record separator: the record itself still parses,
+    // nothing after it can
+    val truncated = good.dropRight(2) ++ "WARC/1.0\r\n".getBytes("UTF-8")
+    assert(WarcHeaders.decode(truncated).map(_._2) === Seq("u1"))
+    assert(WarcHeaders.decode("not a warc at all".getBytes("UTF-8")) === Seq())
+    assert(WarcHeaders.decode(Array.emptyByteArray) === Seq())
+  }
 }
