@@ -43,15 +43,16 @@ object HtmlText {
     "br|p|div|li|h[1-6]|tr|td|th|ul|ol|table|blockquote|section|article|" +
       "header|footer|nav|aside|title|pre|form|hr"
 
-  /** Named-entity subset decoded (numeric character references pass
-    * through — documented approximation; they need per-match codepoint
-    * arithmetic no builtin expresses). `&amp;` is decoded last. */
-  val entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-    "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
-
   /** Visible text of an HTML page, one line per block element, `\n`
-    * joined; blank lines dropped, whitespace runs collapsed. */
+    * joined; blank lines dropped, whitespace runs collapsed. Entity
+    * decoding is the SINGLE-PASS native expression
+    * ([[graft.plans.HtmlEntityDecodeExpr]]): one left-to-right scan
+    * whose output is never re-scanned — `&amp;lt;` → literal `&lt;`,
+    * browser semantics — covering the named cleaning set AND numeric
+    * character references (`&#8212;`, `&#x2014;`), which a fixed
+    * regexp_replace chain cannot express. `&nbsp;` decodes to U+00A0
+    * and the per-line whitespace normalization here folds it with the
+    * ASCII whitespace it sits among. */
   def extractText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script\\b.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", " ")
@@ -59,13 +60,10 @@ object HtmlText {
     val broke = regexp_replace(noComment,
       s"(?i)</?(?:$blockTags)\\b[^>]*>", "\n")
     val noTags = regexp_replace(broke, "<[^>]*>", "")
-    val named = entities.foldLeft(noTags) { case (c, (e, r)) =>
-      regexp_replace(c, e, r)
-    }
-    val decoded = regexp_replace(named, "&amp;", "&")
+    val decoded = graft.plans.TextHashNative.htmlEntityDecode(noTags)
     val clean = filter(
       transform(split(decoded, "\n"),
-        l => trim(regexp_replace(l, "\\s+", " "))),
+        l => trim(regexp_replace(l, "[\\s\\u00A0]+", " "))),
       l => l =!= "")
     array_join(clean, "\n")
   }

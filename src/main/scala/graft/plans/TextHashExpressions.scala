@@ -89,6 +89,9 @@ object TextHashNative {
     ColumnBridge.column(
       GopherStatsExpr(ColumnBridge.expression(text), topNs, dupNs))
 
+  def htmlEntityDecode(text: Column): Column =
+    ColumnBridge.column(HtmlEntityDecodeExpr(ColumnBridge.expression(text)))
+
   /** One shared MD5 instance per thread: expression objects are shared
     * across concurrently-running partitions through the codegen
     * references array, so a per-instance digest would race. */
@@ -479,6 +482,74 @@ case class GramDigestsExpr(child: Expression, L: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_gram_digests"
+}
+
+/** SINGLE-PASS HTML character-reference decode — the canonically
+  * correct algorithm for entity decoding (one left-to-right scan,
+  * each `&...;` reference decoded once, output never re-scanned), so
+  * `&amp;lt;` yields the literal text `&lt;` exactly as a browser
+  * renders it — the semantics [[graft.operators.HtmlText]]'s earlier
+  * replace-chain emulated with amp-last ordering, now with NUMERIC
+  * references too (`&#8212;`, `&#x2014;`), which no fixed
+  * regexp_replace chain can express (per-match codepoint arithmetic).
+  *
+  * Supported: the named set the text-cleaning stage needs (lt, gt,
+  * quot, apos, amp, nbsp — nbsp decodes to U+00A0; the caller's
+  * whitespace normalization folds it) + decimal/hex numeric
+  * references up to 7 digits. Anything malformed — unknown name,
+  * missing `;`, out-of-range or surrogate code point — passes through
+  * LITERALLY, the lenient behavior every extractor needs on real web
+  * text. */
+case class HtmlEntityDecodeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
+  override def dataType: DataType = StringType
+
+  private val named = Map(
+    "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "amp" -> "&", "nbsp" -> "\u00a0")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.indexOf('&') < 0) return input
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '&') { out.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        // references are short; a far-away ';' means a bare '&'
+        if (semi < 0 || semi - i > 8) { out.append(c); i += 1 }
+        else {
+          val body = s.substring(i + 1, semi)
+          val decoded: Option[String] =
+            if (body.startsWith("#")) {
+              val (digits, radix) =
+                if (body.length > 1 && (body.charAt(1) == 'x' || body.charAt(1) == 'X'))
+                  (body.substring(2), 16)
+                else (body.substring(1), 10)
+              try {
+                val cp = Integer.parseInt(digits, radix)
+                if (digits.nonEmpty && Character.isValidCodePoint(cp) &&
+                  !(cp >= 0xd800 && cp <= 0xdfff) && cp != 0)
+                  Some(new String(Character.toChars(cp)))
+                else None
+              } catch { case _: NumberFormatException => None }
+            } else named.get(body)
+          decoded match {
+            case Some(d) => out.append(d); i = semi + 1
+            case None => out.append(c); i += 1 // malformed: literal '&'
+          }
+        }
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_html_entity_decode"
 }
 
 /** All of Gopher repetition's per-doc numerators in ONE pass over the

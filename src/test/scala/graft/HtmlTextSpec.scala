@@ -29,13 +29,23 @@ class HtmlTextSpec extends AnyFunSuite {
       Seq("one\ntwo", "x\ny", "a bold word", "c1\nc2"))
   }
 
-  test("entities decode after tag strip; &amp; decodes last") {
+  test("entities decode after tag strip; single-pass semantics") {
     // &lt;p&gt; must surface as literal text, never become a tag
     assert(extract("<p>a &lt;p&gt; b</p>") === Seq("a <p> b"))
-    // double-encoded stays single-encoded (&amp;lt; -> &lt;)
+    // single-pass: &amp;lt; decodes its &amp; once, never re-scans
     assert(extract("<p>x &amp;lt; y</p>") === Seq("x &lt; y"))
     assert(extract("<p>a&nbsp;&nbsp;b &quot;q&quot; &#39;s&#39;</p>") ===
       Seq("a b \"q\" 's'"))
+  }
+
+  test("numeric character references decode; malformed pass through") {
+    assert(extract("<p>a&#8212;b &#x2014; c</p>") === Seq("a—b — c"))
+    // supplementary-plane code point (surrogate pair in the output)
+    assert(extract("<p>ok &#x1F600;</p>") === Seq("ok 😀"))
+    // malformed forms stay literal: bad digits, surrogate range,
+    // unknown name, bare ampersand, unterminated reference
+    assert(extract("<p>a &#zz; &#xD800; &unknown; b & c &gt</p>") ===
+      Seq("a &#zz; &#xD800; &unknown; b & c &gt"))
   }
 
   test("whitespace collapses per line; blank lines drop") {
