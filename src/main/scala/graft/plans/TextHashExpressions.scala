@@ -520,8 +520,10 @@ case class HtmlEntityDecodeExpr(child: Expression)
       if (c != '&') { out.append(c); i += 1 }
       else {
         val semi = s.indexOf(';', i + 1)
-        // references are short; a far-away ';' means a bare '&'
-        if (semi < 0 || semi - i > 8) { out.append(c); i += 1 }
+        // references are short (longest accepted bodies: "#1114111" /
+        // "#x10FFFF", 8 chars → semi - i = 9); a farther ';' means a
+        // bare '&'
+        if (semi < 0 || semi - i > 9) { out.append(c); i += 1 }
         else {
           val body = s.substring(i + 1, semi)
           val decoded: Option[String] =

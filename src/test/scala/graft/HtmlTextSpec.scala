@@ -42,6 +42,10 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(extract("<p>a&#8212;b &#x2014; c</p>") === Seq("a—b — c"))
     // supplementary-plane code point (surrogate pair in the output)
     assert(extract("<p>ok &#x1F600;</p>") === Seq("ok 😀"))
+    // maximum-length bodies: U+10FFFF decimal and hex (8-char bodies)
+    val mx = new String(Character.toChars(0x10FFFF))
+    assert(extract("<p>m &#1114111; &#x10FFFF; m</p>") ===
+      Seq(s"m $mx $mx m"))
     // malformed forms stay literal: bad digits, surrogate range,
     // unknown name, bare ampersand, unterminated reference
     assert(extract("<p>a &#zz; &#xD800; &unknown; b & c &gt</p>") ===
