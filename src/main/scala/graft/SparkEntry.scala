@@ -17,7 +17,8 @@ object SparkEntry {
       TextVectorQueries.all ++ MultimodalQueries.all ++ DomainQueries.all ++
       AdvancedQueries.all ++ SamplingQueries.all ++ WebQueries.all ++
       GopherQueries.all ++ PiiQueries.all ++ HtmlQueries.all ++
-      ProbeQueries.all ++ CurationPipelineQueries.all
+      ProbeQueries.all ++ EncodingQueries.all ++
+      CurationPipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * EP1, the reference's canonical interaction (README.md:68-79):

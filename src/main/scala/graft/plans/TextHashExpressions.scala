@@ -92,6 +92,9 @@ object TextHashNative {
   def htmlEntityDecode(text: Column): Column =
     ColumnBridge.column(HtmlEntityDecodeExpr(ColumnBridge.expression(text)))
 
+  def fixEncoding(text: Column): Column =
+    ColumnBridge.column(FixEncodingExpr(ColumnBridge.expression(text)))
+
   /** One shared MD5 instance per thread: expression objects are shared
     * across concurrently-running partitions through the codegen
     * references array, so a per-instance digest would race. */
@@ -552,6 +555,27 @@ case class HtmlEntityDecodeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_html_entity_decode"
+}
+
+/** Mojibake repair — [[graft.operators.EncodingFix]]'s inverse
+  * round-trip as a per-row expression: re-encode through the cp1252
+  * reverse image and decode as strict UTF-8 when (and only when) that
+  * changes the string; up to two layers. Correct text is a fixed
+  * point (see the operator doc's safety argument), so this runs
+  * corpus-wide as a plain projection. */
+case class FixEncodingExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashNative.requireString(child, prettyName)
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val fixed = graft.operators.EncodingFix.fixString(s)
+    if (fixed eq s) input else UTF8String.fromString(fixed)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fix_encoding"
 }
 
 /** All of Gopher repetition's per-doc numerators in ONE pass over the
