@@ -244,7 +244,23 @@ object SamplingQueries {
       .orderBy("shard")
   }
 
+  /** DSIR importance resampling ([[graft.operators.Dsir]] — Xie et
+    * al. 2023): select raw docs matching a target domain (here the
+    * 'en' slice) by the hashed-bigram likelihood ratio. Buckets via
+    * the portable md5-60 hash, every ln 6-dp-decimal before the exact
+    * per-doc sum, rank without a single-task global sort — the whole
+    * score table and the top-25% selection replay bit-identically. */
+  private val dsir = QuerySpec(
+    "q_sample_dsir",
+    graft.operators.Dsir.oracleSql("doc_id", "text", "lang = 'en'",
+      dim = 256, keepFrac = 0.25)) { (s, d) =>
+    graft.operators.Dsir.importanceSelect(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      col("lang") === "en", dim = 256, keepFrac = 0.25)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(splitQ, splitGroupAware, stratified, pack, packHardcap, curriculum,
-      temperature, shuffleQ, weighted, shards)
+      temperature, shuffleQ, weighted, shards, dsir)
 }
