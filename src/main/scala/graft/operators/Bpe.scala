@@ -190,7 +190,13 @@ object Bpe {
     *  - the merge TABLE (order + counts) equals sequential greedy
     *    whenever batch pairs don't interact: merging a disjoint pair
     *    (A,B) cannot change the count of (C,D) with {C,D}∩{A,B}=∅,
-    *    so every accepted pair's stale count IS its merge-time count;
+    *    so every accepted pair's stale count IS its merge-time count.
+    *    Acceptance reserves the CREATED symbol A·B alongside A and B,
+    *    so a later batch member referencing the newly creatable
+    *    symbol (accept (a,b), then see ('ab',c)) also conflict-stops —
+    *    without that, applyAll's same-round fold would merge freshly
+    *    created 'ab' occurrences with c and the recorded pair_freq
+    *    would understate the merge-time count;
     *  - the documented deviation: a merge can CREATE pairs around its
     *    new symbol (cnt ≤ the merged pair's), and sequential greedy
     *    would rank those against later batch members while the batch
@@ -227,7 +233,15 @@ object Bpe {
         top.foreach { row =>
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           if (!conflict && !used(l) && !used(r)) {
-            accepted += ((l, r, c)); used += l; used += r
+            // reserve the CREATED symbol too: a later batch member
+            // referencing l+r (e.g. accept (a,b) then ('ab',c)) is
+            // not merge-independent — applyAll's fold would merge
+            // newly created 'ab' occurrences with c in the same
+            // round, so its stale count would understate the
+            // merge-time count. Forcing a conflict stop there keeps
+            // every accepted pair's recorded pair_freq == its
+            // merge-time count.
+            accepted += ((l, r, c)); used += l; used += r; used += (l + r)
           } else conflict = true
         }
         accepted.foreach { case (l, r, c) =>

@@ -88,19 +88,31 @@ object GopherRepetition {
       col(s"dup${n}_frac") <= lit(t) + adj
     }).reduce(_ && _)
 
-  /** DuckDB replay of [[langAdjustCol]], generated from the SAME map. */
-  def langAdjustSql(langExpr: String): String =
-    "CASE " + langAdjust.toSeq.sorted.map { case (l, a) =>
-      s"WHEN $langExpr = '$l' THEN $a"
-    }.mkString(" ") + " ELSE 0.0 END"
+  /** SQL for one language-adjusted threshold. The `t + adj` sum is
+    * computed HERE, in Scala, as the same IEEE double add the engine
+    * performs (`lit(t) + adj`), and printed as its shortest
+    * round-trip decimal (Double.toString) — e.g. t=0.18, adj=0.05
+    * emits 0.22999999999999998, NOT `0.18 + adj`. Emitting the sum as
+    * a SQL `+` would let DuckDB add exact DECIMALs, which lands one
+    * ulp away from the IEEE sum for several (t, adj) pairs and flips
+    * the keep verdict on boundary fractions (the oracle-parity rule:
+    * build SQL thresholds from the same IEEE ops). */
+  private def adjustedThresholdSql(t: Double, langExpr: String): String =
+    if (langAdjust.isEmpty) t.toString
+    else "CASE " + langAdjust.toSeq.sorted.map { case (l, a) =>
+      s"WHEN $langExpr = '$l' THEN ${t + a}"
+    }.mkString(" ") + s" ELSE $t END"
 
   /** DuckDB replay of [[keepWithAdjust]] over columns named like the
-    * report's, generated from the same threshold tables. */
-  def keepWithAdjustSql(adjExpr: String): String =
+    * report's, generated from the same threshold tables. Takes the
+    * LANGUAGE expression (not a precomputed `adj` column) so every
+    * per-language threshold can be emitted as a precomputed IEEE
+    * double literal — see [[adjustedThresholdSql]]. */
+  def keepWithAdjustSql(langExpr: String): String =
     (topThresholds.map { case (n, t) =>
-      s"top${n}_frac <= $t + $adjExpr"
+      s"top${n}_frac <= ${adjustedThresholdSql(t, langExpr)}"
     } ++ dupThresholds.map { case (n, t) =>
-      s"dup${n}_frac <= $t + $adjExpr"
+      s"dup${n}_frac <= ${adjustedThresholdSql(t, langExpr)}"
     }).mkString(" AND ")
 
   private def fracCol(chars: Column, total: Column): Column =

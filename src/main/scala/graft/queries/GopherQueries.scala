@@ -40,7 +40,6 @@ object GopherQueries {
        |${GopherRepetition.oracleCore("doc_id", "text")}),
        |j AS (
        |  SELECT d.lang, r.*,
-       |         ${GopherRepetition.langAdjustSql("d.lang")} AS adj,
        |         CASE WHEN ${GopherRepetition.topThresholds
                   .map { case (n, t) => s"r.top${n}_frac > $t" }
                   .mkString(" OR ")} THEN 1 ELSE 0 END AS top_fail,
@@ -50,7 +49,7 @@ object GopherQueries {
        |  FROM rep r JOIN documents d ON d.doc_id = r.doc_id)
        |SELECT lang, COUNT(*) AS n_docs,
        |       CAST(SUM(gopher_keep) AS BIGINT) AS n_kept,
-       |       CAST(SUM(CASE WHEN ${GopherRepetition.keepWithAdjustSql("adj")}
+       |       CAST(SUM(CASE WHEN ${GopherRepetition.keepWithAdjustSql("lang")}
        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lang,
        |       CAST(SUM(top_fail) AS BIGINT) AS n_top_fail,
        |       CAST(SUM(dup_fail) AS BIGINT) AS n_dup_fail

@@ -46,6 +46,20 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(frac(r, "top2_frac") === 42.0 / 183)
   }
 
+  test("adjusted-threshold SQL emits precomputed IEEE double sums") {
+    // 0.18 + 0.05 in IEEE doubles is 0.22999999999999998, one ulp
+    // under decimal 0.23. The oracle must compare against the SAME
+    // double the engine computes, so the generated SQL must contain
+    // the precomputed literal, never a SQL-side `+ adj` that DuckDB
+    // would evaluate as exact DECIMAL addition.
+    val sql = GopherRepetition.keepWithAdjustSql("lang")
+    assert((0.18 + 0.05).toString === "0.22999999999999998")
+    assert(sql.contains("0.22999999999999998"))
+    assert(!sql.contains("+"))
+    // unlisted languages fall to the unadjusted Table-A1 literal
+    assert(sql.contains("ELSE 0.18 END"))
+  }
+
   test("top-gram fractions match a hand computation") {
     // "a b a b a b" (11 chars): tokens a,b,a,b,a,b
     // 2-grams: "a b"×3, "b a"×2 → top = 3·3 = 9 chars → 9/11

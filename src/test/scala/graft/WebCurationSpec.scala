@@ -94,6 +94,64 @@ class WebCurationSpec extends AnyFunSuite {
       .as[String].collect().toSeq
   }
 
+  test("full PSL snapshot: previously-unlisted ccTLD 2LDs resolve") {
+    // these ccTLD second-level registrations were OUTSIDE the old
+    // hand-curated subset and fell to the default rule (folding every
+    // site into the registry suffix); the bundled full list fixes the
+    // whole class
+    assert(d2(Seq("a.x.com.bt", "shop.co.zw", "b.com.bo", "x.co.ao",
+        "www.shop.com.eg", "a.co.th", "b.com.ar", "c.co.il")) ===
+      Seq("x.com.bt", "shop.co.zw", "b.com.bo", "x.co.ao",
+        "shop.com.eg", "a.co.th", "b.com.ar", "c.co.il"))
+  }
+
+  test("full PSL snapshot: geo rules, deep rules, wildcard depths") {
+    // 3-label ICANN geo rule (ide.kyoto.jp)
+    assert(d2(Seq("foo.ide.kyoto.jp", "b.foo.ide.kyoto.jp")) ===
+      Seq("foo.ide.kyoto.jp", "foo.ide.kyoto.jp"))
+    // *.kawasaki.jp wildcard: every direct child is a public suffix;
+    // the !city.kawasaki.jp exception is registrable itself
+    assert(d2(Seq("x.kawasaki.jp", "a.x.kawasaki.jp",
+        "city.kawasaki.jp", "www.city.kawasaki.jp")) ===
+      Seq("x.kawasaki.jp", "a.x.kawasaki.jp",
+        "city.kawasaki.jp", "city.kawasaki.jp"))
+    // 5-label exact rule and 3-/4-label wildcard bases
+    assert(d2(Seq(
+        "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "s3.dualstack.ap-south-1.amazonaws.com",
+        "b.vm.compute.amazonaws.com",
+        "b.vm.compute.amazonaws.com.cn")) ===
+      Seq("bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "s3.dualstack.ap-south-1.amazonaws.com",
+        "b.vm.compute.amazonaws.com",
+        "b.vm.compute.amazonaws.com.cn"))
+  }
+
+  test("full PSL snapshot: IDN rules match unicode AND punycode hosts") {
+    // 公司.cn is a listed rule; hosts arrive either as unicode or as
+    // the xn-- form — both must resolve identically in shape
+    assert(d2(Seq("foo.公司.cn", "foo.xn--55qx5d.cn")) ===
+      Seq("foo.公司.cn", "foo.xn--55qx5d.cn"))
+    assert(d2(Seq("a.foo.公司.cn", "a.foo.xn--55qx5d.cn")) ===
+      Seq("foo.公司.cn", "foo.xn--55qx5d.cn"))
+  }
+
+  test("full PSL snapshot: parsed rule-set sizes match the list") {
+    import graft.operators.PublicSuffix
+    val exact = PublicSuffix.exactByLen.map(_._2.size).sum
+    val wild = PublicSuffix.wildcardByLen.map(_._2.size).sum
+    val exc = PublicSuffix.exceptionsByLen.map(_._2.size).sum
+    // ≥ the raw counts (IDN double forms add, 1-label rules subtract)
+    assert(exact >= 7900, s"exact=$exact")
+    assert(wild >= 107, s"wild=$wild")
+    assert(exc >= 8, s"exc=$exc")
+    assert(PublicSuffix.maxRuleLabels === 5)
+    // the generated oracle SQL carries the same full list
+    val sql = PublicSuffix.domainSqlSelect("t", "host")
+    assert(sql.contains("'co.zw'") && sql.contains("'compute.amazonaws.com'")
+      && sql.contains("'city.kawasaki.jp'"))
+  }
+
   test("domainQuota keeps exactly quota rows per host, deterministically") {
     val df = (0L until 400L).toDF("id")
       .select(col("id"), concat(lit("h"), pmod(col("id"), lit(4))).as("host"))
