@@ -159,5 +159,63 @@ object MultimodalQueries {
     Multimodal.decodeWarc(media).toDF().orderBy("media_id", "rec_idx")
   }
 
-  val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video, warc)
+  /** Perceptual image near-dup ([[graft.operators.ImageDedup]]) — the
+    * first CONTENT-level multimodal dedup: Spark renders REAL images
+    * (PNG at three scales + one JPEG recompression per group of 4
+    * consecutive doc_ids, all variants of one md5-derived 8×8 block
+    * pattern), recovers a 64-bit aHash FROM THE PIXELS, and pairs via
+    * the 4×16-bit Hamming-banded join. The oracle plants the expected
+    * hash by md5 arithmetic (same bytes, same big-endian hex read) and
+    * replays the identical banding in SQL — so decode, box-downsample,
+    * hash and blocking must ALL be right for the pair sets to meet.
+    * The pair list is robust to ≤3 recompression bit flips by
+    * construction (that is what the Hamming threshold is for), so the
+    * gate certifies the mechanism, not a bit-for-bit pixel decoder. */
+  private val imageNearDup = QuerySpec(
+    "q_mm_image_neardup",
+    """WITH e AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 16))::UBIGINT AS raw
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |             CASE WHEN bit_count(raw) IN (0, 64)
+      |                  THEN 0::UBIGINT ELSE raw END AS ph
+      |      FROM e),
+      |d AS (SELECT DISTINCT ph FROM h),
+      |cb AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk FROM d)),
+      |p AS (SELECT DISTINCT x.ph AS pha, y.ph AS phb
+      |      FROM cb x JOIN cb y
+      |        ON x.chunk = y.chunk AND x.chunkval = y.chunkval AND x.ph < y.ph
+      |      WHERE bit_count(xor(x.ph, y.ph)) <= 3),
+      |w AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |      FROM h a JOIN h b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+      |x AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
+      |             greatest(a.doc_id, b.doc_id) AS b_id
+      |      FROM p JOIN h a ON a.ph = p.pha JOIN h b ON b.ph = p.phb)
+      |SELECT a_id, b_id FROM (SELECT * FROM w UNION ALL SELECT * FROM x)
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val bits = graft.operators.ImageDedup.patternBits(id / 4)
+      val v = (id % 4).toInt
+      val payload = v match {
+        case 0 => graft.operators.ImageDedup.renderPattern(bits, 8, jpeg = false)
+        case 1 => graft.operators.ImageDedup.renderPattern(bits, 12, jpeg = false)
+        case 2 => graft.operators.ImageDedup.renderPattern(bits, 5, jpeg = false)
+        case _ => graft.operators.ImageDedup.renderPattern(bits, 8, jpeg = true)
+      }
+      Multimodal.MediaRecord(
+        id, if (v == 3) "image/jpeg" else "image/png", payload, 0, 0)
+    }
+    val hashes = graft.operators.ImageDedup.hashImages(media)
+      .filter(_.decoded).toDF()
+    graft.operators.ImageDedup
+      .nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(features, chunks, dims, audio, video, warc, imageNearDup)
 }
