@@ -48,6 +48,8 @@ object Dsir {
 
   /** ln of the add-1-smoothed bucket probability, 6-dp decimal — the
     * bucket table broadcast-sized (≤ dim rows). */
+  /** Same IEEE ops as before the totals became broadcast columns:
+    * (long + long) cast double, divide, ln, 6-dp round. */
   private def lnSmoothed(cnt: Column, total: Column, dim: Int): Column =
     round(log((cnt + lit(1L)).cast("double") /
       (total + lit(dim.toLong)).cast("double")), 6)
@@ -65,20 +67,29 @@ object Dsir {
     val feats = graft.core.CacheGovernor.persistTracked(
       docBuckets(docs, id, text, dim))
     val tgtIds = docs.filter(isTarget).select(id.as("doc_id"))
+    // one flagged view feeds the per-bucket target counts AND the
+    // scalar totals — and the totals/doc-count scalars ride along as
+    // broadcast 1-row aggregates instead of driver count() actions
+    // (zero extra jobs over the persisted feats relation; previously
+    // three separate passes)
+    val flagged = feats
+      .join(tgtIds.withColumn("_t", lit(1L)), Seq("doc_id"), "left")
     val rawTotals = feats.groupBy("bucket").agg(count(lit(1)).as("c_raw"))
-    val tgtTotals = feats.join(tgtIds, "doc_id")
+    val tgtTotals = flagged.filter(col("_t") === 1)
       .groupBy("bucket").agg(count(lit(1)).as("c_tgt"))
+    val totals = flagged.agg(
+      count(lit(1)).as("_n_raw"),
+      coalesce(sum(col("_t")), lit(0L)).as("_n_tgt"))
     // dim-sized model table: every bucket 0..dim-1 present (missing
     // buckets still carry smoothed mass on both sides)
     val buckets = spark.range(dim).select(col("id").as("bucket"))
-    val nRaw = feats.count()
-    val nTgt = feats.join(tgtIds, "doc_id").count()
     val model = buckets
       .join(rawTotals, Seq("bucket"), "left")
       .join(tgtTotals, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (lnSmoothed(coalesce(col("c_tgt"), lit(0L)), lit(nTgt), dim) -
-          lnSmoothed(coalesce(col("c_raw"), lit(0L)), lit(nRaw), dim))
+        (lnSmoothed(coalesce(col("c_tgt"), lit(0L)), col("_n_tgt"), dim) -
+          lnSmoothed(coalesce(col("c_raw"), lit(0L)), col("_n_raw"), dim))
           .as("lr"))
     val scored = feats
       .join(broadcast(model), "bucket")
@@ -87,11 +98,14 @@ object Dsir {
         sum(col("lr")).as("_logw_dec"))
       .withColumn("logw", col("_logw_dec").cast("double"))
       .drop("_logw_dec")
-    val nDocs = scored.count()
-    val k = math.max(1L, math.ceil(keepFrac * nDocs).toLong)
+    val nDocs = broadcast(scored.agg(count(lit(1)).as("_n_docs")))
+    val k = greatest(lit(1L),
+      ceil(lit(keepFrac) * col("_n_docs")).cast("long"))
     Ranks.distributedRowNumber(scored,
         Seq(col("logw").desc, col("doc_id").asc), "sel_rank")
+      .crossJoin(nDocs)
       .withColumn("selected", when(col("sel_rank") <= k, 1).otherwise(0))
+      .drop("_n_docs")
   }
 
   /** The DuckDB replay of [[importanceSelect]], generated with the

@@ -104,6 +104,67 @@ object WebQueries {
       .orderBy("host", "keep_rank")
   }
 
+  /** Cross-snapshot crawl revisit ledger
+    * ([[graft.operators.CrawlRevisit]]): three synthesized crawl
+    * snapshots of the same URL universe — each doc visits 2 of the 3
+    * snapshots, a planted quarter of the docs changes content at snap
+    * 1 and/or snap 2 — are written/appended to the append-only visit
+    * ledger, snapshot 1 is REDELIVERED (the fold must collapse it),
+    * and the folded per-URL state (first/last seen, visit count,
+    * latest content hash, observed change transitions) must hash-match
+    * the oracle's from-scratch replay of the same planted arithmetic —
+    * proving append ≡ rebuild and redelivery ≡ no-op through the gate.
+    * Built once per (corpus, JVM) as a durable artifact
+    * (q_st_minhash_ledger's cost model). */
+  private val crawlRevisit = QuerySpec(
+    "q_crawl_revisit",
+    """WITH s AS (SELECT unnest(range(0, 3)) AS snap),
+      |v AS (
+      |  SELECT 'https://' || d.source || '.example.com/p/' ||
+      |           CAST(d.doc_id AS VARCHAR) AS url,
+      |         md5(d.text || '#' || CAST(
+      |             (CASE WHEN s.snap >= 1 AND d.doc_id % 4 IN (1, 3)
+      |                   THEN 1 ELSE 0 END)
+      |           + (CASE WHEN s.snap >= 2 AND d.doc_id % 4 IN (2, 3)
+      |                   THEN 1 ELSE 0 END) AS VARCHAR)) AS content_md5,
+      |         s.snap AS snap
+      |  FROM documents d CROSS JOIN s
+      |  WHERE (d.doc_id + s.snap) % 3 <> 0),
+      |w AS (SELECT *, lag(content_md5) OVER
+      |        (PARTITION BY url ORDER BY snap) AS prev FROM v)
+      |SELECT url,
+      |       CAST(MIN(snap) AS BIGINT) AS first_seen,
+      |       CAST(MAX(snap) AS BIGINT) AS last_seen,
+      |       CAST(COUNT(*) AS BIGINT) AS n_visits,
+      |       max_by(content_md5, snap) AS latest_md5,
+      |       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> content_md5
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+      |FROM w GROUP BY url ORDER BY url""".stripMargin) { (s, d) =>
+    import graft.operators.CrawlRevisit
+    val docs = Tables.documents(s, d)
+    def snapDf(i: Int) = {
+      val m = pmod(col("doc_id"), lit(4))
+      val rev =
+        when(lit(i >= 1) && (m === 1 || m === 3), 1).otherwise(0) +
+          when(lit(i >= 2) && (m === 2 || m === 3), 1).otherwise(0)
+      docs.filter(pmod(col("doc_id") + i, lit(3)) =!= 0)
+        .select(
+          concat(lit("https://"), col("source"), lit(".example.com/p/"),
+            col("doc_id").cast("string")).as("url"),
+          concat(col("text"), lit("#"), rev.cast("string")).as("content"))
+    }
+    val root = graft.core.CacheGovernor.durableDir(s"crawl_revisit:$d") { dir =>
+      val path = s"$dir/v1"
+      CrawlRevisit.writeLedger(snapDf(0), col("url"), col("content"), 0L, path)
+      CrawlRevisit.appendSnapshot(snapDf(1), col("url"), col("content"), 1L, path)
+      CrawlRevisit.appendSnapshot(snapDf(2), col("url"), col("content"), 2L, path)
+      // redelivered batch — the fold must make it a no-op
+      CrawlRevisit.appendSnapshot(snapDf(1), col("url"), col("content"), 1L, path)
+    }
+    CrawlRevisit.revisitReport(CrawlRevisit.readVisits(s, s"$root/v1"))
+      .orderBy("url")
+  }
+
   /** Blocklist anti-join + per-domain composition report: drop two
     * blocked hosts (broadcast anti join), then group the survivors by
     * registrable domain — docs, chars, language spread, en share. */
@@ -146,5 +207,6 @@ object WebQueries {
       .orderBy("domain")
   }
 
-  def all: Seq[QuerySpec] = Seq(urlNormalize, domainQuota, domainMix)
+  def all: Seq[QuerySpec] =
+    Seq(urlNormalize, domainQuota, domainMix, crawlRevisit)
 }
