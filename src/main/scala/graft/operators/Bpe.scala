@@ -277,6 +277,140 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "pair_freq")
   }
 
+  /** Exact greedy BPE on the driver over a COLLECTED word-frequency
+    * table — the production-default trainer and the missing piece of
+    * the public fast-BPE recipe (HuggingFace tokenizers, SentencePiece,
+    * GPT-2's original trainer are all in-memory single-process over
+    * counted words): the corpus-sized work is the one distributed
+    * [[wordFreq]] aggregation; the merge LOOP depends only on the
+    * distinct-word table, which is tiny even at web scale (~10⁷ rows ≈
+    * hundreds of MB — far under a driver heap; 16.5k rows at g1.0).
+    * Running it in-JVM removes the per-merge driver round-trip that
+    * BASELINE.md's k-scaling table measured as THE large-k wall
+    * (~0.1-0.25 s/merge for every distributed variant — 32k merges
+    * would cost hours), replacing it with microseconds per merge.
+    *
+    * Exactness: identical merge table to [[train]]/[[trainDelta]]
+    * (BpeSpec parity) — same (cnt DESC, left ASC, right ASC) total
+    * order with UTF-8-byte string comparison (Spark's binary string
+    * ordering), same greedy left-to-right non-overlapping merge scan.
+    * State is maintained incrementally (pair counts + per-pair word
+    * postings), so each merge costs O(words containing the pair ·
+    * their length), the same delta the distributed trainer computes.
+    *
+    * Scale contract: callers whose DISTINCT-WORD table cannot fit on
+    * the driver (beyond ~10⁸ distinct words — past every published
+    * natural-language corpus) stay on [[trainDelta]]/[[trainBatched]];
+    * that is the documented trade, not a hidden collect on corpus
+    * data. */
+  def trainLocal(
+      words: DataFrame, wordCol: String, freqCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one merge round")
+    val spark = words.sparkSession
+    val rows = words
+      .select(col(wordCol).cast("string"), col(freqCol).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    import spark.implicits._
+    trainLocalArrays(rows, k).toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** UTF-8-byte (unsigned) string order — what Spark's string sort and
+    * therefore the distributed trainers' tie-break uses; Java's
+    * UTF-16 compareTo differs above the BMP. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The in-memory exact trainer behind [[trainLocal]] (shared with
+    * its spec). */
+  private[graft] def trainLocalArrays(
+      words: Array[(String, Long)], k: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] =
+      words.map(_._1.split("").filter(_.nonEmpty))
+    val freq: Array[Long] = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val postings = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freq(i)
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0) postings.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { addPairs(i, 1L); i += 1 }
+    def mergeScan(s: Array[String], l: String, r: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      // argmax under the distributed total order (cnt DESC, l, r ASC)
+      var best: (String, String) = null
+      var bc = 0L
+      counts.foreach { case (p, c) =>
+        if (c > bc || (c == bc && c > 0L && best != null &&
+          (utf8Less(p._1, best._1) ||
+            (p._1 == best._1 && utf8Less(p._2, best._2))))) {
+          best = p; bc = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        merges += ((round.toLong, best._1, best._2, bc))
+        val (l, r) = best
+        // postings may hold stale word ids (pair long gone from the
+        // word) — the adjacency re-check below makes them harmless
+        val hits = postings.getOrElse(best, mutable.HashSet.empty).toArray
+        var h = 0
+        while (h < hits.length) {
+          val w = hits(h)
+          val s = syms(w)
+          var contains = false
+          var j = 0
+          while (!contains && j < s.length - 1) {
+            contains = s(j) == l && s(j + 1) == r
+            j += 1
+          }
+          if (contains) {
+            addPairs(w, -1L)
+            syms(w) = mergeScan(s, l, r)
+            addPairs(w, 1L)
+          }
+          h += 1
+        }
+        postings.remove(best)
+        // counts(best) reached 0 inside addPairs (postings is a
+        // superset of current containers, and the greedy scan leaves
+        // no (l, r) adjacency behind), so no manual removal is needed
+        round += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Re-encode a corpus under a trained merge list — the apply side of
     * [[train]], shaped for scale the way every tokenizer pipeline
     * shards it: the DISTINCT-WORD vocabulary encodes once (k folds over

@@ -36,6 +36,7 @@ object ProfileBpe {
       val table = mode match {
         case "recount" => Bpe.train(words, "word", "freq", k)
         case "delta" => Bpe.trainDelta(words, "word", "freq", k)
+        case "local" => Bpe.trainLocal(words, "word", "freq", k)
         case m if m.startsWith("batched") =>
           Bpe.trainBatched(words, "word", "freq", k, m.drop(7).toInt)
         case other => sys.error(s"unknown mode $other")

@@ -166,6 +166,39 @@ class BpeSpec extends AnyFunSuite {
       Seq((1L, "a", "b", 3L)))
   }
 
+  private def trainLocalOn(words: Map[String, Long], k: Int) =
+    Bpe.trainLocal(words.toSeq.toDF("word", "freq"), "word", "freq", k)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+
+  test("local trainer equals the reference on tie-heavy and random corpora") {
+    val tie = Map("abab" -> 5L, "baba" -> 5L, "aabb" -> 5L, "bbaa" -> 5L)
+    assert(trainLocalOn(tie, 6) === refBpe(tie, 6))
+    val rnd = new scala.util.Random(77)
+    (0 until 5).foreach { t =>
+      val words = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      }.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      assert(trainLocalOn(words, 12) === refBpe(words, 12), s"trial $t")
+    }
+    // overlapping-run retraction and early stop
+    assert(trainLocalOn(Map("aaaa" -> 3L), 10) === refBpe(Map("aaaa" -> 3L), 10))
+    assert(trainLocalOn(Map("ab" -> 3L), 10) === Seq((1L, "a", "b", 3L)))
+  }
+
+  test("local trainer equals the distributed trainers on a corpus table") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new lower"),
+      (3L, "on and on and on")).toDF("doc_id", "text")
+    val freq = Bpe.wordFreq(docs, col("text"))
+    val local = Bpe.trainLocal(freq, "word", "freq", 10)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    val delta = Bpe.trainDelta(freq, "word", "freq", 10)
+      .orderBy("rank").as[(Long, String, String, Long)].collect().toSeq
+    assert(local === delta)
+  }
+
   test("corpus encoding applies merges in rank order and reconstructs every word") {
     val docs = Seq((1L, "aaab ab cc"), (2L, "ab aaab")).toDF("doc_id", "text")
     val words = Bpe.wordFreq(docs, col("text"))
