@@ -216,6 +216,70 @@ object MultimodalQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Image metadata scrub ([[graft.operators.ExifScrub]]): Spark
+    * renders real PNG/JPEG images, SPLICES planted metadata into the
+    * container (CRC-correct tEXt chunks / well-formed APP1+COM
+    * segments whose sizes are pure doc_id arithmetic), scrubs, and
+    * emits the audit row plus two in-band booleans — pixels decoded
+    * from the scrubbed bytes equal the original's (they must: the
+    * surgery never touches the entropy-coded data) and a re-scrub
+    * finds zero metadata. The oracle recomputes every count and byte
+    * total from the same planted arithmetic. */
+  private val exifScrub = QuerySpec(
+    "q_mm_exif_scrub",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 3
+      |       ELSE 1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+      |       END AS BIGINT) AS n_meta,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |       THEN (doc_id % 3) * (16 + doc_id % 7)
+      |            + (doc_id % 3) * (doc_id % 3 - 1) // 2
+      |       ELSE (doc_id % 50 + 4) + 10
+      |            + CASE WHEN doc_id % 3 = 0
+      |                   THEN 4 + length('comment ' || CAST(doc_id AS VARCHAR))
+      |                   ELSE 0 END
+      |       END AS BIGINT) AS bytes_removed,
+      |  CAST(1 AS BIGINT) AS pixels_equal,
+      |  CAST(1 AS BIGINT) AS meta_gone
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.operators.{ExifScrub, ImageDedup}
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val bits = ImageDedup.patternBits(id)
+      val payload =
+        if (id % 2 == 0) {
+          val base = ImageDedup.renderPattern(bits, 2, jpeg = false)
+          val n = (id % 3).toInt
+          val chunks = (0 until n).map { j =>
+            ExifScrub.syntheticTextChunk(
+              s"k$j", "v" * ((id % 7).toInt + 1 + j))
+          }
+          ExifScrub.plantPngMeta(base, chunks)
+        } else {
+          val base = ImageDedup.renderPattern(bits, 2, jpeg = true)
+          val segs = Seq(ExifScrub.syntheticApp1((id % 50 + 4).toInt)) ++
+            (if (id % 3 == 0) Seq(ExifScrub.syntheticCom(s"comment $id"))
+             else Nil)
+          ExifScrub.plantJpegMeta(base, segs)
+        }
+      Multimodal.MediaRecord(
+        id, if (id % 2 == 0) "image/png" else "image/jpeg", payload, 0, 0)
+    }.mapPartitions { it =>
+      it.map { r =>
+        val sc = ExifScrub.scrubRecord(r)
+        val eq = ExifScrub.pixelsEqual(r.payload, sc.payload)
+        val gone = ExifScrub.scrubRecord(
+          Multimodal.MediaRecord(r.media_id, r.kind, sc.payload, 0, 0))
+          .n_meta == 0L
+        (r.media_id, sc.format, sc.n_meta, sc.bytes_removed,
+          if (eq) 1L else 0L, if (gone) 1L else 0L)
+      }
+    }.toDF("media_id", "format", "n_meta", "bytes_removed",
+      "pixels_equal", "meta_gone")
+      .orderBy("media_id")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(features, chunks, dims, audio, video, warc, imageNearDup)
+    Seq(features, chunks, dims, audio, video, warc, imageNearDup, exifScrub)
 }
