@@ -195,29 +195,50 @@ object LangId {
     s"'_' || regexp_replace(lower(substr($textExpr, 1, $headChars)), " +
       s"'[^\\p{L}]+', '_', 'g') || '_'"
 
-  /** SQL scoring one language over a gram-list expression, generated
-    * from the SAME profile map (left fold in the same IEEE order; the
-    * 0.0-seeded list_concat supplies list_reduce's init). */
-  def scoreSql(gramsExpr: String, lang: String): String = {
-    val (_, probs, floor) = profiles.find(_._1 == lang).get
-    val entries = probs.toSeq.sorted
-    val keys = entries.map { case (g, _) => sqlStr(g) }.mkString(", ")
-    val vals = entries.map(_._2).mkString(", ")
-    s"list_reduce(list_concat([0.0]::DOUBLE[], list_transform($gramsExpr, " +
-      s"g -> coalesce(map([$keys], [$vals]::DOUBLE[])[g][1], " +
-      s"$floor::DOUBLE))), (a, b) -> a + b)"
+  /** The profile table as a VALUES relation: one row per gram in the
+    * UNION of the nine profiles' key sets, one DOUBLE column per
+    * language (NULL where the language's profile lacks the gram —
+    * coalesced to that language's floor at use site). Join-shaped so
+    * DuckDB probes a hash table per gram instead of rebuilding a map
+    * literal per lambda evaluation (the naive map-in-lambda form
+    * measured minutes at 5k docs). */
+  private def profileValuesSql: String = {
+    val allGrams = profiles.flatMap(_._2.keys).distinct.sorted
+    val rows = allGrams.map { g =>
+      val vals = profiles.map { case (_, probs, _) =>
+        probs.get(g).map(_.toString).getOrElse("NULL")
+      }.mkString(", ")
+      s"(${sqlStr(g)}, $vals)"
+    }.mkString(",\n    ")
+    val castCols = langs.map(l => s"CAST(p_$l AS DOUBLE) AS p_$l")
+      .mkString(", ")
+    val vcols = langs.map(l => s"p_$l").mkString(", ")
+    s"""SELECT gram, $castCols
+       |  FROM (VALUES
+       |    $rows) v(gram, $vcols)""".stripMargin
   }
 
   /** Full oracle projection over CTE alias `src(idCol, textCol)` —
-    * replays grams, all 9 scores, the sort-based margin, the argmax
-    * CASE in declaration order, and the und rule. */
+    * replays the normalized-head grams, the nine profile folds (via
+    * an ordinality-keyed LEFT JOIN against the generated profile
+    * table, re-folded in the SAME left-to-right IEEE order the engine
+    * uses), the sort-based margin, the argmax CASE in declaration
+    * order, and the und rule. */
   def oracleSql(src: String, idCol: String, textCol: String): String = {
-    val scoreCols = langs.map(l => s"${scoreSql("grams", l)} AS s_$l")
-      .mkString(",\n       ")
+    val floors = profiles.map { case (l, _, fl) => l -> fl }.toMap
+    val contribCols = langs.map { l =>
+      s"COALESCE(p.p_$l, ${floors(l)}::DOUBLE) AS c_$l"
+    }.mkString(",\n         ")
+    val foldCols = langs.map { l =>
+      s"list_reduce(list_concat([0.0]::DOUBLE[], " +
+        s"list(c_$l ORDER BY ord)), (a, b) -> a + b) AS s_$l"
+    }.mkString(",\n         ")
     val arr = langs.map(l => s"s_$l").mkString(", ")
     val argCase = langs.map(l => s"WHEN s_$l = _best THEN '$l'")
       .mkString(" ")
-    s"""WITH _n AS (
+    s"""WITH _prof AS (
+       |${profileValuesSql}),
+       |_n AS (
        |  SELECT $idCol, ${normSql(textCol)} AS nt FROM $src),
        |_g AS (
        |  SELECT $idCol,
@@ -226,16 +247,25 @@ object LangId {
        |                     i -> substr(nt, i::INT, 3))
        |              ELSE []::VARCHAR[] END AS grams
        |  FROM _n),
+       |_u AS (SELECT $idCol, len(grams) AS ng FROM _g),
+       |_r AS (
+       |  SELECT $idCol, ord, grams[ord::INT] AS gram
+       |  FROM _g, UNNEST(range(1, len(grams) + 1)) AS t(ord)),
+       |_j AS (
+       |  SELECT _r.$idCol, _r.ord,
+       |         $contribCols
+       |  FROM _r LEFT JOIN _prof p USING (gram)),
        |_s AS (
-       |  SELECT $idCol, len(grams) AS ng,
-       |       $scoreCols
-       |  FROM _g),
+       |  SELECT $idCol,
+       |         $foldCols
+       |  FROM _j GROUP BY $idCol),
        |_m AS (
-       |  SELECT *, list_sort([$arr])[-1] AS _best,
-       |         CASE WHEN ng > 0
-       |              THEN (list_sort([$arr])[-1] - list_sort([$arr])[-2]) / ng
+       |  SELECT u.$idCol, u.ng, $arr,
+       |         list_sort([$arr])[-1] AS _best,
+       |         CASE WHEN u.ng > 0
+       |              THEN (list_sort([$arr])[-1] - list_sort([$arr])[-2]) / u.ng
        |              ELSE 0.0::DOUBLE END AS _margin
-       |  FROM _s)
+       |  FROM _u u LEFT JOIN _s s USING ($idCol))
        |SELECT $idCol, CAST(ng AS BIGINT) AS n_grams,
        |       CASE WHEN ng < $minGrams OR _margin < $confFloor THEN 'und'
        |            $argCase ELSE 'und' END AS lang_pred,
