@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Character-n-gram language identification with confidence — the
@@ -157,21 +157,27 @@ object LangId {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Log10-prob score of a gram array for one profiled language. */
+  /** Log10-prob score of a gram array for one profiled language —
+    * the HOF reference form. NOT the hot path: `aggregate` +
+    * `element_at` on a map literal stays outside codegen and the
+    * interpreted map probe is a linear key scan (a measured bench
+    * stall at 5k docs). Production scoring is the single-pass
+    * [[graft.plans.LangScoresExpr]]; LangIdSpec pins the two forms
+    * value-equal. */
   def scoreCol(grams: Column, lang: String): Column = {
     val (_, probs, floor) = profiles.find(_._1 == lang).get
     aggregate(grams, lit(0.0),
       (acc, g) => acc + coalesce(element_at(typedLit(probs), g), lit(floor)))
   }
 
-  /** Per-doc LID report over `text`: `n_grams`, the winning language
-    * (`und` when short or low-margin), and the floored micro-unit
-    * per-gram margin (best minus second-best score over gram count —
-    * the confidence the `und` rule thresholds on). */
-  def report(text: Column): Seq[Column] = {
-    val grams = gramsCol(text)
-    val n = size(grams)
-    val scores = langs.map(l => scoreCol(grams, l))
+  /** Decision columns over a bound `[n_grams, s_1..s_9]` scores-array
+    * attribute ([[graft.plans.LangScoresExpr]]'s output): `n_grams`,
+    * the winning language (`und` when short or low-margin), and the
+    * floored micro-unit per-gram margin (best minus second-best score
+    * over gram count — the confidence the `und` rule thresholds on). */
+  def reportColumns(arr: Column): Seq[Column] = {
+    val n = element_at(arr, 1)
+    val scores = langs.indices.map(i => element_at(arr, i + 2))
     val sorted = array_sort(array(scores: _*))
     val best = element_at(sorted, -1)
     val second = element_at(sorted, -2)
@@ -184,6 +190,15 @@ object LangId {
     Seq(n.cast("long").as("n_grams"), pred.as("lang_pred"),
       floor(margin * 1e6).cast("long").as("margin_micro"))
   }
+
+  /** Per-doc LID report: one native scorer pass, then the decision
+    * columns. Two Projects ON PURPOSE — the scores array binds to an
+    * attribute so its 12 consumers share ONE evaluation (CollapseProject
+    * keeps multi-referenced non-trivial expressions un-inlined). */
+  def report(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(col(idCol),
+        graft.plans.LangScoresExpr.scores(text).as("_ls"))
+      .select(col(idCol) +: reportColumns(col("_ls")): _*)
 
   // ---- generated DuckDB replay ---------------------------------------
 

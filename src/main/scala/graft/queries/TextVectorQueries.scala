@@ -91,8 +91,8 @@ object TextVectorQueries {
     "q_text_langid2",
     graft.operators.LangId.oracleSql("documents", "doc_id", "text") +
       "\nORDER BY doc_id") { (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id") +: graft.operators.LangId.report(col("text")): _*)
+    graft.operators.LangId
+      .report(Tables.documents(s, d), "doc_id", col("text"))
       .orderBy("doc_id")
   }
 

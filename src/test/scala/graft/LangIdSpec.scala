@@ -9,9 +9,9 @@ class LangIdSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def predict(texts: String*): Seq[(String, Long)] =
-    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("id", "text")
-      .select(col("id") +: LangId.report(col("text")): _*)
+    LangId.report(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text"), "id", col("text"))
       .orderBy("id")
       .select(col("lang_pred"), col("margin_micro"))
       .as[(String, Long)].collect().toSeq
@@ -73,9 +73,34 @@ class LangIdSpec extends AnyFunSuite {
   }
 
   test("report is a pure projection (no shuffle in the plan)") {
-    val df = Seq((1L, "some text here")).toDF("doc_id", "text")
-      .select(col("doc_id") +: LangId.report(col("text")): _*)
+    val df = LangId.report(
+      Seq((1L, "some text here")).toDF("doc_id", "text"), "doc_id", col("text"))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
+    // the scorer must appear exactly ONCE: its 12 consumers bind to
+    // one attribute, not 12 inlined copies (the CollapseProject guard)
+    assert("langscores".r.findAllIn(plan.toLowerCase).size <= 2, plan.take(800))
+  }
+
+  test("native scorer equals the HOF reference form") {
+    import graft.plans.LangScoresExpr
+    val texts = Seq(
+      "the weather was cold and the children stayed at home",
+      "ayer hacía mucho frío y los niños se quedaron en casa",
+      "", "ok", "zzzz qqqq wwww 1234 !!!")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = df.select(col("id"), LangScoresExpr.scores(col("text")).as("a"))
+      .orderBy("id").collect()
+      .map(r => r.getSeq[Double](1))
+    val grams = LangId.gramsCol(col("text"))
+    val hof = df.select(col("id") +:
+        (org.apache.spark.sql.functions.size(grams).cast("double") +:
+          LangId.langs.map(l => LangId.scoreCol(grams, l))): _*)
+      .orderBy("id").collect()
+      .map(r => (1 until r.length).map(r.getDouble))
+    native.zip(hof).zipWithIndex.foreach { case ((n, h), i) =>
+      assert(n === h, s"row $i")
+    }
   }
 }
