@@ -47,14 +47,18 @@ object WebCuration {
   def hostOf(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, hostRe, 1)), "^www\\.", "")
 
-  /** Registrable domain ("eTLD+1") against the bundled public-suffix
-    * snapshot — [[PublicSuffix.registrableDomain]]: `a.b.co.uk` →
-    * `b.co.uk`, each `github.io` tenant its own site, hosts that ARE
-    * public suffixes (and `localhost`) pass through unchanged. Pure
-    * InSet projection, no join. (Replaces the last-two-labels
-    * heuristic that folded every ccTLD-registered site into one
-    * "domain".) */
-  def domainOf(host: Column): Column = PublicSuffix.registrableDomain(host)
+  /** Registrable domain ("eTLD+1") against the bundled FULL
+    * public-suffix list: `a.b.co.uk` → `b.co.uk`, each `github.io`
+    * tenant its own site, hosts that ARE public suffixes (and
+    * `localhost`) pass through unchanged. One native probe against
+    * static shared rule sets ([[graft.plans.RegistrableDomainExpr]] —
+    * the full-list InSet literals cost ~1.1 s of plan build per query;
+    * [[PublicSuffix.registrableDomain]] stays as the spec-pinned
+    * Column parity form). No join, no shuffle. (Replaces the
+    * last-two-labels heuristic that folded every ccTLD-registered
+    * site into one "domain".) */
+  def domainOf(host: Column): Column =
+    graft.plans.RegistrableDomainExpr.domain(host)
 
   /** Canonical URL string (see class doc for the exact rules). Rows
     * that do not parse as scheme://host... normalize to NULL — the

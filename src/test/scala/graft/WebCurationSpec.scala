@@ -136,6 +136,26 @@ class WebCurationSpec extends AnyFunSuite {
       Seq("foo.公司.cn", "foo.xn--55qx5d.cn"))
   }
 
+  test("native domain expression equals the Column parity form") {
+    // every fixture host this suite uses anywhere, plus edge shapes
+    val hosts = Seq("a.b.co.uk", "co.uk", "localhost", "x.ck", "a.b.ck",
+      "www.ck", "sub.www.ck", "deep.x.s3.amazonaws.com", "example.com",
+      "a.x.com.bt", "shop.co.zw", "foo.ide.kyoto.jp", "b.foo.ide.kyoto.jp",
+      "x.kawasaki.jp", "a.x.kawasaki.jp", "www.city.kawasaki.jp",
+      "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+      "b.vm.compute.amazonaws.com.cn", "foo.公司.cn", "foo.xn--55qx5d.cn",
+      "", "a", "a.", ".a", "..", "user.github.io")
+    import graft.operators.PublicSuffix
+    val both = hosts.toDF("h")
+      .select(
+        graft.plans.RegistrableDomainExpr.domain(col("h")).as("native"),
+        PublicSuffix.registrableDomain(col("h")).as("column"))
+      .as[(String, String)].collect().toSeq
+    both.zip(hosts).foreach { case ((n, c), h) =>
+      assert(n === c, s"host '$h'")
+    }
+  }
+
   test("full PSL snapshot: parsed rule-set sizes match the list") {
     import graft.operators.PublicSuffix
     val exact = PublicSuffix.exactByLen.map(_._2.size).sum
