@@ -137,13 +137,17 @@ object ExifScrub {
   /** Batch scrub: one pass per partition, streamed. */
   def scrubImages(media: Dataset[Multimodal.MediaRecord]): Dataset[Scrubbed] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(scrubRecord))
+    media.mapPartitions { it =>
+      Multimodal.imageIoMemoryCache()
+      it.map(scrubRecord)
+    }
   }
 
   /** Decode two payloads and compare dimensions and every pixel —
     * the proof obligation that segment surgery never touched the
     * image content. False when either payload fails to decode. */
   def pixelsEqual(a: Array[Byte], b: Array[Byte]): Boolean = {
+    Multimodal.imageIoMemoryCache()
     try {
       val ia = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
       val ib = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))

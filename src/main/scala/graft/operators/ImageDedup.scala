@@ -124,6 +124,7 @@ object ImageDedup {
       media: Dataset[Multimodal.MediaRecord]): Dataset[ImageHashes] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      Multimodal.imageIoMemoryCache()
       it.map { r =>
         try {
           val img = javax.imageio.ImageIO.read(
@@ -200,6 +201,7 @@ object ImageDedup {
     * box-average recovers each cell level to within a few luma units —
     * far inside the > mean margin for any non-degenerate popcount. */
   def renderPattern(bits: Long, scale: Int, jpeg: Boolean): Array[Byte] = {
+    Multimodal.imageIoMemoryCache()
     val side = 8 * scale
     val img = new java.awt.image.BufferedImage(
       side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Disable imageio's DISK-BACKED stream cache process-wide: every
+    * ImageIO.read/write otherwise spills through a temp FILE, and at
+    * executor concurrency the temp churn made the per-row decode cost
+    * grow with scale (measured 14.9× CPU at 10× rows on the EXIF
+    * scrub before this; linear after). Our payloads are in-memory
+    * byte arrays — the memory cache is strictly right. Idempotent,
+    * safe to call from every partition. */
+  def imageIoMemoryCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** One media object: opaque payload + typed metadata. */
   final case class MediaRecord(
       media_id: Long,
@@ -117,6 +127,7 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageContent] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      imageIoMemoryCache()
       val dec = new ImageIoDecoder
       it.map(dec.content)
     }
