@@ -171,6 +171,25 @@ object MultimodalQueries {
     * The pair list is robust to ≤3 recompression bit flips by
     * construction (that is what the Hamming threshold is for), so the
     * gate certifies the mechanism, not a bit-for-bit pixel decoder. */
+  /** Deterministic perceptual-pattern media set shared by the image
+    * queries: groups of 4 consecutive doc_ids render one md5-derived
+    * 8×8 block pattern as PNG ×3 scales + one JPEG recompression. */
+  private def patternMedia(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val bits = graft.operators.ImageDedup.patternBits(id / 4)
+      val v = (id % 4).toInt
+      val payload = v match {
+        case 0 => graft.operators.ImageDedup.renderPattern(bits, 8, jpeg = false)
+        case 1 => graft.operators.ImageDedup.renderPattern(bits, 12, jpeg = false)
+        case 2 => graft.operators.ImageDedup.renderPattern(bits, 5, jpeg = false)
+        case _ => graft.operators.ImageDedup.renderPattern(bits, 8, jpeg = true)
+      }
+      Multimodal.MediaRecord(
+        id, if (v == 3) "image/jpeg" else "image/png", payload, 0, 0)
+    }
+  }
+
   private val imageNearDup = QuerySpec(
     "q_mm_image_neardup",
     """WITH e AS (
@@ -195,20 +214,7 @@ object MultimodalQueries {
       |      FROM p JOIN h a ON a.ph = p.pha JOIN h b ON b.ph = p.phb)
       |SELECT a_id, b_id FROM (SELECT * FROM w UNION ALL SELECT * FROM x)
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
-      val bits = graft.operators.ImageDedup.patternBits(id / 4)
-      val v = (id % 4).toInt
-      val payload = v match {
-        case 0 => graft.operators.ImageDedup.renderPattern(bits, 8, jpeg = false)
-        case 1 => graft.operators.ImageDedup.renderPattern(bits, 12, jpeg = false)
-        case 2 => graft.operators.ImageDedup.renderPattern(bits, 5, jpeg = false)
-        case _ => graft.operators.ImageDedup.renderPattern(bits, 8, jpeg = true)
-      }
-      Multimodal.MediaRecord(
-        id, if (v == 3) "image/jpeg" else "image/png", payload, 0, 0)
-    }
-    val hashes = graft.operators.ImageDedup.hashImages(media)
+    val hashes = graft.operators.ImageDedup.hashImages(patternMedia(s, d))
       .filter(_.decoded).toDF()
     graft.operators.ImageDedup
       .nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
@@ -280,6 +286,58 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[QuerySpec] =
-    Seq(features, chunks, dims, audio, video, warc, imageNearDup, exifScrub)
+  /** Incremental perceptual-hash index
+    * ([[graft.operators.ImageDedup]] index half — the nightly-shard
+    * shape of N97, composing the N33/N39 ledger discipline with
+    * content-level image dedup): batches 0 and 1 of the pattern
+    * corpus seed/append a (media_id, phash) index (batch 1
+    * REDELIVERED — the id anti-join must append nothing), then batch
+    * 2 pairs against the STORED hashes through the bipartite 4×16-bit
+    * chunk join — stored images are never reprocessed. The oracle
+    * plants every hash by md5 arithmetic and replays the bipartite
+    * banding; pair sets stay robust to ≤3 JPEG recompression bit
+    * flips because each group carries exactly one JPEG variant. */
+  private val imageIndex = QuerySpec(
+    "q_mm_image_index",
+    """WITH e AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 16))::UBIGINT AS raw
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |             CASE WHEN bit_count(raw) IN (0, 64)
+      |                  THEN 0::UBIGINT ELSE raw END AS ph
+      |      FROM e),
+      |nb AS (SELECT doc_id, ph FROM h WHERE doc_id % 3 = 2),
+      |sb AS (SELECT doc_id, ph FROM h WHERE doc_id % 3 <> 2),
+      |nc AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk
+      |             FROM (SELECT DISTINCT ph FROM nb))),
+      |sc AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk
+      |             FROM (SELECT DISTINCT ph FROM sb))),
+      |p AS (SELECT DISTINCT n.ph AS nh, s.ph AS sh
+      |      FROM nc n JOIN sc s
+      |        ON n.chunk = s.chunk AND n.chunkval = s.chunkval
+      |      WHERE bit_count(xor(n.ph, s.ph)) <= 3)
+      |SELECT nb.doc_id AS new_id, sb.doc_id AS stored_id
+      |FROM p JOIN nb ON nb.ph = p.nh JOIN sb ON sb.ph = p.sh
+      |ORDER BY new_id, stored_id""".stripMargin) { (s, d) =>
+    import graft.operators.ImageDedup
+    val hashes = ImageDedup.hashImages(patternMedia(s, d))
+      .filter(_.decoded).toDF()
+    def batch(i: Int) = hashes.filter(pmod(col("media_id"), lit(3)) === i)
+    val root = graft.core.CacheGovernor.durableDir(s"image_hash_index:$d") { dir =>
+      val path = s"$dir/v1"
+      ImageDedup.writeHashIndex(batch(0), "media_id", "ahash", path)
+      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      // redelivered batch — the id anti-join must append nothing
+      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+    }
+    ImageDedup.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
+      .select("new_id", "stored_id")
+      .orderBy("new_id", "stored_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video, warc,
+    imageNearDup, exifScrub, imageIndex)
 }

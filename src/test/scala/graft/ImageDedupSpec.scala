@@ -80,6 +80,39 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(!exp.exists { case (a, b, _) => Set(a, b) == Set(1L, 7L) })
   }
 
+  test("hash index: append is idempotent and bipartite pairs are exact") {
+    import org.apache.spark.sql.functions.col
+    val base = 0x0123456789abcdefL
+    val far = 0x7edcba9876543210L
+    val stored0 = Seq((1L, base), (2L, far)).toDF("id", "h")
+    val stored1 = Seq((3L, base ^ 1L)).toDF("id", "h")
+    val dir = java.nio.file.Files.createTempDirectory("imgidx").toString
+    ImageDedup.writeHashIndex(stored0, "id", "h", dir)
+    ImageDedup.appendToHashIndex(spark, dir, stored1, "id", "h")
+    ImageDedup.appendToHashIndex(spark, dir, stored1, "id", "h") // redelivery
+    assert(spark.read.parquet(s"$dir/hashes").count() === 3L)
+    // batch: 10 matches base exactly, 11 is 2 bits off base (pairs
+    // with 1 at d=2 and 3 at d<=3), 12 is far+5bits (no pairs)
+    val batch = Seq(
+      (10L, base),
+      (11L, base ^ (1L << 5) ^ (1L << 40)),
+      (12L, far ^ 0x1fL)).toDF("id", "h")
+    val got = ImageDedup
+      .nearDupAgainstIndex(spark, dir, batch, "id", "h")
+      .select("new_id", "stored_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val storedAll = Seq((1L, base), (2L, far), (3L, base ^ 1L))
+    val exp = (for {
+      (n, nh) <- Seq((10L, base), (11L, base ^ (1L << 5) ^ (1L << 40)),
+        (12L, far ^ 0x1fL))
+      (sId, sh) <- storedAll
+      d = java.lang.Long.bitCount(nh ^ sh)
+      if d <= 3
+    } yield (n, sId, d.toLong)).toSet
+    assert(got === exp)
+    assert(exp.contains((10L, 1L, 0L)) && !exp.exists(_._1 == 12L))
+  }
+
   test("end-to-end: rendered variants pair by group, not across groups") {
     val media = (0L until 24L).map { id =>
       val bits = ImageDedup.patternBits(id / 4)
