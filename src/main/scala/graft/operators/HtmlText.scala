@@ -68,6 +68,47 @@ object HtmlText {
     array_join(clean, "\n")
   }
 
+  /** Linearized HTML tables — the structured-content complement of
+    * [[extractText]] (tables carry a large share of the factual text
+    * a training corpus wants, and flattening them through the line
+    * extractor destroys the row/column structure): one output row per
+    * `<tr>`, cells tag-stripped, entity-decoded, whitespace-normalized
+    * and joined with `" | "` (the markdown-ish linearization public
+    * curation stacks emit). Output columns: `table_idx`, `row_idx`
+    * (both 0-based within the document), `n_cells`, `row_text`.
+    * Non-nested tables only (the overwhelming web case; a nested
+    * table's inner rows surface as their own rows of the OUTER match
+    * region's row list — documented, not silent).
+    *
+    * Scale shape: regexp_extract_all + two posexplodes — map-side
+    * generators in the scan stage, no shuffle, no UDF; entity decode
+    * is the single-pass native expression. */
+  def tableRows(df: DataFrame, idCol: String, html: Column): DataFrame = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val tables = expr_extract_all(noComment, "(?is)<table\\b[^>]*>(.*?)</table>")
+    val withTable = df
+      .select(col(idCol), posexplode(tables).as(Seq("table_idx", "_t")))
+    val rows = expr_extract_all(col("_t"), "(?is)<tr\\b[^>]*>(.*?)</tr>")
+    val withRow = withTable
+      .select(col(idCol), col("table_idx"),
+        posexplode(rows).as(Seq("row_idx", "_r")))
+    val cells = expr_extract_all(col("_r"), "(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]>")
+    val cleanCells = transform(cells, c =>
+      trim(regexp_replace(
+        graft.plans.TextHashNative.htmlEntityDecode(
+          regexp_replace(c, "<[^>]*>", " ")),
+        "[\\s\\u00A0]+", " ")))
+    withRow.select(col(idCol),
+      col("table_idx").cast("long").as("table_idx"),
+      col("row_idx").cast("long").as("row_idx"),
+      size(cells).cast("long").as("n_cells"),
+      array_join(cleanCells, " | ").as("row_text"))
+  }
+
+  /** `regexp_extract_all(col, pattern, 1)` (group 1 per match). */
+  private def expr_extract_all(c: Column, pattern: String): Column =
+    regexp_extract_all(c, lit(pattern), lit(1))
+
   /** The C4 line predicate (see class doc). */
   def keepLine(line: Column, minWords: Int): Column =
     line.rlike("[.!?\"]$") &&

@@ -125,5 +125,58 @@ object HtmlQueries {
       .orderBy("doc_id")
   }
 
-  def all: Seq[QuerySpec] = Seq(htmlExtract, c4LineFilter)
+  /** Linearized table extraction ([[HtmlText.tableRows]]): each doc
+    * plants 0-2 tables (doc_id%3) whose row/cell counts and cell
+    * contents are pure doc_id arithmetic — headers carry an entity
+    * probe (`H&amp;c` must decode to `H&c`), a comment sits inside
+    * the table element, and every structural number (table/row
+    * indices, cell counts, the `" | "` linearization) replays in the
+    * oracle from the same arithmetic, never by re-parsing HTML. Docs
+    * with no table contribute no rows. */
+  private val htmlTables = QuerySpec(
+    "q_html_tables",
+    """WITH u AS (SELECT doc_id, doc_id % 3 AS t_cnt FROM documents),
+      |t AS (SELECT doc_id, unnest(range(0, t_cnt)) AS table_idx FROM u),
+      |r AS (SELECT doc_id, table_idx,
+      |        unnest(range(0, 2 + (doc_id + table_idx) % 3)) AS row_idx,
+      |        2 + table_idx % 2 AS n_c
+      |      FROM t)
+      |SELECT doc_id, table_idx, row_idx,
+      |       CAST(n_c AS BIGINT) AS n_cells,
+      |       CASE WHEN row_idx = 0
+      |            THEN array_to_string(list_transform(range(0, n_c),
+      |                   c -> 'H&' || c), ' | ')
+      |            ELSE array_to_string(list_transform(range(0, n_c),
+      |                   c -> 'v ' || doc_id || '-' || row_idx || '-' || c),
+      |                 ' | ')
+      |       END AS row_text
+      |FROM r ORDER BY doc_id, table_idx, row_idx""".stripMargin) { (s, d) =>
+    val id = col("doc_id")
+    def tableHtml(t: Column): Column = {
+      val nRows = lit(2) + pmod(id + t, lit(3))
+      val nCells = lit(2) + pmod(t, lit(2))
+      val header = concat(lit("<tr>"),
+        array_join(transform(sequence(lit(0), nCells - 1),
+          c => concat(lit("<th>H&amp;"), c.cast("string"), lit("</th>"))), ""),
+        lit("</tr>"))
+      val dataRows = array_join(transform(sequence(lit(1), nRows - 1), r =>
+        concat(lit("<tr class=\"d\">"),
+          array_join(transform(sequence(lit(0), nCells - 1), c =>
+            concat(lit("<td> v "), id.cast("string"), lit("-"),
+              r.cast("string"), lit("-"), c.cast("string"), lit(" </td>"))), ""),
+          lit("</tr>"))), "")
+      concat(lit("<table class=\"x\"><!-- not a row: <tr> -->"),
+        header, dataRows, lit("</table>"))
+    }
+    val html = concat(lit("<html><body><p>before</p>"),
+      when(pmod(id, lit(3)) >= 1, tableHtml(lit(0))).otherwise(lit("")),
+      when(pmod(id, lit(3)) === 2, tableHtml(lit(1))).otherwise(lit("")),
+      lit("<p>after</p></body></html>"))
+    HtmlText.tableRows(
+        Tables.documents(s, d).select(col("doc_id"), html.as("_html")),
+        "doc_id", col("_html"))
+      .orderBy("doc_id", "table_idx", "row_idx")
+  }
+
+  def all: Seq[QuerySpec] = Seq(htmlExtract, c4LineFilter, htmlTables)
 }

@@ -103,4 +103,36 @@ class HtmlTextSpec extends AnyFunSuite {
     val r = c4(Seq(t))
     assert(r.head._3 === 3L && r.head._4 === 1)
   }
+
+  private def rows(html: String): Seq[(Long, Long, Long, String)] =
+    HtmlText.tableRows(Seq((1L, html)).toDF("id", "h"), "id", col("h"))
+      .orderBy("table_idx", "row_idx")
+      .select("table_idx", "row_idx", "n_cells", "row_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("tableRows linearizes cells with inner tags and entities") {
+    val html = """<p>x</p><table><tr><th>Name</th><th>City &amp; Zip</th></tr>
+      |<tr><td>A <b>bold</b> name</td><td> Berlin&nbsp;10115 </td></tr>
+      |</table>""".stripMargin
+    assert(rows(html) === Seq(
+      (0L, 0L, 2L, "Name | City & Zip"),
+      (0L, 1L, 2L, "A bold name | Berlin 10115")))
+  }
+
+  test("tableRows: multiple tables index independently; comments ignored") {
+    val html = "<table><!-- <tr>decoy</tr> --><tr><td>a</td></tr></table>" +
+      "<p>gap</p><table><tr><td>b</td><td>c</td></tr></table>"
+    assert(rows(html) === Seq(
+      (0L, 0L, 1L, "a"),
+      (1L, 0L, 2L, "b | c")))
+  }
+
+  test("tableRows: no tables or malformed tables yield no rows") {
+    assert(rows("<p>plain</p>") === Seq())
+    // unclosed table: the lazy (?s) match finds no </table>
+    assert(rows("<table><tr><td>a</td></tr>") === Seq())
+    // row with no cells still surfaces (n_cells 0, empty text)
+    assert(rows("<table><tr>bare</tr></table>") ===
+      Seq((0L, 0L, 0L, "")))
+  }
 }
