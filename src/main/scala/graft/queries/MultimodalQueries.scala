@@ -338,6 +338,57 @@ object MultimodalQueries {
       .orderBy("new_id", "stored_id")
   }
 
+  /** Perceptual audio near-dup ([[graft.operators.AudioDedup]] — the
+    * PCM analogue of q_mm_image_neardup): groups of 4 consecutive
+    * doc_ids render one md5-derived 64-window energy pattern as real
+    * WAV clips at three sample rates and two gains; the engine
+    * recovers the energy-envelope hash FROM THE SAMPLES and pairs via
+    * the same 4×16-bit Hamming banding; the oracle plants the hash by
+    * the same md5 arithmetic as the image twin (recovery is exact —
+    * |amplitude| is constant per window — so the pair sets must meet
+    * bit-for-bit). */
+  private val audioNearDup = QuerySpec(
+    "q_mm_audio_neardup",
+    """WITH e AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 16))::UBIGINT AS raw
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |             CASE WHEN bit_count(raw) IN (0, 64)
+      |                  THEN 0::UBIGINT ELSE raw END AS ph
+      |      FROM e),
+      |d AS (SELECT DISTINCT ph FROM h),
+      |cb AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk FROM d)),
+      |p AS (SELECT DISTINCT x.ph AS pha, y.ph AS phb
+      |      FROM cb x JOIN cb y
+      |        ON x.chunk = y.chunk AND x.chunkval = y.chunkval AND x.ph < y.ph
+      |      WHERE bit_count(xor(x.ph, y.ph)) <= 3),
+      |w AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |      FROM h a JOIN h b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+      |x AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
+      |             greatest(a.doc_id, b.doc_id) AS b_id
+      |      FROM p JOIN h a ON a.ph = p.pha JOIN h b ON b.ph = p.phb)
+      |SELECT a_id, b_id FROM (SELECT * FROM w UNION ALL SELECT * FROM x)
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.operators.{AudioDedup, ImageDedup}
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+      val bits = ImageDedup.patternBits(id / 4)
+      val payload = (id % 4).toInt match {
+        case 0 => AudioDedup.renderClip(bits, 8000, 8000)
+        case 1 => AudioDedup.renderClip(bits, 16000, 8000)
+        case 2 => AudioDedup.renderClip(bits, 44100, 4000)
+        case _ => AudioDedup.renderClip(bits, 8000, 2000)
+      }
+      Multimodal.MediaRecord(id, "audio/wav", payload, 0, 0)
+    }
+    val hashes = AudioDedup.hashAudio(media).filter(_.decoded).toDF()
+    ImageDedup.nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video, warc,
-    imageNearDup, exifScrub, imageIndex)
+    imageNearDup, exifScrub, imageIndex, audioNearDup)
 }
