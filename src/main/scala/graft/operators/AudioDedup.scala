@@ -52,7 +52,12 @@ object AudioDedup {
         if (codec != 1) return None // PCM only
         fmt = Some((le16(p, off + 10), le16(p, off + 22), le16(p, off + 20)))
       } else if (id == "data") { dataOff = off + 8; dataSize = sz }
-      off += 8 + sz.toInt + (sz.toInt & 1)
+      // Advance in Long: a crafted chunk size near 0xFFFFFFFF would make
+      // the Int advance 0 or negative and pin the executor core forever
+      // (the poisoned-blob contract forbids hangs as much as throws).
+      val adv = 8L + sz + (sz & 1L)
+      if (sz > p.length.toLong || off.toLong + adv > Int.MaxValue) return None
+      off += adv.toInt
     }
     fmt match {
       case Some((ch, bits, ba)) if dataOff >= 0 && bits == 16 && ba > 0 =>

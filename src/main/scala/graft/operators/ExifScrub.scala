@@ -100,8 +100,12 @@ object ExifScrub {
       val len = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
         ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
       val tpe = new String(p, i + 4, 4, "US-ASCII")
-      val total = 12 + len // len + type + data + crc
-      if (len < 0 || i + total > p.length) return None
+      // Bound-check in Long: a crafted len near Int.MaxValue overflows
+      // `12 + len` to a negative Int that slips past the guard and then
+      // throws from out.write — the walk must reject it instead.
+      val totalL = 12L + len
+      if (len < 0 || i.toLong + totalL > p.length) return None
+      val total = totalL.toInt
       if (pngDrop.contains(tpe)) {
         dropped += 1
         droppedBytes += total.toLong
@@ -122,10 +126,14 @@ object ExifScrub {
     val jpeg = r.payload.length >= 2 &&
       (r.payload(0) & 0xff) == 0xff && (r.payload(1) & 0xff) == 0xd8
     val png = r.payload.length >= 8 && r.payload.take(8).sameElements(pngSig)
+    // Same Throwable pass-through as hashAudio/hashImages: any structural
+    // surprise the walks miss degrades to parsed=false, never a task kill.
     val res =
-      if (jpeg) scrubJpegBytes(r.payload).map(("jpeg", _))
-      else if (png) scrubPngBytes(r.payload).map(("png", _))
-      else None
+      try {
+        if (jpeg) scrubJpegBytes(r.payload).map(("jpeg", _))
+        else if (png) scrubPngBytes(r.payload).map(("png", _))
+        else None
+      } catch { case _: Throwable => None }
     res match {
       case Some((fmt, (bytes, n, removed))) =>
         Scrubbed(r.media_id, fmt, parsed = true, n, removed, bytes)

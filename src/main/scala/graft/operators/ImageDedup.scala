@@ -139,16 +139,27 @@ object ImageDedup {
     }
   }
 
+  /** Drop failed-decode rows when the relation carries a `decoded`
+    * flag: undecodable payloads all hash to 0, so an unfiltered frame
+    * would turn every decode failure into one quadratic hamming-0
+    * clique. Enforced here at the API rather than by caller
+    * convention; relations without the flag (already-projected
+    * id+hash pairs) pass through unchanged. */
+  private def dropUndecoded(hashes: DataFrame): DataFrame =
+    if (hashes.columns.contains("decoded")) hashes.filter(col("decoded"))
+    else hashes
+
   /** Near-dup id pairs (a_id < b_id, `hamming`) from a (id, 64-bit
     * hash) relation — collapse → 4×16-bit band → verify → expand,
-    * exact for maxHamming ≤ 3 (pigeonhole over 4 chunks). */
+    * exact for maxHamming ≤ 3 (pigeonhole over 4 chunks). Rows with
+    * `decoded=false` (when the column is present) never pair. */
   def nearDupPairs(
       hashes: DataFrame, id: String, hash: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4x16-bit banding guarantees recall only for maxHamming <= 3")
     val docs = graft.core.CacheGovernor.persistTracked(
-      hashes.select(col(id).as("_id"), col(hash).as("_ph")))
+      dropUndecoded(hashes).select(col(id).as("_id"), col(hash).as("_ph")))
     val reps = docs.select("_ph").distinct()
     val chunked = reps.select(col("_ph"),
       posexplode(array((0 until 4).map(c =>
@@ -180,7 +191,7 @@ object ImageDedup {
     * dedup ever needs (hashes, never pixels). */
   def writeHashIndex(
       hashes: DataFrame, id: String, hash: String, path: String): Unit =
-    hashes.select(col(id).as("media_id"), col(hash).as("phash"))
+    dropUndecoded(hashes).select(col(id).as("media_id"), col(hash).as("phash"))
       .write.mode("overwrite").parquet(s"$path/hashes")
 
   /** Delta-append a batch (O(batch) parquet append). Idempotent:
@@ -190,7 +201,8 @@ object ImageDedup {
   def appendToHashIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       hashes: DataFrame, id: String, hash: String): Unit = {
-    val batch = hashes.select(col(id).as("media_id"), col(hash).as("phash"))
+    val batch =
+      dropUndecoded(hashes).select(col(id).as("media_id"), col(hash).as("phash"))
     val stored = spark.read.parquet(s"$path/hashes")
       .join(batch.select("phash").distinct(), Seq("phash"), "left_semi")
       .select("media_id")
@@ -219,7 +231,7 @@ object ImageDedup {
         .withColumnRenamed("pos", "_chunk")
         .withColumnRenamed("col", "_chunkval")
     val batch = graft.core.CacheGovernor.persistTracked(
-      newHashes.select(col(id).as("_nid"), col(hash).as("_nh")))
+      dropUndecoded(newHashes).select(col(id).as("_nid"), col(hash).as("_nh")))
     val stored = graft.core.CacheGovernor.persistTracked(
       spark.read.parquet(s"$path/hashes")
         .select(col("media_id").as("_sid"), col("phash").as("_sh")))

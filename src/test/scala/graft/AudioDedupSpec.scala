@@ -44,6 +44,19 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(out(0).decoded && !out(1).decoded)
   }
 
+  test("crafted RIFF chunk sizes terminate instead of looping") {
+    // sz = 0xFFFFFFF8 → Int advance 0; sz = 0xFFFFFFF7 → 0 via pad byte.
+    Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0xFFFFFFFFL).foreach { sz =>
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("junk".getBytes("US-ASCII")).putInt(sz.toInt)
+      val res = AudioDedup.audioHash64(b.array())
+      assert(res === None, f"sz=0x$sz%x must reject, not hang")
+    }
+  }
+
   test("end-to-end: clip variants pair by group through the banded join") {
     val media = (0L until 16L).map { id =>
       val bits = ImageDedup.patternBits(id / 4)

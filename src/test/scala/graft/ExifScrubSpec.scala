@@ -66,6 +66,16 @@ class ExifScrubSpec extends AnyFunSuite {
     val sc2 = ExifScrub.scrubRecord(
       Multimodal.MediaRecord(10L, "image/jpeg", truncated, 0, 0))
     assert(!sc2.parsed && sc2.payload.sameElements(truncated))
+    // PNG chunk declaring a length near Int.MaxValue: `12 + len` would
+    // overflow Int and slip past the bound guard — must reject cleanly
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val evil = pngSig ++ Array[Byte](
+      0x7f, 0xff.toByte, 0xff.toByte, 0xf8.toByte, // len = Int.MaxValue-7
+      'I', 'H', 'D', 'R', 0, 0, 0, 0)
+    val sc3 = ExifScrub.scrubRecord(
+      Multimodal.MediaRecord(11L, "image/png", evil, 0, 0))
+    assert(!sc3.parsed && sc3.payload.sameElements(evil))
   }
 
   test("batch scrub runs as a streamed partition pass") {

@@ -54,6 +54,19 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(!out(1).decoded && out(1).ahash === 0L && out(1).dhash === 0L)
   }
 
+  test("nearDupPairs drops undecoded rows at the API, not by convention") {
+    // three failed decodes all hash 0 — unfiltered they would form a
+    // spurious hamming-0 clique; the API must drop them when the frame
+    // carries the decoded flag
+    val rows = Seq(
+      (1L, true, 0x0123456789abcdefL), (2L, true, 0x0123456789abcdefL),
+      (3L, false, 0L), (4L, false, 0L), (5L, false, 0L))
+      .toDF("media_id", "decoded", "ahash")
+    val pairs = ImageDedup.nearDupPairs(rows, "media_id", "ahash")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("nearDupPairs equals brute force (collapse + banding are lossless)") {
     val base = 0x0123456789abcdefL
     val far = 0x7edcba9876543210L
