@@ -389,6 +389,75 @@ object MultimodalQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Video content-level near-dup ([[graft.operators.VideoDedup]] —
+    * closes the perceptual multimodal triple): every second group of 4
+    * consecutive doc_ids renders one 4-scene md5-derived clip as four
+    * REAL MP4 re-encodings (base, 2× frame rate at higher resolution,
+    * JPEG recompression, 3× rate downscaled); the engine walks the
+    * ISO-BMFF sample table, decodes only the 8 fractionally-sampled
+    * frames, aHashes each, majority-votes per bit into one 64-bit
+    * video hash, and pairs via the same 4×16-bit Hamming banding. The
+    * oracle replays the whole construction — per-scene md5 hashes, the
+    * degenerate-popcount rule, the 2-votes-per-scene majority (bit set
+    * iff ≥3 of 4 scenes set it) and the banding — so the sample-table
+    * walk, fractional sampler, frame decode and temporal aggregation
+    * must ALL be right for the pair sets to meet. */
+  private val videoNearDup = QuerySpec(
+    "q_mm_video_neardup",
+    """WITH docs AS (SELECT doc_id FROM documents WHERE (doc_id // 4) % 2 = 0),
+      |s AS (SELECT doc_id, unnest(range(0, 4)) AS j FROM docs),
+      |e AS (SELECT doc_id, j,
+      |        ('0x' || substr(md5(CAST((doc_id // 4) * 4 + j AS VARCHAR)), 1, 16))::UBIGINT AS raw
+      |      FROM s),
+      |f AS (SELECT doc_id, j,
+      |        CASE WHEN bit_count(raw) IN (0, 64) THEN 0::UBIGINT ELSE raw END AS fh
+      |      FROM e),
+      |bits AS (SELECT doc_id, unnest(range(0, 64)) AS bit FROM docs),
+      |vb AS (SELECT f.doc_id, bits.bit,
+      |         SUM(CASE WHEN (fh >> bit::INT) & 1 = 1 THEN 1 ELSE 0 END) AS c
+      |       FROM f JOIN bits ON f.doc_id = bits.doc_id
+      |       GROUP BY f.doc_id, bits.bit),
+      |vh AS (SELECT doc_id,
+      |         bit_or(CASE WHEN c >= 3 THEN (1::UBIGINT << bit::INT)
+      |                ELSE 0::UBIGINT END) AS ph
+      |       FROM vb GROUP BY doc_id),
+      |d AS (SELECT DISTINCT ph FROM vh),
+      |cb AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk FROM d)),
+      |p AS (SELECT DISTINCT x.ph AS pha, y.ph AS phb
+      |      FROM cb x JOIN cb y
+      |        ON x.chunk = y.chunk AND x.chunkval = y.chunkval AND x.ph < y.ph
+      |      WHERE bit_count(xor(x.ph, y.ph)) <= 3),
+      |w AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |      FROM vh a JOIN vh b ON a.ph = b.ph AND a.doc_id < b.doc_id),
+      |x AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
+      |             greatest(a.doc_id, b.doc_id) AS b_id
+      |      FROM p JOIN vh a ON a.ph = p.pha JOIN vh b ON b.ph = p.phb)
+      |SELECT a_id, b_id FROM (SELECT * FROM w UNION ALL SELECT * FROM x)
+      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.operators.{ImageDedup, VideoDedup}
+    // the render+sample-decode pass dominates; documents is a small
+    // ids-only scan with few input splits, so spread the heavy map
+    // across every core before it (the shuffle moves only Longs)
+    val media = Tables.documents(s, d).select(col("doc_id"))
+      .where(expr("(doc_id div 4) % 2 = 0"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long].map { id =>
+        val g = id / 4
+        val payload = (id % 4).toInt match {
+          case 0 => VideoDedup.renderVideo(g, 4, 1, 8, jpeg = false)
+          case 1 => VideoDedup.renderVideo(g, 4, 2, 10, jpeg = false)
+          case 2 => VideoDedup.renderVideo(g, 4, 1, 8, jpeg = true)
+          case _ => VideoDedup.renderVideo(g, 4, 3, 5, jpeg = false)
+        }
+        Multimodal.MediaRecord(id, "video/mp4", payload, 0, 0)
+      }
+    val hashes = VideoDedup.hashVideos(media).toDF()
+    ImageDedup.nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video, warc,
-    imageNearDup, exifScrub, imageIndex, audioNearDup)
+    imageNearDup, exifScrub, imageIndex, audioNearDup, videoNearDup)
 }
