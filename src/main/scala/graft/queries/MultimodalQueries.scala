@@ -371,9 +371,21 @@ object MultimodalQueries {
       |      FROM p JOIN h a ON a.ph = p.pha JOIN h b ON b.ph = p.phb)
       |SELECT a_id, b_id FROM (SELECT * FROM w UNION ALL SELECT * FROM x)
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
+    import graft.operators.{AudioDedup, ImageDedup}
+    val hashes = AudioDedup.hashAudio(clipMedia(s, d)).filter(_.decoded).toDF()
+    ImageDedup.nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Deterministic energy-pattern clip set shared by the audio
+    * queries: groups of 4 consecutive doc_ids render one md5-derived
+    * 64-window pattern as real WAV clips at three sample rates and
+    * two gains (the audio analogue of [[patternMedia]]). */
+  private def clipMedia(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     import graft.operators.{AudioDedup, ImageDedup}
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
+    Tables.documents(s, d).select(col("doc_id")).as[Long].map { id =>
       val bits = ImageDedup.patternBits(id / 4)
       val payload = (id % 4).toInt match {
         case 0 => AudioDedup.renderClip(bits, 8000, 8000)
@@ -383,10 +395,55 @@ object MultimodalQueries {
       }
       Multimodal.MediaRecord(id, "audio/wav", payload, 0, 0)
     }
-    val hashes = AudioDedup.hashAudio(media).filter(_.decoded).toDF()
-    ImageDedup.nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
-      .select(col("a_id"), col("b_id"))
-      .orderBy("a_id", "b_id")
+  }
+
+  /** Incremental audio hash index — N103 composed with N101's ledger
+    * discipline, proving the (media_id, 64-bit hash) index machinery
+    * is modality-generic: batches 0 and 1 of the clip corpus
+    * seed/append the index (batch 1 REDELIVERED — the id anti-join
+    * must append nothing), then batch 2 pairs against STORED hashes
+    * through the bipartite 4×16-bit chunk join without reprocessing
+    * stored clips. Same oracle arithmetic as q_mm_image_index (the
+    * energy-envelope recovery is exact, so the planted md5 hashes
+    * replay bit-for-bit). */
+  private val audioIndex = QuerySpec(
+    "q_mm_audio_index",
+    """WITH e AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(CAST(doc_id // 4 AS VARCHAR)), 1, 16))::UBIGINT AS raw
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |             CASE WHEN bit_count(raw) IN (0, 64)
+      |                  THEN 0::UBIGINT ELSE raw END AS ph
+      |      FROM e),
+      |nb AS (SELECT doc_id, ph FROM h WHERE doc_id % 3 = 2),
+      |sb AS (SELECT doc_id, ph FROM h WHERE doc_id % 3 <> 2),
+      |nc AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk
+      |             FROM (SELECT DISTINCT ph FROM nb))),
+      |sc AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk
+      |             FROM (SELECT DISTINCT ph FROM sb))),
+      |p AS (SELECT DISTINCT n.ph AS nh, s.ph AS sh
+      |      FROM nc n JOIN sc s
+      |        ON n.chunk = s.chunk AND n.chunkval = s.chunkval
+      |      WHERE bit_count(xor(n.ph, s.ph)) <= 3)
+      |SELECT nb.doc_id AS new_id, sb.doc_id AS stored_id
+      |FROM p JOIN nb ON nb.ph = p.nh JOIN sb ON sb.ph = p.sh
+      |ORDER BY new_id, stored_id""".stripMargin) { (s, d) =>
+    import graft.operators.{AudioDedup, ImageDedup}
+    val hashes = AudioDedup.hashAudio(clipMedia(s, d)).filter(_.decoded).toDF()
+    def batch(i: Int) = hashes.filter(pmod(col("media_id"), lit(3)) === i)
+    val root = graft.core.CacheGovernor.durableDir(s"audio_hash_index:$d") { dir =>
+      val path = s"$dir/v1"
+      ImageDedup.writeHashIndex(batch(0), "media_id", "ahash", path)
+      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      // redelivered batch — the id anti-join must append nothing
+      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+    }
+    ImageDedup.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
+      .select("new_id", "stored_id")
+      .orderBy("new_id", "stored_id")
   }
 
   /** Video content-level near-dup ([[graft.operators.VideoDedup]] —
@@ -459,5 +516,6 @@ object MultimodalQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video, warc,
-    imageNearDup, exifScrub, imageIndex, audioNearDup, videoNearDup)
+    imageNearDup, exifScrub, imageIndex, audioNearDup, audioIndex,
+    videoNearDup)
 }

@@ -44,6 +44,28 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(out(0).decoded && !out(1).decoded)
   }
 
+  test("hash index machinery is modality-generic: build/append/score audio") {
+    val dir = java.nio.file.Files.createTempDirectory("audioidx").toString
+    val hashes = (0L until 12L).map { id =>
+      val bits = ImageDedup.patternBits(id / 4)
+      val h = AudioDedup.audioHash64(AudioDedup.renderClip(bits, 8000, 8000)).get
+      (id, h)
+    }.toDF("media_id", "ahash")
+    val stored = hashes.filter($"media_id" % 3 =!= 2)
+    val batch = hashes.filter($"media_id" % 3 === 2)
+    ImageDedup.writeHashIndex(stored.filter($"media_id" % 3 === 0), "media_id", "ahash", dir)
+    ImageDedup.appendToHashIndex(spark, dir, stored.filter($"media_id" % 3 === 1), "media_id", "ahash")
+    ImageDedup.appendToHashIndex(spark, dir, stored.filter($"media_id" % 3 === 1), "media_id", "ahash")
+    assert(spark.read.parquet(s"$dir/hashes").count() === 8) // redelivery no-op
+    val pairs = ImageDedup.nearDupAgainstIndex(spark, dir, batch, "media_id", "ahash")
+      .select("new_id", "stored_id").as[(Long, Long)].collect().toSet
+    val exp = (for {
+      n <- 0L until 12L if n % 3 == 2
+      s <- 0L until 12L if s % 3 != 2 && s / 4 == n / 4
+    } yield (n, s)).toSet
+    assert(pairs === exp)
+  }
+
   test("crafted RIFF chunk sizes terminate instead of looping") {
     // sz = 0xFFFFFFF8 → Int advance 0; sz = 0xFFFFFFF7 → 0 via pad byte.
     Seq(0xFFFFFFF8L, 0xFFFFFFF7L, 0xFFFFFFFFL).foreach { sz =>
