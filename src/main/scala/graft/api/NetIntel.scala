@@ -45,22 +45,83 @@ object NetIntel {
     * plan. */
   def schedule(
       spark: SparkSession, dir: String,
-      date: String, perZone: Int = 5): DataFrame = {
+      date: String, perZone: Int = 5): DataFrame =
+    rankedSchedule(spark, dir, date, perZone)
+      .orderBy("zone", "deploy_rank")
+
+  /** The unsorted deployment ranking [[schedule]] and [[route]] share:
+    * urgency per site, open-ticket anti-join, per-zone capacity cut. */
+  private def rankedSchedule(
+      spark: SparkSession, dir: String,
+      date: String, perZone: Int): DataFrame = {
     val f = DomainTables.forecastsForDate(spark, dir, date)
     val urgency = f.groupBy("site_code")
       .agg(max(col("outage_probability")).as("urgency"))
     // "open ticket" = an error-root-cause forecast for the site that day
     val ticketed = f.filter(col("root_cause") === "error").select("site_code")
     val s = DomainTables.sites(spark, dir)
-    val ranked = urgency
+    urgency
       .join(ticketed, Seq("site_code"), "left_anti")
       .join(broadcast(s), "site_code")
       .withColumn("deploy_rank",
         row_number().over(Window.partitionBy("zone")
           .orderBy(col("urgency").desc, col("site_code").asc)).cast("long"))
       .filter(col("deploy_rank") <= perZone)
-    ranked.select("zone", "deploy_rank", "site_code", "urgency", "region")
-      .orderBy("zone", "deploy_rank")
+      .select("zone", "deploy_rank", "site_code", "urgency", "region")
+  }
+
+  /** EP3 + the README.md:62 route-optimization claim: order each
+    * zone's scheduled deployments into ONE deterministic crew route —
+    * a greedy nearest-neighbor tour (the classic dispatch heuristic)
+    * starting at the most urgent site (deploy_rank 1), repeatedly
+    * visiting the nearest unvisited stop, ties to the lexically
+    * smaller site_code. Distances are EXACT integer squared
+    * micro-units over md5-derived pseudo-coordinates (region base
+    * 0-999 ×100 + per-site jitter 0-99 — the [[pseudoCoord]] geometry
+    * in an engine-portable hash so an oracle replays every leg
+    * bit-for-bit; swap for real coordinates in production).
+    *
+    * Scale shape: the tour is imperative only WITHIN a zone's ≤
+    * perZone stops (bounded, tiny); zones distribute across the
+    * cluster via groupByKey. Coordinate hashing stays in codegen. */
+  def route(
+      spark: SparkSession, dir: String,
+      date: String, perZone: Int = 5): DataFrame = {
+    import spark.implicits._
+    def h(c: org.apache.spark.sql.Column, salt: String, m: Int) =
+      conv(substring(md5(concat(c, lit("|" + salt))), 1, 8), 16, 10)
+        .cast("long") % m
+    val coords = rankedSchedule(spark, dir, date, perZone)
+      .withColumn("_cx",
+        h(col("region"), "x", 1000) * 100 + h(col("site_code"), "x", 100))
+      .withColumn("_cy",
+        h(col("region"), "y", 1000) * 100 + h(col("site_code"), "y", 100))
+      .select("zone", "deploy_rank", "site_code", "urgency", "_cx", "_cy")
+      .as[(String, Long, String, Double, Long, Long)]
+    coords.groupByKey(_._1).flatMapGroups { (zone, it) =>
+      val stops = it.toArray
+      def d2(a: (String, Long, String, Double, Long, Long),
+          b: (String, Long, String, Double, Long, Long)): Long = {
+        val dx = a._5 - b._5
+        val dy = a._6 - b._6
+        dx * dx + dy * dy
+      }
+      val out = Array.newBuilder[(String, Long, String, Long, Double)]
+      var cur = stops.minBy(_._2) // deploy_rank 1: start at most urgent
+      val visited = scala.collection.mutable.Set(cur._3)
+      out += ((zone, 1L, cur._3, 0L, cur._4))
+      var order = 2L
+      while (visited.size < stops.length) {
+        val next = stops.iterator.filterNot(s => visited(s._3))
+          .minBy(s => (d2(cur, s), s._3))
+        out += ((zone, order, next._3, d2(cur, next), next._4))
+        visited += next._3
+        cur = next
+        order += 1
+      }
+      out.result().iterator
+    }.toDF("zone", "visit_order", "site_code", "leg_dist_sq", "urgency")
+      .orderBy("zone", "visit_order")
   }
 
   /** EP3 with the README.md:61-declared LOCATION CLUSTERING stage:

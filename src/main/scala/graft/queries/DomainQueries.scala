@@ -184,5 +184,78 @@ object DomainQueries {
         (col("_sig1") === col("_sig2")).as("rerun_deterministic"))
   }
 
-  val all: Seq[QuerySpec] = Seq(ep1, ep2, ep3, ep3Clustered, ml, s5Sink)
+  /** EP3 route ordering (README.md:62 "Optimizes FME routing using
+    * heuristic … dispatch"): the greedy nearest-neighbor tour per zone
+    * over [[NetIntel.route]]'s exact integer micro-unit coordinates.
+    * The oracle UNROLLS the engine's tour loop (perZone = 5 → five
+    * argmin steps, each excluding the already-visited stops of its
+    * zone), replaying every leg's squared distance, tie-break and
+    * visit order bit-for-bit — the [[graft]] unrolled-oracle
+    * discipline for bounded iterative logic. */
+  private val ep3Route = QuerySpec(
+    "q_ep3_route",
+    withFixtures(
+      """, f AS (SELECT * FROM forecasts WHERE prediction_date = DATE '2024-01-15'),
+        |urgency AS (SELECT site_code, MAX(outage_probability) AS urgency FROM f GROUP BY site_code),
+        |ticketed AS (SELECT DISTINCT site_code FROM f WHERE root_cause = 'error'),
+        |ranked AS (
+        |  SELECT s.zone, u.site_code, u.urgency, s.region,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY s.zone ORDER BY u.urgency DESC, u.site_code) AS BIGINT) AS deploy_rank
+        |  FROM urgency u JOIN sites s USING (site_code)
+        |  WHERE u.site_code NOT IN (SELECT site_code FROM ticketed)),
+        |coords AS (
+        |  SELECT zone, deploy_rank, site_code, urgency,
+        |         CAST((('0x' || substr(md5(region || '|x'), 1, 8))::UBIGINT % 1000) * 100 +
+        |              ('0x' || substr(md5(site_code || '|x'), 1, 8))::UBIGINT % 100 AS BIGINT) AS cx,
+        |         CAST((('0x' || substr(md5(region || '|y'), 1, 8))::UBIGINT % 1000) * 100 +
+        |              ('0x' || substr(md5(site_code || '|y'), 1, 8))::UBIGINT % 100 AS BIGINT) AS cy
+        |  FROM ranked WHERE deploy_rank <= 5),
+        |s1 AS (SELECT zone, site_code, urgency, cx, cy, CAST(0 AS BIGINT) AS leg
+        |       FROM coords WHERE deploy_rank = 1),
+        |s2 AS (SELECT zone, site_code, urgency, cx, cy, leg FROM (
+        |  SELECT c.zone, c.site_code, c.urgency, c.cx, c.cy,
+        |         (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy) AS leg,
+        |         ROW_NUMBER() OVER (PARTITION BY c.zone ORDER BY
+        |           (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy), c.site_code) AS rn
+        |  FROM coords c JOIN s1 p ON c.zone = p.zone AND c.site_code <> p.site_code)
+        |  WHERE rn = 1),
+        |v2 AS (SELECT zone, site_code FROM s1 UNION ALL SELECT zone, site_code FROM s2),
+        |s3 AS (SELECT zone, site_code, urgency, cx, cy, leg FROM (
+        |  SELECT c.zone, c.site_code, c.urgency, c.cx, c.cy,
+        |         (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy) AS leg,
+        |         ROW_NUMBER() OVER (PARTITION BY c.zone ORDER BY
+        |           (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy), c.site_code) AS rn
+        |  FROM coords c JOIN s2 p ON c.zone = p.zone
+        |  WHERE NOT EXISTS (SELECT 1 FROM v2 v WHERE v.zone = c.zone AND v.site_code = c.site_code))
+        |  WHERE rn = 1),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT zone, site_code FROM s3),
+        |s4 AS (SELECT zone, site_code, urgency, cx, cy, leg FROM (
+        |  SELECT c.zone, c.site_code, c.urgency, c.cx, c.cy,
+        |         (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy) AS leg,
+        |         ROW_NUMBER() OVER (PARTITION BY c.zone ORDER BY
+        |           (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy), c.site_code) AS rn
+        |  FROM coords c JOIN s3 p ON c.zone = p.zone
+        |  WHERE NOT EXISTS (SELECT 1 FROM v3 v WHERE v.zone = c.zone AND v.site_code = c.site_code))
+        |  WHERE rn = 1),
+        |v4 AS (SELECT * FROM v3 UNION ALL SELECT zone, site_code FROM s4),
+        |s5 AS (SELECT zone, site_code, urgency, cx, cy, leg FROM (
+        |  SELECT c.zone, c.site_code, c.urgency, c.cx, c.cy,
+        |         (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy) AS leg,
+        |         ROW_NUMBER() OVER (PARTITION BY c.zone ORDER BY
+        |           (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy), c.site_code) AS rn
+        |  FROM coords c JOIN s4 p ON c.zone = p.zone
+        |  WHERE NOT EXISTS (SELECT 1 FROM v4 v WHERE v.zone = c.zone AND v.site_code = c.site_code))
+        |  WHERE rn = 1),
+        |tour AS (
+        |  SELECT zone, CAST(1 AS BIGINT) AS visit_order, site_code, leg AS leg_dist_sq, urgency FROM s1
+        |  UNION ALL SELECT zone, 2, site_code, leg, urgency FROM s2
+        |  UNION ALL SELECT zone, 3, site_code, leg, urgency FROM s3
+        |  UNION ALL SELECT zone, 4, site_code, leg, urgency FROM s4
+        |  UNION ALL SELECT zone, 5, site_code, leg, urgency FROM s5)
+        |SELECT zone, visit_order, site_code, leg_dist_sq, urgency
+        |FROM tour ORDER BY zone, visit_order""".stripMargin)) { (s, d) =>
+    NetIntel.route(s, d, "2024-01-15", 5)
+  }
+
+  val all: Seq[QuerySpec] = Seq(ep1, ep2, ep3, ep3Clustered, ep3Route, ml, s5Sink)
 }

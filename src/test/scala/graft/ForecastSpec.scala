@@ -36,6 +36,32 @@ class ForecastSpec extends AnyFunSuite {
       s"region split across clusters: ${regionClusters.filter(_._2.size > 1)}")
   }
 
+  test("EP3 route: NN tour visits each zone's schedule exactly once, greedily") {
+    import graft.api.NetIntel
+    val sched = NetIntel.schedule(spark, sfDir, "2024-01-15", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val tour = NetIntel.route(spark, sfDir, "2024-01-15", 5)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // permutation per zone, contiguous visit orders from 1
+    val byZoneSched = sched.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val byZoneTour = tour.groupBy(_._1)
+    assert(byZoneTour.keySet === byZoneSched.keys.toSet)
+    byZoneTour.foreach { case (z, stops) =>
+      assert(stops.map(_._3).toSet === byZoneSched(z), s"zone $z")
+      assert(stops.map(_._2).sorted.toSeq === (1L to stops.length).toSeq)
+      // first stop is the most urgent (deploy_rank 1) and its leg is 0
+      val first = stops.minBy(_._2)
+      val rank1 = sched.filter(s => s._1 == z && s._2 == 1L).head._3
+      assert(first._3 === rank1 && first._4 === 0L)
+      // legs are non-negative and deterministic across a re-run
+    }
+    val rerun = NetIntel.route(spark, sfDir, "2024-01-15", 5)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rerun.toSeq === tour.toSeq)
+  }
+
   test("EP3 location clustering is run-to-run deterministic (seeded KMeans)") {
     // the one remaining ML-ish no_oracle row: seed and maxIter are
     // pinned (NetIntel.scheduleClustered, seed=42, maxIter=10, random
