@@ -129,6 +129,65 @@ object WebCuration {
     df.join(broadcast(b), host === col("_blocked_host"), "left_anti")
   }
 
+  /** License-marker class detected from page markup/text — the
+    * C4/LAION-class licensing heuristic, reduced to its public core:
+    * Creative-Commons license URLs (the machine-readable marker
+    * rel="license" links point at) classify as `cc-<variant>` /
+    * `cc0`; a plain-text "all rights reserved" marks the page
+    * explicitly non-permissive (`arr`); anything else is `unknown`
+    * (most of the web declares nothing). CC URLs beat text markers —
+    * a CC-licensed page may still carry a site-chrome "all rights
+    * reserved" footer. Pure codegen projection, case-insensitive. */
+  def licenseOf(text: Column): Column = {
+    val t = lower(text)
+    when(t.rlike("creativecommons\\.org/publicdomain"), lit("cc0"))
+      .when(t.rlike("creativecommons\\.org/licenses/"),
+        concat(lit("cc-"),
+          regexp_extract(t, "creativecommons\\.org/licenses/([a-z-]+)/", 1)))
+      .when(t.rlike("all rights reserved"), lit("arr"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** TRUE when a robots.txt body disallows the WHOLE site for all
+    * agents: some `User-agent: *` group contains a bare `Disallow: /`.
+    * (The robots-exclusion subset a corpus-level host-policy gate
+    * needs — path-level rules are a fetch-time concern.) Implemented
+    * as a single-pass line fold with `functions.aggregate` (codegen,
+    * no UDF): state = (currently inside a `*` group, full-site
+    * disallow seen). Group semantics are honored — a `Disallow: /`
+    * under `User-agent: badbot` does NOT disallow the site for
+    * everyone else. */
+  def robotsDisallowAll(robots: Column): Column = {
+    val lines = split(robots, "\n")
+    val folded = aggregate(
+      lines,
+      struct(lit(false).as("star"), lit(false).as("deny")),
+      (st, raw) => {
+        val l = lower(trim(raw))
+        val isAgent = substring(l, 1, 11) === "user-agent:"
+        val agentStar = trim(substring(l, 12, Int.MaxValue)) === "*"
+        val isDenyAll = l.rlike("^disallow:\\s*/$")
+        struct(
+          when(isAgent, agentStar).otherwise(st.getField("star")).as("star"),
+          (st.getField("deny") ||
+            (st.getField("star") && isDenyAll)).as("deny"))
+      })
+    folded.getField("deny")
+  }
+
+  /** Remove rows whose `host`'s robots.txt disallows the whole site:
+    * evaluate [[robotsDisallowAll]] over the (host, robots_txt) policy
+    * table — host-cardinality, never corpus-cardinality — and
+    * broadcast anti-join the denied hosts. */
+  def allowedByRobots(df: DataFrame, host: Column,
+      robotsTable: DataFrame, robotsHost: Column,
+      robotsTxt: Column): DataFrame = {
+    val denied = robotsTable
+      .filter(robotsDisallowAll(robotsTxt))
+      .select(robotsHost.as("_denied_host"))
+    df.join(broadcast(denied), host === col("_denied_host"), "left_anti")
+  }
+
   /** Per-domain composition report: doc count, total chars, distinct
     * languages, and share of docs in `langValue` — one
     * map-side-combining groupBy over the registrable domain. */

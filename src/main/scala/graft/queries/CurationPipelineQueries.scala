@@ -6,8 +6,9 @@ import graft.operators.{GopherRepetition, HtmlText, PiiRedact, WebCuration}
 
 /** The end-to-end corpus-curation pipeline, certified as ONE query:
   * HTML→text extraction + C4 page filter → URL canonicalization →
-  * host blocklist → per-host quota → Gopher repetition filter → PII
-  * redaction → per-domain (PSL registrable) shipping report.
+  * host blocklist → robots host policy → license-marker filter →
+  * per-host quota → Gopher repetition filter → PII redaction →
+  * per-domain (PSL registrable) shipping report.
   * Each stage is an operator already hash-certified in isolation;
   * this row certifies they COMPOSE — every stage's row set feeds the
   * next, so a subtle contract mismatch between any two stages (a
@@ -49,8 +50,12 @@ object CurationPipelineQueries {
        |-- engine, so this row certifies the PSL match cross-engine)
        |h AS (
        |${graft.operators.PublicSuffix.domainSqlSelect("h0", "host")}),
+       |-- robots host policy (v8=6 shop hosts disallow-all) + license
+       |-- markers (doc_id%6=3 pages are explicit all-rights-reserved):
+       |-- the r15 head stages, keep-set replayed from the plant
        |f AS (SELECT * FROM h
-       |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net')),
+       |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net')
+       |        AND v8 != 6 AND doc_id % 6 != 3),
        |q AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY host
        |        ORDER BY md5(id), doc_id) AS rn FROM f),
        |qk AS (SELECT * FROM q WHERE rn <= $quota),
@@ -84,9 +89,21 @@ object CurationPipelineQueries {
     // stage 2: host blocklist (broadcast anti join)
     val blocklist = Seq("src0.example.com", "docs.src3.net").toDF("h")
     val unblocked = WebCuration.blockHosts(withHost, col("host"), blocklist)
+    // stage 2b (r15): robots host policy — fold each DISTINCT host's
+    // robots.txt, broadcast anti-join the disallow-all hosts
+    val robots = unblocked.select("host").distinct()
+      .withColumn("robots_txt", WebQueries.robotsBodyFor(col("host")))
+    val robotsAllowed = WebCuration.allowedByRobots(unblocked, col("host"),
+      robots, col("host"), col("robots_txt"))
+    // stage 2c (r15): license markers — classify the planted footer
+    // FROM THE TEXT, drop explicit all-rights-reserved pages
+    val licensed = robotsAllowed
+      .withColumn("_lic", WebCuration.licenseOf(WebQueries.licenseFooter))
+      .filter(col("_lic") =!= "arr")
+      .drop("_lic")
     // stage 3: per-host quota (salted exact top-k by md5 priority)
     val underQuota = WebCuration
-      .domainQuota(unblocked, col("host"), col("doc_id"), quota)
+      .domainQuota(licensed, col("host"), col("doc_id"), quota)
     // stage 4: Gopher repetition filter on the ORIGINAL text
     val kept = underQuota
       .join(GopherRepetition.report(docs, "doc_id", "text")

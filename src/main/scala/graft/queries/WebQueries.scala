@@ -207,6 +207,80 @@ object WebQueries {
       .orderBy("domain")
   }
 
+  /** Planted page-footer license marker, Spark side (doc_id % 6):
+    * rel="license" CC link, CC URL alongside a decoy "all rights
+    * reserved" (the URL must win), CC0 public-domain URL, a bare
+    * all-rights-reserved page, no marker at all, and an UPPERCASE CC
+    * URL (case test). Shared with the curation pipeline. */
+  private[queries] def licenseFooter = {
+    val v = col("doc_id") % 6
+    when(v === 0, lit("Licensed under <a rel=\"license\" " +
+        "href=\"https://creativecommons.org/licenses/by/4.0/\">CC BY 4.0</a>."))
+      .when(v === 1, lit("See https://creativecommons.org/licenses/by-sa/3.0/" +
+        " for terms. All rights reserved."))
+      .when(v === 2,
+        lit("Released under https://creativecommons.org/publicdomain/zero/1.0/"))
+      .when(v === 3, lit("(c) 2024 Site. All Rights Reserved."))
+      .when(v === 4, lit("Contact webmaster for reuse."))
+      .otherwise(
+        lit("Mirror of HTTPS://CREATIVECOMMONS.ORG/LICENSES/BY-NC-ND/4.0/deed.en"))
+  }
+
+  /** Planted robots.txt body per host class, Spark side: shop hosts
+    * disallow the whole site; docs hosts carry a DECOY full disallow
+    * under `User-agent: badbot` before an innocuous `*` group (group
+    * semantics must be honored); everything else allows. Shared with
+    * the curation pipeline. */
+  private[queries] def robotsBodyFor(host: org.apache.spark.sql.Column) =
+    when(host.startsWith("shop."),
+        lit("# robots\nUser-agent: *\nDisallow: /"))
+      .when(host.startsWith("docs."),
+        lit("User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private/"))
+      .otherwise(lit("User-agent: *\nDisallow:"))
+
+  /** License-marker + robots host-policy curation stage
+    * ([[WebCuration.licenseOf]]/[[WebCuration.robotsDisallowAll]]):
+    * the engine classifies each page's planted footer FROM THE TEXT
+    * (regex heuristics) and folds each host's planted robots.txt FROM
+    * THE BYTES (group-aware line fold), drops robots-denied hosts
+    * (broadcast anti-join) and explicit all-rights-reserved pages;
+    * the oracle replays the expected classes and keep-set from the
+    * plant arithmetic alone — a classifier or fold bug on any variant
+    * (incl. the badbot decoy group and the uppercase CC URL) breaks
+    * the hash. */
+  private val licenseFilter = QuerySpec(
+    "q_license_filter",
+    """WITH u AS (SELECT doc_id, source, doc_id % 8 AS v8, doc_id % 6 AS v6
+      |           FROM documents),
+      |h AS (SELECT doc_id, v6, v8,
+      |        CASE v8 WHEN 3 THEN 'docs.' || source || '.net'
+      |                WHEN 5 THEN 'cdn.' || source || '.example.com'
+      |                WHEN 6 THEN 'shop.' || source || '.co.uk'
+      |                WHEN 7 THEN source || '.com.au'
+      |                ELSE source || '.example.com' END AS host
+      |      FROM u)
+      |SELECT doc_id, host,
+      |       CASE v6 WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+      |               WHEN 2 THEN 'cc0' WHEN 4 THEN 'unknown'
+      |               ELSE 'cc-by-nc-nd' END AS license
+      |FROM h WHERE v8 != 6 AND v6 != 3
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withHost = Tables.documents(s, d)
+      .withColumn("host", WebCuration.hostOf(messyUrl))
+      .withColumn("_footer", licenseFooter)
+    // host-policy table: one robots.txt per DISTINCT host
+    // (host-cardinality, never corpus-cardinality)
+    val robots = withHost.select("host").distinct()
+      .withColumn("robots_txt", robotsBodyFor(col("host")))
+    WebCuration
+      .allowedByRobots(withHost, col("host"),
+        robots, col("host"), col("robots_txt"))
+      .withColumn("license", WebCuration.licenseOf(col("_footer")))
+      .filter(col("license") =!= "arr")
+      .select("doc_id", "host", "license")
+      .orderBy("doc_id")
+  }
+
   def all: Seq[QuerySpec] =
-    Seq(urlNormalize, domainQuota, domainMix, crawlRevisit)
+    Seq(urlNormalize, domainQuota, domainMix, crawlRevisit, licenseFilter)
 }

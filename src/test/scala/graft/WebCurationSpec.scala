@@ -8,6 +8,32 @@ class WebCurationSpec extends AnyFunSuite {
   import TestSession.spark
   import spark.implicits._
 
+  test("licenseOf classifies CC URLs, ARR text and unknowns; CC beats ARR") {
+    val got = Seq(
+      "see https://creativecommons.org/licenses/by/4.0/ here",
+      "HTTPS://CREATIVECOMMONS.ORG/LICENSES/BY-NC-SA/3.0/deed",
+      "https://creativecommons.org/publicdomain/zero/1.0/",
+      "cc at https://creativecommons.org/licenses/by-sa/3.0/. All rights reserved.",
+      "(C) 2024 — ALL RIGHTS RESERVED",
+      "nothing declared here")
+      .toDF("t").select(WebCuration.licenseOf(col("t"))).as[String].collect().toSeq
+    assert(got === Seq("cc-by", "cc-by-nc-sa", "cc0", "cc-by-sa", "arr", "unknown"))
+  }
+
+  test("robotsDisallowAll honors group semantics and whole-site rules only") {
+    val got = Seq(
+      "User-agent: *\nDisallow: /",                       // denied
+      "# c\nuser-agent: *\n disallow: / ",                // denied (case/space)
+      "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private/", // allowed
+      "User-agent: *\nDisallow:",                         // allowed (empty)
+      "User-agent: *\nDisallow: /private/",               // allowed (path rule)
+      "User-agent: *\nDisallow: /tmp/\nUser-agent: bad\nDisallow: /", // allowed
+      "User-agent: a\nUser-agent: *\nDisallow: /x\nDisallow: /")      // denied (stacked UA lines share the group)
+      .toDF("t").select(WebCuration.robotsDisallowAll(col("t"))).as[Boolean]
+      .collect().toSeq
+    assert(got === Seq(true, true, false, false, false, false, true))
+  }
+
   private def norm(urls: String*): Seq[String] =
     urls.toDF("u").select(WebCuration.normalizeUrl(col("u")).as("n"))
       .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
