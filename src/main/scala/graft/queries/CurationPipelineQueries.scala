@@ -193,5 +193,87 @@ object CurationPipelineQueries {
       .orderBy("host", "keep_rank")
   }
 
-  def all: Seq[QuerySpec] = Seq(pipeline, streamingLedger)
+  /** Incremental-crawl curation ([[graft.operators.CrawlRevisit]]
+    * composed with the curation tail — the N99 promise made good):
+    * the revisit ledger holds a prior snapshot (docs with
+    * doc_id % 3 ≠ 0 at their original content), the incoming snapshot
+    * re-fetches EVERY url (a planted fifth changed content), and
+    * [[CrawlRevisit.freshDocs]] gates the pipeline head — only new
+    * urls and changed pages reach the Gopher filter and the
+    * per-domain report, and the in-band `docs_skipped` column counts
+    * the unchanged revisits whose downstream compute the ledger
+    * saved. The oracle replays the fresh-set predicate, the Gopher
+    * verdicts over the INGESTED text and the domain arithmetic from
+    * the plant alone. */
+  private val crawlCuration = QuerySpec(
+    "q_crawl_curation",
+    s"""WITH inc AS (
+       |  SELECT doc_id, source,
+       |         text || CASE WHEN doc_id % 5 = 0 THEN '!rev' ELSE '' END AS text2,
+       |         doc_id % 8 AS v8
+       |  FROM documents),
+       |fresh AS (SELECT * FROM inc WHERE doc_id % 3 = 0 OR doc_id % 5 = 0),
+       |skipped AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS docs_skipped FROM inc
+       |  WHERE NOT (doc_id % 3 = 0 OR doc_id % 5 = 0)),
+       |rep AS (
+       |${GopherRepetition.oracleCore("doc_id",
+            "(text || CASE WHEN doc_id % 5 = 0 THEN '!rev' ELSE '' END)")}),
+       |g AS (SELECT fresh.* FROM fresh
+       |      JOIN rep ON rep.doc_id = fresh.doc_id AND rep.gopher_keep = 1),
+       |h AS (SELECT *,
+       |        CASE v8 WHEN 3 THEN source || '.net'
+       |                WHEN 6 THEN source || '.co.uk'
+       |                WHEN 7 THEN source || '.com.au'
+       |                ELSE 'example.com' END AS domain
+       |      FROM g)
+       |SELECT domain, COUNT(*) AS n_docs,
+       |       CAST(SUM(length(text2)) AS BIGINT) AS out_chars,
+       |       (SELECT docs_skipped FROM skipped) AS docs_skipped
+       |FROM h GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
+    import graft.operators.CrawlRevisit
+    val docs = Tables.documents(s, d)
+    val host = {
+      val v = col("doc_id") % 8
+      when(v === 3, concat(lit("docs."), col("source"), lit(".net")))
+        .when(v === 5, concat(lit("cdn."), col("source"), lit(".example.com")))
+        .when(v === 6, concat(lit("shop."), col("source"), lit(".co.uk")))
+        .when(v === 7, concat(col("source"), lit(".com.au")))
+        .otherwise(concat(col("source"), lit(".example.com")))
+    }
+    val url = concat(lit("https://"), host, lit("/p/"),
+      col("doc_id").cast("string"))
+    // incoming snapshot: every url re-fetched, a planted fifth changed
+    val incoming = docs
+      .withColumn("text2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, "!rev").otherwise("")))
+      .withColumn("url", url)
+      .withColumn("host", host)
+    // ledger state: the prior snapshot, built once per (corpus, JVM)
+    val root = graft.core.CacheGovernor.durableDir(s"crawl_curation:$d") { dir =>
+      CrawlRevisit.writeLedger(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .select(url.as("url"), col("text").as("content")),
+        col("url"), col("content"), 0L, s"$dir/v1")
+    }
+    val state = CrawlRevisit.revisitReport(
+      CrawlRevisit.readVisits(s, s"$root/v1"))
+    // the gate: unchanged revisits never reach the curation tail
+    val fresh = graft.core.CacheGovernor.persistTracked(
+      CrawlRevisit.freshDocs(incoming, col("url"), col("text2"), state))
+    val skipped = incoming
+      .join(fresh.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("docs_skipped"))
+    val kept = fresh.join(
+      GopherRepetition.report(fresh, "doc_id", "text2")
+        .filter(col("gopher_keep") === 1).select("doc_id"), "doc_id")
+    kept
+      .groupBy(WebCuration.domainOf(col("host")).as("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text2"))).cast("long").as("out_chars"))
+      .crossJoin(broadcast(skipped))
+      .orderBy("domain")
+  }
+
+  def all: Seq[QuerySpec] = Seq(pipeline, streamingLedger, crawlCuration)
 }
