@@ -122,6 +122,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rerank: recall >= 0.8 at a 30% exact-rerank candidate fraction") {
+    val reranked = Similarity.rerankTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    val exact = brute.select("q_id", "c_id")
+    val hits = reranked.select("q_id", "c_id")
+      .join(exact, Seq("q_id", "c_id"), "left_semi").count()
+    val recall = hits.toDouble / (50 * 5)
+    assert(recall >= 0.8, s"rerank recall $recall")
+    // candidate set is the promised fraction, not all-pairs
+    val n = emb.count()
+    val cand = Similarity.rerankCandidates(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5).count()
+    assert(cand <= 50L * math.max(5, math.ceil(0.30 * n).toInt))
+  }
+
+  test("lloyd IVF: exact-integer geometry, deterministic, recall above probe floor") {
+    val a = Similarity.ivfTopKLloyd(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCells = 16, nProbe = 4, iters = 2)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"),
+        r.getAs[Long]("rnk"), r.getAs[Double]("cos"))).toSet
+    val k1 = key(a)
+    // re-run is bit-identical (integer arithmetic end to end)
+    val k2 = key(Similarity.ivfTopKLloyd(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCells = 16, nProbe = 4, iters = 2))
+    assert(k1 === k2)
+    assert(k1.groupBy(_._1).forall(_._2.size == 5))
+    val hits = a.select("q_id", "c_id")
+      .join(brute.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi").count()
+    assert(hits.toDouble / (50 * 5) >= 0.3,
+      s"lloyd recall ${hits.toDouble / 250}")
+  }
+
   test("block-bucketed near-dup pairs equal the brute-force pairwise answer") {
     import spark.implicits._
     val threshold = 0.3
