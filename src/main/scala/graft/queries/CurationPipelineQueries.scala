@@ -52,7 +52,7 @@ object CurationPipelineQueries {
        |${graft.operators.PublicSuffix.domainSqlSelect("h0", "host")}),
        |-- robots host policy (v8=6 shop hosts disallow-all) + license
        |-- markers (doc_id%6=3 pages are explicit all-rights-reserved):
-       |-- the r15 head stages, keep-set replayed from the plant
+       |-- the r15 head stages, keep-set replayed off the plant
        |f AS (SELECT * FROM h
        |      WHERE host NOT IN ('src0.example.com', 'docs.src3.net')
        |        AND v8 != 6 AND doc_id % 6 != 3),
