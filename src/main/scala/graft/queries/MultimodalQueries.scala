@@ -492,12 +492,24 @@ object MultimodalQueries {
       |      FROM p JOIN vh a ON a.ph = p.pha JOIN vh b ON b.ph = p.phb)
       |SELECT a_id, b_id FROM (SELECT * FROM w UNION ALL SELECT * FROM x)
       |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    import s.implicits._
     import graft.operators.{ImageDedup, VideoDedup}
-    // the render+sample-decode pass dominates; documents is a small
-    // ids-only scan with few input splits, so spread the heavy map
-    // across every core before it (the shuffle moves only Longs)
-    val media = Tables.documents(s, d).select(col("doc_id"))
+    val hashes = VideoDedup.hashVideos(videoMedia(s, d)).toDF()
+    ImageDedup.nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
+      .select(col("a_id"), col("b_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Deterministic scene-pattern clip set shared by the video queries:
+    * every second group of 4 consecutive doc_ids renders one 4-scene
+    * md5-derived clip in four real MP4 re-encodings (base / 2× rate
+    * higher-res / JPEG recompression / 3× rate downscaled). The
+    * render+sample-decode pass dominates and documents is a small
+    * ids-only scan with few input splits, so the heavy map spreads
+    * across every core first (the shuffle moves only Longs). */
+  private def videoMedia(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    import graft.operators.VideoDedup
+    Tables.documents(s, d).select(col("doc_id"))
       .where(expr("(doc_id div 4) % 2 = 0"))
       .repartition(s.sparkContext.defaultParallelism).as[Long].map { id =>
         val g = id / 4
@@ -509,13 +521,66 @@ object MultimodalQueries {
         }
         Multimodal.MediaRecord(id, "video/mp4", payload, 0, 0)
       }
-    val hashes = VideoDedup.hashVideos(media).toDF()
-    ImageDedup.nearDupPairs(hashes, "media_id", "ahash", maxHamming = 3)
-      .select(col("a_id"), col("b_id"))
-      .orderBy("a_id", "b_id")
+  }
+
+  /** Incremental video hash index — completes the (near-dup, index)
+    * pair for all three perceptual modalities: the modality-generic
+    * (media_id, hash) ledger over frame-sampled video hashes. Batches
+    * 0/1 seed+append (batch 1 redelivered — no-op), batch 2 scores
+    * bipartite against stored hashes without re-decoding stored
+    * videos. Oracle replays the majority-vote video hash and the
+    * bipartite banding from the scene-plant arithmetic. */
+  private val videoIndex = QuerySpec(
+    "q_mm_video_index",
+    """WITH docs AS (SELECT doc_id FROM documents WHERE (doc_id // 4) % 2 = 0),
+      |s AS (SELECT doc_id, unnest(range(0, 4)) AS j FROM docs),
+      |e AS (SELECT doc_id, j,
+      |        ('0x' || substr(md5(CAST((doc_id // 4) * 4 + j AS VARCHAR)), 1, 16))::UBIGINT AS raw
+      |      FROM s),
+      |f AS (SELECT doc_id, j,
+      |        CASE WHEN bit_count(raw) IN (0, 64) THEN 0::UBIGINT ELSE raw END AS fh
+      |      FROM e),
+      |bits AS (SELECT doc_id, unnest(range(0, 64)) AS bit FROM docs),
+      |vb AS (SELECT f.doc_id, bits.bit,
+      |         SUM(CASE WHEN (fh >> bit::INT) & 1 = 1 THEN 1 ELSE 0 END) AS c
+      |       FROM f JOIN bits ON f.doc_id = bits.doc_id
+      |       GROUP BY f.doc_id, bits.bit),
+      |vh AS (SELECT doc_id,
+      |         bit_or(CASE WHEN c >= 3 THEN (1::UBIGINT << bit::INT)
+      |                ELSE 0::UBIGINT END) AS ph
+      |       FROM vb GROUP BY doc_id),
+      |nb AS (SELECT doc_id, ph FROM vh WHERE doc_id % 3 = 2),
+      |sb AS (SELECT doc_id, ph FROM vh WHERE doc_id % 3 <> 2),
+      |nc AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk
+      |             FROM (SELECT DISTINCT ph FROM nb))),
+      |sc AS (SELECT ph, chunk, (ph >> (chunk * 16)::INT) & 65535 AS chunkval
+      |       FROM (SELECT ph, unnest(range(0, 4)) AS chunk
+      |             FROM (SELECT DISTINCT ph FROM sb))),
+      |p AS (SELECT DISTINCT n.ph AS nh, s.ph AS sh
+      |      FROM nc n JOIN sc s
+      |        ON n.chunk = s.chunk AND n.chunkval = s.chunkval
+      |      WHERE bit_count(xor(n.ph, s.ph)) <= 3)
+      |SELECT nb.doc_id AS new_id, sb.doc_id AS stored_id
+      |FROM p JOIN nb ON nb.ph = p.nh JOIN sb ON sb.ph = p.sh
+      |ORDER BY new_id, stored_id""".stripMargin) { (s, d) =>
+    import graft.operators.{ImageDedup, VideoDedup}
+    val hashes = VideoDedup.hashVideos(videoMedia(s, d))
+      .filter(_.decoded).toDF()
+    def batch(i: Int) = hashes.filter(pmod(col("media_id"), lit(3)) === i)
+    val root = graft.core.CacheGovernor.durableDir(s"video_hash_index:$d") { dir =>
+      val path = s"$dir/v1"
+      ImageDedup.writeHashIndex(batch(0), "media_id", "ahash", path)
+      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      // redelivered batch — the id anti-join must append nothing
+      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+    }
+    ImageDedup.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
+      .select("new_id", "stored_id")
+      .orderBy("new_id", "stored_id")
   }
 
   val all: Seq[QuerySpec] = Seq(features, chunks, dims, audio, video, warc,
     imageNearDup, exifScrub, imageIndex, audioNearDup, audioIndex,
-    videoNearDup)
+    videoNearDup, videoIndex)
 }
