@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.VectorNative.dot
+
+/** Semantic deduplication — the SemDeDup recipe (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster document embeddings with k-means, then
+  * inside each cluster drop every item whose cosine similarity to a
+  * HIGHER-PRIORITY cluster member clears `eps`, where priority is
+  * distance-to-centroid descending (the paper's keep-the-example-
+  * farthest-from-the-centroid keeper rule; the pairwise test is the
+  * paper's upper-triangular max — an item is removed if ANY earlier
+  * item is within eps, whether or not that item itself survives, so
+  * the rule needs no transitive closure). Complements the exact
+  * fingerprint ([[Dedup.fingerprintDups]]) and surface near-dup
+  * (MinHash/SimHash) tiers: it removes documents that SAY the same
+  * thing in different words, which no lexical tier can see.
+  *
+  * Engine shape (reference README.md:52's embedding analytics row,
+  * harness north-star "deduplication" family):
+  *  - Geometry is [[Similarity.lloydCellAssignments]] — exact integer
+  *    Lloyd k-means whose every step (hash-seeded init, assign, floor-
+  *    mean update, empty-cell carryover) an ANSI-SQL oracle replays
+  *    bit-for-bit, so the WHOLE semantic-dedup decision — clustering
+  *    included — hash-certifies (q_dedup_semantic).
+  *  - The within-cluster pairing is an equi-join on the cell id (hash
+  *    shuffle keyed by cell), never a corpus×corpus product. At 100 TB
+  *    the paper's own dial applies: nCells grows ∝ corpus (they use
+  *    k = 110 000 on LAION-440M) so the expected cell stays O(corpus /
+  *    nCells) and the per-cell quadratic term is bounded; embeddings
+  *    shuffle ONCE keyed by cell and every comparison is cell-local,
+  *    so the plan scales horizontally with executors.
+  *  - Priorities come from a cell-keyed window (no unpartitioned
+  *    window anywhere — the PlanSpec gate holds).
+  */
+object SemanticDedup {
+
+  /** Per-document semantic-dedup verdict over an embedding corpus.
+    *
+    * Output, one row per input document, ordered by id:
+    * (id, cell, pri, is_dup, dup_of) — `pri` is the document's keeper
+    * priority inside its cluster (1 = kept first: farthest from the
+    * centroid, ties by id), `dup_of` the highest-priority cluster
+    * member within `eps` cosine (NULL when the document is kept).
+    * Downstream corpus cuts filter `!is_dup`; attribution/audit reads
+    * `dup_of`. */
+  def prune(
+      corpus: DataFrame, id: String, vec: String,
+      nCells: Int = 16, iters: Int = 2, eps: Double = 0.4): DataFrame = {
+    val pri = graft.core.CacheGovernor.persistTracked(
+      prioritized(corpus, id, vec, nCells, iters))
+    val keepSide = pri.select(col("_cell"), col("c_id").as("k_id"),
+      col("_cv").as("_kv"), col("_cn").as("_kn"), col("pri").as("k_pri"))
+    val dupOf = pri.join(keepSide, "_cell")
+      .filter(col("k_pri") < col("pri"))
+      .filter(dot(col("_cv"), col("_kv")) / (col("_cn") * col("_kn")) >= eps)
+      .groupBy("c_id")
+      .agg(min_by(col("k_id"), col("k_pri")).as("dup_of"))
+    pri.join(dupOf, Seq("c_id"), "left_outer")
+      .select(col("c_id").as("id"), col("_cell").as("cell"), col("pri"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy("id")
+  }
+
+  /** [[Similarity.lloydCellAssignments]] plus the in-cell keeper
+    * priority (distance-to-centroid DESC, ties by id — a cell-keyed
+    * window). */
+  private def prioritized(
+      corpus: DataFrame, id: String, vec: String,
+      nCells: Int, iters: Int): DataFrame =
+    Similarity.lloydCellAssignments(corpus, id, vec, nCells, iters)
+      .withColumn("pri", row_number().over(
+        Window.partitionBy("_cell")
+          .orderBy(col("_dist").desc, col("c_id").asc)).cast("long"))
+
+  // ---- incremental keeper index (the N33/N39 ledger discipline) -------
+
+  /** Seed a semantic-dedup index from a base corpus: the final Lloyd
+    * centroid table (nCells rows of integer micro-coordinates — the
+    * FROZEN geometry every later batch is assigned under, by the exact
+    * distance rule the build used) and the base corpus's KEEPERS
+    * (id, cell, vector) — the only rows future batches ever compare
+    * against. Dup rows are not stored: a future near-copy of a dropped
+    * document is, by the eps ball, also a near-copy of the keeper that
+    * shadowed it (up to the standard 2·eps triangle slack). A `seen`
+    * id ledger makes appends idempotent. */
+  def writeKeeperIndex(
+      corpus: DataFrame, id: String, vec: String, path: String,
+      nCells: Int = 16, iters: Int = 2, eps: Double = 0.4): Unit = {
+    val (asg, cent) =
+      Similarity.lloydModel(corpus, id, vec, nCells, iters)
+    cent.select(col("_cell").as("cell"), col("_qc").as("qc"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val pri = graft.core.CacheGovernor.persistTracked(
+      asg.withColumn("pri", row_number().over(
+        Window.partitionBy("_cell")
+          .orderBy(col("_dist").desc, col("c_id").asc)).cast("long")))
+    val keepSide = pri.select(col("_cell"), col("c_id").as("k_id"),
+      col("_cv").as("_kv"), col("_cn").as("_kn"), col("pri").as("k_pri"))
+    val dups = pri.join(keepSide, "_cell")
+      .filter(col("k_pri") < col("pri"))
+      .filter(dot(col("_cv"), col("_kv")) / (col("_cn") * col("_kn")) >= eps)
+      .select("c_id").distinct()
+    pri.join(dups, Seq("c_id"), "left_anti")
+      .select(col("c_id").as("doc_id"), col("_cell").as("cell"),
+        col("_cv").as("vec"), col("_cn").as("nrm"))
+      .write.mode("overwrite").parquet(s"$path/keepers")
+    pri.select(col("c_id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/seen")
+  }
+
+  /** Assign a batch to the stored cells under the frozen trained
+    * geometry ([[Similarity.lloydAssignVectors]] over the persisted
+    * centroid table — O(nCells) broadcast). */
+  private def assignToStored(
+      spark: SparkSession, path: String,
+      batch: DataFrame, id: String, vec: String): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").as("_cell"), col("qc").as("_qc"))
+    Similarity.lloydAssignVectors(batch, id, vec, cent)
+      .withColumnRenamed("_cell", "cell")
+  }
+
+  /** Delta-append a batch under the FROZEN stored geometry. A batch
+    * document is a duplicate iff some stored keeper in its cell, or
+    * some smaller-id batch document in its cell, sits within `eps`
+    * cosine (stored keepers outrank every new arrival; inside the
+    * batch, arrival order = id order — the same upper-triangular rule
+    * as [[prune]], so no recursion). Survivors append to the keeper
+    * file; every batch id appends to the seen ledger. Idempotent: a
+    * redelivered batch anti-joins `seen` and appends nothing. Cost is
+    * O(batch × cell-slice) — the stored side is semi-join-pruned to
+    * the batch's cells; stored×stored work never happens. */
+  def appendToKeeperIndex(
+      spark: SparkSession, path: String,
+      batch: DataFrame, id: String, vec: String,
+      eps: Double = 0.4): Unit = {
+    val seen = spark.read.parquet(s"$path/seen")
+    val fresh0 = batch.join(
+      seen.select(col("doc_id").as(id)), Seq(id), "left_anti")
+    if (fresh0.isEmpty) return
+    val asg = graft.core.CacheGovernor.persistTracked(
+      assignToStored(spark, path, fresh0, id, vec))
+    val keepers = spark.read.parquet(s"$path/keepers")
+      .join(asg.select("cell").distinct(), Seq("cell"), "left_semi")
+    val dupVsStored = asg.join(keepers, "cell")
+      .filter(dot(col("_bv"), col("vec")) / (col("_bn") * col("nrm")) >= eps)
+      .select("b_id").distinct()
+    val earlier = asg.select(col("cell"), col("b_id").as("e_id"),
+      col("_bv").as("_ev"), col("_bn").as("_en"))
+    val dupInBatch = asg.join(earlier, "cell")
+      .filter(col("e_id") < col("b_id"))
+      .filter(dot(col("_bv"), col("_ev")) / (col("_bn") * col("_en")) >= eps)
+      .select("b_id").distinct()
+    asg.join(dupVsStored, Seq("b_id"), "left_anti")
+      .join(dupInBatch, Seq("b_id"), "left_anti")
+      .select(col("b_id").as("doc_id"), col("cell"),
+        col("_bv").as("vec"), col("_bn").as("nrm"))
+      .write.mode("append").parquet(s"$path/keepers")
+    asg.select(col("b_id").as("doc_id"))
+      .write.mode("append").parquet(s"$path/seen")
+  }
+
+  /** Semantic duplicates of a NEW batch against the stored keepers
+    * WITHOUT touching non-keeper history — the nightly-shard shape
+    * ([[ImageDedup.nearDupAgainstIndex]] at the embedding tier).
+    * Output: (new_id, keeper_id, cell, cos) for every batch document
+    * within `eps` of a stored keeper in its assigned cell; bipartite
+    * only (batch×keeper-slice), stored×stored never recomputed. */
+  def dupsAgainstKeeperIndex(
+      spark: SparkSession, path: String,
+      batch: DataFrame, id: String, vec: String,
+      eps: Double = 0.4): DataFrame = {
+    val asg = assignToStored(spark, path, batch, id, vec)
+    val keepers = spark.read.parquet(s"$path/keepers")
+      .join(asg.select("cell").distinct(), Seq("cell"), "left_semi")
+    asg.join(keepers, "cell")
+      .withColumn("cos",
+        dot(col("_bv"), col("vec")) / (col("_bn") * col("nrm")))
+      .filter(col("cos") >= eps)
+      .select(col("b_id").as("new_id"), col("doc_id").as("keeper_id"),
+        col("cell"), col("cos"))
+  }
+}

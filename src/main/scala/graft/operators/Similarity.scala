@@ -823,6 +823,60 @@ object Similarity {
       .filter(col("_rn") === 1)
       .drop("_rn", "_qc", "_cc", "_dist")
 
+  /** Every corpus row's FINAL Lloyd cell plus its exact integer
+    * distance to that cell's centroid — the geometry
+    * [[SemanticDedup]] prunes within. Columns: (c_id, _cv, _cn,
+    * _cell, _dist); _dist is the same exact long-integer squared
+    * distance the assignment itself minimized, so a downstream
+    * keeper-priority ordering on it replays bit-for-bit in an
+    * ANSI-SQL oracle (the q_sim_ivf_lloyd unrolled-iteration
+    * discipline). */
+  def lloydCellAssignments(
+      corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, iters: Int): DataFrame =
+    lloydModel(corpus, cId, cVec, nCells, iters)._1
+
+  /** [[lloydCellAssignments]] plus the final centroid table itself —
+    * for callers that persist the trained geometry (the semantic-dedup
+    * keeper index freezes it so later batches assign under the exact
+    * distance rule the build used). Returns
+    * (assignments (c_id, _cv, _cn, _cell, _dist),
+    *  centroids (_cell, _qc: array<long>)). */
+  def lloydModel(
+      corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, iters: Int): (DataFrame, DataFrame) = {
+    val (cq, cent) = lloydGeometry(corpus, cId, cVec, nCells, iters)
+    val asg = cq.crossJoin(broadcast(cent))
+      .withColumn("_dist",
+        col("_qq") + col("_cc") - lit(2L) * lloydDot(col("_qx"), col("_qc")))
+      .withColumn("_rn", row_number().over(Window.partitionBy("c_id")
+        .orderBy(col("_dist"), col("_cell"))))
+      .filter(col("_rn") === 1)
+      .select(col("c_id"), col("_cv"), col("_cn"), col("_cell"), col("_dist"))
+    (asg, cent.select(col("_cell"), col("_qc")))
+  }
+
+  /** Assign arbitrary vectors to a FROZEN centroid table — `cent` is
+    * (_cell, _qc: array<long>) rows as persisted from [[lloydModel]] —
+    * by the exact integer distance rule the training used (quantize,
+    * argmin squared distance, ties → smaller cell). `cent` broadcasts:
+    * O(nCells) rows. Output: (b_id, _bv, _bn, _cell). */
+  def lloydAssignVectors(
+      batch: DataFrame, id: String, vec: String, cent: DataFrame): DataFrame = {
+    val b = normalizedView(batch, id, vec)
+      .select(col("_id").as("b_id"), col("_v").as("_bv"), col("_nrm").as("_bn"))
+      .withColumn("_qx", lloydQuant(transform(col("_bv"), x => x / col("_bn"))))
+      .withColumn("_qq", lloydDot(col("_qx"), col("_qx")))
+    val c = cent.withColumn("_cc", lloydDot(col("_qc"), col("_qc")))
+    b.crossJoin(broadcast(c))
+      .withColumn("_dist",
+        col("_qq") + col("_cc") - lit(2L) * lloydDot(col("_qx"), col("_qc")))
+      .withColumn("_rn", row_number().over(Window.partitionBy("b_id")
+        .orderBy(col("_dist"), col("_cell"))))
+      .filter(col("_rn") === 1)
+      .select(col("b_id"), col("_bv"), col("_bn"), col("_cell"))
+  }
+
   /** Query-side probe table: each query's `nProbe` nearest final cells
     * by the same exact integer distance. */
   private def lloydProbes(

@@ -275,5 +275,68 @@ object CurationPipelineQueries {
       .orderBy("domain")
   }
 
-  def all: Seq[QuerySpec] = Seq(pipeline, streamingLedger, crawlCuration)
+  /** Corpus datasheet — the per-source governance report a training-data
+    * release ships with (the "datasheets for datasets" practice, Gebru
+    * et al. 2021, arXiv:1803.09010): volume (docs/chars/tokens),
+    * language spread (distinct langs + modal language), exact-duplicate
+    * pressure (distinct text hashes vs rows) and the corpus quality
+    * mass (exact-decimal sum of the engine's composite quality score —
+    * order-independent, so it hash-certifies). Shape at 100 TB: ONE
+    * map-side-combining scan for every stat (count/sum/countDistinct
+    * all partial-aggregate; the modal language is a second agg over the
+    * (source, lang) pairs — cardinality ≤ sources × langs, tiny), then
+    * a broadcast join of the two source-keyed reports. No corpus-sized
+    * shuffle; no window over the corpus. */
+  private val datasheet = QuerySpec(
+    "q_corpus_datasheet",
+    """WITH t AS (SELECT doc_id, text, lang, source,
+      |            string_split(text, ' ') AS toks, md5(text) AS fp
+      |          FROM documents),
+      |base AS (SELECT source,
+      |           CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+      |           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+      |           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq_texts,
+      |           CAST(SUM(CAST(
+      |             (CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.25 END) * 0.5 +
+      |             (CASE WHEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS DOUBLE) / len(toks) > 0.05 THEN 1.0 ELSE 0.5 END) * 0.5
+      |             AS DECIMAL(27,3))) AS DOUBLE) AS quality_sum
+      |         FROM t GROUP BY source),
+      |lm AS (SELECT source, lang AS top_lang FROM (
+      |         SELECT source, lang,
+      |                ROW_NUMBER() OVER (PARTITION BY source
+      |                  ORDER BY COUNT(*) DESC, lang) AS rn
+      |         FROM t GROUP BY source, lang) z WHERE rn = 1)
+      |SELECT b.source, b.n_docs, b.n_chars, b.n_tokens, b.n_langs,
+      |       b.n_uniq_texts, b.n_docs - b.n_uniq_texts AS dup_docs,
+      |       b.quality_sum, lm.top_lang
+      |FROM base b JOIN lm ON lm.source = b.source
+      |ORDER BY b.source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(s, d)
+    val toks = TextAnalysis.wsTokens(col("text"))
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col("text"))).cast("long").as("n_chars"),
+      sum(size(toks)).cast("long").as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text"))).as("n_uniq_texts"),
+      graft.core.OracleCompat.dsum(
+        TextAnalysis.qualityScore(col("text")), 3).as("quality_sum"))
+    val lm = docs.groupBy("source", "lang").agg(count(lit(1)).as("_c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("_c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(lm, "source")
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        col("n_langs"), col("n_uniq_texts"),
+        (col("n_docs") - col("n_uniq_texts")).as("dup_docs"),
+        col("quality_sum"), col("top_lang"))
+      .orderBy("source")
+  }
+
+  def all: Seq[QuerySpec] = Seq(pipeline, streamingLedger, crawlCuration, datasheet)
 }

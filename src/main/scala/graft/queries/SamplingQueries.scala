@@ -260,7 +260,97 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** Train→test leakage audit — the measurement that JUSTIFIES
+    * group-aware splitting: under the iid row-level split, count the
+    * test documents that leak from train EXACTLY (same md5(text)) and
+    * NEARLY (token-set Jaccard ≥ 0.9 via the banded MinHash bipartite
+    * join — never an all-pairs product), then the same two counts
+    * under the fingerprint-group-aware split, whose exact leak is 0 BY
+    * CONSTRUCTION — and the audit certifies the 0 rather than assert
+    * it (the near count stays > 0: md5-exact groups don't capture
+    * near-dup families — the residual that motivates cluster-rep
+    * grouping). Scale shape: splits are pure projections; exact leak
+    * collapses to distinct (fingerprint, split) pairs before the
+    * semi-join; near leak is the banded bipartite LSH; the final
+    * assembly cross-joins five broadcast one-row aggregates. */
+  private val splitLeakage = QuerySpec(
+    "q_split_leakage_audit",
+    s"""WITH rs AS (SELECT doc_id, text,
+       |        CASE WHEN $bucketSqlDoc < 8000 THEN 'train'
+       |             WHEN $bucketSqlDoc < 9000 THEN 'val' ELSE 'test' END AS split
+       |      FROM documents),
+       |gu AS (SELECT doc_id, text,
+       |         ('0x' || substr(md5('split:0:' || md5(text)), 1, 15))::BIGINT
+       |           / 1152921504606846976.0 AS u
+       |       FROM documents),
+       |gs AS (SELECT doc_id, text,
+       |         CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+       |              WHEN u < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+       |              ELSE 'test' END AS split
+       |       FROM gu),
+       |cnts AS (SELECT
+       |           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       |           CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |         FROM rs),
+       |el AS (SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS exact_leak_test
+       |       FROM rs t WHERE t.split = 'test'
+       |         AND md5(t.text) IN (SELECT md5(text) FROM rs WHERE split = 'train')),
+       |rtr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |        FROM rs WHERE split = 'train'),
+       |rte AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |        FROM rs WHERE split = 'test'),
+       |nl AS (SELECT CAST(COUNT(DISTINCT rte.doc_id) AS BIGINT) AS near_leak_test
+       |       FROM rte JOIN rtr ON len(list_intersect(rtr.toks, rte.toks))::DOUBLE
+       |              / len(list_distinct(list_concat(rtr.toks, rte.toks))) >= 0.9),
+       |gel AS (SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS ga_exact_leak_test
+       |        FROM gs t WHERE t.split = 'test'
+       |          AND md5(t.text) IN (SELECT md5(text) FROM gs WHERE split = 'train')),
+       |gtr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |        FROM gs WHERE split = 'train'),
+       |gte AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |        FROM gs WHERE split = 'test'),
+       |gnl AS (SELECT CAST(COUNT(DISTINCT gte.doc_id) AS BIGINT) AS ga_near_leak_test
+       |        FROM gte JOIN gtr ON len(list_intersect(gtr.toks, gte.toks))::DOUBLE
+       |               / len(list_distinct(list_concat(gtr.toks, gte.toks))) >= 0.9)
+       |SELECT cnts.n_train, cnts.n_val, cnts.n_test,
+       |       el.exact_leak_test, nl.near_leak_test,
+       |       gel.ga_exact_leak_test, gnl.ga_near_leak_test
+       |FROM cnts, el, nl, gel, gnl""".stripMargin) { (s, d) =>
+    import graft.operators.{Dedup, Splits}
+    val docs = Tables.documents(s, d)
+    val rowSplit = graft.core.CacheGovernor.persistTracked(
+      Sampling.withSplit(docs, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val gaSplit = graft.core.CacheGovernor.persistTracked(
+      Splits.groupAwareSplit(docs.withColumn("grp",
+        md5(col("text").cast("binary"))), col("grp"), 0.8, 0.1))
+    def leaks(split: org.apache.spark.sql.DataFrame, prefix: String)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val train = split.filter(col("split") === "train")
+      val test = split.filter(col("split") === "test")
+      val exact = test
+        .select(md5(col("text").cast("binary")).as("_fp"), col("doc_id"))
+        .join(train.select(md5(col("text").cast("binary")).as("_fp")).distinct(),
+          Seq("_fp"), "left_semi")
+        .agg(countDistinct(col("doc_id")).as(s"${prefix}exact_leak_test"))
+      val near = Dedup.minHashPairsBetween(
+        train, "doc_id", "text", test, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.9)
+        .agg(countDistinct(col("b_id")).as(s"${prefix}near_leak_test"))
+      (exact, near)
+    }
+    val cnts = rowSplit.agg(
+      sum(when(col("split") === "train", 1).otherwise(0)).cast("long").as("n_train"),
+      sum(when(col("split") === "val", 1).otherwise(0)).cast("long").as("n_val"),
+      sum(when(col("split") === "test", 1).otherwise(0)).cast("long").as("n_test"))
+    val (el, nl) = leaks(rowSplit, "")
+    val (gel, gnl) = leaks(gaSplit, "ga_")
+    cnts.crossJoin(broadcast(el)).crossJoin(broadcast(nl))
+      .crossJoin(broadcast(gel)).crossJoin(broadcast(gnl))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(splitQ, splitGroupAware, stratified, pack, packHardcap, curriculum,
-      temperature, shuffleQ, weighted, shards, dsir)
+      temperature, shuffleQ, weighted, shards, dsir, splitLeakage)
 }

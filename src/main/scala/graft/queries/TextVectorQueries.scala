@@ -748,6 +748,201 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** SemDeDup ([[graft.operators.SemanticDedup.prune]]): exact-replay
+    * Lloyd clustering (the q_sim_ivf_lloyd geometry — hash-seeded
+    * init, two integer assign/floor-mean rounds, empty-cell carryover)
+    * followed by the paper's within-cluster prune: priority =
+    * distance-to-final-centroid DESC (ties by id), a document is a
+    * duplicate iff ANY higher-priority cluster member sits within eps
+    * cosine (upper-triangular rule — no transitive closure). The
+    * oracle unrolls the full geometry and replays priority + prune —
+    * the ENTIRE semantic-dedup decision, clustering included,
+    * hash-certifies: id, cell, in-cell priority, verdict and the
+    * shadowing keeper all match bit-for-bit. */
+  private val dedupSemantic = QuerySpec(
+    "q_dedup_semantic",
+    """WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |cq AS (SELECT c_id, cv,
+      |         list_transform(cv, x -> CAST(floor((x / sqrt(list_dot_product(cv, cv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
+      |       FROM c),
+      |cqq AS (SELECT c_id, cv, qx,
+      |          list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cq),
+      |cent0 AS (SELECT CAST(ROW_NUMBER() OVER (
+      |            ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
+      |            qx AS qc
+      |          FROM (SELECT c_id, qx FROM cq
+      |                ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
+      |                LIMIT 16)),
+      |asg1 AS (SELECT c_id, cell, qx FROM (
+      |  SELECT t.c_id, ct.cell, t.qx,
+      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM cqq t CROSS JOIN cent0 ct) z WHERE rn = 1),
+      |m1 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
+      |       FROM asg1 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
+      |u1 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m1 GROUP BY cell),
+      |cent1 AS (SELECT c0.cell, COALESCE(u1.qc, c0.qc) AS qc
+      |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.cell),
+      |asg2 AS (SELECT c_id, cell, qx FROM (
+      |  SELECT t.c_id, ct.cell, t.qx,
+      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM cqq t CROSS JOIN cent1 ct) z WHERE rn = 1),
+      |m2 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
+      |       FROM asg2 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
+      |u2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m2 GROUP BY cell),
+      |cent2 AS (SELECT c1.cell, COALESCE(u2.qc, c1.qc) AS qc
+      |          FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.cell),
+      |asgf AS (SELECT c_id, cell, dist FROM (
+      |  SELECT t.c_id, ct.cell,
+      |         t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |           - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]) AS dist,
+      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM cqq t CROSS JOIN cent2 ct) z WHERE rn = 1),
+      |pri AS (SELECT a.c_id, a.cell, c.cv,
+      |          CAST(ROW_NUMBER() OVER (PARTITION BY a.cell
+      |            ORDER BY a.dist DESC, a.c_id) AS BIGINT) AS pri
+      |        FROM asgf a JOIN c ON c.c_id = a.c_id),
+      |dup AS (SELECT b.c_id, min_by(a.c_id, a.pri) AS dup_of
+      |        FROM pri b JOIN pri a ON a.cell = b.cell AND a.pri < b.pri
+      |        WHERE list_dot_product(a.cv, b.cv)
+      |                / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) >= 0.4
+      |        GROUP BY b.c_id)
+      |SELECT p.c_id AS id, p.cell, p.pri,
+      |       d.dup_of IS NOT NULL AS is_dup, d.dup_of
+      |FROM pri p LEFT JOIN dup d ON d.c_id = p.c_id
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    graft.operators.SemanticDedup.prune(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      nCells = 16, iters = 2, eps = 0.4)
+  }
+
+  /** Incremental semantic-dedup keeper index
+    * ([[graft.operators.SemanticDedup]] at the N33/N39 ledger tier):
+    * build the index from the vec_id%3=0 base (trained Lloyd geometry
+    * frozen + its SemDeDup keepers), delta-append the %3=1 batch under
+    * that frozen geometry (stored keepers outrank; in-batch by id —
+    * the same upper-triangular rule), redeliver the batch (the seen
+    * ledger must append nothing), then score the %3=2 batch BIPARTITE
+    * against the stored keepers. The oracle replays the whole ledger
+    * history — geometry, base prune, append verdicts, final bipartite
+    * scores — so every stored decision hash-certifies. */
+  private val dedupSemanticIndex = QuerySpec(
+    "q_dedup_semantic_index",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |b0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 3 = 0),
+      |cq AS (SELECT c_id, cv,
+      |         list_transform(cv, x -> CAST(floor((x / sqrt(list_dot_product(cv, cv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
+      |       FROM b0),
+      |cqq AS (SELECT c_id, cv, qx,
+      |          list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cq),
+      |cent0 AS (SELECT CAST(ROW_NUMBER() OVER (
+      |            ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
+      |            qx AS qc
+      |          FROM (SELECT c_id, qx FROM cq
+      |                ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
+      |                LIMIT 16)),
+      |asg1 AS (SELECT c_id, cell, qx FROM (
+      |  SELECT t.c_id, ct.cell, t.qx,
+      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM cqq t CROSS JOIN cent0 ct) z WHERE rn = 1),
+      |m1 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
+      |       FROM asg1 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
+      |u1 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m1 GROUP BY cell),
+      |cent1 AS (SELECT c0.cell, COALESCE(u1.qc, c0.qc) AS qc
+      |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.cell),
+      |asg2 AS (SELECT c_id, cell, qx FROM (
+      |  SELECT t.c_id, ct.cell, t.qx,
+      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM cqq t CROSS JOIN cent1 ct) z WHERE rn = 1),
+      |m2 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
+      |       FROM asg2 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
+      |u2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m2 GROUP BY cell),
+      |cent2 AS (SELECT c1.cell, COALESCE(u2.qc, c1.qc) AS qc
+      |          FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.cell),
+      |asgf AS (SELECT c_id, cell, dist FROM (
+      |  SELECT t.c_id, ct.cell,
+      |         t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |           - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]) AS dist,
+      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM cqq t CROSS JOIN cent2 ct) z WHERE rn = 1),
+      |pri AS (SELECT a.c_id, a.cell, b0.cv,
+      |          ROW_NUMBER() OVER (PARTITION BY a.cell
+      |            ORDER BY a.dist DESC, a.c_id) AS pri
+      |        FROM asgf a JOIN b0 ON b0.c_id = a.c_id),
+      |dup0 AS (SELECT DISTINCT b.c_id
+      |         FROM pri b JOIN pri a ON a.cell = b.cell AND a.pri < b.pri
+      |         WHERE list_dot_product(a.cv, b.cv)
+      |                 / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) >= 0.4),
+      |k0 AS (SELECT p.c_id AS doc_id, p.cell, p.cv AS kv FROM pri p
+      |       WHERE p.c_id NOT IN (SELECT c_id FROM dup0)),
+      |b1 AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 3 = 1),
+      |b1q AS (SELECT b_id, bv,
+      |          list_transform(bv, x -> CAST(floor((x / sqrt(list_dot_product(bv, bv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
+      |        FROM b1),
+      |b1qq AS (SELECT b_id, bv, qx,
+      |           list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM b1q),
+      |b1a AS (SELECT b_id, bv, cell FROM (
+      |  SELECT t.b_id, t.bv, ct.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY t.b_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM b1qq t CROSS JOIN cent2 ct) z WHERE rn = 1),
+      |b1dups AS (SELECT DISTINCT n.b_id FROM b1a n JOIN k0 k ON k.cell = n.cell
+      |           WHERE list_dot_product(n.bv, k.kv)
+      |                   / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.kv, k.kv))) >= 0.4),
+      |b1dupb AS (SELECT DISTINCT n.b_id FROM b1a n JOIN b1a p ON p.cell = n.cell AND p.b_id < n.b_id
+      |           WHERE list_dot_product(n.bv, p.bv)
+      |                   / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(p.bv, p.bv))) >= 0.4),
+      |k1 AS (SELECT b_id AS doc_id, cell, bv AS kv FROM b1a
+      |       WHERE b_id NOT IN (SELECT b_id FROM b1dups)
+      |         AND b_id NOT IN (SELECT b_id FROM b1dupb)),
+      |keepers AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1),
+      |b2 AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 3 = 2),
+      |b2q AS (SELECT b_id, bv,
+      |          list_transform(bv, x -> CAST(floor((x / sqrt(list_dot_product(bv, bv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
+      |        FROM b2),
+      |b2qq AS (SELECT b_id, bv, qx,
+      |           list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM b2q),
+      |b2a AS (SELECT b_id, bv, cell FROM (
+      |  SELECT t.b_id, t.bv, ct.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY t.b_id ORDER BY
+      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |  FROM b2qq t CROSS JOIN cent2 ct) z WHERE rn = 1)
+      |SELECT n.b_id AS new_id, k.doc_id AS keeper_id, n.cell,
+      |       list_dot_product(n.bv, k.kv)
+      |         / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.kv, k.kv))) AS cos
+      |FROM b2a n JOIN keepers k ON k.cell = n.cell
+      |WHERE list_dot_product(n.bv, k.kv)
+      |        / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.kv, k.kv))) >= 0.4
+      |ORDER BY new_id, keeper_id""".stripMargin) { (s, d) =>
+    import graft.operators.SemanticDedup
+    val emb = Tables.embeddings(s, d)
+    def batch(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+    val root = graft.core.CacheGovernor.durableDir(s"semantic_keeper_index:$d") { dir =>
+      val path = s"$dir/v1"
+      SemanticDedup.writeKeeperIndex(batch(0), "vec_id", "embedding", path,
+        nCells = 16, iters = 2, eps = 0.4)
+      SemanticDedup.appendToKeeperIndex(s, path, batch(1), "vec_id", "embedding", eps = 0.4)
+      // redelivered batch — the seen ledger must append nothing
+      SemanticDedup.appendToKeeperIndex(s, path, batch(1), "vec_id", "embedding", eps = 0.4)
+    }
+    SemanticDedup.dupsAgainstKeeperIndex(
+      s, s"$root/v1", batch(2), "vec_id", "embedding", eps = 0.4)
+      .orderBy("new_id", "keeper_id")
+  }
+
   /** Semantic decontamination: corpus vectors whose cosine against any
     * benchmark vector (the vec_id % 20 = 0 slice) clears the near-dup
     * threshold — the embedding-modality analogue of
@@ -2097,7 +2292,8 @@ object TextVectorQueries {
     dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
     dedupNgram, dedupSubstring, corpusCutSpans, stSubstringLedger, stCorpusNovelty,
     stMinhashLedger, stIvfLedger,
-    dedupSimhash, dedupEmbedding, dedupEmbeddingCross,
+    dedupSimhash, dedupEmbedding, dedupEmbeddingCross, dedupSemantic,
+    dedupSemanticIndex,
     dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
     simIvfTrained, simIvfLloyd, simRecallReport, simJlProject)
 }

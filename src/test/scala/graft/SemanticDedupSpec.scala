@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SemanticDedup
+
+/** Laws of the SemDeDup prune and its incremental keeper index:
+  * keeper-priority rule (farthest-from-centroid kept first), the
+  * upper-triangular dup rule, eps monotonicity at both extremes, and
+  * the ledger discipline (redelivered append is a no-op; batch
+  * near-copies of stored keepers flag bipartite). */
+class SemanticDedupSpec extends AnyFunSuite {
+  import TestSession.spark
+  import spark.implicits._
+
+  // Three well-separated directions in R^4, with planted near-copies:
+  // ids 0-3 cluster on e1 (0 and 1 are exact duplicates), ids 10-12 on
+  // e2 (11 is 12 scaled — cosine exactly 1), ids 20-21 on e3
+  // (orthogonal-ish, no dup). Scaling never changes cosine, so the
+  // dup structure is knowable by construction.
+  private def vec(xs: Double*) = xs.toSeq
+  private lazy val base = Seq(
+    (0L, vec(1.0, 0.01, 0.0, 0.0)),
+    (1L, vec(1.0, 0.01, 0.0, 0.0)), // exact copy of 0
+    (2L, vec(0.98, 0.05, 0.01, 0.0)),
+    (3L, vec(0.9, 0.2, 0.1, 0.05)),
+    (10L, vec(0.0, 1.0, 0.02, 0.0)),
+    (11L, vec(0.0, 2.0, 0.4, 0.0)), // 2x of 12 — cosine exactly 1
+    (12L, vec(0.0, 1.0, 0.2, 0.0)), // same cluster as 10, NOT within tight eps
+    (20L, vec(0.0, 0.0, 1.0, 0.3)),
+    (21L, vec(0.1, 0.0, 0.2, 1.0))
+  ).toDF("doc_id", "embedding")
+
+  private def prune(eps: Double) =
+    SemanticDedup.prune(base, "doc_id", "embedding",
+      nCells = 3, iters = 2, eps = eps)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getBoolean(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+
+  test("every document gets exactly one verdict row, pri contiguous per cell") {
+    val out = prune(0.95)
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L))
+    out.groupBy(_._2._1).foreach { case (_, members) =>
+      val pris = members.values.map(_._2).toSeq.sorted
+      assert(pris == (1L to pris.size).toSeq, s"priorities not contiguous: $pris")
+    }
+  }
+
+  test("exact duplicates: exactly one of a copy-pair survives, dup_of points at the keeper") {
+    val out = prune(0.999999)
+    val (c0, c1) = (out(0L), out(1L))
+    assert(c0._1 == c1._1, "exact copies must land in the same cell")
+    assert(c0._3 ^ c1._3, "exactly one of an exact-copy pair is the dup")
+    val (dup, keeper) = if (c0._3) (0L, 1L) else (1L, 0L)
+    assert(out(dup)._4 == keeper, "dup_of must name the surviving copy")
+    // the cosine-1 scaled pair behaves identically
+    assert(out(11L)._3 ^ out(12L)._3)
+  }
+
+  test("pri=1 (farthest from centroid) is never a dup") {
+    val out = prune(-1.0) // every same-cell pair is "similar"
+    out.groupBy(_._2._1).foreach { case (_, members) =>
+      members.foreach { case (_, (_, pri, isDup, _)) =>
+        assert(isDup == (pri > 1L),
+          "at eps=-1 exactly the non-first member of each cell dups")
+      }
+    }
+  }
+
+  test("eps monotonicity: above-1 threshold dedups nothing") {
+    assert(prune(1.000001).values.forall(!_._3))
+  }
+
+  test("keeper index: build, idempotent append, bipartite flagging") {
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+    SemanticDedup.writeKeeperIndex(base, "doc_id", "embedding", dir,
+      nCells = 3, iters = 2, eps = 0.999999)
+    val keepers0 = spark.read.parquet(s"$dir/keepers").count()
+    // base has 2 planted dup pairs -> 9 - 2 keepers
+    assert(keepers0 == 7)
+
+    // batch: one near-copy of a stored keeper direction, one novel doc
+    val batch = Seq(
+      (100L, vec(1.0, 0.01, 0.0, 0.0)), // copy of the 0/1 keeper
+      (101L, vec(0.3, 0.3, -0.9, 0.1))  // novel direction
+    ).toDF("doc_id", "embedding")
+    val flagged = SemanticDedup.dupsAgainstKeeperIndex(
+      spark, dir, batch, "doc_id", "embedding", eps = 0.999999)
+      .select("new_id").as[Long].collect().toSet
+    assert(flagged == Set(100L), "only the planted copy flags against the index")
+
+    SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
+      eps = 0.999999)
+    val keepers1 = spark.read.parquet(s"$dir/keepers").count()
+    assert(keepers1 == keepers0 + 1, "only the novel doc joins the keeper set")
+    // redelivery: the same batch appends nothing
+    SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
+      eps = 0.999999)
+    assert(spark.read.parquet(s"$dir/keepers").count() == keepers1)
+    assert(spark.read.parquet(s"$dir/seen").count() == 11)
+  }
+
+  test("within-batch triu rule: earlier batch id shadows a later copy") {
+    val dir = java.nio.file.Files.createTempDirectory("semidx2").toString
+    SemanticDedup.writeKeeperIndex(base, "doc_id", "embedding", dir,
+      nCells = 3, iters = 2, eps = 0.999999)
+    val before = spark.read.parquet(s"$dir/keepers").count()
+    val batch = Seq(
+      (200L, vec(-1.0, 0.2, 0.3, -0.5)), // novel
+      (201L, vec(-1.0, 0.2, 0.3, -0.5))  // same-batch copy of 200
+    ).toDF("doc_id", "embedding")
+    SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
+      eps = 0.999999)
+    val kept = spark.read.parquet(s"$dir/keepers")
+      .filter(col("doc_id") >= 200L).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(200L), "the smaller batch id wins the in-batch tie")
+    assert(spark.read.parquet(s"$dir/keepers").count() == before + 1)
+  }
+}
