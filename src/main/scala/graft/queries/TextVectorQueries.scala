@@ -2281,9 +2281,56 @@ object TextVectorQueries {
       (sum(size(col("subwords"))) < sum(length(col("word")))).as("compressed"))
   }
 
+  /** Tokenizer fertility by language — the tokenizer-equity report
+    * (fertility = subwords per whitespace token; languages the merges
+    * under-serve pay more sequence length per character, the standard
+    * multilingual-tokenizer audit): corpus-trained BPE merges
+    * (operators.Bpe, k=12 — the same trained table q_vocab_bpe_apply
+    * certifies) applied to every token, rolled up per documents.lang.
+    * Oracle story mirrors q_vocab_bpe_apply: the per-language token and
+    * char totals are exactly recomputable in SQL; the subword tallies
+    * ride the iterative trained table, so they certify as in-band
+    * bounds — per-language floor (every word ≥ 1 subword) and ceiling
+    * (never more subwords than chars), plus the corpus-level STRICT
+    * compression flag (the trained merges must actually fire) — strict
+    * per-language would over-claim: a low-resource lang can legally see
+    * zero merges, which is exactly what the report exists to surface.
+    * Scale shape: the merge table broadcasts (k rows), encode is a
+    * broadcast join on the distinct-word vocabulary, the rollup is one
+    * map-side-combining groupBy(lang). */
+  private val vocabFertility = QuerySpec(
+    "q_vocab_fertility",
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |f AS (SELECT lang, word FROM t WHERE word <> '')
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |       TRUE AS subwords_floor, TRUE AS subwords_ceiling,
+      |       TRUE AS corpus_compressed
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.train(
+      Bpe.wordFreq(docs, col("text")), "word", "freq", k = 12)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Bpe.encodeCorpus(docs, col("doc_id"), col("text"), merges)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+    val perLang = enc.groupBy("lang").agg(
+      count(lit(1)).as("n_tokens"),
+      sum(length(col("word"))).cast("long").as("n_chars"),
+      (sum(size(col("subwords"))) >= count(lit(1))).as("subwords_floor"),
+      (sum(size(col("subwords"))) <= sum(length(col("word")))).as("subwords_ceiling"))
+    val global = enc.agg(
+      (sum(size(col("subwords"))) < sum(length(col("word"))))
+        .as("corpus_compressed"))
+    perLang.crossJoin(broadcast(global))
+      .select(col("lang"), col("n_tokens"), col("n_chars"),
+        col("subwords_floor"), col("subwords_ceiling"), col("corpus_compressed"))
+      .orderBy("lang")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, stCmsLedger, hybridRrf, vocabBpe, textHashvec,
-    vocabBpeApply,
+    vocabBpeApply, vocabFertility,
     tokenize, quality, langid, langid2, fingerprint, tfidf, corpusClean,
     vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
     contaminationSpans,
