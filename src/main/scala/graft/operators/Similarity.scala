@@ -759,8 +759,17 @@ object Similarity {
   private def lloydQuant(unitVec: Column): Column =
     transform(unitVec, x => floor((x + lit(2.0)) * lit(1048576.0)).cast("long"))
 
+  /** Exact integer dot, evaluated in codegen DOUBLE space: every
+    * micro-coordinate is ≤ 3·2²⁰, so each product is ≤ ~9.9e12 and a
+    * 64-dim sum ≤ ~6.3e14 — far inside the 2⁵³ exact-integer range of
+    * IEEE doubles, so the native dot returns the IDENTICAL value the
+    * previous long HOF fold (aggregate∘zip_with) produced, at codegen
+    * speed. Measured (ProfileSemantic, g1.0): the HOF form priced each
+    * assignment dot ~30× over the native pair dot and dominated the
+    * whole Lloyd family; oracles are unaffected because the values are
+    * bit-equal. */
   private def lloydDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.VectorNative.dot(a, b).cast("long")
 
   /** `iters` exact integer Lloyd iterations over the corpus: returns
     * (quantized corpus view (c_id, _cv, _cn, _qx, _qq), final centroid
