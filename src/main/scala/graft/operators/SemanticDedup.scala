@@ -80,12 +80,18 @@ object SemanticDedup {
   /** Seed a semantic-dedup index from a base corpus: the final Lloyd
     * centroid table (nCells rows of integer micro-coordinates — the
     * FROZEN geometry every later batch is assigned under, by the exact
-    * distance rule the build used) and the base corpus's KEEPERS
-    * (id, cell, vector) — the only rows future batches ever compare
-    * against. Dup rows are not stored: a future near-copy of a dropped
-    * document is, by the eps ball, also a near-copy of the keeper that
-    * shadowed it (up to the standard 2·eps triangle slack). A `seen`
-    * id ledger makes appends idempotent. */
+    * distance rule the build used) and ONE `rows` ledger holding every
+    * processed document as (doc_id, cell, vec, nrm, kept). Keepers are
+    * the kept=true slice — the only rows future batches compare
+    * against (a future near-copy of a dropped document is, by the eps
+    * ball, also a near-copy of the keeper that shadowed it); a dropped
+    * document's row is retained as its own seen-marker. Freshness and
+    * data live in the SAME appended file, so an append either happened
+    * (its ids are present → the next anti-join skips them) or it did
+    * not — redelivery is crash-idempotent with no cross-file ordering
+    * window ([[ImageDedup.appendToHashIndex]]'s discipline; the
+    * earlier two-file keepers+seen form could duplicate keepers when
+    * redelivered after a crash between the two appends). */
   def writeKeeperIndex(
       corpus: DataFrame, id: String, vec: String, path: String,
       nCells: Int = 16, iters: Int = 2, eps: Double = 0.4): Unit = {
@@ -104,12 +110,20 @@ object SemanticDedup {
       .filter(dot(col("_cv"), col("_kv")) / (col("_cn") * col("_kn")) >= eps)
       .select("c_id").distinct()
     pri.join(dups, Seq("c_id"), "left_anti")
+      .select(col("c_id"), col("_cell"), col("_cv"), col("_cn"),
+        lit(true).as("kept"))
+      .unionByName(pri.join(dups, Seq("c_id"), "left_semi")
+        .select(col("c_id"), col("_cell"), col("_cv"), col("_cn"),
+          lit(false).as("kept")))
       .select(col("c_id").as("doc_id"), col("_cell").as("cell"),
-        col("_cv").as("vec"), col("_cn").as("nrm"))
-      .write.mode("overwrite").parquet(s"$path/keepers")
-    pri.select(col("c_id").as("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/seen")
+        col("_cv").as("vec"), col("_cn").as("nrm"), col("kept"))
+      .write.mode("overwrite").parquet(s"$path/rows")
   }
+
+  /** The stored keeper slice (kept=true rows of the ledger). */
+  def keepers(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/rows").filter(col("kept"))
+      .select("doc_id", "cell", "vec", "nrm")
 
   /** Assign a batch to the stored cells under the frozen trained
     * geometry ([[Similarity.lloydAssignVectors]] over the persisted
@@ -128,24 +142,25 @@ object SemanticDedup {
     * some smaller-id batch document in its cell, sits within `eps`
     * cosine (stored keepers outrank every new arrival; inside the
     * batch, arrival order = id order — the same upper-triangular rule
-    * as [[prune]], so no recursion). Survivors append to the keeper
-    * file; every batch id appends to the seen ledger. Idempotent: a
-    * redelivered batch anti-joins `seen` and appends nothing. Cost is
+    * as [[prune]], so no recursion). Every fresh batch row appends to
+    * the ONE `rows` ledger with its kept verdict — a single atomic-
+    * per-append write, so a redelivered batch (whose ids the anti-join
+    * finds) appends nothing even after a crash mid-append. Cost is
     * O(batch × cell-slice) — the stored side is semi-join-pruned to
     * the batch's cells; stored×stored work never happens. */
   def appendToKeeperIndex(
       spark: SparkSession, path: String,
       batch: DataFrame, id: String, vec: String,
       eps: Double = 0.4): Unit = {
-    val seen = spark.read.parquet(s"$path/seen")
+    val seen = spark.read.parquet(s"$path/rows")
     val fresh0 = batch.join(
       seen.select(col("doc_id").as(id)), Seq(id), "left_anti")
     if (fresh0.isEmpty) return
     val asg = graft.core.CacheGovernor.persistTracked(
       assignToStored(spark, path, fresh0, id, vec))
-    val keepers = spark.read.parquet(s"$path/keepers")
+    val stored = keepers(spark, path)
       .join(asg.select("cell").distinct(), Seq("cell"), "left_semi")
-    val dupVsStored = asg.join(keepers, "cell")
+    val dupVsStored = asg.join(stored, "cell")
       .filter(dot(col("_bv"), col("vec")) / (col("_bn") * col("nrm")) >= eps)
       .select("b_id").distinct()
     val earlier = asg.select(col("cell"), col("b_id").as("e_id"),
@@ -154,13 +169,16 @@ object SemanticDedup {
       .filter(col("e_id") < col("b_id"))
       .filter(dot(col("_bv"), col("_ev")) / (col("_bn") * col("_en")) >= eps)
       .select("b_id").distinct()
-    asg.join(dupVsStored, Seq("b_id"), "left_anti")
-      .join(dupInBatch, Seq("b_id"), "left_anti")
+    val dupIds = dupVsStored.unionByName(dupInBatch).distinct()
+    asg.join(dupIds, Seq("b_id"), "left_anti")
+      .select(col("b_id"), col("cell"), col("_bv"), col("_bn"),
+        lit(true).as("kept"))
+      .unionByName(asg.join(dupIds, Seq("b_id"), "left_semi")
+        .select(col("b_id"), col("cell"), col("_bv"), col("_bn"),
+          lit(false).as("kept")))
       .select(col("b_id").as("doc_id"), col("cell"),
-        col("_bv").as("vec"), col("_bn").as("nrm"))
-      .write.mode("append").parquet(s"$path/keepers")
-    asg.select(col("b_id").as("doc_id"))
-      .write.mode("append").parquet(s"$path/seen")
+        col("_bv").as("vec"), col("_bn").as("nrm"), col("kept"))
+      .write.mode("append").parquet(s"$path/rows")
   }
 
   /** Semantic duplicates of a NEW batch against the stored keepers
@@ -174,9 +192,9 @@ object SemanticDedup {
       batch: DataFrame, id: String, vec: String,
       eps: Double = 0.4): DataFrame = {
     val asg = assignToStored(spark, path, batch, id, vec)
-    val keepers = spark.read.parquet(s"$path/keepers")
+    val stored = keepers(spark, path)
       .join(asg.select("cell").distinct(), Seq("cell"), "left_semi")
-    asg.join(keepers, "cell")
+    asg.join(stored, "cell")
       .withColumn("cos",
         dot(col("_bv"), col("vec")) / (col("_bn") * col("nrm")))
       .filter(col("cos") >= eps)

@@ -271,8 +271,14 @@ object SamplingQueries {
     * near-dup families — the residual that motivates cluster-rep
     * grouping). Scale shape: splits are pure projections; exact leak
     * collapses to distinct (fingerprint, split) pairs before the
-    * semi-join; near leak is the banded bipartite LSH; the final
-    * assembly cross-joins five broadcast one-row aggregates. */
+    * semi-join; the near counts for BOTH policies derive from the ONE
+    * session-shared corpus pair relation (Dedup.minHashPairs over the
+    * same input plan q_dedup_minhash snapshots — built once, reused
+    * here) via ids-only split-label joins, so the audit adds no second
+    * LSH pass; the final assembly cross-joins five broadcast one-row
+    * aggregates. A train↔test pair in the corpus-wide J ≥ 0.9 relation
+    * is exactly a bipartite-LSH hit between the split slices, so the
+    * counts are identical to the two-sided form. */
   private val splitLeakage = QuerySpec(
     "q_split_leakage_audit",
     s"""WITH rs AS (SELECT doc_id, text,
@@ -325,6 +331,10 @@ object SamplingQueries {
     val gaSplit = graft.core.CacheGovernor.persistTracked(
       Splits.groupAwareSplit(docs.withColumn("grp",
         md5(col("text").cast("binary"))), col("grp"), 0.8, 0.1))
+    val pairs = graft.core.CacheGovernor.persistTracked(
+      Dedup.minHashPairs(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.9)
+        .select("a_id", "b_id"))
     def leaks(split: org.apache.spark.sql.DataFrame, prefix: String)
         : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
       val train = split.filter(col("split") === "train")
@@ -334,10 +344,15 @@ object SamplingQueries {
         .join(train.select(md5(col("text").cast("binary")).as("_fp")).distinct(),
           Seq("_fp"), "left_semi")
         .agg(countDistinct(col("doc_id")).as(s"${prefix}exact_leak_test"))
-      val near = Dedup.minHashPairsBetween(
-        train, "doc_id", "text", test, "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.9)
-        .agg(countDistinct(col("b_id")).as(s"${prefix}near_leak_test"))
+      val lab = split.select(col("doc_id"), col("split"))
+      val near = pairs
+        .join(lab.select(col("doc_id").as("a_id"), col("split").as("_sa")), "a_id")
+        .join(lab.select(col("doc_id").as("b_id"), col("split").as("_sb")), "b_id")
+        .filter((col("_sa") === "train" && col("_sb") === "test") ||
+          (col("_sa") === "test" && col("_sb") === "train"))
+        .select(when(col("_sa") === "test", col("a_id"))
+          .otherwise(col("b_id")).as("_t"))
+        .agg(countDistinct(col("_t")).as(s"${prefix}near_leak_test"))
       (exact, near)
     }
     val cnts = rowSplit.agg(

@@ -76,9 +76,11 @@ class SemanticDedupSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("semidx").toString
     SemanticDedup.writeKeeperIndex(base, "doc_id", "embedding", dir,
       nCells = 3, iters = 2, eps = 0.999999)
-    val keepers0 = spark.read.parquet(s"$dir/keepers").count()
+    val keepers0 = SemanticDedup.keepers(spark, dir).count()
     // base has 2 planted dup pairs -> 9 - 2 keepers
     assert(keepers0 == 7)
+    // the ledger retains dropped docs as their own seen-markers
+    assert(spark.read.parquet(s"$dir/rows").count() == 9)
 
     // batch: one near-copy of a stored keeper direction, one novel doc
     val batch = Seq(
@@ -92,29 +94,35 @@ class SemanticDedupSpec extends AnyFunSuite {
 
     SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
       eps = 0.999999)
-    val keepers1 = spark.read.parquet(s"$dir/keepers").count()
+    val keepers1 = SemanticDedup.keepers(spark, dir).count()
     assert(keepers1 == keepers0 + 1, "only the novel doc joins the keeper set")
-    // redelivery: the same batch appends nothing
+    // redelivery: the same batch appends nothing (freshness and data
+    // live in the same file — no cross-file crash window)
     SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
       eps = 0.999999)
-    assert(spark.read.parquet(s"$dir/keepers").count() == keepers1)
-    assert(spark.read.parquet(s"$dir/seen").count() == 11)
+    assert(SemanticDedup.keepers(spark, dir).count() == keepers1)
+    assert(spark.read.parquet(s"$dir/rows").count() == 11)
   }
 
   test("within-batch triu rule: earlier batch id shadows a later copy") {
     val dir = java.nio.file.Files.createTempDirectory("semidx2").toString
     SemanticDedup.writeKeeperIndex(base, "doc_id", "embedding", dir,
       nCells = 3, iters = 2, eps = 0.999999)
-    val before = spark.read.parquet(s"$dir/keepers").count()
+    val before = SemanticDedup.keepers(spark, dir).count()
     val batch = Seq(
       (200L, vec(-1.0, 0.2, 0.3, -0.5)), // novel
       (201L, vec(-1.0, 0.2, 0.3, -0.5))  // same-batch copy of 200
     ).toDF("doc_id", "embedding")
     SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
       eps = 0.999999)
-    val kept = spark.read.parquet(s"$dir/keepers")
+    val kept = SemanticDedup.keepers(spark, dir)
       .filter(col("doc_id") >= 200L).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(200L), "the smaller batch id wins the in-batch tie")
-    assert(spark.read.parquet(s"$dir/keepers").count() == before + 1)
+    assert(SemanticDedup.keepers(spark, dir).count() == before + 1)
+    // the shadowed copy is still ledgered (kept=false), so redelivering
+    // the same batch cannot resurrect it
+    SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
+      eps = 0.999999)
+    assert(SemanticDedup.keepers(spark, dir).count() == before + 1)
   }
 }
