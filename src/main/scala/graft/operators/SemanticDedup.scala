@@ -181,6 +181,28 @@ object SemanticDedup {
       .write.mode("append").parquet(s"$path/rows")
   }
 
+  /** Compact an appended keeper index into a NEW versioned directory
+    * (the ledger-family discipline, [[Dedup.compactMinHashRelation]]'s
+    * contract): after ~100 nightly appends the `rows` ledger is ~100
+    * small-file directories and the read path pays listing + many-scan
+    * overhead, not data volume. Rewrites rows at a target rows-per-file
+    * and the centroid table as one file; contents are copied verbatim,
+    * so keepers and verdicts are identical pre/post. Never compacts a
+    * live index onto itself. */
+  def compactKeeperIndex(
+      spark: SparkSession, path: String, dest: String,
+      targetRowsPerFile: Long = 4000000L): Unit = {
+    require(path != dest,
+      "compaction writes a NEW versioned directory; compacting a live " +
+        "index onto itself would corrupt readers mid-query")
+    val rows = spark.read.parquet(s"$path/rows")
+    val n = rows.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    rows.coalesce(files).write.mode("overwrite").parquet(s"$dest/rows")
+    spark.read.parquet(s"$path/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/centroids")
+  }
+
   /** Semantic duplicates of a NEW batch against the stored keepers
     * WITHOUT touching non-keeper history — the nightly-shard shape
     * ([[ImageDedup.nearDupAgainstIndex]] at the embedding tier).

@@ -124,5 +124,23 @@ class SemanticDedupSpec extends AnyFunSuite {
     SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
       eps = 0.999999)
     assert(SemanticDedup.keepers(spark, dir).count() == before + 1)
+
+    // compaction: contents identical, bipartite verdicts identical
+    val dir2 = java.nio.file.Files.createTempDirectory("semidx3").toString
+    SemanticDedup.compactKeeperIndex(spark, dir, dir2)
+    val a = SemanticDedup.keepers(spark, dir).select("doc_id", "cell")
+      .as[(Long, Long)].collect().toSet
+    val b = SemanticDedup.keepers(spark, dir2).select("doc_id", "cell")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b, "compaction must copy the keeper slice verbatim")
+    val probe = Seq((300L, vec(-1.0, 0.2, 0.3, -0.5))).toDF("doc_id", "embedding")
+    val f1 = SemanticDedup.dupsAgainstKeeperIndex(
+      spark, dir, probe, "doc_id", "embedding", eps = 0.999999)
+      .select("new_id", "keeper_id").as[(Long, Long)].collect().toSet
+    val f2 = SemanticDedup.dupsAgainstKeeperIndex(
+      spark, dir2, probe, "doc_id", "embedding", eps = 0.999999)
+      .select("new_id", "keeper_id").as[(Long, Long)].collect().toSet
+    assert(f1 == f2 && f1 == Set((300L, 200L)),
+      "the compacted index must flag the probe against the same keeper")
   }
 }
