@@ -51,11 +51,7 @@ object SemanticDedup {
       nCells: Int = 16, iters: Int = 2, eps: Double = 0.4): DataFrame = {
     val pri = graft.core.CacheGovernor.persistTracked(
       prioritized(corpus, id, vec, nCells, iters))
-    val keepSide = pri.select(col("_cell"), col("c_id").as("k_id"),
-      col("_cv").as("_kv"), col("_cn").as("_kn"), col("pri").as("k_pri"))
-    val dupOf = pri.join(keepSide, "_cell")
-      .filter(col("k_pri") < col("pri"))
-      .filter(dot(col("_cv"), col("_kv")) / (col("_cn") * col("_kn")) >= eps)
+    val dupOf = shadowPairs(pri, eps)
       .groupBy("c_id")
       .agg(min_by(col("k_id"), col("k_pri")).as("dup_of"))
     pri.join(dupOf, Seq("c_id"), "left_outer")
@@ -75,6 +71,29 @@ object SemanticDedup {
         Window.partitionBy("_cell")
           .orderBy(col("_dist").desc, col("c_id").asc)).cast("long"))
 
+  /** The shadowing relation both [[prune]] and [[writeKeeperIndex]]
+    * consume — ONE definition of the upper-triangular eps test so the
+    * batch verdicts and the persisted index can never diverge:
+    * (c_id, k_id, k_pri) rows where the higher-priority cell member
+    * `k_id` sits within `eps` cosine of `c_id`. */
+  private def shadowPairs(pri: DataFrame, eps: Double): DataFrame = {
+    val keepSide = pri.select(col("_cell"), col("c_id").as("k_id"),
+      col("_cv").as("_kv"), col("_cn").as("_kn"), col("pri").as("k_pri"))
+    pri.join(keepSide, "_cell")
+      .filter(col("k_pri") < col("pri"))
+      .filter(dot(col("_cv"), col("_kv")) / (col("_cn") * col("_kn")) >= eps)
+      .select("c_id", "k_id", "k_pri")
+  }
+
+  /** Tag each row of `df` with `kept` = "absent from `dupIds`" via ONE
+    * left join (dupIds carries distinct `idCol` rows). */
+  private def withKeptFlag(
+      df: DataFrame, dupIds: DataFrame, idCol: String): DataFrame =
+    df.join(dupIds.select(col(idCol)).distinct().withColumn("_dup", lit(true)),
+      Seq(idCol), "left_outer")
+      .withColumn("kept", col("_dup").isNull)
+      .drop("_dup")
+
   // ---- incremental keeper index (the N33/N39 ledger discipline) -------
 
   /** Seed a semantic-dedup index from a base corpus: the final Lloyd
@@ -82,15 +101,15 @@ object SemanticDedup {
     * FROZEN geometry every later batch is assigned under, by the exact
     * distance rule the build used) and ONE `rows` ledger holding every
     * processed document as (doc_id, cell, vec, nrm, kept). Keepers are
-    * the kept=true slice — the only rows future batches compare
-    * against (a future near-copy of a dropped document is, by the eps
-    * ball, also a near-copy of the keeper that shadowed it); a dropped
-    * document's row is retained as its own seen-marker. Freshness and
-    * data live in the SAME appended file, so an append either happened
-    * (its ids are present → the next anti-join skips them) or it did
-    * not — redelivery is crash-idempotent with no cross-file ordering
-    * window ([[ImageDedup.appendToHashIndex]]'s discipline; the
-    * earlier two-file keepers+seen form could duplicate keepers when
+    * the kept=true slice — what [[dupsAgainstKeeperIndex]] scores
+    * against; [[appendToKeeperIndex]]'s GATING compares new arrivals
+    * against the FULL ledger slice of their cells (dropped rows too),
+    * which is what makes redelivery converge after a partial commit.
+    * Freshness and data live in the SAME appended file, so an append
+    * either happened (its ids are present → the next anti-join skips
+    * them) or it did not — no cross-file ordering window
+    * ([[ImageDedup.appendToHashIndex]]'s discipline; the earlier
+    * two-file keepers+seen form could duplicate keepers when
     * redelivered after a crash between the two appends). */
   def writeKeeperIndex(
       corpus: DataFrame, id: String, vec: String, path: String,
@@ -103,18 +122,7 @@ object SemanticDedup {
       asg.withColumn("pri", row_number().over(
         Window.partitionBy("_cell")
           .orderBy(col("_dist").desc, col("c_id").asc)).cast("long")))
-    val keepSide = pri.select(col("_cell"), col("c_id").as("k_id"),
-      col("_cv").as("_kv"), col("_cn").as("_kn"), col("pri").as("k_pri"))
-    val dups = pri.join(keepSide, "_cell")
-      .filter(col("k_pri") < col("pri"))
-      .filter(dot(col("_cv"), col("_kv")) / (col("_cn") * col("_kn")) >= eps)
-      .select("c_id").distinct()
-    pri.join(dups, Seq("c_id"), "left_anti")
-      .select(col("c_id"), col("_cell"), col("_cv"), col("_cn"),
-        lit(true).as("kept"))
-      .unionByName(pri.join(dups, Seq("c_id"), "left_semi")
-        .select(col("c_id"), col("_cell"), col("_cv"), col("_cn"),
-          lit(false).as("kept")))
+    withKeptFlag(pri, shadowPairs(pri, eps), "c_id")
       .select(col("c_id").as("doc_id"), col("_cell").as("cell"),
         col("_cv").as("vec"), col("_cn").as("nrm"), col("kept"))
       .write.mode("overwrite").parquet(s"$path/rows")
@@ -138,44 +146,44 @@ object SemanticDedup {
   }
 
   /** Delta-append a batch under the FROZEN stored geometry. A batch
-    * document is a duplicate iff some stored keeper in its cell, or
-    * some smaller-id batch document in its cell, sits within `eps`
-    * cosine (stored keepers outrank every new arrival; inside the
-    * batch, arrival order = id order — the same upper-triangular rule
-    * as [[prune]], so no recursion). Every fresh batch row appends to
-    * the ONE `rows` ledger with its kept verdict — a single atomic-
-    * per-append write, so a redelivered batch (whose ids the anti-join
-    * finds) appends nothing even after a crash mid-append. Cost is
-    * O(batch × cell-slice) — the stored side is semi-join-pruned to
-    * the batch's cells; stored×stored work never happens. */
+    * document is a duplicate iff ANY already-ledgered document in its
+    * cell (kept or dropped — the full arrival history outranks every
+    * new arrival), or any smaller-id batch document in its cell, sits
+    * within `eps` cosine — the same upper-triangular rule as [[prune]]
+    * over the concatenated arrival order, so no recursion. Comparing
+    * against dropped rows too (they are already in the cell slice) is
+    * what makes redelivery CONVERGE after a crash mid-append: if a
+    * partial commit ledgered only some batch rows, the redelivered
+    * remainder still sees every committed row — including a kept=false
+    * one that would have shadowed it in-batch — and reaches the same
+    * verdict the uninterrupted run would have. Every fresh batch row
+    * appends to the ONE `rows` ledger with its kept verdict; freshness
+    * anti-joins the same file, so a fully-committed redelivery appends
+    * nothing. Cost is O(batch × cell-slice) — the stored side is
+    * semi-join-pruned to the batch's cells; stored×stored work never
+    * happens. */
   def appendToKeeperIndex(
       spark: SparkSession, path: String,
       batch: DataFrame, id: String, vec: String,
       eps: Double = 0.4): Unit = {
-    val seen = spark.read.parquet(s"$path/rows")
+    val ledger = spark.read.parquet(s"$path/rows")
     val fresh0 = batch.join(
-      seen.select(col("doc_id").as(id)), Seq(id), "left_anti")
+      ledger.select(col("doc_id").as(id)), Seq(id), "left_anti")
     if (fresh0.isEmpty) return
     val asg = graft.core.CacheGovernor.persistTracked(
       assignToStored(spark, path, fresh0, id, vec))
-    val stored = keepers(spark, path)
+    val stored = ledger
       .join(asg.select("cell").distinct(), Seq("cell"), "left_semi")
     val dupVsStored = asg.join(stored, "cell")
       .filter(dot(col("_bv"), col("vec")) / (col("_bn") * col("nrm")) >= eps)
-      .select("b_id").distinct()
+      .select("b_id")
     val earlier = asg.select(col("cell"), col("b_id").as("e_id"),
       col("_bv").as("_ev"), col("_bn").as("_en"))
     val dupInBatch = asg.join(earlier, "cell")
       .filter(col("e_id") < col("b_id"))
       .filter(dot(col("_bv"), col("_ev")) / (col("_bn") * col("_en")) >= eps)
-      .select("b_id").distinct()
-    val dupIds = dupVsStored.unionByName(dupInBatch).distinct()
-    asg.join(dupIds, Seq("b_id"), "left_anti")
-      .select(col("b_id"), col("cell"), col("_bv"), col("_bn"),
-        lit(true).as("kept"))
-      .unionByName(asg.join(dupIds, Seq("b_id"), "left_semi")
-        .select(col("b_id"), col("cell"), col("_bv"), col("_bn"),
-          lit(false).as("kept")))
+      .select("b_id")
+    withKeptFlag(asg, dupVsStored.unionByName(dupInBatch), "b_id")
       .select(col("b_id").as("doc_id"), col("cell"),
         col("_bv").as("vec"), col("_bn").as("nrm"), col("kept"))
       .write.mode("append").parquet(s"$path/rows")

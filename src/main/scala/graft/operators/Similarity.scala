@@ -767,9 +767,21 @@ object Similarity {
     * speed. Measured (ProfileSemantic, g1.0): the HOF form priced each
     * assignment dot ~30× over the native pair dot and dominated the
     * whole Lloyd family; oracles are unaffected because the values are
-    * bit-equal. */
-  private def lloydDot(a: Column, b: Column): Column =
-    graft.plans.VectorNative.dot(a, b).cast("long")
+    * bit-equal.
+    *
+    * The exactness bound is DIMENSION-dependent: the running double
+    * sum stays an exact integer only while it is < 2⁵³, i.e. dim ≤
+    * ⌊2⁵³ / (3·2²⁰)²⌋ = 910. Every Lloyd entry point knows its
+    * vector width, so [[lloydDot]] selects per width: native double
+    * dot inside the bound, the original exact long fold (exact to
+    * ~930k dims) past it — wide embeddings stay bit-exact instead of
+    * silently rounding. */
+  private val LloydNativeDotMaxDim = 896
+  private def lloydDot(dim: Int)(a: Column, b: Column): Column =
+    if (dim <= LloydNativeDotMaxDim)
+      graft.plans.VectorNative.dot(a, b).cast("long")
+    else
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** `iters` exact integer Lloyd iterations over the corpus: returns
     * (quantized corpus view (c_id, _cv, _cn, _qx, _qq), final centroid
@@ -791,11 +803,11 @@ object Similarity {
     val c0 = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
     val cq = graft.core.CacheGovernor.persistTracked(c0
       .withColumn("_qx", lloydQuant(transform(col("_cv"), x => x / col("_cn"))))
-      .withColumn("_qq", lloydDot(col("_qx"), col("_qx"))))
+      .withColumn("_qq", lloydDot(dim)(col("_qx"), col("_qx"))))
     def centDf(cent: IndexedSeq[IndexedSeq[Long]]): DataFrame =
       cent.zipWithIndex.map { case (v, i) => (i.toLong, v) }
         .toDF("_cell", "_qc")
-        .withColumn("_cc", lloydDot(col("_qc"), col("_qc")))
+        .withColumn("_cc", lloydDot(dim)(col("_qc"), col("_qc")))
     // init: smallest portable md5-60 hash of the id, ties by id —
     // TakeOrdered (no unpartitioned window), nCells rows to the driver
     var centroids: IndexedSeq[IndexedSeq[Long]] = cq
@@ -803,7 +815,7 @@ object Similarity {
       .orderBy(col("_h"), col("c_id")).limit(nCells)
       .select("_qx").collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
     for (_ <- 0 until iters) {
-      val asg = lloydAssign(cq, centDf(centroids))
+      val asg = lloydAssign(cq, centDf(centroids), dim)
       val sums = asg
         .groupBy("_cell")
         .agg(count(lit(1)).as("_n"),
@@ -822,15 +834,17 @@ object Similarity {
     (cq, centDf(centroids))
   }
 
-  /** Corpus → nearest final centroid by exact integer distance. */
-  private def lloydAssign(cq: DataFrame, cent: DataFrame): DataFrame =
+  /** Corpus → nearest final centroid by exact integer distance
+    * (retains `_dist` — [[lloydModel]] consumes it; other callers
+    * project it away). */
+  private def lloydAssign(cq: DataFrame, cent: DataFrame, dim: Int): DataFrame =
     cq.crossJoin(broadcast(cent))
       .withColumn("_dist",
-        col("_qq") + col("_cc") - lit(2L) * lloydDot(col("_qx"), col("_qc")))
+        col("_qq") + col("_cc") - lit(2L) * lloydDot(dim)(col("_qx"), col("_qc")))
       .withColumn("_rn", row_number().over(Window.partitionBy("c_id")
         .orderBy(col("_dist"), col("_cell"))))
       .filter(col("_rn") === 1)
-      .drop("_rn", "_qc", "_cc", "_dist")
+      .drop("_rn", "_qc", "_cc")
 
   /** Every corpus row's FINAL Lloyd cell plus its exact integer
     * distance to that cell's centroid — the geometry
@@ -855,12 +869,7 @@ object Similarity {
       corpus: DataFrame, cId: String, cVec: String,
       nCells: Int, iters: Int): (DataFrame, DataFrame) = {
     val (cq, cent) = lloydGeometry(corpus, cId, cVec, nCells, iters)
-    val asg = cq.crossJoin(broadcast(cent))
-      .withColumn("_dist",
-        col("_qq") + col("_cc") - lit(2L) * lloydDot(col("_qx"), col("_qc")))
-      .withColumn("_rn", row_number().over(Window.partitionBy("c_id")
-        .orderBy(col("_dist"), col("_cell"))))
-      .filter(col("_rn") === 1)
+    val asg = lloydAssign(cq, cent, viewDim(corpus, cId, cVec))
       .select(col("c_id"), col("_cv"), col("_cn"), col("_cell"), col("_dist"))
     (asg, cent.select(col("_cell"), col("_qc")))
   }
@@ -872,14 +881,15 @@ object Similarity {
     * O(nCells) rows. Output: (b_id, _bv, _bn, _cell). */
   def lloydAssignVectors(
       batch: DataFrame, id: String, vec: String, cent: DataFrame): DataFrame = {
+    val dim = viewDim(batch, id, vec)
     val b = normalizedView(batch, id, vec)
       .select(col("_id").as("b_id"), col("_v").as("_bv"), col("_nrm").as("_bn"))
       .withColumn("_qx", lloydQuant(transform(col("_bv"), x => x / col("_bn"))))
-      .withColumn("_qq", lloydDot(col("_qx"), col("_qx")))
-    val c = cent.withColumn("_cc", lloydDot(col("_qc"), col("_qc")))
+      .withColumn("_qq", lloydDot(dim)(col("_qx"), col("_qx")))
+    val c = cent.withColumn("_cc", lloydDot(dim)(col("_qc"), col("_qc")))
     b.crossJoin(broadcast(c))
       .withColumn("_dist",
-        col("_qq") + col("_cc") - lit(2L) * lloydDot(col("_qx"), col("_qc")))
+        col("_qq") + col("_cc") - lit(2L) * lloydDot(dim)(col("_qx"), col("_qc")))
       .withColumn("_rn", row_number().over(Window.partitionBy("b_id")
         .orderBy(col("_dist"), col("_cell"))))
       .filter(col("_rn") === 1)
@@ -891,12 +901,13 @@ object Similarity {
   private def lloydProbes(
       queries: DataFrame, qId: String, qVec: String,
       cent: DataFrame, nProbe: Int): DataFrame = {
+    val dim = viewDim(queries, qId, qVec)
     val q = viewAs(normalizedView(queries, qId, qVec), "q_id", "_qv", "_qn")
       .withColumn("_qxq", lloydQuant(transform(col("_qv"), x => x / col("_qn"))))
-      .withColumn("_qqq", lloydDot(col("_qxq"), col("_qxq")))
+      .withColumn("_qqq", lloydDot(dim)(col("_qxq"), col("_qxq")))
     q.crossJoin(broadcast(cent))
       .withColumn("_dist",
-        col("_qqq") + col("_cc") - lit(2L) * lloydDot(col("_qxq"), col("_qc")))
+        col("_qqq") + col("_cc") - lit(2L) * lloydDot(dim)(col("_qxq"), col("_qc")))
       .withColumn("_pr", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("_dist"), col("_cell"))))
       .filter(col("_pr") <= nProbe)
@@ -912,7 +923,8 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
     val (cq, cent) = lloydGeometry(corpus, cId, cVec, nCells, iters)
     lloydProbes(queries, qId, qVec, cent, nProbe)
-      .join(lloydAssign(cq, cent).select("_cell", "c_id", "_cv", "_cn"), "_cell")
+      .join(lloydAssign(cq, cent, viewDim(corpus, cId, cVec))
+        .select("_cell", "c_id", "_cv", "_cn"), "_cell")
   }
 
   /** [[ivfTopKTrained]] with EXACT-REPLAY geometry: the centroids come

@@ -824,13 +824,17 @@ object TextVectorQueries {
   /** Incremental semantic-dedup keeper index
     * ([[graft.operators.SemanticDedup]] at the N33/N39 ledger tier):
     * build the index from the vec_id%3=0 base (trained Lloyd geometry
-    * frozen + its SemDeDup keepers), delta-append the %3=1 batch under
-    * that frozen geometry (stored keepers outrank; in-batch by id —
-    * the same upper-triangular rule), redeliver the batch (the seen
-    * ledger must append nothing), then score the %3=2 batch BIPARTITE
-    * against the stored keepers. The oracle replays the whole ledger
-    * history — geometry, base prune, append verdicts, final bipartite
-    * scores — so every stored decision hash-certifies. */
+    * frozen + the full verdict ledger), delta-append the %3=1 batch
+    * under that frozen geometry (the ENTIRE ledgered history outranks;
+    * in-batch by id — the upper-triangular rule over the concatenated
+    * arrival order), redeliver the batch (the rows ledger must append
+    * nothing), COMPACT the appended index into a new versioned dir
+    * (the q_st_minhash_ledger discipline — compaction itself sits
+    * inside the hash gate), then score the %3=2 batch BIPARTITE
+    * against the compacted index's keepers. The oracle replays the
+    * whole ledger history — geometry, base prune, append verdicts,
+    * final bipartite scores — so every stored decision AND the
+    * compaction copy hash-certify. */
   private val dedupSemanticIndex = QuerySpec(
     "q_dedup_semantic_index",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -898,9 +902,9 @@ object TextVectorQueries {
       |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
       |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
       |  FROM b1qq t CROSS JOIN cent2 ct) z WHERE rn = 1),
-      |b1dups AS (SELECT DISTINCT n.b_id FROM b1a n JOIN k0 k ON k.cell = n.cell
-      |           WHERE list_dot_product(n.bv, k.kv)
-      |                   / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.kv, k.kv))) >= 0.4),
+      |b1dups AS (SELECT DISTINCT n.b_id FROM b1a n JOIN pri k ON k.cell = n.cell
+      |           WHERE list_dot_product(n.bv, k.cv)
+      |                   / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.cv, k.cv))) >= 0.4),
       |b1dupb AS (SELECT DISTINCT n.b_id FROM b1a n JOIN b1a p ON p.cell = n.cell AND p.b_id < n.b_id
       |           WHERE list_dot_product(n.bv, p.bv)
       |                   / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(p.bv, p.bv))) >= 0.4),
@@ -935,11 +939,13 @@ object TextVectorQueries {
       SemanticDedup.writeKeeperIndex(batch(0), "vec_id", "embedding", path,
         nCells = 16, iters = 2, eps = 0.4)
       SemanticDedup.appendToKeeperIndex(s, path, batch(1), "vec_id", "embedding", eps = 0.4)
-      // redelivered batch — the seen ledger must append nothing
+      // redelivered batch — the rows ledger must append nothing
       SemanticDedup.appendToKeeperIndex(s, path, batch(1), "vec_id", "embedding", eps = 0.4)
+      // compaction must be a verbatim copy — scoring reads v2
+      SemanticDedup.compactKeeperIndex(s, path, s"$dir/v2")
     }
     SemanticDedup.dupsAgainstKeeperIndex(
-      s, s"$root/v1", batch(2), "vec_id", "embedding", eps = 0.4)
+      s, s"$root/v2", batch(2), "vec_id", "embedding", eps = 0.4)
       .orderBy("new_id", "keeper_id")
   }
 

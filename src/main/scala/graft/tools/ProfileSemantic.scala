@@ -33,7 +33,7 @@ object ProfileSemantic {
           val tally = new ProfileQuery.Tally
           spark.sparkContext.addSparkListener(tally)
           val t0 = System.nanoTime()
-          val n = graft.operators.SemanticDedup.prune(
+          graft.operators.SemanticDedup.prune(
             emb, "vec_id", "embedding", nCells = nCells, iters = 2, eps = 0.4)
             .write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9

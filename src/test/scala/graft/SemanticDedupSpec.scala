@@ -143,4 +143,25 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(f1 == f2 && f1 == Set((300L, 200L)),
       "the compacted index must flag the probe against the same keeper")
   }
+
+  test("append gating sees DROPPED ledger rows (crash-convergence semantics)") {
+    // chain a -- b -- c at eps = 0.9: cos(a,b) = cos(b,c) = cos(25 deg)
+    // ~ 0.906 but cos(a,c) = cos(50 deg) ~ 0.64. b is dropped (shadowed
+    // by keeper a); c is within eps ONLY of the dropped b, so a
+    // keepers-only gate would wrongly keep c — the full-ledger gate
+    // (what makes redelivery converge after a partial commit) drops it.
+    def ang(d: Double) = vec(math.cos(math.toRadians(d)), math.sin(math.toRadians(d)), 0.0, 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("semidx4").toString
+    SemanticDedup.writeKeeperIndex(
+      Seq((1L, ang(0))).toDF("doc_id", "embedding"), "doc_id", "embedding",
+      dir, nCells = 1, iters = 1, eps = 0.9)
+    SemanticDedup.appendToKeeperIndex(spark, dir,
+      Seq((2L, ang(25))).toDF("doc_id", "embedding"), "doc_id", "embedding", eps = 0.9)
+    assert(SemanticDedup.keepers(spark, dir).select("doc_id").as[Long].collect().toSet
+      == Set(1L), "b is shadowed by keeper a")
+    SemanticDedup.appendToKeeperIndex(spark, dir,
+      Seq((3L, ang(50))).toDF("doc_id", "embedding"), "doc_id", "embedding", eps = 0.9)
+    assert(SemanticDedup.keepers(spark, dir).select("doc_id").as[Long].collect().toSet
+      == Set(1L), "c is shadowed by the DROPPED b, not by any keeper")
+  }
 }
