@@ -139,15 +139,10 @@ object ImageDedup {
     }
   }
 
-  /** Drop failed-decode rows when the relation carries a `decoded`
-    * flag: undecodable payloads all hash to 0, so an unfiltered frame
-    * would turn every decode failure into one quadratic hamming-0
-    * clique. Enforced here at the API rather than by caller
-    * convention; relations without the flag (already-projected
-    * id+hash pairs) pass through unchanged. */
+  /** Drop failed-decode rows ([[HashIndex.dropUndecoded]] — the one
+    * definition all modality callers share). */
   private def dropUndecoded(hashes: DataFrame): DataFrame =
-    if (hashes.columns.contains("decoded")) hashes.filter(col("decoded"))
-    else hashes
+    HashIndex.dropUndecoded(hashes)
 
   /** Near-dup id pairs (a_id < b_id, `hamming`) from a (id, 64-bit
     * hash) relation — collapse → 4×16-bit band → verify → expand,
@@ -185,68 +180,28 @@ object ImageDedup {
   }
 
   // ---- incremental index (the N33/N39 ledger discipline) --------------
+  // The ledger itself is modality-generic and lives in [[HashIndex]]
+  // (one discipline for image/audio/video — N101/N103/N104; laws
+  // spec'd once in HashIndexSpec). These delegates keep the historical
+  // image-tier entry points.
 
-  /** Seed a perceptual-hash index: one narrow (media_id, phash) row
-    * per already-ingested image — the only state incremental image
-    * dedup ever needs (hashes, never pixels). */
+  /** [[HashIndex.writeHashIndex]]. */
   def writeHashIndex(
       hashes: DataFrame, id: String, hash: String, path: String): Unit =
-    dropUndecoded(hashes).select(col(id).as("media_id"), col(hash).as("phash"))
-      .write.mode("overwrite").parquet(s"$path/hashes")
+    HashIndex.writeHashIndex(hashes, id, hash, path)
 
-  /** Delta-append a batch (O(batch) parquet append). Idempotent:
-    * batch ids anti-join the stored ids OF THE BATCH'S HASH BUCKETS
-    * (the batch hash set broadcasts, so the stored scan stays narrow)
-    * — a redelivered batch appends nothing. */
+  /** [[HashIndex.appendToHashIndex]]. */
   def appendToHashIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      hashes: DataFrame, id: String, hash: String): Unit = {
-    val batch =
-      dropUndecoded(hashes).select(col(id).as("media_id"), col(hash).as("phash"))
-    val stored = spark.read.parquet(s"$path/hashes")
-      .join(batch.select("phash").distinct(), Seq("phash"), "left_semi")
-      .select("media_id")
-    batch.join(stored, Seq("media_id"), "left_anti")
-      .write.mode("append").parquet(s"$path/hashes")
-  }
+      hashes: DataFrame, id: String, hash: String): Unit =
+    HashIndex.appendToHashIndex(spark, path, hashes, id, hash)
 
-  /** Near-dup pairs of a NEW batch against the stored index WITHOUT
-    * reprocessing stored images — the nightly-shard shape
-    * ([[Dedup.dedupAgainstIndex]] at the perceptual tier): bipartite
-    * 4×16-bit chunk join between batch hashes and stored DISTINCT
-    * hashes (cross-side bands only — no stored×stored work), Hamming
-    * verify, expand to ids. Output: (new_id, stored_id, hamming),
-    * exact for maxHamming ≤ 3. A batch row whose hash equals a stored
-    * hash pairs at hamming 0 through the same join. */
+  /** [[HashIndex.nearDupAgainstIndex]]. */
   def nearDupAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newHashes: DataFrame, id: String, hash: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4x16-bit banding guarantees recall only for maxHamming <= 3")
-    def chunks(df: DataFrame, h: String): DataFrame =
-      df.select(col(h),
-        posexplode(array((0 until 4).map(c =>
-          shiftright(col(h), c * 16).bitwiseAND(0xFFFFL)): _*)))
-        .withColumnRenamed("pos", "_chunk")
-        .withColumnRenamed("col", "_chunkval")
-    val batch = graft.core.CacheGovernor.persistTracked(
-      dropUndecoded(newHashes).select(col(id).as("_nid"), col(hash).as("_nh")))
-    val stored = graft.core.CacheGovernor.persistTracked(
-      spark.read.parquet(s"$path/hashes")
-        .select(col("media_id").as("_sid"), col("phash").as("_sh")))
-    val cand = chunks(batch.select(col("_nh")).distinct(), "_nh")
-      .join(chunks(stored.select(col("_sh")).distinct(), "_sh"),
-        Seq("_chunk", "_chunkval"))
-      .dropDuplicates("_nh", "_sh")
-      .withColumn("hamming", expr("bit_count(_nh ^ _sh)").cast("long"))
-      .filter(col("hamming") <= maxHamming)
-    cand
-      .join(batch, "_nh")
-      .join(stored, "_sh")
-      .select(col("_nid").as("new_id"), col("_sid").as("stored_id"),
-        col("hamming"))
-  }
+      maxHamming: Int = 3): DataFrame =
+    HashIndex.nearDupAgainstIndex(spark, path, newHashes, id, hash, maxHamming)
 
   /** Engine-portable 64-bit pattern for a group id: the first 16 hex
     * chars of md5(group.toString) read big-endian — the same value

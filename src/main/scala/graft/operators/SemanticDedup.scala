@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,6 +38,26 @@ import graft.plans.VectorNative.dot
   */
 object SemanticDedup {
 
+  /** `nCells = AutoCells` (the default) derives the cell count from
+    * the corpus itself: k = max(1, ⌊√n⌋). The paper's own dial is
+    * nCells ∝ corpus (k = 110 000 on LAION-440M) so the per-cell
+    * quadratic term stays bounded; at a FIXED comparison budget the
+    * in-cell pair cost is ~n²/k and the assignment cost ~n·k, whose
+    * sum minimizes at k ≈ √n — the measured bench optimum (BASELINE.md
+    * round-15 nCells dial). Callers with a corpus-calibrated k (or a
+    * serving-side cell budget) pass it explicitly. */
+  val AutoCells: Int = 0
+
+  /** The derived default cell count for `corpus` — ⌊√n⌋, floored at 1.
+    * Exact in both engines: n is a 64-bit count and IEEE sqrt is exact
+    * on perfect squares far beyond any corpus size, so DuckDB's
+    * floor(sqrt(n)) replays it bit-for-bit. */
+  def autoCells(corpus: DataFrame): Int =
+    math.max(1, math.sqrt(corpus.count().toDouble).toInt)
+
+  private def resolveCells(corpus: DataFrame, nCells: Int): Int =
+    if (nCells > 0) nCells else autoCells(corpus)
+
   /** Per-document semantic-dedup verdict over an embedding corpus.
     *
     * Output, one row per input document, ordered by id:
@@ -48,9 +69,9 @@ object SemanticDedup {
     * `dup_of`. */
   def prune(
       corpus: DataFrame, id: String, vec: String,
-      nCells: Int = 16, iters: Int = 2, eps: Double = 0.4): DataFrame = {
+      nCells: Int = AutoCells, iters: Int = 2, eps: Double = 0.4): DataFrame = {
     val pri = graft.core.CacheGovernor.persistTracked(
-      prioritized(corpus, id, vec, nCells, iters))
+      prioritized(corpus, id, vec, resolveCells(corpus, nCells), iters))
     val dupOf = shadowPairs(pri, eps)
       .groupBy("c_id")
       .agg(min_by(col("k_id"), col("k_pri")).as("dup_of"))
@@ -96,6 +117,73 @@ object SemanticDedup {
 
   // ---- incremental keeper index (the N33/N39 ledger discipline) -------
 
+  // The on-disk contract. An index directory holds:
+  //   centroids/        the frozen trained geometry (nCells rows)
+  //   rows/b<k>/        one parquet directory per COMMITTED batch of the
+  //                     verdict ledger — b0 is the seed, b1+ are appends
+  //   _manifest         written LAST by writeKeeperIndex/compactKeeperIndex;
+  //                     every reader requires it, so a crash between the
+  //                     centroid and rows jobs (or mid-overwrite) leaves a
+  //                     directory that FAILS LOUDLY instead of one whose
+  //                     new geometry silently treats all history as fresh
+  //   .staging/         scratch for atomic publication; never read
+  // Appends publish ATOMICALLY: the batch is written under .staging/ and
+  // enters the ledger with one filesystem rename, so no partial-commit
+  // state can exist — a crashed append leaves nothing visible, and the
+  // redelivered batch recomputes every verdict exactly as the
+  // uninterrupted run would have. (The earlier flat-append form could
+  // expose a partially committed batch: if the surviving fragment held a
+  // kept=false row whose in-batch shadower was lost, the redelivered
+  // shadower was gated against its own shadow-ee and BOTH members of the
+  // near-dup family ended kept=false — a keeper-less family that every
+  // future copy of that content would then silently drop against.)
+  private val ManifestName = "_manifest"
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Fully-qualified, `.`/`..`-normalized form of `p` — the comparison
+    * key [[compactKeeperIndex]] guards self-compaction with (a literal
+    * string compare lets `dir/` or `dir/../dir` slip past the guard and
+    * overwrite the live index mid-read). */
+  private def canonical(fs: FileSystem, p: String): Path =
+    new Path(fs.makeQualified(new Path(p)).toUri.normalize())
+
+  private def requireManifest(fs: FileSystem, root: Path, path: String): Unit =
+    if (!fs.exists(new Path(root, ManifestName)))
+      throw new IllegalStateException(
+        s"'$path' is not a fully-published semantic keeper index (no " +
+          s"$ManifestName). A crashed writeKeeperIndex/compactKeeperIndex " +
+          "never publishes the manifest, so its half-written geometry can " +
+          "never be read as if all history were fresh — re-seed or " +
+          "re-compact the index.")
+
+  /** Publish the manifest — the LAST step of a seed/compaction. Written
+    * to staging and moved into place with one rename, so a truncated
+    * manifest can never exist. */
+  private def publishManifest(fs: FileSystem, root: Path): Unit = {
+    val tmp = new Path(root, ".staging/manifest")
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, true)
+    out.write("graft semantic keeper index v2\n".getBytes("UTF-8"))
+    out.close()
+    val dst = new Path(root, ManifestName)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"could not publish $dst")
+  }
+
+  /** Next free batch directory id under `rows/` (single-writer ledger
+    * discipline — appends are serialized by the caller, like every
+    * graft ledger). */
+  private def nextBatchId(fs: FileSystem, root: Path): Long =
+    fs.listStatus(new Path(root, "rows")).map(_.getPath.getName)
+      .collect { case s if s.length > 1 && s.head == 'b' &&
+        s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+      .foldLeft(-1L)(math.max) + 1
+
   /** Seed a semantic-dedup index from a base corpus: the final Lloyd
     * centroid table (nCells rows of integer micro-coordinates — the
     * FROZEN geometry every later batch is assigned under, by the exact
@@ -103,34 +191,47 @@ object SemanticDedup {
     * processed document as (doc_id, cell, vec, nrm, kept). Keepers are
     * the kept=true slice — what [[dupsAgainstKeeperIndex]] scores
     * against; [[appendToKeeperIndex]]'s GATING compares new arrivals
-    * against the FULL ledger slice of their cells (dropped rows too),
-    * which is what makes redelivery converge after a partial commit.
-    * Freshness and data live in the SAME appended file, so an append
-    * either happened (its ids are present → the next anti-join skips
-    * them) or it did not — no cross-file ordering window
-    * ([[ImageDedup.appendToHashIndex]]'s discipline; the earlier
-    * two-file keepers+seen form could duplicate keepers when
-    * redelivered after a crash between the two appends). */
+    * against the FULL ledger slice of their cells (dropped rows too) —
+    * the upper-triangular rule over the whole arrival order. The
+    * manifest is written LAST: a crash anywhere before it leaves an
+    * index every reader rejects loudly, never one whose fresh geometry
+    * is silently paired with an absent or stale ledger. */
   def writeKeeperIndex(
       corpus: DataFrame, id: String, vec: String, path: String,
-      nCells: Int = 16, iters: Int = 2, eps: Double = 0.4): Unit = {
+      nCells: Int = AutoCells, iters: Int = 2, eps: Double = 0.4): Unit = {
+    val spark = corpus.sparkSession
+    val (fs, root) = fsOf(spark, path)
+    // invalidate readers for the whole re-seed window
+    fs.delete(new Path(root, ManifestName), false)
     val (asg, cent) =
-      Similarity.lloydModel(corpus, id, vec, nCells, iters)
+      Similarity.lloydModel(corpus, id, vec, resolveCells(corpus, nCells), iters)
     cent.select(col("_cell").as("cell"), col("_qc").as("qc"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     val pri = graft.core.CacheGovernor.persistTracked(
       asg.withColumn("pri", row_number().over(
         Window.partitionBy("_cell")
           .orderBy(col("_dist").desc, col("c_id").asc)).cast("long")))
+    // wipe any previous ledger tree so a re-seed cannot leave stale
+    // append batches beside the new base
+    fs.delete(new Path(root, "rows"), true)
     withKeptFlag(pri, shadowPairs(pri, eps), "c_id")
       .select(col("c_id").as("doc_id"), col("_cell").as("cell"),
         col("_cv").as("vec"), col("_cn").as("nrm"), col("kept"))
-      .write.mode("overwrite").parquet(s"$path/rows")
+      .write.mode("overwrite").parquet(s"$path/rows/b0")
+    publishManifest(fs, root)
+  }
+
+  /** The full verdict ledger — every committed batch directory under
+    * `rows/`, manifest-gated. */
+  def ledger(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    requireManifest(fs, root, path)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/rows")
   }
 
   /** The stored keeper slice (kept=true rows of the ledger). */
   def keepers(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/rows").filter(col("kept"))
+    ledger(spark, path).filter(col("kept"))
       .select("doc_id", "cell", "vec", "nrm")
 
   /** Assign a batch to the stored cells under the frozen trained
@@ -139,6 +240,8 @@ object SemanticDedup {
   private def assignToStored(
       spark: SparkSession, path: String,
       batch: DataFrame, id: String, vec: String): DataFrame = {
+    val (fs, root) = fsOf(spark, path)
+    requireManifest(fs, root, path)
     val cent = spark.read.parquet(s"$path/centroids")
       .select(col("cell").as("_cell"), col("qc").as("_qc"))
     Similarity.lloydAssignVectors(batch, id, vec, cent)
@@ -150,29 +253,29 @@ object SemanticDedup {
     * cell (kept or dropped — the full arrival history outranks every
     * new arrival), or any smaller-id batch document in its cell, sits
     * within `eps` cosine — the same upper-triangular rule as [[prune]]
-    * over the concatenated arrival order, so no recursion. Comparing
-    * against dropped rows too (they are already in the cell slice) is
-    * what makes redelivery CONVERGE after a crash mid-append: if a
-    * partial commit ledgered only some batch rows, the redelivered
-    * remainder still sees every committed row — including a kept=false
-    * one that would have shadowed it in-batch — and reaches the same
-    * verdict the uninterrupted run would have. Every fresh batch row
-    * appends to the ONE `rows` ledger with its kept verdict; freshness
-    * anti-joins the same file, so a fully-committed redelivery appends
-    * nothing. Cost is O(batch × cell-slice) — the stored side is
-    * semi-join-pruned to the batch's cells; stored×stored work never
-    * happens. */
+    * over the concatenated arrival order, so no recursion. The batch is
+    * written under `.staging/` and committed with ONE directory rename,
+    * so the append is ATOMIC: a crash before the rename leaves nothing
+    * visible and the redelivered batch recomputes every verdict exactly
+    * as the uninterrupted run would have, while a crash after it is a
+    * full commit the freshness anti-join then skips wholesale. (No
+    * partial-commit state can exist — in the earlier flat-append form a
+    * surviving kept=false fragment whose in-batch shadower was lost
+    * would gate the redelivered shadower and leave the whole near-dup
+    * family keeper-less.) Cost is O(batch × cell-slice) — the stored
+    * side is semi-join-pruned to the batch's cells; stored×stored work
+    * never happens. */
   def appendToKeeperIndex(
       spark: SparkSession, path: String,
       batch: DataFrame, id: String, vec: String,
       eps: Double = 0.4): Unit = {
-    val ledger = spark.read.parquet(s"$path/rows")
+    val led = ledger(spark, path)
     val fresh0 = batch.join(
-      ledger.select(col("doc_id").as(id)), Seq(id), "left_anti")
+      led.select(col("doc_id").as(id)), Seq(id), "left_anti")
     if (fresh0.isEmpty) return
     val asg = graft.core.CacheGovernor.persistTracked(
       assignToStored(spark, path, fresh0, id, vec))
-    val stored = ledger
+    val stored = led
       .join(asg.select("cell").distinct(), Seq("cell"), "left_semi")
     val dupVsStored = asg.join(stored, "cell")
       .filter(dot(col("_bv"), col("vec")) / (col("_bn") * col("nrm")) >= eps)
@@ -183,10 +286,17 @@ object SemanticDedup {
       .filter(col("e_id") < col("b_id"))
       .filter(dot(col("_bv"), col("_ev")) / (col("_bn") * col("_en")) >= eps)
       .select("b_id")
-    withKeptFlag(asg, dupVsStored.unionByName(dupInBatch), "b_id")
+    val verdicts = withKeptFlag(asg, dupVsStored.unionByName(dupInBatch), "b_id")
       .select(col("b_id").as("doc_id"), col("cell"),
         col("_bv").as("vec"), col("_bn").as("nrm"), col("kept"))
-      .write.mode("append").parquet(s"$path/rows")
+    val (fs, root) = fsOf(spark, path)
+    // clear any crashed-append leftovers (never visible to readers)
+    fs.delete(new Path(root, ".staging"), true)
+    val tmp = new Path(root, ".staging/append")
+    verdicts.write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(root, s"rows/b${nextBatchId(fs, root)}")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"could not commit append to $dst")
   }
 
   /** Compact an appended keeper index into a NEW versioned directory
@@ -195,20 +305,25 @@ object SemanticDedup {
     * small-file directories and the read path pays listing + many-scan
     * overhead, not data volume. Rewrites rows at a target rows-per-file
     * and the centroid table as one file; contents are copied verbatim,
-    * so keepers and verdicts are identical pre/post. Never compacts a
-    * live index onto itself. */
+    * so keepers and verdicts are identical pre/post, and the dest
+    * manifest is written LAST so a crashed compaction is rejected by
+    * every reader. Never compacts a live index onto itself — the guard
+    * compares fully-qualified normalized paths, so `dir/` or
+    * `dir/../dir` cannot slip past it. */
   def compactKeeperIndex(
       spark: SparkSession, path: String, dest: String,
       targetRowsPerFile: Long = 4000000L): Unit = {
-    require(path != dest,
+    val (fs, root) = fsOf(spark, path)
+    require(canonical(fs, path) != canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
-    val rows = spark.read.parquet(s"$path/rows")
+    val rows = ledger(spark, path)
     val n = rows.count()
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    rows.coalesce(files).write.mode("overwrite").parquet(s"$dest/rows")
+    rows.coalesce(files).write.mode("overwrite").parquet(s"$dest/rows/b0")
     spark.read.parquet(s"$path/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/centroids")
+    publishManifest(fs, new Path(dest))
   }
 
   /** Semantic duplicates of a NEW batch against the stored keepers

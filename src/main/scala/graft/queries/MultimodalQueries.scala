@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Multimodal
+import graft.operators.{HashIndex, Multimodal}
 
 /** Multimodal-column plumbing queries (harness north-star): binary
   * payloads + typed Dataset + mapPartitions batch extraction. Payloads
@@ -328,12 +328,12 @@ object MultimodalQueries {
     def batch(i: Int) = hashes.filter(pmod(col("media_id"), lit(3)) === i)
     val root = graft.core.CacheGovernor.durableDir(s"image_hash_index:$d") { dir =>
       val path = s"$dir/v1"
-      ImageDedup.writeHashIndex(batch(0), "media_id", "ahash", path)
-      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      HashIndex.writeHashIndex(batch(0), "media_id", "ahash", path)
+      HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
       // redelivered batch — the id anti-join must append nothing
-      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
     }
-    ImageDedup.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
+    HashIndex.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
       .select("new_id", "stored_id")
       .orderBy("new_id", "stored_id")
   }
@@ -436,12 +436,12 @@ object MultimodalQueries {
     def batch(i: Int) = hashes.filter(pmod(col("media_id"), lit(3)) === i)
     val root = graft.core.CacheGovernor.durableDir(s"audio_hash_index:$d") { dir =>
       val path = s"$dir/v1"
-      ImageDedup.writeHashIndex(batch(0), "media_id", "ahash", path)
-      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      HashIndex.writeHashIndex(batch(0), "media_id", "ahash", path)
+      HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
       // redelivered batch — the id anti-join must append nothing
-      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
     }
-    ImageDedup.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
+    HashIndex.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
       .select("new_id", "stored_id")
       .orderBy("new_id", "stored_id")
   }
@@ -570,12 +570,12 @@ object MultimodalQueries {
     def batch(i: Int) = hashes.filter(pmod(col("media_id"), lit(3)) === i)
     val root = graft.core.CacheGovernor.durableDir(s"video_hash_index:$d") { dir =>
       val path = s"$dir/v1"
-      ImageDedup.writeHashIndex(batch(0), "media_id", "ahash", path)
-      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      HashIndex.writeHashIndex(batch(0), "media_id", "ahash", path)
+      HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
       // redelivered batch — the id anti-join must append nothing
-      ImageDedup.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
     }
-    ImageDedup.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
+    HashIndex.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
       .select("new_id", "stored_id")
       .orderBy("new_id", "stored_id")
   }

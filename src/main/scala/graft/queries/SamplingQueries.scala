@@ -278,7 +278,15 @@ object SamplingQueries {
     * LSH pass; the final assembly cross-joins five broadcast one-row
     * aggregates. A train↔test pair in the corpus-wide J ≥ 0.9 relation
     * is exactly a bipartite-LSH hit between the split slices, so the
-    * counts are identical to the two-sided form. */
+    * banded counts equal the two-sided form. Against the oracle's
+    * EXHAUSTIVE all-pairs Jaccard audit, though, the identity is
+    * probabilistic, not exact (q_dedup_minhash's documented exposure):
+    * a true J ≥ 0.9 pair misses all b=16 bands of r=4 rows with
+    * probability (1 − J⁴)¹⁶ < 4e-8 — negligible here and at every
+    * certified scale, but nonzero, so at corpora orders of magnitude
+    * larger the banded near-leak counts can undercount the exhaustive
+    * audit by the same false-negative margin the MinHash tier itself
+    * carries. */
   private val splitLeakage = QuerySpec(
     "q_split_leakage_audit",
     s"""WITH rs AS (SELECT doc_id, text,

@@ -238,6 +238,38 @@ object StreamingOps {
     }
   }
 
+  /** Ingestion-time fold for the semantic-dedup keeper index (N105 at
+    * the N8/N39/N93 streaming tier): each micro-batch delta-appends to
+    * the [[graft.operators.SemanticDedup]] rows ledger under the FROZEN
+    * stored geometry (seed the index with
+    * [[graft.operators.SemanticDedup.writeKeeperIndex]] first).
+    * Exactly-once EFFECT comes from two independent layers: the
+    * `_batches` ledger makes a redelivered micro-batch a fast-path
+    * no-op, and the append itself is id-gated (freshness anti-join)
+    * AND atomic (staging + one rename), so even a crash BETWEEN the
+    * keeper append and the ledger write redelivers into a converged
+    * no-op — the redelivery-convergence law the round-15 self-review
+    * hardened, spec'd against a real foreachBatch stream in
+    * StreamingSpec. Single-writer, like every file-ledger fold here.
+    *
+    * @return the function to pass to `stream.writeStream.foreachBatch` */
+  def semanticIndexAppendBatch(
+      path: String, id: String, vec: String,
+      eps: Double = 0.4): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val ledgerPath = s"$path/_batches"
+    val applied =
+      try spark.read.parquet(ledgerPath)
+        .filter(col("batch_id") === batchId).head(1).nonEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!applied && !batch.isEmpty) {
+      graft.operators.SemanticDedup.appendToKeeperIndex(
+        spark, path, batch, id, vec, eps)
+      spark.range(1).select(lit(batchId).as("batch_id"))
+        .write.mode("append").parquet(ledgerPath)
+    }
+  }
+
   /** Streaming sketch fold for the histogram quantile sketch (N54):
     * each micro-batch writes ITS OWN bin counts (additive — the sketch
     * merges at read time via [[readHistogram]], so append never
@@ -449,7 +481,11 @@ object StreamingOps {
       spark: org.apache.spark.sql.SparkSession, path: String, dest: String,
       id: String, quota: Int): Unit = {
     require(path != dest, "compaction writes a NEW versioned directory")
-    readCuration(spark, path, id, quota).drop("keep_rank")
+    // drop the partition-inferred batch_id before writing INTO a
+    // batch_id= directory — leaving it in the data files makes every
+    // later read warn COLUMN_ALREADY_EXISTS (partition column vs data
+    // column collision)
+    readCuration(spark, path, id, quota).drop("keep_rank", "batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/docs/batch_id=0")
     spark.read.parquet(s"$path/_batches").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/_batches")
@@ -466,7 +502,7 @@ object StreamingOps {
   def compactCountMin(
       spark: org.apache.spark.sql.SparkSession, path: String, dest: String): Unit = {
     require(path != dest, "compaction writes a NEW versioned directory")
-    readCountMin(spark, path).coalesce(1)
+    readCountMin(spark, path).drop("batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/counters/batch_id=0")
     spark.read.parquet(s"$path/_batches").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/_batches")
@@ -477,7 +513,7 @@ object StreamingOps {
       spark: org.apache.spark.sql.SparkSession, path: String, dest: String,
       keys: Seq[String] = Nil): Unit = {
     require(path != dest, "compaction writes a NEW versioned directory")
-    readHistogram(spark, path, keys).coalesce(1)
+    readHistogram(spark, path, keys).drop("batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/bins/batch_id=0")
     spark.read.parquet(s"$path/_batches").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/_batches")

@@ -38,6 +38,17 @@ class SemanticDedupSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getBoolean(3),
           if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
 
+  test("auto-dialed nCells: default prune ≡ explicit ⌊√n⌋ cells") {
+    // base has 9 rows → the derived default k = ⌊√9⌋ = 3, exactly the
+    // explicit k every other test pins — the dial and the pin agree
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(SemanticDedup.autoCells(base) == 3)
+    assert(shape(SemanticDedup.prune(base, "doc_id", "embedding", eps = 0.95))
+      == shape(SemanticDedup.prune(base, "doc_id", "embedding", nCells = 3, eps = 0.95)))
+  }
+
   test("every document gets exactly one verdict row, pri contiguous per cell") {
     val out = prune(0.95)
     assert(out.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L))
@@ -80,7 +91,7 @@ class SemanticDedupSpec extends AnyFunSuite {
     // base has 2 planted dup pairs -> 9 - 2 keepers
     assert(keepers0 == 7)
     // the ledger retains dropped docs as their own seen-markers
-    assert(spark.read.parquet(s"$dir/rows").count() == 9)
+    assert(SemanticDedup.ledger(spark, dir).count() == 9)
 
     // batch: one near-copy of a stored keeper direction, one novel doc
     val batch = Seq(
@@ -101,7 +112,7 @@ class SemanticDedupSpec extends AnyFunSuite {
     SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
       eps = 0.999999)
     assert(SemanticDedup.keepers(spark, dir).count() == keepers1)
-    assert(spark.read.parquet(s"$dir/rows").count() == 11)
+    assert(SemanticDedup.ledger(spark, dir).count() == 11)
   }
 
   test("within-batch triu rule: earlier batch id shadows a later copy") {
@@ -144,12 +155,12 @@ class SemanticDedupSpec extends AnyFunSuite {
       "the compacted index must flag the probe against the same keeper")
   }
 
-  test("append gating sees DROPPED ledger rows (crash-convergence semantics)") {
+  test("append gating sees DROPPED ledger rows (arrival-order semantics)") {
     // chain a -- b -- c at eps = 0.9: cos(a,b) = cos(b,c) = cos(25 deg)
     // ~ 0.906 but cos(a,c) = cos(50 deg) ~ 0.64. b is dropped (shadowed
     // by keeper a); c is within eps ONLY of the dropped b, so a
     // keepers-only gate would wrongly keep c — the full-ledger gate
-    // (what makes redelivery converge after a partial commit) drops it.
+    // (the upper-triangular rule over the whole arrival order) drops it.
     def ang(d: Double) = vec(math.cos(math.toRadians(d)), math.sin(math.toRadians(d)), 0.0, 0.0)
     val dir = java.nio.file.Files.createTempDirectory("semidx4").toString
     SemanticDedup.writeKeeperIndex(
@@ -163,5 +174,68 @@ class SemanticDedupSpec extends AnyFunSuite {
       Seq((3L, ang(50))).toDF("doc_id", "embedding"), "doc_id", "embedding", eps = 0.9)
     assert(SemanticDedup.keepers(spark, dir).select("doc_id").as[Long].collect().toSet
       == Set(1L), "c is shadowed by the DROPPED b, not by any keeper")
+  }
+
+  test("crashed append is invisible: redelivery converges to the uninterrupted verdicts") {
+    // Simulate a crash mid-append: a fragment of the batch (only the
+    // LARGER-id copy — the kept=false row whose in-batch shadower was
+    // lost) sits under .staging because the commit rename never ran.
+    // Readers must not see it, and redelivering the full batch must
+    // reach the verdicts of the uninterrupted run: 400 kept, 401 dropped
+    // — never the keeper-less family the old flat-append could produce.
+    val dir = java.nio.file.Files.createTempDirectory("semidx5").toString
+    SemanticDedup.writeKeeperIndex(base, "doc_id", "embedding", dir,
+      nCells = 3, iters = 2, eps = 0.999999)
+    val before = SemanticDedup.ledger(spark, dir).count()
+    val fragment = Seq((401L, vec(0.5, -0.5, 0.7, 0.1), 0L, 1.0, false))
+      .toDF("doc_id", "vec", "cell", "nrm", "kept")
+    fragment.write.mode("overwrite").parquet(s"$dir/.staging/append")
+    assert(SemanticDedup.ledger(spark, dir).count() == before,
+      "staging content must be invisible to readers")
+    val batch = Seq(
+      (400L, vec(0.5, -0.5, 0.7, 0.1)), // novel direction
+      (401L, vec(0.5, -0.5, 0.7, 0.1))  // same-batch copy of 400
+    ).toDF("doc_id", "embedding")
+    SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding",
+      eps = 0.999999)
+    val kept = SemanticDedup.keepers(spark, dir)
+      .filter(col("doc_id") >= 400L).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(400L),
+      "redelivery after the simulated crash keeps exactly the in-batch winner")
+    assert(SemanticDedup.ledger(spark, dir).count() == before + 2)
+  }
+
+  test("a half-published index (no manifest) fails loudly everywhere") {
+    val dir = java.nio.file.Files.createTempDirectory("semidx6").toString
+    SemanticDedup.writeKeeperIndex(base, "doc_id", "embedding", dir,
+      nCells = 3, iters = 2, eps = 0.999999)
+    // simulate a crash between the centroid and rows jobs of a re-seed:
+    // the manifest is deleted first, so the window is manifest-less
+    new java.io.File(s"$dir/_manifest").delete()
+    val batch = Seq((500L, vec(1.0, 0.0, 0.0, 0.0))).toDF("doc_id", "embedding")
+    intercept[IllegalStateException] { SemanticDedup.keepers(spark, dir).count() }
+    intercept[IllegalStateException] {
+      SemanticDedup.appendToKeeperIndex(spark, dir, batch, "doc_id", "embedding")
+    }
+    intercept[IllegalStateException] {
+      SemanticDedup.dupsAgainstKeeperIndex(spark, dir, batch, "doc_id", "embedding").count()
+    }
+    intercept[IllegalStateException] {
+      SemanticDedup.compactKeeperIndex(spark, dir,
+        java.nio.file.Files.createTempDirectory("semidx6c").toString)
+    }
+  }
+
+  test("self-compaction guard compares canonical paths, not strings") {
+    val dir = java.nio.file.Files.createTempDirectory("semidx7").toString
+    SemanticDedup.writeKeeperIndex(base, "doc_id", "embedding", dir,
+      nCells = 3, iters = 2, eps = 0.999999)
+    val name = new java.io.File(dir).getName
+    intercept[IllegalArgumentException] {
+      SemanticDedup.compactKeeperIndex(spark, dir, dir + "/")
+    }
+    intercept[IllegalArgumentException] {
+      SemanticDedup.compactKeeperIndex(spark, dir, s"$dir/../$name")
+    }
   }
 }

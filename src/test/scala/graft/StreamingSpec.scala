@@ -325,6 +325,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming semantic keeper fold: streamed verdicts match the plant; redelivery no-op at BOTH layers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-semidx").toString
+    try {
+      def vec(xs: Double*) = xs.toSeq
+      val base = Seq(
+        (0L, vec(1.0, 0.0, 0.0, 0.0)),
+        (1L, vec(0.0, 1.0, 0.0, 0.0)),
+        (2L, vec(0.0, 0.0, 1.0, 0.0))).toDF("doc_id", "embedding")
+      graft.operators.SemanticDedup.writeKeeperIndex(
+        base, "doc_id", "embedding", dir, nCells = 1, iters = 1, eps = 0.95)
+      val fold = StreamingOps.semanticIndexAppendBatch(
+        dir, "doc_id", "embedding", eps = 0.95)
+      val in = MemoryStream[(Long, Seq[Double])](spark)
+      val df = in.toDF().toDF("doc_id", "embedding")
+      val q = df.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => fold(b.toDF(), id))
+        .start()
+      // batch 0: a copy of stored keeper 0 (drops) + a novel direction (keeps)
+      in.addData((10L, vec(1.0, 0.0, 0.0, 0.0)), (11L, vec(0.6, -0.8, 0.0, 0.0)))
+      q.processAllAvailable()
+      // batch 1: a copy of batch 0's keeper — shadowed by the ledgered history
+      in.addData((12L, vec(0.6, -0.8, 0.0, 0.0)))
+      q.processAllAvailable(); q.stop()
+      val kept = graft.operators.SemanticDedup.keepers(spark, dir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(0L, 1L, 2L, 11L),
+        s"streamed verdicts must match the plant, got $kept")
+      assert(graft.operators.SemanticDedup.ledger(spark, dir).count() == 6)
+      // layer 1 — the _batches fast path: an already-ledgered batch id
+      // is skipped wholesale, even with an unseen doc inside
+      fold(Seq((99L, vec(0.0, 0.6, -0.8, 0.0))).toDF("doc_id", "embedding"), 0L)
+      assert(graft.operators.SemanticDedup.ledger(spark, dir).count() == 6,
+        "redelivered batch id must be a fast-path no-op")
+      // layer 2 — the id-gated freshness anti-join: a NEW batch id
+      // carrying only already-ledgered docs appends nothing
+      fold(Seq((12L, vec(0.6, -0.8, 0.0, 0.0))).toDF("doc_id", "embedding"), 99L)
+      assert(graft.operators.SemanticDedup.ledger(spark, dir).count() == 6,
+        "already-ledgered docs under a fresh batch id must be a no-op")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("streaming curation fold: streamed quota view equals the batch pipeline; redelivery no-op; compaction identity") {
     import spark.implicits._
     val path = java.nio.file.Files
