@@ -14,7 +14,8 @@ object SparkEntry {
   /** All registered query specs, by module. */
   def specs: Seq[QuerySpec] =
     RelationalQueries.all ++ TimeSeriesQueries.all ++
-      TextVectorQueries.all ++ MultimodalQueries.all ++ DomainQueries.all ++
+      TextVectorQueries.all ++ SimilarityQueries.all ++
+      SemanticDedupQueries.all ++ MultimodalQueries.all ++ DomainQueries.all ++
       AdvancedQueries.all ++ SamplingQueries.all ++ WebQueries.all ++
       GopherQueries.all ++ PiiQueries.all ++ HtmlQueries.all ++
       ProbeQueries.all ++ EncodingQueries.all ++

@@ -627,60 +627,6 @@ object TextVectorQueries {
     Dedup.minHashPairsFrom(s, s"$root/v2").orderBy("a_id", "b_id")
   }
 
-  /** The IVF index's delta-append read path under the driver's hash
-    * gate (the companion of q_st_minhash_ledger on the ANN side):
-    * batch 0 of the embeddings seeds a [[Similarity.writeIvfIndexSeeded]]
-    * index (hash-seeded cells — the fully SQL-reproducible geometry),
-    * batches 1 and 2 delta-append against the IMMUTABLE stored
-    * centroids, batch 1 redelivers (id anti-join no-op), and the
-    * search over the appended index must hash-match the oracle's
-    * from-scratch replay of the same geometry over the whole corpus —
-    * certifying that append ≡ rebuild for the inverted file. */
-  private val stIvfLedger = QuerySpec(
-    "q_st_ivf_ledger",
-    """WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
-      |cent AS (SELECT c_id AS cell, cv AS cellv FROM c WHERE c_id % 3 = 0
-      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
-      |asg AS (SELECT c_id, cell FROM (
-      |          SELECT c.c_id, cent.cell,
-      |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
-      |                   list_dot_product(c.cv, cent.cellv)
-      |                     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
-      |                   cent.cell ASC) AS rn
-      |          FROM c CROSS JOIN cent) t WHERE rn = 1),
-      |probes AS (SELECT q_id, cell FROM (
-      |            SELECT q.q_id, cent.cell,
-      |                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-      |                     list_dot_product(q.qv, cent.cellv)
-      |                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
-      |                     cent.cell ASC) AS pr
-      |            FROM q CROSS JOIN cent) t WHERE pr <= 4),
-      |scored AS (SELECT p.q_id, a.c_id,
-      |             list_dot_product(q.qv, c.cv)
-      |               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-      |           FROM probes p JOIN asg a ON a.cell = p.cell
-      |                JOIN q ON q.q_id = p.q_id JOIN c ON c.c_id = a.c_id)
-      |SELECT q_id, c_id, rnk, cos FROM (
-      |  SELECT q_id, c_id, cos,
-      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
-      |  FROM scored) t
-      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
-    // durable build-once index, same contract as q_st_minhash_ledger
-    val root = graft.core.CacheGovernor.durableDir(s"ivf_ledger:$d") { dir =>
-      val path = s"$dir/v1"
-      Similarity.writeIvfIndexSeeded(slice(0), "vec_id", "embedding", path)
-      Similarity.appendToIvfIndex(s, path, slice(1), "vec_id", "embedding")
-      Similarity.appendToIvfIndex(s, path, slice(2), "vec_id", "embedding")
-      Similarity.appendToIvfIndex(s, path, slice(1), "vec_id", "embedding")
-    }
-    Similarity.ivfTopKFrom(s, s"$root/v1", emb.filter(col("vec_id") < 100),
-      "vec_id", "embedding", k = 5, nProbe = 4)
-      .orderBy("q_id", "rnk")
-  }
-
   private val dedupNgram = QuerySpec(
     "q_dedup_ngram_jaccard",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -734,498 +680,6 @@ object TextVectorQueries {
       .orderBy("a_id", "b_id")
   }
 
-  private val dedupEmbedding = QuerySpec(
-    "q_dedup_embedding",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-      |       list_dot_product(a.v, b.v)
-      |         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.v, b.v)
-      |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
-      .orderBy("a_id", "b_id")
-  }
-
-  /** SemDeDup ([[graft.operators.SemanticDedup.prune]]): exact-replay
-    * Lloyd clustering (the q_sim_ivf_lloyd geometry — hash-seeded
-    * init, two integer assign/floor-mean rounds, empty-cell carryover)
-    * followed by the paper's within-cluster prune: priority =
-    * distance-to-final-centroid DESC (ties by id), a document is a
-    * duplicate iff ANY higher-priority cluster member sits within eps
-    * cosine (upper-triangular rule — no transitive closure). The
-    * oracle unrolls the full geometry and replays priority + prune —
-    * the ENTIRE semantic-dedup decision, clustering included,
-    * hash-certifies: id, cell, in-cell priority, verdict and the
-    * shadowing keeper all match bit-for-bit. nCells is AUTO-DIALED
-    * from the corpus count (k = ⌊√n⌋ — the fixed-budget optimum; the
-    * paper's own dial is nCells ∝ corpus), and the oracle derives the
-    * same k from COUNT(*), so the dial itself is inside the hash
-    * gate. */
-  private val dedupSemantic = QuerySpec(
-    "q_dedup_semantic",
-    """WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      |nk AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k FROM c),
-      |cq AS (SELECT c_id, cv,
-      |         list_transform(cv, x -> CAST(floor((x / sqrt(list_dot_product(cv, cv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-      |       FROM c),
-      |cqq AS (SELECT c_id, cv, qx,
-      |          list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cq),
-      |cent0 AS (SELECT cell, qc FROM (
-      |            SELECT CAST(ROW_NUMBER() OVER (
-      |              ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
-      |              qx AS qc
-      |            FROM cq) z
-      |          WHERE cell < (SELECT k FROM nk)),
-      |asg1 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent0 ct) z WHERE rn = 1),
-      |m1 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg1 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u1 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m1 GROUP BY cell),
-      |cent1 AS (SELECT c0.cell, COALESCE(u1.qc, c0.qc) AS qc
-      |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.cell),
-      |asg2 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent1 ct) z WHERE rn = 1),
-      |m2 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg2 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m2 GROUP BY cell),
-      |cent2 AS (SELECT c1.cell, COALESCE(u2.qc, c1.qc) AS qc
-      |          FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.cell),
-      |asgf AS (SELECT c_id, cell, dist FROM (
-      |  SELECT t.c_id, ct.cell,
-      |         t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |           - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]) AS dist,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent2 ct) z WHERE rn = 1),
-      |pri AS (SELECT a.c_id, a.cell, c.cv,
-      |          CAST(ROW_NUMBER() OVER (PARTITION BY a.cell
-      |            ORDER BY a.dist DESC, a.c_id) AS BIGINT) AS pri
-      |        FROM asgf a JOIN c ON c.c_id = a.c_id),
-      |dup AS (SELECT b.c_id, min_by(a.c_id, a.pri) AS dup_of
-      |        FROM pri b JOIN pri a ON a.cell = b.cell AND a.pri < b.pri
-      |        WHERE list_dot_product(a.cv, b.cv)
-      |                / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) >= 0.4
-      |        GROUP BY b.c_id)
-      |SELECT p.c_id AS id, p.cell, p.pri,
-      |       d.dup_of IS NOT NULL AS is_dup, d.dup_of
-      |FROM pri p LEFT JOIN dup d ON d.c_id = p.c_id
-      |ORDER BY id""".stripMargin) { (s, d) =>
-    graft.operators.SemanticDedup.prune(
-      Tables.embeddings(s, d), "vec_id", "embedding",
-      iters = 2, eps = 0.4) // nCells auto-dialed: ⌊√n⌋ (the paper's ∝-corpus dial)
-  }
-
-  /** Incremental semantic-dedup keeper index
-    * ([[graft.operators.SemanticDedup]] at the N33/N39 ledger tier):
-    * build the index from the vec_id%3=0 base (trained Lloyd geometry
-    * frozen + the full verdict ledger), delta-append the %3=1 batch
-    * under that frozen geometry (the ENTIRE ledgered history outranks;
-    * in-batch by id — the upper-triangular rule over the concatenated
-    * arrival order), redeliver the batch (the rows ledger must append
-    * nothing), COMPACT the appended index into a new versioned dir
-    * (the q_st_minhash_ledger discipline — compaction itself sits
-    * inside the hash gate), then score the %3=2 batch BIPARTITE
-    * against the compacted index's keepers. The oracle replays the
-    * whole ledger history — geometry, base prune, append verdicts,
-    * final bipartite scores — so every stored decision AND the
-    * compaction copy hash-certify. */
-  private val dedupSemanticIndex = QuerySpec(
-    "q_dedup_semantic_index",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |b0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 3 = 0),
-      |nk AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k FROM b0),
-      |cq AS (SELECT c_id, cv,
-      |         list_transform(cv, x -> CAST(floor((x / sqrt(list_dot_product(cv, cv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-      |       FROM b0),
-      |cqq AS (SELECT c_id, cv, qx,
-      |          list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cq),
-      |cent0 AS (SELECT cell, qc FROM (
-      |            SELECT CAST(ROW_NUMBER() OVER (
-      |              ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
-      |              qx AS qc
-      |            FROM cq) z
-      |          WHERE cell < (SELECT k FROM nk)),
-      |asg1 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent0 ct) z WHERE rn = 1),
-      |m1 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg1 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u1 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m1 GROUP BY cell),
-      |cent1 AS (SELECT c0.cell, COALESCE(u1.qc, c0.qc) AS qc
-      |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.cell),
-      |asg2 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent1 ct) z WHERE rn = 1),
-      |m2 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg2 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m2 GROUP BY cell),
-      |cent2 AS (SELECT c1.cell, COALESCE(u2.qc, c1.qc) AS qc
-      |          FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.cell),
-      |asgf AS (SELECT c_id, cell, dist FROM (
-      |  SELECT t.c_id, ct.cell,
-      |         t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |           - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]) AS dist,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent2 ct) z WHERE rn = 1),
-      |pri AS (SELECT a.c_id, a.cell, b0.cv,
-      |          ROW_NUMBER() OVER (PARTITION BY a.cell
-      |            ORDER BY a.dist DESC, a.c_id) AS pri
-      |        FROM asgf a JOIN b0 ON b0.c_id = a.c_id),
-      |dup0 AS (SELECT DISTINCT b.c_id
-      |         FROM pri b JOIN pri a ON a.cell = b.cell AND a.pri < b.pri
-      |         WHERE list_dot_product(a.cv, b.cv)
-      |                 / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) >= 0.4),
-      |k0 AS (SELECT p.c_id AS doc_id, p.cell, p.cv AS kv FROM pri p
-      |       WHERE p.c_id NOT IN (SELECT c_id FROM dup0)),
-      |b1 AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 3 = 1),
-      |b1q AS (SELECT b_id, bv,
-      |          list_transform(bv, x -> CAST(floor((x / sqrt(list_dot_product(bv, bv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-      |        FROM b1),
-      |b1qq AS (SELECT b_id, bv, qx,
-      |           list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM b1q),
-      |b1a AS (SELECT b_id, bv, cell FROM (
-      |  SELECT t.b_id, t.bv, ct.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY t.b_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM b1qq t CROSS JOIN cent2 ct) z WHERE rn = 1),
-      |b1dups AS (SELECT DISTINCT n.b_id FROM b1a n JOIN pri k ON k.cell = n.cell
-      |           WHERE list_dot_product(n.bv, k.cv)
-      |                   / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.cv, k.cv))) >= 0.4),
-      |b1dupb AS (SELECT DISTINCT n.b_id FROM b1a n JOIN b1a p ON p.cell = n.cell AND p.b_id < n.b_id
-      |           WHERE list_dot_product(n.bv, p.bv)
-      |                   / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(p.bv, p.bv))) >= 0.4),
-      |k1 AS (SELECT b_id AS doc_id, cell, bv AS kv FROM b1a
-      |       WHERE b_id NOT IN (SELECT b_id FROM b1dups)
-      |         AND b_id NOT IN (SELECT b_id FROM b1dupb)),
-      |keepers AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1),
-      |b2 AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE vec_id % 3 = 2),
-      |b2q AS (SELECT b_id, bv,
-      |          list_transform(bv, x -> CAST(floor((x / sqrt(list_dot_product(bv, bv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-      |        FROM b2),
-      |b2qq AS (SELECT b_id, bv, qx,
-      |           list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM b2q),
-      |b2a AS (SELECT b_id, bv, cell FROM (
-      |  SELECT t.b_id, t.bv, ct.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY t.b_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM b2qq t CROSS JOIN cent2 ct) z WHERE rn = 1)
-      |SELECT n.b_id AS new_id, k.doc_id AS keeper_id, n.cell,
-      |       list_dot_product(n.bv, k.kv)
-      |         / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.kv, k.kv))) AS cos
-      |FROM b2a n JOIN keepers k ON k.cell = n.cell
-      |WHERE list_dot_product(n.bv, k.kv)
-      |        / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.kv, k.kv))) >= 0.4
-      |ORDER BY new_id, keeper_id""".stripMargin) { (s, d) =>
-    import graft.operators.SemanticDedup
-    val emb = Tables.embeddings(s, d)
-    def batch(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
-    val root = graft.core.CacheGovernor.durableDir(s"semantic_keeper_index:$d") { dir =>
-      val path = s"$dir/v1"
-      // nCells auto-dialed from the SEED corpus: ⌊√|b0|⌋
-      SemanticDedup.writeKeeperIndex(batch(0), "vec_id", "embedding", path,
-        iters = 2, eps = 0.4)
-      SemanticDedup.appendToKeeperIndex(s, path, batch(1), "vec_id", "embedding", eps = 0.4)
-      // redelivered batch — the rows ledger must append nothing
-      SemanticDedup.appendToKeeperIndex(s, path, batch(1), "vec_id", "embedding", eps = 0.4)
-      // compaction must be a verbatim copy — scoring reads v2
-      SemanticDedup.compactKeeperIndex(s, path, s"$dir/v2")
-    }
-    SemanticDedup.dupsAgainstKeeperIndex(
-      s, s"$root/v2", batch(2), "vec_id", "embedding", eps = 0.4)
-      .orderBy("new_id", "keeper_id")
-  }
-
-  /** One replayed append round of the streaming semantic keeper
-    * ledger: batch `i` (rows matching `pred`) assigns under the frozen
-    * cent2 geometry, is gated against ALL prior ledgered rows of its
-    * cells (kept or dropped — `priorLedger`) plus smaller-id in-batch
-    * rows, and extends the ledger. Emits the b{i}* CTEs, the verdict
-    * CTE k{i} and the cumulative ledger led{i}. */
-  private def semanticAppendSql(i: Int, pred: String, priorLedger: String): String =
-    s"""b$i AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE $pred),
-       |b${i}q AS (SELECT b_id, bv,
-       |    list_transform(bv, x -> CAST(floor((x / sqrt(list_dot_product(bv, bv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-       |  FROM b$i),
-       |b${i}qq AS (SELECT b_id, bv, qx, list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM b${i}q),
-       |b${i}a AS (SELECT b_id, bv, cell FROM (
-       |  SELECT t.b_id, t.bv, ct.cell,
-       |         ROW_NUMBER() OVER (PARTITION BY t.b_id ORDER BY
-       |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-       |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-       |  FROM b${i}qq t CROSS JOIN cent2 ct) z WHERE rn = 1),
-       |b${i}ds AS (SELECT DISTINCT n.b_id FROM b${i}a n JOIN $priorLedger k ON k.cell = n.cell
-       |    WHERE list_dot_product(n.bv, k.kv)
-       |            / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(k.kv, k.kv))) >= 0.4),
-       |b${i}db AS (SELECT DISTINCT n.b_id FROM b${i}a n JOIN b${i}a p ON p.cell = n.cell AND p.b_id < n.b_id
-       |    WHERE list_dot_product(n.bv, p.bv)
-       |            / (sqrt(list_dot_product(n.bv, n.bv)) * sqrt(list_dot_product(p.bv, p.bv))) >= 0.4),
-       |k$i AS (SELECT b_id AS doc_id, cell, bv AS kv,
-       |          b_id NOT IN (SELECT b_id FROM b${i}ds)
-       |            AND b_id NOT IN (SELECT b_id FROM b${i}db) AS kept
-       |        FROM b${i}a),
-       |led$i AS (SELECT doc_id, cell, kv FROM $priorLedger
-       |          UNION ALL SELECT doc_id, cell, kv FROM k$i)""".stripMargin
-
-  /** The STREAMING form of the semantic keeper index (N105 under the
-    * N8/N39/N93 ingestion-ledger discipline): the %4=0 embeddings
-    * slice seeds the index (frozen auto-dialed Lloyd geometry + base
-    * verdicts), micro-batches %4=1,2,3 flow through
-    * [[graft.streaming.StreamingOps.semanticIndexAppendBatch]] (the
-    * foreachBatch fold), batch 2 REDELIVERS (the `_batches` ledger
-    * makes it a fast-path no-op — and the append is atomic + id-gated
-    * underneath, the belt under the braces), and the query reads the
-    * FULL verdict ledger. The oracle replays the entire ingestion
-    * history — geometry, base prune, every batch's stored-outranks +
-    * in-batch-triu gating — so every verdict the stream ever wrote
-    * hash-certifies. */
-  private val stSemanticLedger = QuerySpec(
-    "q_st_semantic_ledger",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |b0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 4 = 0),
-      |nk AS (SELECT GREATEST(1, CAST(floor(sqrt(COUNT(*))) AS BIGINT)) AS k FROM b0),
-      |cq AS (SELECT c_id, cv,
-      |         list_transform(cv, x -> CAST(floor((x / sqrt(list_dot_product(cv, cv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-      |       FROM b0),
-      |cqq AS (SELECT c_id, cv, qx,
-      |          list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cq),
-      |cent0 AS (SELECT cell, qc FROM (
-      |            SELECT CAST(ROW_NUMBER() OVER (
-      |              ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
-      |              qx AS qc
-      |            FROM cq) z
-      |          WHERE cell < (SELECT k FROM nk)),
-      |asg1 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent0 ct) z WHERE rn = 1),
-      |m1 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg1 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u1 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m1 GROUP BY cell),
-      |cent1 AS (SELECT c0.cell, COALESCE(u1.qc, c0.qc) AS qc
-      |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.cell),
-      |asg2 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent1 ct) z WHERE rn = 1),
-      |m2 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg2 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m2 GROUP BY cell),
-      |cent2 AS (SELECT c1.cell, COALESCE(u2.qc, c1.qc) AS qc
-      |          FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.cell),
-      |asgf AS (SELECT c_id, cell, dist FROM (
-      |  SELECT t.c_id, ct.cell,
-      |         t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |           - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]) AS dist,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent2 ct) z WHERE rn = 1),
-      |pri AS (SELECT a.c_id, a.cell, b0.cv,
-      |          ROW_NUMBER() OVER (PARTITION BY a.cell
-      |            ORDER BY a.dist DESC, a.c_id) AS pri
-      |        FROM asgf a JOIN b0 ON b0.c_id = a.c_id),
-      |dup0 AS (SELECT DISTINCT b.c_id
-      |         FROM pri b JOIN pri a ON a.cell = b.cell AND a.pri < b.pri
-      |         WHERE list_dot_product(a.cv, b.cv)
-      |                 / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv))) >= 0.4),
-      |k0 AS (SELECT p.c_id AS doc_id, p.cell, p.cv AS kv,
-      |         p.c_id NOT IN (SELECT c_id FROM dup0) AS kept FROM pri p),
-      |led0 AS (SELECT doc_id, cell, kv FROM k0),
-      |${semanticAppendSql(1, "vec_id % 4 = 1", "led0")},
-      |${semanticAppendSql(2, "vec_id % 4 = 2", "led1")},
-      |${semanticAppendSql(3, "vec_id % 4 = 3", "led2")}
-      |SELECT doc_id, cell, kept FROM (
-      |  SELECT doc_id, cell, kept FROM k0
-      |  UNION ALL SELECT doc_id, cell, kept FROM k1
-      |  UNION ALL SELECT doc_id, cell, kept FROM k2
-      |  UNION ALL SELECT doc_id, cell, kept FROM k3) t
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    import graft.operators.SemanticDedup
-    import graft.streaming.StreamingOps
-    val emb = Tables.embeddings(s, d)
-    def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(4)) === i)
-    // durable build-once store, the q_st_minhash_ledger contract
-    val root = graft.core.CacheGovernor.durableDir(s"semantic_st_ledger:$d") { dir =>
-      val path = s"$dir/v1"
-      SemanticDedup.writeKeeperIndex(slice(0), "vec_id", "embedding", path,
-        iters = 2, eps = 0.4) // nCells auto-dialed from the seed slice
-      val fold = StreamingOps.semanticIndexAppendBatch(
-        path, "vec_id", "embedding", eps = 0.4)
-      fold(slice(1), 1L)
-      fold(slice(2), 2L)
-      fold(slice(2), 2L) // redelivered micro-batch — _batches fast-path no-op
-      fold(slice(3), 3L)
-    }
-    SemanticDedup.ledger(s, s"$root/v1")
-      .select(col("doc_id"), col("cell"), col("kept"))
-      .orderBy("doc_id")
-  }
-
-  /** Semantic decontamination: corpus vectors whose cosine against any
-    * benchmark vector (the vec_id % 20 = 0 slice) clears the near-dup
-    * threshold — the embedding-modality analogue of
-    * q_contamination_fuzzy. Spark runs the bipartite block grid (no
-    * corpus×corpus work); the oracle brute-forces the cross side. */
-  private val dedupEmbeddingCross = QuerySpec(
-    "q_dedup_embedding_cross",
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |c AS (SELECT * FROM e WHERE vec_id % 20 <> 0),
-      |b AS (SELECT * FROM e WHERE vec_id % 20 = 0)
-      |SELECT c.vec_id AS a_id, b.vec_id AS b_id,
-      |       list_dot_product(c.v, b.v)
-      |         / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-      |FROM c JOIN b ON true
-      |WHERE list_dot_product(c.v, b.v)
-      |        / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-      |ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    Similarity.nearDupPairsBetween(
-      emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
-      emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
-      threshold = 0.4)
-      .orderBy("a_id", "b_id")
-  }
-
-  /** Semantic-dedup centroids: embedding near-dup pairs closed into
-    * clusters (distributed components), element-wise mean per cluster.
-    * The mean is a SEGMENTED order-pinned fold on both sides (chunk by
-    * vec_id div 4096, fold each chunk in vec-id order, fold chunk sums
-    * in chunk order — Similarity.centroidsOf), so the doubles
-    * hash-match bit-for-bit while no single Spark in-row array grows
-    * with cluster size. */
-  private val embedCentroids = QuerySpec(
-    "q_embed_centroids",
-    """WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      |p AS (
-      |  SELECT a.vec_id AS u, b.vec_id AS w FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-      |  WHERE list_dot_product(a.vec, b.vec)
-      |          / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4),
-      |ed AS (SELECT u, w FROM p UNION SELECT w, u FROM p),
-      |walk(node, comp) AS (
-      |  SELECT u, u FROM ed
-      |  UNION
-      |  SELECT ed.u, walk.comp FROM ed JOIN walk ON ed.w = walk.node),
-      |lab AS (SELECT node, MIN(comp) AS cluster_rep FROM walk GROUP BY node),
-      |d AS (SELECT l.cluster_rep, g.i AS dim, e0.vec[g.i] AS x, e0.vec_id
-      |      FROM lab l JOIN e0 ON e0.vec_id = l.node
-      |      CROSS JOIN generate_series(1, 64) g(i)),
-      |sg AS (SELECT cluster_rep, dim, vec_id // 4096 AS seg,
-      |         list_sum(list(x ORDER BY vec_id)) AS seg_sum, COUNT(*) AS n
-      |       FROM d GROUP BY cluster_rep, dim, seg)
-      |SELECT cluster_rep, CAST(dim AS BIGINT) AS dim,
-      |       list_sum(list(seg_sum ORDER BY seg)) / CAST(SUM(n) AS BIGINT) AS centroid,
-      |       CAST(SUM(n) AS BIGINT) AS n_members
-      |FROM sg GROUP BY cluster_rep, dim ORDER BY cluster_rep, dim""".stripMargin) { (s, d) =>
-    Similarity.nearDupCentroids(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
-      .orderBy("cluster_rep", "dim")
-  }
-
-  /** Banded hyperplane-LSH approximate embedding near-dup — the true
-    * 100 TB path next to the exact block-bucketed q_dedup_embedding.
-    * Approximate vs the EXACT pair set (recall asserted in
-    * SimilaritySpec) but fully deterministic given the portable md5-60
-    * plane family (Similarity.hyperplanes), so the oracle recomputes
-    * the 8×4 band signatures weight-for-weight and reproduces the exact
-    * candidate set: a real hash oracle on an "approximate" operator. */
-  private val dedupEmbeddingLsh = QuerySpec(
-    "q_dedup_embedding_lsh",
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |planes AS (
-      |  SELECT p.p,
-      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
-      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
-      |  FROM generate_series(0, 31) p(p), generate_series(0, 63) d(d)
-      |  GROUP BY p.p),
-      |sig AS (SELECT e.vec_id, pl.p // 4 AS band,
-      |          SUM(CASE WHEN list_dot_product(e.v, pl.pw) >= 0
-      |                   THEN (1::BIGINT << (3 - (pl.p % 4))) ELSE 0 END) AS bucket
-      |        FROM e, planes pl GROUP BY e.vec_id, pl.p // 4),
-      |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-      |         FROM sig a JOIN sig b
-      |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      |SELECT a_id, b_id, cos FROM (
-      |  SELECT cand.a_id, cand.b_id,
-      |         list_dot_product(ea.v, eb.v)
-      |           / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
-      |  FROM cand JOIN e ea ON ea.vec_id = cand.a_id
-      |            JOIN e eb ON eb.vec_id = cand.b_id) t
-      |WHERE cos >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, d) =>
-    Similarity.nearDupPairsBanded(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
-      .orderBy("a_id", "b_id")
-  }
-
-  /** Banded-LSH semantic-dedup centroids — the 100 TB path for
-    * q_embed_centroids: candidates from the (band, bucket) equi-join,
-    * never a pairwise grid. The portable plane family makes the banded
-    * candidate set exactly reproducible, so the oracle recomputes
-    * signatures → verified pairs → transitive closure (recursive walk)
-    * → the same segmented order-pinned centroid fold as the exact
-    * variant's oracle. */
-  private val embedCentroidsBanded = QuerySpec(
-    "q_embed_centroids_banded",
-    s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      |planes AS (
-      |  SELECT p.p,
-      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
-      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
-      |  FROM generate_series(0, 31) p(p), generate_series(0, 63) d(d)
-      |  GROUP BY p.p),
-      |sig AS (SELECT e0.vec_id, pl.p // 4 AS band,
-      |          SUM(CASE WHEN list_dot_product(e0.vec, pl.pw) >= 0
-      |                   THEN (1::BIGINT << (3 - (pl.p % 4))) ELSE 0 END) AS bucket
-      |        FROM e0, planes pl GROUP BY e0.vec_id, pl.p // 4),
-      |cand AS (SELECT DISTINCT a.vec_id AS ci, b.vec_id AS cj
-      |         FROM sig a JOIN sig b
-      |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-      |p AS (SELECT cand.ci AS u, cand.cj AS w FROM cand
-      |      JOIN e0 a ON a.vec_id = cand.ci JOIN e0 b ON b.vec_id = cand.cj
-      |      WHERE list_dot_product(a.vec, b.vec)
-      |              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4),
-      |ed AS (SELECT u, w FROM p UNION SELECT w, u FROM p),
-      |walk(node, comp) AS (
-      |  SELECT u, u FROM ed
-      |  UNION
-      |  SELECT ed.u, walk.comp FROM ed JOIN walk ON ed.w = walk.node),
-      |lab AS (SELECT node, MIN(comp) AS cluster_rep FROM walk GROUP BY node),
-      |d AS (SELECT l.cluster_rep, g.i AS dim, e0.vec[g.i] AS x, e0.vec_id
-      |      FROM lab l JOIN e0 ON e0.vec_id = l.node
-      |      CROSS JOIN generate_series(1, 64) g(i)),
-      |sg AS (SELECT cluster_rep, dim, vec_id // 4096 AS seg,
-      |         list_sum(list(x ORDER BY vec_id)) AS seg_sum, COUNT(*) AS n
-      |       FROM d GROUP BY cluster_rep, dim, seg)
-      |SELECT cluster_rep, CAST(dim AS BIGINT) AS dim,
-      |       list_sum(list(seg_sum ORDER BY seg)) / CAST(SUM(n) AS BIGINT) AS centroid,
-      |       CAST(SUM(n) AS BIGINT) AS n_members
-      |FROM sg GROUP BY cluster_rep, dim ORDER BY cluster_rep, dim""".stripMargin) { (s, d) =>
-    Similarity.nearDupCentroidsBanded(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
-      .orderBy("cluster_rep", "dim")
-  }
-
   /** The north-star composite: a full corpus-cleaning pass — quality
     * filter → exact near-dup removal (keep lowest doc_id per token-set
     * fingerprint) → per-language corpus stats. One declarative plan:
@@ -1267,118 +721,6 @@ object TextVectorQueries {
   }
 
   // ---- similarity search (J8/X1) --------------------------------------
-
-  private val simTopk = QuerySpec(
-    "q_x1_sim_topk",
-    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
-      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings)
-      |SELECT q_id, c_id, rnk, cos FROM (
-      |  SELECT q_id, c_id,
-      |         list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos,
-      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-      |           ORDER BY list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS BIGINT) AS rnk
-      |  FROM q CROSS JOIN c) t
-      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    Similarity.bruteForceTopK(
-      emb.filter(col("vec_id") < 100), emb,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5)
-      .orderBy("q_id", "rnk")
-  }
-
-  /** LSH-bucketed ANN — the 100 TB path. Approximate vs brute force
-    * (recall asserted in SimilaritySpec) but exactly reproducible: the
-    * oracle mirrors planesFor's integer ⌈log₂⌉ (smallest p in [4,20]
-    * with 2^p ≥ ⌈rows/8192⌉), recomputes the md5-60 planes, the sign
-    * buckets, the Hamming-1 multi-probe set, and the per-query rank —
-    * a full hash oracle on the ANN path. */
-  private val simLsh = QuerySpec(
-    "q_sim_lsh_topk",
-    s"""WITH np AS (
-      |  SELECT COALESCE((SELECT MIN(t.p) FROM generate_series(4, 20) t(p)
-      |                   WHERE (1::BIGINT << t.p) >= ((SELECT COUNT(*) FROM embeddings) + 8191) // 8192),
-      |                  20) AS n),
-      |planes AS (
-      |  SELECT p.p,
-      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
-      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
-      |  FROM generate_series(0, 19) p(p), generate_series(0, 63) d(d)
-      |  GROUP BY p.p),
-      |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
-      |cb AS (SELECT c.c_id,
-      |         SUM(CASE WHEN list_dot_product(c.cv, pl.pw) >= 0
-      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
-      |       FROM c, planes pl, np WHERE pl.p < np.n GROUP BY c.c_id),
-      |qb AS (SELECT q.q_id,
-      |         SUM(CASE WHEN list_dot_product(q.qv, pl.pw) >= 0
-      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
-      |       FROM q, planes pl, np WHERE pl.p < np.n GROUP BY q.q_id),
-      |qp AS (SELECT q_id, bucket FROM qb
-      |       UNION
-      |       SELECT qb.q_id, xor(qb.bucket, 1::BIGINT << t.p) AS bucket
-      |       FROM qb, generate_series(0, 19) t(p), np WHERE t.p < np.n),
-      |cand AS (SELECT DISTINCT qp.q_id, cb.c_id
-      |         FROM qp JOIN cb ON qp.bucket = cb.bucket),
-      |scored AS (SELECT cand.q_id, cand.c_id,
-      |             list_dot_product(q.qv, c.cv)
-      |               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-      |           FROM cand JOIN q ON q.q_id = cand.q_id JOIN c ON c.c_id = cand.c_id)
-      |SELECT q_id, c_id, rnk, cos FROM (
-      |  SELECT q_id, c_id, cos,
-      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
-      |  FROM scored) t
-      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    Similarity.lshTopK(
-      emb.filter(col("vec_id") < 100), emb,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5)
-      .orderBy("q_id", "rnk")
-  }
-
-  /** IVF ANN — second approximate scale path. The hash-seeded variant
-    * is fully deterministic: cells are the 16 corpus vectors with
-    * smallest portable md5-60 id hash, assignment is argmax-cosine with
-    * min-cell tiebreak, probes are each query's 4 best cells — all
-    * recomputable in ANSI SQL, so this "approximate" ANN query carries
-    * an exact hash oracle (recall vs brute force stays asserted in
-    * SimilaritySpec). */
-  private val simIvf = QuerySpec(
-    "q_sim_ivf_topk",
-    s"""WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
-      |cent AS (SELECT c_id AS cell, cv AS cellv FROM c
-      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
-      |asg AS (SELECT c_id, cell FROM (
-      |          SELECT c.c_id, cent.cell,
-      |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
-      |                   list_dot_product(c.cv, cent.cellv)
-      |                     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
-      |                   cent.cell ASC) AS rn
-      |          FROM c CROSS JOIN cent) t WHERE rn = 1),
-      |probes AS (SELECT q_id, cell FROM (
-      |            SELECT q.q_id, cent.cell,
-      |                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-      |                     list_dot_product(q.qv, cent.cellv)
-      |                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
-      |                     cent.cell ASC) AS pr
-      |            FROM q CROSS JOIN cent) t WHERE pr <= 4),
-      |scored AS (SELECT p.q_id, a.c_id,
-      |             list_dot_product(q.qv, c.cv)
-      |               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-      |           FROM probes p JOIN asg a ON a.cell = p.cell
-      |                JOIN q ON q.q_id = p.q_id JOIN c ON c.c_id = a.c_id)
-      |SELECT q_id, c_id, rnk, cos FROM (
-      |  SELECT q_id, c_id, cos,
-      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
-      |  FROM scored) t
-      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopK(
-      emb.filter(col("vec_id") < 100), emb,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
-      .orderBy("q_id", "rnk")
-  }
 
   /** Bigram-LM perplexity quality scoring (operators.NgramLm): each
     * doc's cross-entropy under the corpus's own add-k bigram model —
@@ -1544,480 +886,6 @@ object TextVectorQueries {
       .orderBy("doc_id")
   }
 
-  /** IVF ANN with TRAINED (seeded-KMeans) centroids — same search shape
-    * as q_sim_ivf_topk but the cells track the corpus cluster structure.
-    * Iterative ML has no value-level hash oracle, so this carries the
-    * in-band-invariant shape (the q_a6_approx_distinct trick): the one
-    * cross-engine number is the query count (DuckDB recounts
-    * vec_id < 100), and the booleans are computed IN-ENGINE from the
-    * trained search against the exact brute-force top-k run in the same
-    * query: each query returns exactly k contiguously-ranked rows with
-    * valid cosines, and mean recall-vs-exact clears 0.5 — measured
-    * 0.678-0.698 across sf0.001/0.01/0.1 (round 9), so the gate holds
-    * >10x the observed cross-scale spread while still failing on any
-    * real cell-assignment or probe regression. Recall counts an approx
-    * row as a hit iff its cosine reaches the query's k-th exact cosine
-    * (1e-9 slack) — tie-robust where id-set intersection is not. */
-  private val simIvfTrained = QuerySpec(
-    "q_sim_ivf_trained",
-    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
-      |       TRUE AS k_rows_each, TRUE AS ranks_contiguous,
-      |       TRUE AS cos_valid, TRUE AS recall_in_band
-      |FROM embeddings WHERE vec_id < 100""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 100)
-    val approx = Similarity.ivfTopKTrained(
-      queries, emb,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
-    val exact = Similarity.bruteForceTopK(
-      queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5)
-    val kth = exact.groupBy("q_id").agg(min(col("cos")).as("_kth"))
-    val per = approx.join(kth, "q_id")
-      .groupBy("q_id")
-      .agg(count(lit(1)).as("_rows"),
-        max(col("rnk")).as("_maxr"), min(col("rnk")).as("_minr"),
-        max(when(col("cos").isNull || abs(col("cos")) > 1.0 + 1e-6, 1)
-          .otherwise(0)).as("_badcos"),
-        (sum(when(col("cos") >= col("_kth") - 1e-9, 1).otherwise(0)) / 5.0)
-          .as("_recall"))
-    per.agg(
-      count(lit(1)).cast("long").as("n_queries"),
-      max(when(col("_rows") =!= 5, 1).otherwise(0)).as("_badrows"),
-      max(when(col("_maxr") =!= col("_rows") || col("_minr") =!= 1, 1)
-        .otherwise(0)).as("_badrank"),
-      max(col("_badcos")).as("_anybadcos"),
-      avg(col("_recall")).as("_mean"))
-      .select(col("n_queries"),
-        (col("_badrows") === 0).as("k_rows_each"),
-        (col("_badrank") === 0).as("ranks_contiguous"),
-        (col("_anybadcos") === 0).as("cos_valid"),
-        (col("_mean") >= 0.5).as("recall_in_band"))
-  }
-
-  /** Trained IVF with EXACT-REPLAY geometry
-    * ([[graft.operators.Similarity.ivfTopKLloyd]]): two Lloyd
-    * iterations in exact integer micro-space (unit vector + 2, ×2²⁰,
-    * floored — all positive, so floor-division means replay on both
-    * engines), seeded by the portable hash sample. The oracle UNROLLS
-    * both iterations — init sample, two assign/mean rounds with the
-    * empty-cell carryover rule, final inverted file, query probes and
-    * the exact-cosine top-k — so the whole TRAINED search, geometry
-    * included, hash-certifies (the in-band-only limitation of the
-    * MLlib-trained row does not apply here). Every distance is an
-    * integer-valued double < 2⁵³ — bit-exact cross-engine. */
-  private val simIvfLloyd = QuerySpec(
-    "q_sim_ivf_lloyd",
-    """WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
-      |cq AS (SELECT c_id, cv,
-      |         list_transform(cv, x -> CAST(floor((x / sqrt(list_dot_product(cv, cv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-      |       FROM c),
-      |cqq AS (SELECT c_id, cv, qx,
-      |          list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cq),
-      |cent0 AS (SELECT CAST(ROW_NUMBER() OVER (
-      |            ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
-      |            qx AS qc
-      |          FROM (SELECT c_id, qx FROM cq
-      |                ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
-      |                LIMIT 16)),
-      |asg1 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent0 ct) z WHERE rn = 1),
-      |m1 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg1 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u1 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m1 GROUP BY cell),
-      |cent1 AS (SELECT c0.cell, COALESCE(u1.qc, c0.qc) AS qc
-      |          FROM cent0 c0 LEFT JOIN u1 ON u1.cell = c0.cell),
-      |asg2 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent1 ct) z WHERE rn = 1),
-      |m2 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |       FROM asg2 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |u2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM m2 GROUP BY cell),
-      |cent2 AS (SELECT c1.cell, COALESCE(u2.qc, c1.qc) AS qc
-      |          FROM cent1 c1 LEFT JOIN u2 ON u2.cell = c1.cell),
-      |asgf AS (SELECT c_id, cell FROM (
-      |  SELECT t.c_id, ct.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM cqq t CROSS JOIN cent2 ct) z WHERE rn = 1),
-      |qn AS (SELECT q_id, qv,
-      |         list_transform(qv, x -> CAST(floor((x / sqrt(list_dot_product(qv, qv)) + 2.0) * 1048576.0) AS BIGINT)) AS qxq
-      |       FROM q),
-      |qnn AS (SELECT q_id, qv, qxq,
-      |          list_dot_product(qxq::DOUBLE[], qxq::DOUBLE[]) AS qqq FROM qn),
-      |probes AS (SELECT q_id, cell FROM (
-      |  SELECT t.q_id, ct.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY t.q_id ORDER BY
-      |           t.qqq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qxq::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS pr
-      |  FROM qnn t CROSS JOIN cent2 ct) z WHERE pr <= 4),
-      |scored AS (SELECT p.q_id, a.c_id,
-      |             list_dot_product(q.qv, c.cv)
-      |               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS cos
-      |           FROM probes p JOIN asgf a ON a.cell = p.cell
-      |                JOIN q ON q.q_id = p.q_id JOIN c ON c.c_id = a.c_id)
-      |SELECT q_id, c_id, rnk, cos FROM (
-      |  SELECT q_id, c_id, cos,
-      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rnk
-      |  FROM scored) t
-      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
-    val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopKLloyd(
-      emb.filter(col("vec_id") < 100), emb,
-      "vec_id", "embedding", "vec_id", "embedding",
-      k = 5, nCells = 16, nProbe = 4, iters = 2)
-      .orderBy("q_id", "rnk")
-  }
-
-  /** ANN recall/cost report — the measured tradeoff table behind the
-    * 100 TB similarity story: one row per search method (brute / LSH /
-    * hash-seeded IVF / trained IVF / SQ8-quantized brute / the
-    * compounded jl16+sq8 16×-memory-cut configuration) with
-    * recall@k against the exact top-k and the CANDIDATE-SET SIZE the
-    * method actually scored (via Similarity.lshCandidatePairs /
-    * ivfCandidatePairs — the exact sets the searches use, not a
-    * re-derivation). Oracle story: brute/LSH/IVF/SQ8 are fully
-    * deterministic portable arithmetic, so their recalls AND candidate
-    * counts replay exactly in DuckDB (recall = ratio of identical
-    * integers — bit-exact, no rounding); the KMeans-trained row has no
-    * SQL replay, so it carries NULL recall/candidates plus the same
-    * in-band recall boolean q_sim_ivf_trained certifies (cosine-
-    * threshold hit rule, tie-robust, gate 0.5 vs 0.678-0.698 measured).
-    * In-band bounds sit ≥5σ under the cross-scale measurements recorded
-    * in BASELINE.md round 10. */
-  private val simRecallReport = QuerySpec(
-    "q_sim_recall_report",
-    """WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
-      |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
-      |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM c),
-      |exact AS (SELECT q_id, c_id FROM (
-      |  SELECT q.q_id, c.c_id,
-      |         ROW_NUMBER() OVER (PARTITION BY q.q_id
-      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.c_id) AS rnk
-      |  FROM q CROSS JOIN c) t WHERE rnk <= 5),
-      |np AS (
-      |  SELECT COALESCE((SELECT MIN(t.p) FROM generate_series(4, 20) t(p)
-      |                   WHERE (1::BIGINT << t.p) >= ((SELECT COUNT(*) FROM embeddings) + 8191) // 8192),
-      |                  20) AS n),
-      |planes AS (
-      |  SELECT p.p,
-      |         list(((('0x' || substr(md5('graft:plane:' || p.p || ':' || d.d), 1, 15))::BIGINT
-      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
-      |  FROM generate_series(0, 19) p(p), generate_series(0, 63) d(d)
-      |  GROUP BY p.p),
-      |cb AS (SELECT c.c_id,
-      |         SUM(CASE WHEN list_dot_product(c.cv, pl.pw) >= 0
-      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
-      |       FROM c, planes pl, np WHERE pl.p < np.n GROUP BY c.c_id),
-      |qb AS (SELECT q.q_id,
-      |         SUM(CASE WHEN list_dot_product(q.qv, pl.pw) >= 0
-      |                  THEN (1::BIGINT << (np.n - 1 - pl.p)) ELSE 0 END) AS bucket
-      |       FROM q, planes pl, np WHERE pl.p < np.n GROUP BY q.q_id),
-      |qp AS (SELECT q_id, bucket FROM qb
-      |       UNION
-      |       SELECT qb.q_id, xor(qb.bucket, 1::BIGINT << t.p) AS bucket
-      |       FROM qb, generate_series(0, 19) t(p), np WHERE t.p < np.n),
-      |lshcand AS (SELECT DISTINCT qp.q_id, cb.c_id
-      |            FROM qp JOIN cb ON qp.bucket = cb.bucket),
-      |lshtop AS (SELECT q_id, c_id FROM (
-      |  SELECT cand.q_id, cand.c_id,
-      |         ROW_NUMBER() OVER (PARTITION BY cand.q_id
-      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, cand.c_id) AS rnk
-      |  FROM lshcand cand JOIN q ON q.q_id = cand.q_id JOIN c ON c.c_id = cand.c_id) t
-      |  WHERE rnk <= 5),
-      |cent AS (SELECT c_id AS cell, cv AS cellv FROM c
-      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
-      |asg AS (SELECT c_id, cell FROM (
-      |          SELECT c.c_id, cent.cell,
-      |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
-      |                   list_dot_product(c.cv, cent.cellv)
-      |                     / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
-      |                   cent.cell ASC) AS rn
-      |          FROM c CROSS JOIN cent) t WHERE rn = 1),
-      |probes AS (SELECT q_id, cell FROM (
-      |            SELECT q.q_id, cent.cell,
-      |                   ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
-      |                     list_dot_product(q.qv, cent.cellv)
-      |                       / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(cent.cellv, cent.cellv))) DESC,
-      |                     cent.cell ASC) AS pr
-      |            FROM q CROSS JOIN cent) t WHERE pr <= 4),
-      |ivfcand AS (SELECT p.q_id, a.c_id FROM probes p JOIN asg a ON a.cell = p.cell),
-      |ivftop AS (SELECT q_id, c_id FROM (
-      |  SELECT ic.q_id, ic.c_id,
-      |         ROW_NUMBER() OVER (PARTITION BY ic.q_id
-      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, ic.c_id) AS rnk
-      |  FROM ivfcand ic JOIN q ON q.q_id = ic.q_id JOIN c ON c.c_id = ic.c_id) t
-      |  WHERE rnk <= 5),
-      |rng AS (SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
-      |        FROM (SELECT unnest(embedding) AS x FROM embeddings)),
-      |rc AS (SELECT c_id,
-      |         list_transform(cv, x -> rng.lo +
-      |           (CAST(least(255, greatest(0,
-      |              CAST(floor((x - rng.lo) / ((rng.hi - rng.lo) / 256.0)) AS INTEGER))) AS DOUBLE) + 0.5)
-      |           * ((rng.hi - rng.lo) / 256.0)) AS rv
-      |       FROM c, rng),
-      |sq8top AS (SELECT q_id, c_id FROM (
-      |  SELECT q.q_id, rc.c_id,
-      |         ROW_NUMBER() OVER (PARTITION BY q.q_id
-      |           ORDER BY list_dot_product(q.qv, rc.rv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(rc.rv, rc.rv))) DESC, rc.c_id) AS rnk
-      |  FROM q CROSS JOIN rc) t WHERE rnk <= 5),
-      |jplanes AS (
-      |  SELECT j.j,
-      |         list(((('0x' || substr(md5('graft:plane:' || j.j || ':' || d.d), 1, 15))::BIGINT
-      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
-      |  FROM generate_series(0, 15) j(j), generate_series(0, 63) d(d)
-      |  GROUP BY j.j),
-      |pc AS (SELECT c.c_id,
-      |         list(list_dot_product(c.cv, pl.pw) * sqrt(3.0 / 16.0) ORDER BY pl.j) AS pv
-      |       FROM c CROSS JOIN jplanes pl GROUP BY c.c_id),
-      |pq AS (SELECT q.q_id,
-      |         list(list_dot_product(q.qv, pl.pw) * sqrt(3.0 / 16.0) ORDER BY pl.j) AS pv
-      |       FROM q CROSS JOIN jplanes pl GROUP BY q.q_id),
-      |prng AS (SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
-      |         FROM (SELECT unnest(pv) AS x FROM pc)),
-      |prc AS (SELECT c_id,
-      |          list_transform(pv, x -> prng.lo +
-      |            (CAST(least(255, greatest(0,
-      |               CAST(floor((x - prng.lo) / ((prng.hi - prng.lo) / 256.0)) AS INTEGER))) AS DOUBLE) + 0.5)
-      |            * ((prng.hi - prng.lo) / 256.0)) AS prv
-      |        FROM pc, prng),
-      |jrank AS (
-      |  SELECT pq.q_id, prc.c_id,
-      |         ROW_NUMBER() OVER (PARTITION BY pq.q_id
-      |           ORDER BY list_dot_product(pq.pv, prc.prv) / (sqrt(list_dot_product(pq.pv, pq.pv)) * sqrt(list_dot_product(prc.prv, prc.prv))) DESC, prc.c_id) AS rnk
-      |  FROM pq CROSS JOIN prc),
-      |jtop AS (SELECT q_id, c_id FROM jrank WHERE rnk <= 5),
-      |rrcand AS (SELECT q_id, c_id FROM jrank
-      |           WHERE rnk <= greatest(5, CAST(ceil(0.30 * (SELECT n_corpus FROM nc)) AS BIGINT))),
-      |rrtop AS (SELECT q_id, c_id FROM (
-      |  SELECT r.q_id, r.c_id,
-      |         ROW_NUMBER() OVER (PARTITION BY r.q_id
-      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, r.c_id) AS rnk
-      |  FROM rrcand r JOIN q ON q.q_id = r.q_id JOIN c ON c.c_id = r.c_id) t
-      |  WHERE rnk <= 5),
-      |lvq AS (SELECT c_id,
-      |          list_transform(cv, x -> CAST(floor((x / sqrt(list_dot_product(cv, cv)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
-      |        FROM c),
-      |lvqq AS (SELECT c_id, qx, list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM lvq),
-      |lvcent0 AS (SELECT CAST(ROW_NUMBER() OVER (
-      |              ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
-      |              qx AS qc
-      |            FROM (SELECT c_id, qx FROM lvq
-      |                  ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
-      |                  LIMIT 16)),
-      |lvasg1 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM lvqq t CROSS JOIN lvcent0 ct) z WHERE rn = 1),
-      |lvm1 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |         FROM lvasg1 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |lvu1 AS (SELECT cell, list(s ORDER BY d) AS qc FROM lvm1 GROUP BY cell),
-      |lvcent1 AS (SELECT c0.cell, COALESCE(u.qc, c0.qc) AS qc
-      |            FROM lvcent0 c0 LEFT JOIN lvu1 u ON u.cell = c0.cell),
-      |lvasg2 AS (SELECT c_id, cell, qx FROM (
-      |  SELECT t.c_id, ct.cell, t.qx,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM lvqq t CROSS JOIN lvcent1 ct) z WHERE rn = 1),
-      |lvm2 AS (SELECT cell, d.d, CAST(SUM(qx[d.d]) // COUNT(*) AS BIGINT) AS s
-      |         FROM lvasg2 CROSS JOIN generate_series(1, 64) d(d) GROUP BY cell, d.d),
-      |lvu2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM lvm2 GROUP BY cell),
-      |lvcent2 AS (SELECT c1.cell, COALESCE(u.qc, c1.qc) AS qc
-      |            FROM lvcent1 c1 LEFT JOIN lvu2 u ON u.cell = c1.cell),
-      |lvasgf AS (SELECT c_id, cell FROM (
-      |  SELECT t.c_id, ct.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
-      |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
-      |  FROM lvqq t CROSS JOIN lvcent2 ct) z WHERE rn = 1),
-      |lvqn AS (SELECT q_id,
-      |           list_transform(qv, x -> CAST(floor((x / sqrt(list_dot_product(qv, qv)) + 2.0) * 1048576.0) AS BIGINT)) AS qxq
-      |         FROM q),
-      |lvqnn AS (SELECT q_id, qxq, list_dot_product(qxq::DOUBLE[], qxq::DOUBLE[]) AS qqq FROM lvqn),
-      |lvprobes AS (SELECT q_id, cell FROM (
-      |  SELECT t.q_id, ct.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY t.q_id ORDER BY
-      |           t.qqq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
-      |             - 2 * list_dot_product(t.qxq::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS pr
-      |  FROM lvqnn t CROSS JOIN lvcent2 ct) z WHERE pr <= 4),
-      |lvcand AS (SELECT p.q_id, a.c_id FROM lvprobes p JOIN lvasgf a ON a.cell = p.cell),
-      |lvtop AS (SELECT q_id, c_id FROM (
-      |  SELECT ic.q_id, ic.c_id,
-      |         ROW_NUMBER() OVER (PARTITION BY ic.q_id
-      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, ic.c_id) AS rnk
-      |  FROM lvcand ic JOIN q ON q.q_id = ic.q_id JOIN c ON c.c_id = ic.c_id) t
-      |  WHERE rnk <= 5)
-      |SELECT * FROM (
-      |SELECT 'brute' AS method, CAST(5 AS BIGINT) AS k, nq.n_queries,
-      |       CAST(nq.n_queries * nc.n_corpus AS BIGINT) AS candidates,
-      |       CAST(1.0 AS DOUBLE) AS recall, TRUE AS recall_in_band
-      |FROM nq, nc
-      |UNION ALL
-      |SELECT 'ivf', CAST(5 AS BIGINT), nq.n_queries,
-      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ivfcand),
-      |       CAST((SELECT COUNT(*) FROM ivftop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
-      |         / CAST(nq.n_queries * 5 AS DOUBLE),
-      |       TRUE FROM nq
-      |UNION ALL
-      |SELECT 'ivf_trained', CAST(5 AS BIGINT), nq.n_queries,
-      |       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TRUE FROM nq
-      |UNION ALL
-      |SELECT 'ivf_lloyd', CAST(5 AS BIGINT), nq.n_queries,
-      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lvcand),
-      |       CAST((SELECT COUNT(*) FROM lvtop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
-      |         / CAST(nq.n_queries * 5 AS DOUBLE),
-      |       TRUE FROM nq
-      |UNION ALL
-      |SELECT 'jl16_sq8', CAST(5 AS BIGINT), nq.n_queries,
-      |       CAST(nq.n_queries * nc.n_corpus AS BIGINT),
-      |       CAST((SELECT COUNT(*) FROM jtop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
-      |         / CAST(nq.n_queries * 5 AS DOUBLE),
-      |       TRUE FROM nq, nc
-      |UNION ALL
-      |SELECT 'jl16_sq8_rerank', CAST(5 AS BIGINT), nq.n_queries,
-      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM rrcand),
-      |       CAST((SELECT COUNT(*) FROM rrtop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
-      |         / CAST(nq.n_queries * 5 AS DOUBLE),
-      |       TRUE FROM nq
-      |UNION ALL
-      |SELECT 'lsh', CAST(5 AS BIGINT), nq.n_queries,
-      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM lshcand),
-      |       CAST((SELECT COUNT(*) FROM lshtop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
-      |         / CAST(nq.n_queries * 5 AS DOUBLE),
-      |       TRUE FROM nq
-      |UNION ALL
-      |SELECT 'sq8', CAST(5 AS BIGINT), nq.n_queries,
-      |       CAST(nq.n_queries * nc.n_corpus AS BIGINT),
-      |       CAST((SELECT COUNT(*) FROM sq8top t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
-      |         / CAST(nq.n_queries * 5 AS DOUBLE),
-      |       TRUE FROM nq, nc) r
-      |ORDER BY method""".stripMargin) { (s, d) =>
-    import graft.operators.{Quantization, RandomProjection}
-    val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < 100)
-    val k = 5
-    val exactPairs = graft.core.CacheGovernor.persistTracked(
-      Similarity.bruteForceTopK(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k)
-        .select("q_id", "c_id", "cos"))
-    val nq = queries.agg(count(lit(1)).cast("long").as("n_queries"))
-    val nc = emb.agg(count(lit(1)).cast("long").as("_nc"))
-    val allPairs = nq.crossJoin(nc)
-      .select(col("n_queries"), (col("n_queries") * col("_nc")).as("candidates"))
-
-    // recall = hits / (n_queries·k): a ratio of identical integers on
-    // both engines → the division is bit-exact IEEE, no rounding needed
-    def methodRow(
-        method: String, topk: org.apache.spark.sql.DataFrame,
-        cand: org.apache.spark.sql.DataFrame,
-        bound: Double): org.apache.spark.sql.DataFrame = {
-      val hits = topk
-        .join(exactPairs.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
-        .agg(count(lit(1)).cast("long").as("_hits"))
-      nq.crossJoin(hits).crossJoin(cand.select(col("candidates")))
-        .withColumn("recall",
-          col("_hits").cast("double") / (col("n_queries") * lit(k)).cast("double"))
-        .select(lit(method).as("method"), lit(k.toLong).as("k"), col("n_queries"),
-          col("candidates"), col("recall"),
-          (col("recall") >= lit(bound)).as("recall_in_band"))
-    }
-
-    val brute = methodRow("brute", exactPairs, allPairs, 1.0)
-    val lsh = methodRow("lsh",
-      Similarity.lshTopK(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k),
-      Similarity.lshCandidatePairs(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding")
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.3)
-    val ivf = methodRow("ivf",
-      Similarity.ivfTopK(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k, nCells = 16, nProbe = 4),
-      Similarity.ivfCandidatePairs(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", nCells = 16, nProbe = 4)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.3)
-    val sq8 = methodRow("sq8",
-      Similarity.bruteForceTopK(queries,
-        Quantization.withQuantized(emb, col("embedding"), 256)
-          .select(col("vec_id"), col("recon")),
-        "vec_id", "embedding", "vec_id", "recon", k),
-      allPairs, 0.9)
-    // jl16 + sq8: the two reduction halves COMPOUNDED — project corpus
-    // and queries 64→16 dims (N85), then SQ8-quantize the projected
-    // corpus (N56): a 16× index-memory cut (4× dims × 4× bytes), the
-    // production configuration the halves exist for. Queries search
-    // full-precision-projected against the quantized corpus; recall
-    // replays exactly in SQL (projection and recon are both
-    // deterministic IEEE sequences). Measured recall@5: 0.260 sf0.001 /
-    // 0.264 sf0.01 / 0.226 sf0.1 (round 11) — the 0.12 floor sits ≥5σ
-    // (σ ≈ 0.019 at 500 hit trials) under all three, per the band rule.
-    val projC = emb.select(col("vec_id"),
-      RandomProjection.project(col("embedding"), 16, 64).as("pemb"))
-    val projQ = queries.select(col("vec_id"),
-      RandomProjection.project(col("embedding"), 16, 64).as("pemb"))
-    val jlSq8 = methodRow("jl16_sq8",
-      Similarity.bruteForceTopK(projQ,
-        Quantization.withQuantized(projC, col("pemb"), 256)
-          .select(col("vec_id"), col("recon")),
-        "vec_id", "pemb", "vec_id", "recon", k),
-      allPairs, 0.12)
-    // r15: compressed-scan + exact re-rank — the row that moves the
-    // frontier past the probed-fraction ceiling: recall@5 ≥ 0.8 at a
-    // 30% exact-rerank candidate fraction (measured 0.818/0.804/0.870
-    // at sf0.001/0.01/0.1; deterministic, so the bound is exact, not
-    // statistical)
-    val rerank = methodRow("jl16_sq8_rerank",
-      Similarity.rerankTopK(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k),
-      Similarity.rerankCandidates(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.8)
-    // r15: trained IVF with EXACT-REPLAY integer-Lloyd geometry — the
-    // trained row with real recall/candidate numbers (the MLlib row
-    // below stays in-band-only)
-    val lloyd = methodRow("ivf_lloyd",
-      Similarity.ivfTopKLloyd(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k,
-        nCells = 16, nProbe = 4, iters = 2),
-      Similarity.ivfCandidatePairsLloyd(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding",
-        nCells = 16, nProbe = 4, iters = 2)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.3)
-    // trained IVF: no SQL replay (iterative ML) — NULL recall/candidates,
-    // in-band boolean via the tie-robust cosine-threshold hit rule
-    // (shared contract with q_sim_ivf_trained, gate 0.5)
-    val kth = exactPairs.groupBy("q_id").agg(min(col("cos")).as("_kth"))
-    val trained = Similarity.ivfTopKTrained(queries, emb,
-      "vec_id", "embedding", "vec_id", "embedding", k, nCells = 16, nProbe = 4)
-      .join(kth, "q_id")
-      .agg(sum(when(col("cos") >= col("_kth") - 1e-9, 1).otherwise(0))
-        .cast("double").as("_hits"))
-      .crossJoin(nq)
-      .select(lit("ivf_trained").as("method"), lit(k.toLong).as("k"), col("n_queries"),
-        lit(null).cast("long").as("candidates"), lit(null).cast("double").as("recall"),
-        (col("_hits") / (col("n_queries") * lit(k)).cast("double") >= 0.5)
-          .as("recall_in_band"))
-
-    brute.unionAll(ivf).unionAll(lloyd).unionAll(trained).unionAll(jlSq8)
-      .unionAll(rerank).unionAll(lsh).unionAll(sq8)
-      .orderBy("method")
-  }
-
   /** BM25 ranked retrieval over the corpus for a fixed bag-of-words
     * query (operators.Retrieval). Per-(doc, term) partials rounded to
     * 6 dp then summed as exact decimal — ln() sits behind the rounding,
@@ -2104,87 +972,6 @@ object TextVectorQueries {
       |ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
     SegmentDedup.crossGroupOverlap(Tables.documents(s, d), "text", "source", width = 10)
       .orderBy("source_a", "source_b")
-  }
-
-  /** Scalar int8 embedding quantization (operators.Quantization): the
-    * codes themselves are value-checked in DuckDB (deterministic
-    * clamp/floor arithmetic), and the midpoint-reconstruction error
-    * bound ≤ step/2 is certified in-band per vector. */
-  private val simQuantized = QuerySpec(
-    "q_sim_quantized",
-    """WITH rng AS (
-      |  SELECT CAST(MIN(x) AS DOUBLE) AS lo, CAST(MAX(x) AS DOUBLE) AS hi
-      |  FROM (SELECT unnest(embedding) AS x FROM embeddings)
-      |)
-      |SELECT vec_id,
-      |       array_to_string(list_transform(embedding, x -> least(255, greatest(0,
-      |         CAST(floor((x - rng.lo) / ((rng.hi - rng.lo) / 256.0)) AS INTEGER)))), ',') AS codes,
-      |       TRUE AS recon_in_band
-      |FROM embeddings, rng ORDER BY vec_id""".stripMargin) { (s, d) =>
-    import graft.operators.Quantization
-    val emb = Tables.embeddings(s, d)
-    val q = Quantization.withQuantized(emb, col("embedding"), levels = 256)
-    val range = Quantization.componentRange(emb, col("embedding"))
-    val step = (col("_qhi") - col("_qlo")) / lit(256.0)
-    q.crossJoin(broadcast(range))
-      .withColumn("_maxerr",
-        array_max(zip_with(col("embedding").cast("array<double>"), col("recon"),
-          (x, y) => abs(x - y))))
-      .select(col("vec_id"),
-        // serialize for the oracle hash: raw array<int> columns trip the
-        // driver's pandas canonical sort (house convention — see q_w6_sequence)
-        array_join(col("codes"), ",").as("codes"),
-        (col("_maxerr") <= step / lit(2.0) + lit(1e-9)).as("recon_in_band"))
-      .orderBy("vec_id")
-  }
-
-  /** Johnson–Lindenstrauss projection 64→16 dims (operators.
-    * RandomProjection): every projected component replays bit-identically
-    * in SQL (portable plane family + sequential list_dot_product parity),
-    * hash-certified via integer micro-unit floors (the tie-free
-    * quantization discipline — floor, never ROUND, on accumulated
-    * floats); the variance-unbiased √(3/m) scale makes E‖y‖²=‖x‖²,
-    * certified per-vector by the norm-ratio envelope boolean (the tight
-    * statistical bands live in ProjectionSpec). */
-  private val simJlProject = QuerySpec(
-    "q_sim_jl_project",
-    """WITH planes AS (
-      |  SELECT j.j,
-      |         list(((('0x' || substr(md5('graft:plane:' || j.j || ':' || d.d), 1, 15))::BIGINT
-      |               / 1152921504606846976.0) * 2 - 1) ORDER BY d.d) AS pw
-      |  FROM generate_series(0, 15) j(j), generate_series(0, 63) d(d)
-      |  GROUP BY j.j),
-      |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |y AS (SELECT e.vec_id,
-      |        list(list_dot_product(e.v, pl.pw) * sqrt(3.0 / 16.0) ORDER BY pl.j) AS yv,
-      |        list(CAST(floor(list_dot_product(e.v, pl.pw) * sqrt(3.0 / 16.0) * 1000000.0) AS BIGINT)
-      |             ORDER BY pl.j) AS yq
-      |      FROM e CROSS JOIN planes pl GROUP BY e.vec_id)
-      |SELECT y.vec_id,
-      |       array_to_string(y.yq, ',') AS proj_q,
-      |       CASE WHEN list_dot_product(e.v, e.v) > 0
-      |            THEN CAST(floor(list_dot_product(y.yv, y.yv) / list_dot_product(e.v, e.v)
-      |                            * 1000000.0) AS BIGINT) END AS norm_ratio_q,
-      |       CASE WHEN list_dot_product(e.v, e.v) > 0
-      |            THEN list_dot_product(y.yv, y.yv) / list_dot_product(e.v, e.v)
-      |                   BETWEEN 0.05 AND 4.0 END AS norm_in_band
-      |FROM y JOIN e ON e.vec_id = y.vec_id
-      |ORDER BY y.vec_id""".stripMargin) { (s, d) =>
-    import graft.operators.RandomProjection
-    val emb = Tables.embeddings(s, d)
-    // dim pinned to 64: the oracle freezes generate_series(0, 63), so the
-    // probe job would only ever confirm a constant
-    RandomProjection.withProjection(emb, col("embedding"), outDim = 16, dim = 64)
-      .select(
-        col("vec_id"),
-        // micro-unit floors (already LongType) serialize the projection for
-        // the oracle hash (raw array<double> would trip the driver's
-        // pandas sorter)
-        array_join(transform(col("proj"),
-          y => floor(y * lit(1000000.0))), ",").as("proj_q"),
-        floor(col("norm_ratio") * lit(1000000.0)).as("norm_ratio_q"),
-        col("norm_ratio").between(lit(0.05), lit(4.0)).as("norm_in_band"))
-      .orderBy("vec_id")
   }
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
@@ -2472,18 +1259,13 @@ object TextVectorQueries {
   }
 
   val all: Seq[QuerySpec] = Seq(
-    bm25, bloomPrefilter, sourceOverlap, simQuantized, textCms, stCmsLedger, hybridRrf, vocabBpe, textHashvec,
-    vocabBpeApply, vocabFertility,
-    tokenize, quality, langid, langid2, fingerprint, tfidf, corpusClean,
-    vocabBuild, vocabEncode, textRepetition, contamination, contaminationFuzzy,
-    contaminationSpans,
-    corpusMix, textRedact,
-    textChunksCdc, textFamiliarity, textPerplexity, textLineDedup, textHeavyHitters,
-    dedupFingerprint, dedupIncremental, dedupCanonical, dedupMinhash, dedupClusters,
-    dedupNgram, dedupSubstring, corpusCutSpans, stSubstringLedger, stCorpusNovelty,
-    stMinhashLedger, stIvfLedger,
-    dedupSimhash, dedupEmbedding, dedupEmbeddingCross, dedupSemantic,
-    dedupSemanticIndex, stSemanticLedger,
-    dedupEmbeddingLsh, embedCentroids, embedCentroidsBanded, simTopk, simLsh, simIvf,
-    simIvfTrained, simIvfLloyd, simRecallReport, simJlProject)
+    tokenize, quality, langid, langid2, fingerprint, tfidf, vocabBuild,
+    vocabEncode, textRepetition, contamination, contaminationFuzzy,
+    corpusMix, dedupFingerprint, dedupCanonical, dedupIncremental,
+    dedupMinhash, dedupClusters, dedupSubstring, contaminationSpans,
+    corpusCutSpans, stSubstringLedger, stCorpusNovelty, stMinhashLedger,
+    dedupNgram, dedupSimhash, corpusClean, textPerplexity, textFamiliarity,
+    textChunksCdc, textLineDedup, textHeavyHitters, textRedact, bm25,
+    bloomPrefilter, sourceOverlap, hybridRrf, textHashvec, textCms,
+    stCmsLedger, vocabBpe, vocabBpeApply, vocabFertility)
 }

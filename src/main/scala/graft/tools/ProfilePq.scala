@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only measurement for the PQ-ADC report row: recall@5 vs exact
+  * brute force and the candidate fraction actually scored, over a
+  * (m, kSub, candidateFrac) grid at one SF dir. Prints one line per
+  * configuration; BASELINE.md records the chosen point. */
+object ProfilePq {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = graft.core.GraftSession.configure(
+      SparkSession.builder().master("local[8]"), 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 100)
+    val k = 5
+    val exact = graft.operators.Similarity.bruteForceTopK(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding", k)
+      .select("q_id", "c_id")
+    exact.persist(); val nHits = exact.count()
+    for (m <- Seq(4, 8); kSub <- Seq(16, 32); frac <- Seq(0.05, 0.10, 0.15)) {
+      val top = graft.operators.ProductQuantization.adcTopK(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k, m = m, kSub = kSub, iters = 2, candidateFrac = frac)
+      val hits = top.join(exact, Seq("q_id", "c_id"), "left_semi").count()
+      val cand = graft.operators.ProductQuantization.adcCandidates(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k, m = m, kSub = kSub, iters = 2, candidateFrac = frac).count()
+      println(f"PQ m=$m%d kSub=$kSub%d frac=$frac%.2f recall@5=${hits.toDouble / nHits}%.3f candidates=$cand%d")
+    }
+    spark.stop()
+  }
+}

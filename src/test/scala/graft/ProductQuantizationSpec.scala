@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{ProductQuantization, Similarity}
+
+/** Laws of the PQ-ADC tier: codebook shape/determinism, code
+  * compactness (the memory claim), candidate-set size, exact re-run
+  * identity, and the measured recall floor at the report row's
+  * configuration (m=8, kSub=32, 10% rerank). */
+class ProductQuantizationSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, TestSession.sfDir)
+  private lazy val queries = emb.filter(col("vec_id") < 100)
+
+  test("codebooks: m·kSub rows, every codeword subDim wide, bit-identical re-run") {
+    val cb = ProductQuantization.codebooks(emb, "vec_id", "embedding",
+      m = 8, kSub = 16, iters = 2)
+    val rows = cb.collect()
+    assert(rows.length == 8 * 16)
+    assert(rows.forall(_.getSeq[Long](2).length == 8), "subDim = 64/8")
+    val again = ProductQuantization.codebooks(emb, "vec_id", "embedding",
+      m = 8, kSub = 16, iters = 2).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      == again.map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).toSet,
+      "training must be bit-identical across runs")
+  }
+
+  test("encode: exactly m codes per document, every code < kSub") {
+    val cb = ProductQuantization.codebooks(emb, "vec_id", "embedding",
+      m = 8, kSub = 16, iters = 2)
+    val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8)
+    val n = emb.count()
+    assert(codes.count() == n * 8, "m rows per document")
+    assert(codes.agg(max(col("cell"))).head.getLong(0) < 16L)
+    assert(codes.groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 8L).isEmpty)
+  }
+
+  test("adcCandidates: every query gets exactly max(k, ceil(frac·n)) candidates") {
+    val n = emb.count()
+    val want = math.max(5L, math.ceil(0.10 * n).toLong)
+    val per = ProductQuantization.adcCandidates(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      m = 8, kSub = 32, iters = 2, candidateFrac = 0.10)
+      .groupBy("q_id").count().select("count").distinct().collect()
+    assert(per.map(_.getLong(0)).toSeq == Seq(want),
+      s"ADC scores the whole corpus, so every query keeps exactly $want")
+  }
+
+  test("report configuration: recall@5 ≥ 0.8 at 10% candidates, deterministic top-k") {
+    val exact = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("q_id", "c_id")
+    val top = ProductQuantization.adcTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5,
+      m = 8, kSub = 32, iters = 2, candidateFrac = 0.10)
+    val hits = top.join(exact, Seq("q_id", "c_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.8, f"recall@5 $recall%.3f below the report floor")
+    val again = ProductQuantization.adcTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5,
+      m = 8, kSub = 32, iters = 2, candidateFrac = 0.10)
+    assert(top.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet,
+      "the two-stage ranking must be bit-identical across runs")
+  }
+}
