@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared filesystem discipline for graft's file-ledger indexes (the
+  * semantic keeper index, the PQ codes index): manifest-gated reads,
+  * atomic batch publication, canonical-path self-compaction guards.
+  *
+  * The contract:
+  *  - a multi-table seed/compaction writes its tables first and a
+  *    `_manifest` file LAST (itself staged + renamed, so a truncated
+  *    manifest cannot exist); every reader requires the manifest, so a
+  *    crash mid-seed fails loudly instead of pairing fresh state with
+  *    a stale ledger;
+  *  - batch appends write under `.staging/` and commit with ONE
+  *    directory rename into `<table>/b<k>` — no partial-commit state
+  *    exists, so redelivery after a crash recomputes the whole batch
+  *    identically;
+  *  - readers list only committed `b<k>` directories (hidden `.`/`_`
+  *    paths are filtered by Spark's file index anyway). */
+private[operators] object LedgerFiles {
+
+  val ManifestName = "_manifest"
+
+  def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Fully-qualified, `.`/`..`-normalized form of `p` — the comparison
+    * key self-compaction guards use (a literal string compare lets
+    * `dir/` or `dir/../dir` slip past and corrupt the live index). */
+  def canonical(fs: FileSystem, p: String): Path =
+    new Path(fs.makeQualified(new Path(p)).toUri.normalize())
+
+  def requireManifest(fs: FileSystem, root: Path, path: String, what: String): Unit =
+    if (!fs.exists(new Path(root, ManifestName)))
+      throw new IllegalStateException(
+        s"'$path' is not a fully-published $what (no $ManifestName). A " +
+          "crashed seed/compaction never publishes the manifest, so its " +
+          "half-written state can never be read as if it were complete — " +
+          "re-seed or re-compact the index.")
+
+  /** Publish the manifest — the LAST step of a seed/compaction. */
+  def publishManifest(fs: FileSystem, root: Path, what: String): Unit = {
+    val tmp = new Path(root, ".staging/manifest")
+    fs.mkdirs(tmp.getParent)
+    val out = fs.create(tmp, true)
+    out.write(s"graft $what v1\n".getBytes("UTF-8"))
+    out.close()
+    val dst = new Path(root, ManifestName)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"could not publish $dst")
+  }
+
+  /** Next free batch directory id under `root/<table>/` (single-writer
+    * ledger discipline — appends are serialized by the caller). */
+  def nextBatchId(fs: FileSystem, root: Path, table: String): Long =
+    fs.listStatus(new Path(root, table)).map(_.getPath.getName)
+      .collect { case s if s.length > 1 && s.head == 'b' &&
+        s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+      .foldLeft(-1L)(math.max) + 1
+
+  /** Write `build`'s rows to `.staging/` and commit them into
+    * `root/<table>/b<next>` with one rename. */
+  def atomicAppend(
+      spark: SparkSession, path: String, table: String,
+      rows: org.apache.spark.sql.DataFrame): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    // clear any crashed-append leftovers (never visible to readers)
+    fs.delete(new Path(root, ".staging"), true)
+    val tmp = new Path(root, ".staging/append")
+    rows.write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(root, s"$table/b${nextBatchId(fs, root, table)}")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"could not commit append to $dst")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.plans.VectorNative.dot
@@ -38,7 +39,13 @@ import graft.plans.VectorNative.dot
   *  - Scale: the codebook (m·kSub rows) and the per-query LUT
   *    (queries·m·kSub rows) broadcast; the corpus side shuffles only
   *    (id, sub, code) — the ADC scan is embarrassingly parallel over
-  *    corpus partitions, exactly the PQ promise.
+  *    corpus partitions, exactly the PQ promise. At cluster scale the
+  *    scan composes with the IVF cells ([[Similarity.ivfTopKLloyd]]'s
+  *    geometry) by restricting the code relation to the probed cells —
+  *    an equi-join of two already-certified components; the flat scan
+  *    is kept as the report row because the codes are so small
+  *    (5 bytes/vector) that scanning ALL of them prices below one
+  *    probed-cell read of raw vectors.
   */
 object ProductQuantization {
 
@@ -161,8 +168,22 @@ object ProductQuantization {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, m: Int = 8, kSub: Int = 16, iters: Int = 2,
-      candidateFrac: Double = 0.10): DataFrame = {
-    val spark = corpus.sparkSession
+      candidateFrac: Double = 0.10): DataFrame =
+    // memoized per (session, corpus plan, query plan, params): the
+    // report prices the candidate set once even though both the top-k
+    // and the candidate-count legs consume it
+    graft.core.CacheGovernor.sharedFrame(
+      keyOf(corpus, cId, cVec, m, kSub, iters, candidateFrac, k,
+        queries.queryExecution.analyzed.semanticHash(), "cand"), corpus) {
+      adcCandidatesUncached(queries, corpus, qId, qVec, cId, cVec,
+        k, m, kSub, iters, candidateFrac)
+    }
+
+  private def adcCandidatesUncached(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, m: Int, kSub: Int, iters: Int,
+      candidateFrac: Double): DataFrame = {
     val subDim = subDimOf(corpus, cId, cVec, m)
     val cb = withCc(codebooks(corpus, cId, cVec, m, kSub, iters))
     val codes = graft.core.CacheGovernor.sharedFrame(
@@ -186,6 +207,103 @@ object ProductQuantization {
       .withColumn("_rnk", row_number().over(w))
       .filter(col("_rnk") <= cLimit)
       .select("q_id", "c_id")
+  }
+
+  // ---- incremental PQ codes index (the N33/N39 ledger discipline) ----
+
+  private val What = "pq codes index"
+
+  /** Seed a PQ index from a base corpus: the FROZEN trained codebooks
+    * (m·kSub rows of integer micro-coordinates — every later batch
+    * encodes under the exact assignment rule the build used) plus the
+    * `codes` ledger (doc_id, sub, cell) — ~m·log₂kSub bits per stored
+    * document, the ONLY corpus-sized state the serving path reads.
+    * [[LedgerFiles]] discipline: the manifest publishes LAST, so a
+    * crash between the codebook and codes jobs fails loudly for every
+    * reader instead of pairing fresh codebooks with stale codes. */
+  def writePqIndex(
+      corpus: DataFrame, id: String, vec: String, path: String,
+      m: Int = 8, kSub: Int = 32, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    // invalidate readers for the whole re-seed window
+    fs.delete(new Path(root, LedgerFiles.ManifestName), false)
+    val cb = codebooks(corpus, id, vec, m, kSub, iters)
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    // wipe any previous ledger tree so a re-seed cannot leave stale
+    // append batches beside the new base
+    fs.delete(new Path(root, "codes"), true)
+    encode(corpus, id, vec, cb, m)
+      .select(col(id).as("doc_id"), col("sub"), col("cell"))
+      .write.mode("overwrite").parquet(s"$path/codes/b0")
+    LedgerFiles.publishManifest(fs, root, What)
+  }
+
+  /** The committed codes ledger — every `codes/b<k>` batch,
+    * manifest-gated. */
+  def pqCodes(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, What)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
+  }
+
+  private def storedCodebooks(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, What)
+    spark.read.parquet(s"$path/codebooks")
+  }
+
+  /** (m, subDim) of a stored codebook table — a 1-row driver probe. */
+  private def storedShape(cb: DataFrame): (Int, Int) = {
+    val r = cb.agg(max(col("sub"))).head.getInt(0) + 1
+    (r, cb.select("qc").head.getSeq[Long](0).length)
+  }
+
+  /** Delta-append a batch under the FROZEN stored codebooks: fresh ids
+    * (anti-join on doc_id — a redelivered batch appends nothing)
+    * encode and publish ATOMICALLY (staging + one rename), so even a
+    * crashed append leaves nothing visible and redelivery converges.
+    * O(batch) work: the stored side contributes only its distinct
+    * doc_id column to the anti-join. */
+  def appendToPqIndex(
+      spark: SparkSession, path: String,
+      batch: DataFrame, id: String, vec: String): Unit = {
+    val cb = storedCodebooks(spark, path)
+    val (m, _) = storedShape(cb)
+    val fresh = batch.join(
+      pqCodes(spark, path).select(col("doc_id").as(id)).distinct(),
+      Seq(id), "left_anti")
+    if (fresh.isEmpty) return
+    LedgerFiles.atomicAppend(spark, path, "codes",
+      encode(fresh, id, vec, cb, m)
+        .select(col(id).as("doc_id"), col("sub"), col("cell")))
+  }
+
+  /** ADC top-k straight off the stored codes — the codes-only serving
+    * path (no raw vectors touched on the corpus side at all): the
+    * query builds its m·kSub LUT against the stored codebooks, the
+    * codes ledger is scanned once, and the exact-integer asymmetric
+    * distances rank ascending (ties by id). Output: (q_id, c_id, rnk,
+    * adist). Append ≡ rebuild: codes encode identically under the
+    * frozen codebooks whichever batch carried them. */
+  def adcTopKFrom(
+      spark: SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String, k: Int): DataFrame = {
+    val cb = withCc(storedCodebooks(spark, path))
+    val (m, subDim) = storedShape(cb.select("sub", "cell", "qc"))
+    val lut = slices(queries, qId, qVec, m, subDim)
+      .join(broadcast(cb), "sub")
+      .withColumn("_dd",
+        col("_sxx") + col("_cc") - lit(2L) * idot(col("_sx"), col("qc")))
+      .select(col("_pid").as("q_id"), col("sub"), col("cell"), col("_dd"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("c_id"))
+    pqCodes(spark, path).withColumnRenamed("doc_id", "c_id")
+      .join(broadcast(lut), Seq("sub", "cell"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("_dd")).as("adist"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id", "rnk", "adist")
   }
 
   /** PQ-ADC compressed scan + exact re-rank top-k — the IVF-PQ report

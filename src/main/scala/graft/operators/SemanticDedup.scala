@@ -137,52 +137,16 @@ object SemanticDedup {
   // shadower was gated against its own shadow-ee and BOTH members of the
   // near-dup family ended kept=false — a keeper-less family that every
   // future copy of that content would then silently drop against.)
-  private val ManifestName = "_manifest"
+  // Filesystem mechanics (manifest gate, staged atomic publication,
+  // canonical-path guard) live in [[LedgerFiles]] — ONE discipline
+  // shared with the PQ codes index.
+  private val What = "semantic keeper index"
 
-  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val p = new Path(path)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  /** Fully-qualified, `.`/`..`-normalized form of `p` — the comparison
-    * key [[compactKeeperIndex]] guards self-compaction with (a literal
-    * string compare lets `dir/` or `dir/../dir` slip past the guard and
-    * overwrite the live index mid-read). */
-  private def canonical(fs: FileSystem, p: String): Path =
-    new Path(fs.makeQualified(new Path(p)).toUri.normalize())
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, Path) =
+    LedgerFiles.fsOf(spark, path)
 
   private def requireManifest(fs: FileSystem, root: Path, path: String): Unit =
-    if (!fs.exists(new Path(root, ManifestName)))
-      throw new IllegalStateException(
-        s"'$path' is not a fully-published semantic keeper index (no " +
-          s"$ManifestName). A crashed writeKeeperIndex/compactKeeperIndex " +
-          "never publishes the manifest, so its half-written geometry can " +
-          "never be read as if all history were fresh — re-seed or " +
-          "re-compact the index.")
-
-  /** Publish the manifest — the LAST step of a seed/compaction. Written
-    * to staging and moved into place with one rename, so a truncated
-    * manifest can never exist. */
-  private def publishManifest(fs: FileSystem, root: Path): Unit = {
-    val tmp = new Path(root, ".staging/manifest")
-    fs.mkdirs(tmp.getParent)
-    val out = fs.create(tmp, true)
-    out.write("graft semantic keeper index v2\n".getBytes("UTF-8"))
-    out.close()
-    val dst = new Path(root, ManifestName)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"could not publish $dst")
-  }
-
-  /** Next free batch directory id under `rows/` (single-writer ledger
-    * discipline — appends are serialized by the caller, like every
-    * graft ledger). */
-  private def nextBatchId(fs: FileSystem, root: Path): Long =
-    fs.listStatus(new Path(root, "rows")).map(_.getPath.getName)
-      .collect { case s if s.length > 1 && s.head == 'b' &&
-        s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
-      .foldLeft(-1L)(math.max) + 1
+    LedgerFiles.requireManifest(fs, root, path, What)
 
   /** Seed a semantic-dedup index from a base corpus: the final Lloyd
     * centroid table (nCells rows of integer micro-coordinates — the
@@ -202,7 +166,7 @@ object SemanticDedup {
     val spark = corpus.sparkSession
     val (fs, root) = fsOf(spark, path)
     // invalidate readers for the whole re-seed window
-    fs.delete(new Path(root, ManifestName), false)
+    fs.delete(new Path(root, LedgerFiles.ManifestName), false)
     val (asg, cent) =
       Similarity.lloydModel(corpus, id, vec, resolveCells(corpus, nCells), iters)
     cent.select(col("_cell").as("cell"), col("_qc").as("qc"))
@@ -218,7 +182,7 @@ object SemanticDedup {
       .select(col("c_id").as("doc_id"), col("_cell").as("cell"),
         col("_cv").as("vec"), col("_cn").as("nrm"), col("kept"))
       .write.mode("overwrite").parquet(s"$path/rows/b0")
-    publishManifest(fs, root)
+    LedgerFiles.publishManifest(fs, root, What)
   }
 
   /** The full verdict ledger — every committed batch directory under
@@ -289,14 +253,7 @@ object SemanticDedup {
     val verdicts = withKeptFlag(asg, dupVsStored.unionByName(dupInBatch), "b_id")
       .select(col("b_id").as("doc_id"), col("cell"),
         col("_bv").as("vec"), col("_bn").as("nrm"), col("kept"))
-    val (fs, root) = fsOf(spark, path)
-    // clear any crashed-append leftovers (never visible to readers)
-    fs.delete(new Path(root, ".staging"), true)
-    val tmp = new Path(root, ".staging/append")
-    verdicts.write.mode("overwrite").parquet(tmp.toString)
-    val dst = new Path(root, s"rows/b${nextBatchId(fs, root)}")
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"could not commit append to $dst")
+    LedgerFiles.atomicAppend(spark, path, "rows", verdicts)
   }
 
   /** Compact an appended keeper index into a NEW versioned directory
@@ -314,7 +271,7 @@ object SemanticDedup {
       spark: SparkSession, path: String, dest: String,
       targetRowsPerFile: Long = 4000000L): Unit = {
     val (fs, root) = fsOf(spark, path)
-    require(canonical(fs, path) != canonical(fs, dest),
+    require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
     val rows = ledger(spark, path)
@@ -323,7 +280,7 @@ object SemanticDedup {
     rows.coalesce(files).write.mode("overwrite").parquet(s"$dest/rows/b0")
     spark.read.parquet(s"$path/centroids").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/centroids")
-    publishManifest(fs, new Path(dest))
+    LedgerFiles.publishManifest(fs, new Path(dest), What)
   }
 
   /** Semantic duplicates of a NEW batch against the stored keepers

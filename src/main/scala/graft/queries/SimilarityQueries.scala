@@ -973,8 +973,107 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** The PQ codes index's delta-append serving path under the driver's
+    * hash gate (the q_st_ivf_ledger discipline at the N109 tier):
+    * the %3=0 embeddings slice trains the FROZEN codebooks and seeds
+    * the codes ledger, slices 1 and 2 delta-append (encode under the
+    * stored codebooks; atomic staged publish), slice 1 REDELIVERS
+    * (id anti-join no-op), and the ADC top-5 served straight off the
+    * stored codes — NO raw corpus vectors touched — must hash-match
+    * the oracle's from-scratch replay of training + encoding + LUT
+    * scoring over the whole corpus: append ≡ rebuild for the codes
+    * ledger, and the 5-byte/vector serving path certifies end to
+    * end. */
+  private val simPqIndex = QuerySpec(
+    "q_sim_pq_index",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cq0 AS (SELECT vec_id AS c_id,
+      |          list_transform(v, x -> CAST(floor((x / sqrt(list_dot_product(v, v)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
+      |        FROM e WHERE vec_id % 3 = 0),
+      |seed AS (SELECT cell, qx FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |    ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell, qx
+      |  FROM cq0) z WHERE cell < 32),
+      |ex0 AS (SELECT c_id, s.sub, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS sx
+      |        FROM cq0 CROSS JOIN generate_series(0, 7) s(sub)),
+      |exx0 AS (SELECT c_id, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM ex0),
+      |cb0 AS (SELECT s.sub, cell, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS qc
+      |        FROM seed CROSS JOIN generate_series(0, 7) s(sub)),
+      |a1 AS (SELECT c_id, sub, cell FROM (
+      |  SELECT e0.c_id, e0.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
+      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM exx0 e0 JOIN cb0 cb ON cb.sub = e0.sub) z WHERE rn = 1),
+      |m1 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
+      |       FROM a1 a JOIN exx0 e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
+      |       CROSS JOIN generate_series(1, 8) d(d) GROUP BY a.sub, a.cell, d.d),
+      |u1 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM m1 GROUP BY sub, cell),
+      |cb1 AS (SELECT c0.sub, c0.cell, COALESCE(u.qc, c0.qc) AS qc
+      |        FROM cb0 c0 LEFT JOIN u1 u ON u.sub = c0.sub AND u.cell = c0.cell),
+      |a2 AS (SELECT c_id, sub, cell FROM (
+      |  SELECT e0.c_id, e0.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
+      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM exx0 e0 JOIN cb1 cb ON cb.sub = e0.sub) z WHERE rn = 1),
+      |m2 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
+      |       FROM a2 a JOIN exx0 e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
+      |       CROSS JOIN generate_series(1, 8) d(d) GROUP BY a.sub, a.cell, d.d),
+      |u2 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM m2 GROUP BY sub, cell),
+      |cb2 AS (SELECT c1.sub, c1.cell, COALESCE(u.qc, c1.qc) AS qc
+      |        FROM cb1 c1 LEFT JOIN u2 u ON u.sub = c1.sub AND u.cell = c1.cell),
+      |cqa AS (SELECT vec_id AS c_id,
+      |          list_transform(v, x -> CAST(floor((x / sqrt(list_dot_product(v, v)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
+      |        FROM e),
+      |exa AS (SELECT c_id, s.sub, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS sx
+      |        FROM cqa CROSS JOIN generate_series(0, 7) s(sub)),
+      |exxa AS (SELECT c_id, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM exa),
+      |codes AS (SELECT c_id, sub, cell FROM (
+      |  SELECT ea.c_id, ea.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY ea.c_id, ea.sub ORDER BY
+      |           ea.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(ea.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM exxa ea JOIN cb2 cb ON cb.sub = ea.sub) z WHERE rn = 1),
+      |qq AS (SELECT vec_id AS q_id,
+      |         list_transform(v, x -> CAST(floor((x / sqrt(list_dot_product(v, v)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
+      |       FROM e WHERE vec_id < 100),
+      |qe AS (SELECT q_id, s.sub, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS sx
+      |       FROM qq CROSS JOIN generate_series(0, 7) s(sub)),
+      |qex AS (SELECT q_id, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM qe),
+      |lut AS (SELECT t.q_id, cb.sub, cb.cell,
+      |          t.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |            - 2 * list_dot_product(t.sx::DOUBLE[], cb.qc::DOUBLE[]) AS dd
+      |        FROM qex t JOIN cb2 cb ON cb.sub = t.sub),
+      |adc AS (SELECT l.q_id, cd.c_id, CAST(SUM(l.dd) AS BIGINT) AS adist
+      |        FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.cell = cd.cell
+      |        GROUP BY l.q_id, cd.c_id)
+      |SELECT q_id, c_id, rnk, adist FROM (
+      |  SELECT q_id, c_id, adist,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS BIGINT) AS rnk
+      |  FROM adc) t
+      |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(s, d)
+    def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+    // durable build-once index, the q_st_minhash_ledger contract
+    val root = graft.core.CacheGovernor.durableDir(s"pq_index:$d") { dir =>
+      val path = s"$dir/v1"
+      ProductQuantization.writePqIndex(slice(0), "vec_id", "embedding", path,
+        m = 8, kSub = 32, iters = 2)
+      ProductQuantization.appendToPqIndex(s, path, slice(1), "vec_id", "embedding")
+      ProductQuantization.appendToPqIndex(s, path, slice(2), "vec_id", "embedding")
+      // redelivered batch — the codes ledger must append nothing
+      ProductQuantization.appendToPqIndex(s, path, slice(1), "vec_id", "embedding")
+    }
+    ProductQuantization.adcTopKFrom(s, s"$root/v1",
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rnk")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     stIvfLedger, dedupEmbedding, dedupEmbeddingCross, embedCentroids,
     dedupEmbeddingLsh, embedCentroidsBanded, simTopk, simLsh, simIvf,
-    simIvfTrained, simIvfLloyd, simRecallReport, simQuantized, simJlProject)
+    simIvfTrained, simIvfLloyd, simRecallReport, simQuantized, simJlProject,
+    simPqIndex)
 }

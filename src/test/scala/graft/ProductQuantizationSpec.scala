@@ -49,6 +49,36 @@ class ProductQuantizationSpec extends AnyFunSuite {
       s"ADC scores the whole corpus, so every query keeps exactly $want")
   }
 
+  test("codes index: append ≡ rebuild, redelivery no-op, manifest fail-loud") {
+    val dirInc = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("pqidxf").toString
+    def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+    // incremental: seed on slice 0, append 1 and 2, redeliver 1
+    ProductQuantization.writePqIndex(slice(0), "vec_id", "embedding", dirInc,
+      m = 8, kSub = 32, iters = 2)
+    ProductQuantization.appendToPqIndex(spark, dirInc, slice(1), "vec_id", "embedding")
+    val rows1 = ProductQuantization.pqCodes(spark, dirInc).count()
+    ProductQuantization.appendToPqIndex(spark, dirInc, slice(1), "vec_id", "embedding")
+    assert(ProductQuantization.pqCodes(spark, dirInc).count() == rows1,
+      "redelivered batch must append nothing")
+    ProductQuantization.appendToPqIndex(spark, dirInc, slice(2), "vec_id", "embedding")
+    // one-shot rebuild trained on the SAME slice-0 corpus, codes for all
+    ProductQuantization.writePqIndex(slice(0), "vec_id", "embedding", dirFull,
+      m = 8, kSub = 32, iters = 2)
+    ProductQuantization.appendToPqIndex(spark, dirFull,
+      emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), "vec_id", "embedding")
+    def serve(p: String) = ProductQuantization.adcTopKFrom(
+      spark, p, queries, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    assert(serve(dirInc) == serve(dirFull),
+      "ADC serving must be identical however the codes arrived")
+    // a half-published index (no manifest) fails loudly
+    new java.io.File(s"$dirInc/_manifest").delete()
+    intercept[IllegalStateException] {
+      ProductQuantization.pqCodes(spark, dirInc).count()
+    }
+  }
+
   test("report configuration: recall@5 ≥ 0.8 at 10% candidates, deterministic top-k") {
     val exact = Similarity.bruteForceTopK(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding", 5)
