@@ -60,6 +60,26 @@ object HashIndex {
       .write.mode("append").parquet(s"$path/hashes")
   }
 
+  /** Compact an appended hash index into a NEW versioned directory
+    * (the ledger-family discipline): after many nightly appends the
+    * flat `hashes` relation is many small files taxing listing, not
+    * data volume. Rows are copied verbatim at a target rows-per-file,
+    * so [[nearDupAgainstIndex]] answers identically pre/post. Never
+    * compacts a live index onto itself (canonical-path guard — `dir/`
+    * or `dir/../dir` cannot slip past). */
+  def compactHashIndex(
+      spark: SparkSession, path: String, dest: String,
+      targetRowsPerFile: Long = 32000000L): Unit = {
+    val (fs, _) = LedgerFiles.fsOf(spark, path)
+    require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
+      "compaction writes a NEW versioned directory; compacting a live " +
+        "index onto itself would corrupt readers mid-query")
+    val rows = spark.read.parquet(s"$path/hashes")
+    val n = rows.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    rows.coalesce(files).write.mode("overwrite").parquet(s"$dest/hashes")
+  }
+
   /** Near-dup pairs of a NEW batch against the stored index WITHOUT
     * reprocessing stored media — the nightly-shard shape
     * ([[Dedup.dedupAgainstIndex]] at the perceptual tier): bipartite

@@ -279,6 +279,29 @@ object ProductQuantization {
         .select(col(id).as("doc_id"), col("sub"), col("cell")))
   }
 
+  /** Compact an appended PQ index into a NEW versioned directory (the
+    * ledger-family discipline): after many nightly appends the `codes`
+    * ledger is many small batch directories taxing listing/planning,
+    * not data volume. Codes are copied verbatim at a target
+    * rows-per-file, the codebooks as one file, and the dest manifest
+    * publishes LAST — serving answers are identical pre/post. Never
+    * compacts a live index onto itself (canonical-path guard). */
+  def compactPqIndex(
+      spark: SparkSession, path: String, dest: String,
+      targetRowsPerFile: Long = 8000000L): Unit = {
+    val (fs, _) = LedgerFiles.fsOf(spark, path)
+    require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
+      "compaction writes a NEW versioned directory; compacting a live " +
+        "index onto itself would corrupt readers mid-query")
+    val codes = pqCodes(spark, path)
+    val n = codes.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    codes.coalesce(files).write.mode("overwrite").parquet(s"$dest/codes/b0")
+    spark.read.parquet(s"$path/codebooks").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/codebooks")
+    LedgerFiles.publishManifest(fs, new Path(dest), What)
+  }
+
   /** ADC top-k straight off the stored codes — the codes-only serving
     * path (no raw vectors touched on the corpus side at all): the
     * query builds its m·kSub LUT against the stored codebooks, the

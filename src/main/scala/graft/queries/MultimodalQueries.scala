@@ -332,8 +332,10 @@ object MultimodalQueries {
       HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
       // redelivered batch — the id anti-join must append nothing
       HashIndex.appendToHashIndex(s, path, batch(1), "media_id", "ahash")
+      // compaction must be a verbatim copy — scoring reads v2
+      HashIndex.compactHashIndex(s, path, s"$dir/v2")
     }
-    HashIndex.nearDupAgainstIndex(s, s"$root/v1", batch(2), "media_id", "ahash")
+    HashIndex.nearDupAgainstIndex(s, s"$root/v2", batch(2), "media_id", "ahash")
       .select("new_id", "stored_id")
       .orderBy("new_id", "stored_id")
   }

@@ -1065,8 +1065,10 @@ object SimilarityQueries {
       ProductQuantization.appendToPqIndex(s, path, slice(2), "vec_id", "embedding")
       // redelivered batch — the codes ledger must append nothing
       ProductQuantization.appendToPqIndex(s, path, slice(1), "vec_id", "embedding")
+      // compaction must be a verbatim copy — serving reads v2
+      ProductQuantization.compactPqIndex(s, path, s"$dir/v2")
     }
-    ProductQuantization.adcTopKFrom(s, s"$root/v1",
+    ProductQuantization.adcTopKFrom(s, s"$root/v2",
       emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 5)
       .orderBy("q_id", "rnk")
   }

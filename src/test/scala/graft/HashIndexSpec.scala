@@ -72,6 +72,26 @@ class HashIndexSpec extends AnyFunSuite {
       .count() == 0, "the undecoded row's hash must not be pairable")
   }
 
+  test("compaction: verbatim copy, identical scoring, canonical-path guard") {
+    val dir = java.nio.file.Files.createTempDirectory("hidx5").toString
+    HashIndex.writeHashIndex(stored, "media_id", "phash", dir)
+    HashIndex.appendToHashIndex(spark, dir, batch, "media_id", "phash")
+    val dir2 = java.nio.file.Files.createTempDirectory("hidx5c").toString + "/v2"
+    HashIndex.compactHashIndex(spark, dir, dir2)
+    assert(spark.read.parquet(s"$dir2/hashes").count()
+      == spark.read.parquet(s"$dir/hashes").count())
+    val probe = Seq((300L, 0x1234567812345679L)).toDF("media_id", "phash")
+    def score(p: String) = HashIndex.nearDupAgainstIndex(
+      spark, p, probe, "media_id", "phash")
+      .select("new_id", "stored_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(score(dir2) == score(dir) && score(dir2).nonEmpty,
+      "the compacted index must score identically")
+    intercept[IllegalArgumentException] {
+      HashIndex.compactHashIndex(spark, dir, dir + "/")
+    }
+  }
+
   test("maxHamming above the banding guarantee is rejected") {
     val dir = java.nio.file.Files.createTempDirectory("hidx4").toString
     HashIndex.writeHashIndex(stored, "media_id", "phash", dir)

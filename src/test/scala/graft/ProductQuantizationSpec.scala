@@ -72,6 +72,16 @@ class ProductQuantizationSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(serve(dirInc) == serve(dirFull),
       "ADC serving must be identical however the codes arrived")
+    // compaction: verbatim copy, identical serving, canonical-path guard
+    val dirC = java.nio.file.Files.createTempDirectory("pqidxc").toString + "/v2"
+    ProductQuantization.compactPqIndex(spark, dirInc, dirC)
+    assert(ProductQuantization.pqCodes(spark, dirC).count()
+      == ProductQuantization.pqCodes(spark, dirInc).count())
+    assert(serve(dirC) == serve(dirInc),
+      "the compacted index must serve identically")
+    intercept[IllegalArgumentException] {
+      ProductQuantization.compactPqIndex(spark, dirInc, dirInc + "/")
+    }
     // a half-published index (no manifest) fails loudly
     new java.io.File(s"$dirInc/_manifest").delete()
     intercept[IllegalStateException] {
