@@ -270,6 +270,37 @@ object StreamingOps {
     }
   }
 
+  /** Ingestion-time fold for the PQ codes index (N109 at the N8/N39/
+    * N93 streaming tier): each micro-batch encodes under the FROZEN
+    * stored codebooks and delta-appends to the codes ledger (seed with
+    * [[graft.operators.ProductQuantization.writePqIndex]] first). The
+    * `_batches` ledger is the fast-path redelivery skip; the append
+    * itself is id-gated AND atomic (staging + one rename) underneath —
+    * the same two-layer exactly-once-effect contract as
+    * [[semanticIndexAppendBatch]]. Serving
+    * ([[graft.operators.ProductQuantization.adcTopKFrom]]) answers
+    * identically however the codes arrived (the q_sim_pq_index
+    * append ≡ rebuild law); the streamed form is spec-verified against
+    * a real foreachBatch run in StreamingSpec.
+    *
+    * @return the function to pass to `stream.writeStream.foreachBatch` */
+  def pqIndexAppendBatch(
+      path: String, id: String, vec: String): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val ledgerPath = s"$path/_batches"
+      val applied =
+        try spark.read.parquet(ledgerPath)
+          .filter(col("batch_id") === batchId).head(1).nonEmpty
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (!applied && !batch.isEmpty) {
+        graft.operators.ProductQuantization.appendToPqIndex(
+          spark, path, batch, id, vec)
+        spark.range(1).select(lit(batchId).as("batch_id"))
+          .write.mode("append").parquet(ledgerPath)
+      }
+  }
+
   /** Streaming sketch fold for the histogram quantile sketch (N54):
     * each micro-batch writes ITS OWN bin counts (additive — the sketch
     * merges at read time via [[readHistogram]], so append never

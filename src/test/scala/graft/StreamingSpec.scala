@@ -370,6 +370,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PQ codes fold: streamed codes equal the batch rebuild; redelivery no-op at BOTH layers") {
+    import spark.implicits._
+    val dirS = java.nio.file.Files.createTempDirectory("graft-stream-pq").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-stream-pqb").toString
+    try {
+      def vec(xs: Double*) = xs.toSeq
+      // 6 base vectors in R^4 (kSub=4 seeds need >= 4 rows), m=2 subspaces
+      val base = Seq(
+        (0L, vec(1.0, 0.1, 0.0, 0.0)), (1L, vec(0.0, 1.0, 0.2, 0.0)),
+        (2L, vec(0.0, 0.1, 1.0, 0.0)), (3L, vec(0.3, 0.0, 0.0, 1.0)),
+        (4L, vec(0.7, 0.7, 0.0, 0.1)), (5L, vec(0.0, 0.6, 0.8, 0.0))
+      ).toDF("doc_id", "embedding")
+      val b1 = Seq((10L, vec(0.9, 0.2, 0.1, 0.0)), (11L, vec(0.1, 0.9, 0.1, 0.3)))
+      val b2 = Seq((12L, vec(0.2, 0.1, 0.9, 0.4)))
+      graft.operators.ProductQuantization.writePqIndex(
+        base, "doc_id", "embedding", dirS, m = 2, kSub = 4, iters = 2)
+      val fold = StreamingOps.pqIndexAppendBatch(dirS, "doc_id", "embedding")
+      val in = MemoryStream[(Long, Seq[Double])](spark)
+      val df = in.toDF().toDF("doc_id", "embedding")
+      val q = df.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => fold(b.toDF(), id))
+        .start()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable(); q.stop()
+      // batch rebuild on the SAME seed + one append of everything new
+      graft.operators.ProductQuantization.writePqIndex(
+        base, "doc_id", "embedding", dirB, m = 2, kSub = 4, iters = 2)
+      graft.operators.ProductQuantization.appendToPqIndex(
+        spark, dirB, (b1 ++ b2).toDF("doc_id", "embedding"), "doc_id", "embedding")
+      def codes(p: String) = graft.operators.ProductQuantization.pqCodes(spark, p)
+        .as[(Long, Int, Long)].collect().toSet
+      assert(codes(dirS) == codes(dirB),
+        "streamed codes must equal the batch rebuild under the frozen codebooks")
+      val n = codes(dirS).size
+      // layer 1 — _batches fast path: an already-ledgered batch id skips
+      // wholesale, even with an unseen doc inside
+      fold(Seq((99L, vec(0.5, 0.5, 0.5, 0.5))).toDF("doc_id", "embedding"), 0L)
+      assert(codes(dirS).size == n)
+      // layer 2 — id-gated freshness: a NEW batch id with ledgered docs
+      fold(b2.toDF("doc_id", "embedding"), 99L)
+      assert(codes(dirS).size == n)
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dirS)).deleteRecursively()
+      new scala.reflect.io.Directory(new java.io.File(dirB)).deleteRecursively()
+    }
+  }
+
   test("streaming curation fold: streamed quota view equals the batch pipeline; redelivery no-op; compaction identity") {
     import spark.implicits._
     val path = java.nio.file.Files
