@@ -699,6 +699,9 @@ object SimilarityQueries {
       |pqadc AS (SELECT dt.q_id, cd.c_id, SUM(dt.dd) AS adist
       |          FROM pqcode cd JOIN pqdt dt ON dt.sub = cd.sub AND dt.cell = cd.cell
       |          GROUP BY dt.q_id, cd.c_id),
+      |pqadctop AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
+      |  FROM pqadc) t WHERE rnk <= 5),
       |pqcand AS (SELECT q_id, c_id FROM (
       |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
       |  FROM pqadc) t
@@ -747,6 +750,12 @@ object SimilarityQueries {
       |       CAST((SELECT COUNT(*) FROM lshtop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
       |         / CAST(nq.n_queries * 5 AS DOUBLE),
       |       TRUE FROM nq
+      |UNION ALL
+      |SELECT 'pq_adc', CAST(5 AS BIGINT), nq.n_queries,
+      |       CAST(nq.n_queries * nc.n_corpus AS BIGINT),
+      |       CAST((SELECT COUNT(*) FROM pqadctop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
+      |         / CAST(nq.n_queries * 5 AS DOUBLE),
+      |       TRUE FROM nq, nc
       |UNION ALL
       |SELECT 'pq_adc_rerank', CAST(5 AS BIGINT), nq.n_queries,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pqcand),
@@ -877,6 +886,15 @@ object SimilarityQueries {
     // 0.848 / 0.826 / 0.908 at sf0.001/0.01/0.1 — ≥ 0.8 at a THIRD of
     // jl16_sq8_rerank's candidate fraction (deterministic, so the
     // bound is exact, not statistical).
+    // the codes-only serving point (what q_sim_pq_index serves): ADC
+    // top-5 with NO rerank — the memory-extreme end of the frontier
+    // (5 bytes/vector, zero raw-vector reads). Measured recall@5:
+    // 0.408 / 0.422 / 0.298 at sf0.001/0.01/0.1 (deterministic).
+    val pqOnly = methodRow("pq_adc",
+      graft.operators.ProductQuantization.adcCandidates(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k,
+        m = 8, kSub = 32, iters = 2, candidateFrac = 0.0),
+      allPairs, 0.2)
     val pq = methodRow("pq_adc_rerank",
       graft.operators.ProductQuantization.adcTopK(queries, emb,
         "vec_id", "embedding", "vec_id", "embedding", k,
@@ -888,7 +906,8 @@ object SimilarityQueries {
       0.8)
 
     brute.unionAll(ivf).unionAll(lloyd).unionAll(trained).unionAll(jlSq8)
-      .unionAll(rerank).unionAll(lsh).unionAll(pq).unionAll(sq8)
+      .unionAll(rerank).unionAll(lsh).unionAll(pqOnly).unionAll(pq)
+      .unionAll(sq8)
       .orderBy("method")
   }
 

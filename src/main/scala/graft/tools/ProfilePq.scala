@@ -30,6 +30,12 @@ object ProfilePq {
         k, m = m, kSub = kSub, iters = 2, candidateFrac = frac).count()
       println(f"PQ m=$m%d kSub=$kSub%d frac=$frac%.2f recall@5=${hits.toDouble / nHits}%.3f candidates=$cand%d")
     }
+    // the codes-only serving point: ADC top-5 with NO rerank
+    val adcOnly = graft.operators.ProductQuantization.adcCandidates(
+      queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, m = 8, kSub = 32, iters = 2, candidateFrac = 0.0)
+    val hitsOnly = adcOnly.join(exact, Seq("q_id", "c_id"), "left_semi").count()
+    println(f"PQ m=8 kSub=32 ADC-ONLY recall@5=${hitsOnly.toDouble / nHits}%.3f")
     spark.stop()
   }
 }
