@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,13 +8,18 @@ import org.apache.spark.sql.functions._
   * discipline shared by image (N101), audio (N103) and video (N104)
   * near-dup: a stored relation of narrow (media_id, phash) rows — the
   * only state incremental media dedup ever needs (hashes, never
-  * pixels/samples/frames) — with
-  *  - seed ([[writeHashIndex]]): one overwrite of the projected pairs;
+  * pixels/samples/frames) — with the full [[LedgerFiles]] contract the
+  * semantic and PQ ledgers carry:
+  *  - seed ([[writeHashIndex]]): one overwrite of the projected pairs
+  *    into `hashes/b0`, manifest published LAST — a crashed seed fails
+  *    loudly for every reader instead of serving half a corpus;
   *  - O(batch) delta append ([[appendToHashIndex]]): batch ids
-  *    anti-join the stored ids OF THE BATCH'S HASH BUCKETS (the batch
-  *    hash set broadcasts, keeping the stored scan narrow), so a
-  *    redelivered batch appends nothing — idempotence without reading
-  *    the whole index;
+  *    anti-join the FULL stored id column (a narrow one-column
+  *    columnar scan), so a redelivered batch appends nothing even
+  *    when a re-encode changed its hashes — per-id idempotence, not
+  *    per-(id, hash); the append stages under `.staging/` and commits
+  *    with ONE rename ([[LedgerFiles.atomicAppend]]), so a crashed
+  *    append leaves nothing visible;
   *  - bipartite scoring ([[nearDupAgainstIndex]]): new batch vs stored
   *    DISTINCT hashes through the 4×16-bit Hamming banding (cross-side
   *    bands only — stored×stored work never recurs), exact for
@@ -22,10 +28,12 @@ import org.apache.spark.sql.functions._
   * AudioDedup.audioHash64, VideoDedup.videoHash64); this module owns
   * only the ledger laws, spec'd once in HashIndexSpec and inherited by
   * all three modality callers. At 100 TB the index is a narrow
-  * two-column relation: appends shuffle batch-sized id sets, scoring
-  * shuffles band keys of DISTINCT hashes — media bytes never enter an
-  * exchange. */
+  * two-column relation: appends shuffle batch-sized id sets (plus one
+  * projection scan of the stored id column), scoring shuffles band
+  * keys of DISTINCT hashes — media bytes never enter an exchange. */
 object HashIndex {
+
+  private val What = "perceptual hash index"
 
   /** Drop failed-decode rows when the relation carries a `decoded`
     * flag: undecodable payloads all hash to 0, so an unfiltered frame
@@ -38,35 +46,56 @@ object HashIndex {
     else hashes
 
   /** Seed a perceptual-hash index: one narrow (media_id, phash) row
-    * per already-ingested item. */
+    * per already-ingested item, committed under the manifest gate
+    * (manifest LAST — a crash mid-seed is loud, never silent). */
   def writeHashIndex(
-      hashes: DataFrame, id: String, hash: String, path: String): Unit =
+      hashes: DataFrame, id: String, hash: String, path: String): Unit = {
+    val spark = hashes.sparkSession
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    // invalidate readers for the whole re-seed window, then wipe any
+    // previous ledger tree so a re-seed cannot leave stale batches
+    fs.delete(new Path(root, LedgerFiles.ManifestName), false)
+    fs.delete(new Path(root, "hashes"), true)
     dropUndecoded(hashes).select(col(id).as("media_id"), col(hash).as("phash"))
-      .write.mode("overwrite").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/hashes/b0")
+    LedgerFiles.publishManifest(fs, root, What)
+  }
 
-  /** Delta-append a batch (O(batch) parquet append). Idempotent:
-    * batch ids anti-join the stored ids OF THE BATCH'S HASH BUCKETS
-    * (the batch hash set broadcasts, so the stored scan stays narrow)
-    * — a redelivered batch appends nothing. */
+  /** The committed (media_id, phash) ledger — every `hashes/b<k>`
+    * batch, manifest-gated. */
+  def storedHashes(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, What)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/hashes")
+  }
+
+  /** Delta-append a batch, ATOMICALLY (staging + one rename — a crash
+    * mid-append leaves nothing visible and redelivery converges).
+    * Idempotent PER ID: batch ids anti-join the full stored id set (a
+    * one-column columnar scan of the narrow ledger), so a redelivered
+    * media_id appends nothing even when re-encoding changed its hash —
+    * the stored hash stays canonical, matching the semantic ledger's
+    * keeper discipline. */
   def appendToHashIndex(
       spark: SparkSession, path: String,
       hashes: DataFrame, id: String, hash: String): Unit = {
     val batch =
       dropUndecoded(hashes).select(col(id).as("media_id"), col(hash).as("phash"))
-    val stored = spark.read.parquet(s"$path/hashes")
-      .join(batch.select("phash").distinct(), Seq("phash"), "left_semi")
-      .select("media_id")
-    batch.join(stored, Seq("media_id"), "left_anti")
-      .write.mode("append").parquet(s"$path/hashes")
+    val fresh = batch.join(
+      storedHashes(spark, path).select("media_id"), Seq("media_id"), "left_anti")
+    if (fresh.isEmpty) return
+    LedgerFiles.atomicAppend(spark, path, "hashes", fresh)
   }
 
   /** Compact an appended hash index into a NEW versioned directory
     * (the ledger-family discipline): after many nightly appends the
-    * flat `hashes` relation is many small files taxing listing, not
-    * data volume. Rows are copied verbatim at a target rows-per-file,
-    * so [[nearDupAgainstIndex]] answers identically pre/post. Never
-    * compacts a live index onto itself (canonical-path guard — `dir/`
-    * or `dir/../dir` cannot slip past). */
+    * `hashes` ledger is many small batch directories taxing listing,
+    * not data volume. Rows are copied verbatim at a target
+    * rows-per-file and the dest manifest publishes LAST, so
+    * [[nearDupAgainstIndex]] answers identically pre/post and a
+    * crashed compaction is loud. Never compacts a live index onto
+    * itself (canonical-path guard — `dir/` or `dir/../dir` cannot
+    * slip past). */
   def compactHashIndex(
       spark: SparkSession, path: String, dest: String,
       targetRowsPerFile: Long = 32000000L): Unit = {
@@ -74,10 +103,11 @@ object HashIndex {
     require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
-    val rows = spark.read.parquet(s"$path/hashes")
+    val rows = storedHashes(spark, path)
     val n = rows.count()
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    rows.coalesce(files).write.mode("overwrite").parquet(s"$dest/hashes")
+    rows.coalesce(files).write.mode("overwrite").parquet(s"$dest/hashes/b0")
+    LedgerFiles.publishManifest(fs, new Path(dest), What)
   }
 
   /** Near-dup pairs of a NEW batch against the stored index WITHOUT
@@ -103,7 +133,7 @@ object HashIndex {
     val batch = graft.core.CacheGovernor.persistTracked(
       dropUndecoded(newHashes).select(col(id).as("_nid"), col(hash).as("_nh")))
     val stored = graft.core.CacheGovernor.persistTracked(
-      spark.read.parquet(s"$path/hashes")
+      storedHashes(spark, path)
         .select(col("media_id").as("_sid"), col("phash").as("_sh")))
     val cand = chunks(batch.select(col("_nh")).distinct(), "_nh")
       .join(chunks(stored.select(col("_sh")).distinct(), "_sh"),

@@ -55,10 +55,17 @@ object ProductQuantization {
   private def quant(unitVec: Column): Column =
     transform(unitVec, x => floor((x + lit(2.0)) * lit(1048576.0)).cast("long"))
 
-  /** Exact integer dot in codegen double space — subDim ≤ 896 keeps
-    * the running sum inside 2⁵³ (Similarity.lloydDot's bound; subDim
-    * here is dim/m, far below it). */
-  private def idot(a: Column, b: Column): Column = dot(a, b).cast("long")
+  /** Exact integer dot over micro-coordinate slices, width-gated
+    * exactly like Similarity.lloydDot: the codegen double dot is an
+    * exact integer only while the running sum stays < 2⁵³, i.e.
+    * subDim ≤ 896 at ≤ 3·2²⁰ per coordinate. Wider subspaces (dim
+    * 8192 at m=8 → subDim 1024) fall back to the exact long HOF fold
+    * instead of silently losing low bits — the documented bit-exact
+    * training/ADC/oracle-replay invariant holds at every width. */
+  private val NativeDotMaxSubDim = 896
+  private def idot(subDim: Int)(a: Column, b: Column): Column =
+    if (subDim <= NativeDotMaxSubDim) dot(a, b).cast("long")
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   private def keyOf(df: DataFrame, parts: Any*): String =
     (Seq("pq", System.identityHashCode(df.sparkSession),
@@ -77,7 +84,7 @@ object ProductQuantization {
           slice(col("_qx"), s * subDim + 1, subDim)): _*)))
         .withColumnRenamed("pos", "sub")
         .withColumnRenamed("col", "_sx")
-        .withColumn("_sxx", idot(col("_sx"), col("_sx")))
+        .withColumn("_sxx", idot(subDim)(col("_sx"), col("_sx")))
     }
 
   private def subDimOf(corpus: DataFrame, id: String, vec: String, m: Int): Int = {
@@ -89,15 +96,15 @@ object ProductQuantization {
 
   /** Nearest codeword per (document, subspace) under `cb` — exact
     * integer subspace distance, ties to the smaller cell. */
-  private def assign(ex: DataFrame, cb: DataFrame): DataFrame =
+  private def assign(ex: DataFrame, cb: DataFrame, subDim: Int): DataFrame =
     ex.join(broadcast(cb), "sub")
       .withColumn("_d",
-        col("_sxx") + col("_cc") - lit(2L) * idot(col("_sx"), col("qc")))
+        col("_sxx") + col("_cc") - lit(2L) * idot(subDim)(col("_sx"), col("qc")))
       .groupBy("_pid", "sub")
       .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"))
 
-  private def withCc(cb: DataFrame): DataFrame =
-    cb.withColumn("_cc", idot(col("qc"), col("qc")))
+  private def withCc(cb: DataFrame, subDim: Int): DataFrame =
+    cb.withColumn("_cc", idot(subDim)(col("qc"), col("qc")))
 
   /** Train the per-subspace codebooks: (sub, cell, qc) — m·kSub rows.
     * Init is the hash-seeded rule every Lloyd caller uses (the kSub
@@ -121,23 +128,31 @@ object ProductQuantization {
         .orderBy(col("_h"), col("_id")).limit(kSub)
         .select(quant(transform(col("_v"), x => x / col("_nrm"))))
         .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+      // a corpus with fewer than kSub rows seeds fewer codewords; the
+      // update loop sizes to the ACTUAL seed (lloydGeometry's rule), so
+      // a short seed trains a short codebook instead of indexing past it
       var cb: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
         IndexedSeq.tabulate(m)(s =>
           seed.map(q => q.slice(s * subDim, (s + 1) * subDim)))
       def cbDf = withCc(cb.zipWithIndex.flatMap { case (cells, s) =>
         cells.zipWithIndex.map { case (v, cell) => (s, cell.toLong, v) }
-      }.toDF("sub", "cell", "qc"))
+      }.toDF("sub", "cell", "qc"), subDim)
       for (_ <- 0 until iters) {
-        val sums = assign(ex, cbDf)
+        // m·kSub×subDim longs cross the driver per round — the same
+        // model-sized collect an MLlib fit makes (kSub·dim ≤ a few MB
+        // even at kSub = 256, dim = 8192); keyed Map lookup keeps the
+        // per-cell update O(1), not a linear scan per cell
+        val sums = assign(ex, cbDf, subDim)
           .join(ex.select("_pid", "sub", "_sx"), Seq("_pid", "sub"))
           .groupBy("sub", "cell")
           .agg(count(lit(1)).as("_n"),
             (0 until subDim).map(i =>
               sum(element_at(col("_sx"), i + 1)).as(s"_s$i")): _*)
           .collect()
+        val byKey = sums.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
         cb = IndexedSeq.tabulate(m) { s =>
-          IndexedSeq.tabulate(kSub) { cell =>
-            sums.find(r => r.getInt(0) == s && r.getLong(1) == cell.toLong) match {
+          IndexedSeq.tabulate(cb(s).length) { cell =>
+            byKey.get((s, cell.toLong)) match {
               case Some(r) =>
                 val n = r.getLong(2)
                 IndexedSeq.tabulate(subDim)(i => r.getLong(3 + i) / n)
@@ -156,7 +171,7 @@ object ProductQuantization {
       corpus: DataFrame, id: String, vec: String, cb: DataFrame,
       m: Int = 8): DataFrame = {
     val subDim = subDimOf(corpus, id, vec, m)
-    assign(slices(corpus, id, vec, m, subDim), withCc(cb))
+    assign(slices(corpus, id, vec, m, subDim), withCc(cb, subDim), subDim)
       .select(col("_pid").as(id), col("sub"), col("cell"))
   }
 
@@ -185,16 +200,16 @@ object ProductQuantization {
       k: Int, m: Int, kSub: Int, iters: Int,
       candidateFrac: Double): DataFrame = {
     val subDim = subDimOf(corpus, cId, cVec, m)
-    val cb = withCc(codebooks(corpus, cId, cVec, m, kSub, iters))
+    val cb = withCc(codebooks(corpus, cId, cVec, m, kSub, iters), subDim)
     val codes = graft.core.CacheGovernor.sharedFrame(
       keyOf(corpus, cId, cVec, m, kSub, iters, "codes"), corpus) {
-      assign(slices(corpus, cId, cVec, m, subDim), cb)
+      assign(slices(corpus, cId, cVec, m, subDim), cb, subDim)
         .select(col("_pid").as("c_id"), col("sub"), col("cell"))
     }
     val lut = slices(queries, qId, qVec, m, subDim)
       .join(broadcast(cb), "sub")
       .withColumn("_dd",
-        col("_sxx") + col("_cc") - lit(2L) * idot(col("_sx"), col("qc")))
+        col("_sxx") + col("_cc") - lit(2L) * idot(subDim)(col("_sx"), col("qc")))
       .select(col("_pid").as("q_id"), col("sub"), col("cell"), col("_dd"))
     val n = graft.core.CacheGovernor.sharedScalar(
       keyOf(corpus, cId, cVec, "rows"))(
@@ -269,7 +284,16 @@ object ProductQuantization {
       spark: SparkSession, path: String,
       batch: DataFrame, id: String, vec: String): Unit = {
     val cb = storedCodebooks(spark, path)
-    val (m, _) = storedShape(cb)
+    val (m, subDim) = storedShape(cb)
+    // fail loudly on a width mismatch (the manifest-gate discipline): a
+    // batch whose dim merely divides by m would otherwise encode against
+    // mismatched-length codewords and commit meaningless codes
+    val batchDim = Similarity.dimOf(
+      Similarity.normalizedView(batch, id, vec), "_v")
+    require(batchDim == m * subDim,
+      s"batch vector dim $batchDim does not match the stored index " +
+        s"shape m=$m x subDim=$subDim (= ${m * subDim}); re-encode the " +
+        "batch at the index's dimensionality or rebuild the index")
     val fresh = batch.join(
       pqCodes(spark, path).select(col("doc_id").as(id)).distinct(),
       Seq(id), "left_anti")
@@ -312,12 +336,13 @@ object ProductQuantization {
   def adcTopKFrom(
       spark: SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String, k: Int): DataFrame = {
-    val cb = withCc(storedCodebooks(spark, path))
-    val (m, subDim) = storedShape(cb.select("sub", "cell", "qc"))
+    val cb0 = storedCodebooks(spark, path)
+    val (m, subDim) = storedShape(cb0)
+    val cb = withCc(cb0, subDim)
     val lut = slices(queries, qId, qVec, m, subDim)
       .join(broadcast(cb), "sub")
       .withColumn("_dd",
-        col("_sxx") + col("_cc") - lit(2L) * idot(col("_sx"), col("qc")))
+        col("_sxx") + col("_cc") - lit(2L) * idot(subDim)(col("_sx"), col("qc")))
       .select(col("_pid").as("q_id"), col("sub"), col("cell"), col("_dd"))
     val w = Window.partitionBy("q_id").orderBy(col("adist"), col("c_id"))
     pqCodes(spark, path).withColumnRenamed("doc_id", "c_id")

@@ -72,8 +72,11 @@ object Similarity {
     * Two exact plans behind one signature, chosen by corpus size (a
     * memoized count of the shared normalized view — repeated calls
     * never re-probe):
-    *  - corpus ≤ `broadcastRowLimit`: corpus broadcast + per-query
-    *    window rank (zero shuffle of the query side).
+    *  - corpus broadcast BYTES ≤ ~64 MB ([[broadcastRowsFor]] converts
+    *    the budget to rows at the corpus's width; pass an explicit
+    *    `broadcastRowLimit` > 0 to pin the row cutoff instead):
+    *    corpus broadcast + per-query window rank (zero shuffle of the
+    *    query side).
     *  - larger: block-bucketed exact plan — corpus hashes into B
     *    blocks, queries replicate to every block (equi-join on block
     *    id, never a corpus broadcast), local top-k per (query, block),
@@ -87,7 +90,7 @@ object Similarity {
       qId: String, qVec: String,
       cId: String, cVec: String,
       k: Int,
-      broadcastRowLimit: Int = 2000000): DataFrame = {
+      broadcastRowLimit: Int = 0): DataFrame = {
     // norms once per row BEFORE the pair join (3× fewer dots), dot via
     // the codegen'd native expression — identical doubles to the HOF
     // form, so oracle hashes are unaffected
@@ -95,7 +98,10 @@ object Similarity {
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     val cos = dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn"))
-    val smallCorpus = viewRows(corpus, cId, cVec) <= broadcastRowLimit
+    val rowLimit =
+      if (broadcastRowLimit > 0) broadcastRowLimit
+      else broadcastRowsFor(viewDim(corpus, cId, cVec))
+    val smallCorpus = viewRows(corpus, cId, cVec) <= rowLimit
     val candidates =
       if (smallCorpus) q.crossJoin(broadcast(c))
       else {
@@ -116,6 +122,19 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "c_id", "rnk", "cos")
   }
+
+  /** Broadcast row cutoff for [[bruteForceTopK]]'s small-corpus branch,
+    * derived from BYTES rather than a fixed row count: a row costs
+    * 8·dim vector bytes plus ~48 of id/norm/object overhead, and the
+    * default 64 MB budget matches the order of
+    * spark.sql.autoBroadcastJoinThreshold-style sizing on real
+    * executors (the previous fixed 2M-row cutoff allowed a ~0.5 GB
+    * broadcast at 64 dims — fine in a 128 GiB sandbox, hostile on a
+    * shared cluster). Results are plan-independent either way (the
+    * blocked branch is proven identical in SimilaritySpec). */
+  def broadcastRowsFor(dim: Int, budgetBytes: Long = 64L << 20): Int =
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      budgetBytes / (8L * math.max(1, dim) + 48L))).toInt
 
   /** Deterministic hyperplane weight matrix: `nPlanes` × `dim` uniform
     * [-1, 1] weights, each derived independently from a PORTABLE hash:
@@ -816,14 +835,21 @@ object Similarity {
       .select("_qx").collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
     for (_ <- 0 until iters) {
       val asg = lloydAssign(cq, centDf(centroids), dim)
+      // k×(dim+2) longs cross the driver per round — the model-sized
+      // round-trip an MLlib fit makes (~8·k·dim bytes: 154 MB even at
+      // the SemDeDup auto-dial's k = ⌊√n⌋ ≈ 3·10⁵ on 10¹¹ docs with
+      // dim 64 — driver-bounded by construction). The keyed Map makes
+      // each cell's update O(1); a linear scan per cell was O(k²) on
+      // the driver, harmless at k=16 but not at the auto-dial.
       val sums = asg
         .groupBy("_cell")
         .agg(count(lit(1)).as("_n"),
           (0 until dim).map(i =>
             sum(element_at(col("_qx"), i + 1)).as(s"_s$i")): _*)
         .collect()
+      val byCell = sums.map(r => r.getLong(0) -> r).toMap
       centroids = centroids.indices.map { cell =>
-        sums.find(_.getLong(0) == cell.toLong) match {
+        byCell.get(cell.toLong) match {
           case Some(r) =>
             val n = r.getLong(1)
             IndexedSeq.tabulate(dim)(i => r.getLong(2 + i) / n)

@@ -36,11 +36,11 @@ class HashIndexSpec extends AnyFunSuite {
   test("seed + idempotent append: a redelivered batch appends nothing") {
     val dir = java.nio.file.Files.createTempDirectory("hidx").toString
     HashIndex.writeHashIndex(stored, "media_id", "phash", dir)
-    assert(spark.read.parquet(s"$dir/hashes").count() == 8)
+    assert(HashIndex.storedHashes(spark, dir).count() == 8)
     HashIndex.appendToHashIndex(spark, dir, batch, "media_id", "phash")
-    assert(spark.read.parquet(s"$dir/hashes").count() == 12)
+    assert(HashIndex.storedHashes(spark, dir).count() == 12)
     HashIndex.appendToHashIndex(spark, dir, batch, "media_id", "phash")
-    assert(spark.read.parquet(s"$dir/hashes").count() == 12,
+    assert(HashIndex.storedHashes(spark, dir).count() == 12,
       "redelivered batch must be a no-op")
   }
 
@@ -66,7 +66,7 @@ class HashIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("hidx3").toString
     val flagged = stored.withColumn("decoded", col("media_id") =!= 5L)
     HashIndex.writeHashIndex(flagged, "media_id", "phash", dir)
-    assert(spark.read.parquet(s"$dir/hashes").count() == 7)
+    assert(HashIndex.storedHashes(spark, dir).count() == 7)
     val probe = Seq((200L, 0xA5A5A5A5A5A5A5A4L)).toDF("media_id", "phash")
     assert(HashIndex.nearDupAgainstIndex(spark, dir, probe, "media_id", "phash")
       .count() == 0, "the undecoded row's hash must not be pairable")
@@ -78,8 +78,8 @@ class HashIndexSpec extends AnyFunSuite {
     HashIndex.appendToHashIndex(spark, dir, batch, "media_id", "phash")
     val dir2 = java.nio.file.Files.createTempDirectory("hidx5c").toString + "/v2"
     HashIndex.compactHashIndex(spark, dir, dir2)
-    assert(spark.read.parquet(s"$dir2/hashes").count()
-      == spark.read.parquet(s"$dir/hashes").count())
+    assert(HashIndex.storedHashes(spark, dir2).count()
+      == HashIndex.storedHashes(spark, dir).count())
     val probe = Seq((300L, 0x1234567812345679L)).toDF("media_id", "phash")
     def score(p: String) = HashIndex.nearDupAgainstIndex(
       spark, p, probe, "media_id", "phash")
@@ -89,6 +89,33 @@ class HashIndexSpec extends AnyFunSuite {
       "the compacted index must score identically")
     intercept[IllegalArgumentException] {
       HashIndex.compactHashIndex(spark, dir, dir + "/")
+    }
+  }
+
+  test("redelivered id with a CHANGED hash appends nothing (per-id idempotence)") {
+    val dir = java.nio.file.Files.createTempDirectory("hidx6").toString
+    HashIndex.writeHashIndex(stored, "media_id", "phash", dir)
+    // id 3 re-encoded: same media, different hash — the ledger must keep
+    // its canonical stored row, not accumulate a duplicate media_id
+    val reencoded = Seq((3L, 0xDEADBEEFCAFEF00DL)).toDF("media_id", "phash")
+    HashIndex.appendToHashIndex(spark, dir, reencoded, "media_id", "phash")
+    val rows = HashIndex.storedHashes(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(rows.count(_._1 == 3L) == 1, "duplicate media_id after re-encode")
+    assert(rows.contains((3L, 0x1234567812345678L)),
+      "the stored hash stays canonical")
+  }
+
+  test("manifest gate: a half-published index fails loudly; crashed appends invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("hidx7").toString
+    HashIndex.writeHashIndex(stored, "media_id", "phash", dir)
+    // a crashed append's staging dir is never visible to readers
+    val staged = new java.io.File(s"$dir/.staging/append")
+    staged.mkdirs()
+    assert(HashIndex.storedHashes(spark, dir).count() == 8)
+    intercept[IllegalStateException] {
+      new java.io.File(s"$dir/_manifest").delete()
+      HashIndex.storedHashes(spark, dir).count()
     }
   }
 

@@ -103,7 +103,7 @@ class ImageDedupSpec extends AnyFunSuite {
     ImageDedup.writeHashIndex(stored0, "id", "h", dir)
     ImageDedup.appendToHashIndex(spark, dir, stored1, "id", "h")
     ImageDedup.appendToHashIndex(spark, dir, stored1, "id", "h") // redelivery
-    assert(spark.read.parquet(s"$dir/hashes").count() === 3L)
+    assert(graft.operators.HashIndex.storedHashes(spark, dir).count() === 3L)
     // batch: 10 matches base exactly, 11 is 2 bits off base (pairs
     // with 1 at d=2 and 3 at d<=3), 12 is far+5bits (no pairs)
     val batch = Seq(

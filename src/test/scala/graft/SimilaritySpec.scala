@@ -42,6 +42,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("broadcast cutoff derives from corpus bytes, not a fixed row count") {
+    // 64-dim rows cost 8·64 + 48 = 560 B → ~120k rows fit the 64 MB
+    // budget; a 1024-dim corpus gets ~8k — the cutoff scales with width
+    assert(Similarity.broadcastRowsFor(64) === ((64L << 20) / 560L).toInt)
+    assert(Similarity.broadcastRowsFor(1024) === ((64L << 20) / 8240L).toInt)
+    assert(Similarity.broadcastRowsFor(64) < 2000000,
+      "the old fixed cutoff allowed ~0.5 GB broadcasts at 64 dims")
+    // the harness corpus sits inside the derived budget → the default
+    // takes the broadcast branch; `brute` (default) vs the forced
+    // blocked branch identity is the 'blocked exact top-k' test above
+    assert(emb.count() <= Similarity.broadcastRowsFor(64))
+  }
+
   test("LSH multiprobe: recall vs brute force on isotropic data") {
     val lsh = Similarity.lshTopK(
       queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5, nPlanes = 4)
