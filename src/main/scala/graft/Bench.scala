@@ -110,6 +110,31 @@ object Bench {
         name -> (dt, cpu)
       }
     }
+    // per-method attribution for aggregate rows (round 17): one
+    // solo-timed pass over SparkEntry.benchSubqueries (cold, isolated
+    // like a main-registry query), emitted as "subqueries"/
+    // "subqueries_cpu" in the full artifact only — the compact stdout
+    // line never carries them. Not min-of-N: these rows attribute, the
+    // gating numbers stay the aggregate queries'.
+    val subs: Seq[(String, (Double, Double))] = {
+      graft.core.CacheGovernor.reset(spark)
+      SparkEntry.benchSubqueries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(name.contains) }
+        .map { case (name, fn) =>
+          drain()
+          val c0 = tally.cpuNs.get
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] subquery $name FAILED: ${e.getMessage}")
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          drain()
+          val cpu = (tally.cpuNs.get - c0) / 1e9
+          graft.core.CacheGovernor.isolate()
+          name -> (dt, cpu)
+        }
+    }
     val steal1 = stealSnap()
     val stealPct =
       if (steal1._2 > steal0._2)
@@ -188,8 +213,12 @@ object Bench {
       if (failed.size <= 8) errs
       else failed.take(8).map("\"" + _ + "\"")
         .mkString("[", ",", s",\"+${failed.size - 8}_more\"]")
+    // "sub" keys reuse query-name prefixes; they sit AFTER "queries"/
+    // "cpu" in the line so parseMap's first-tag slicing stays correct
+    val subQs = jmap(subs.map { case (n, v) => n -> v._1 })
+    val subCpu = jmap(subs.map { case (n, v) => n -> v._2 })
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"cpu_total":${math.round(cpuTotal * 1e6) / 1e6},"cpu":$cq,"cpu_drift":$cpuDrift,"steal_pct":$stealPct,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$repeat,"drift":$drift,"cpu_total":${math.round(cpuTotal * 1e6) / 1e6},"cpu":$cq,"cpu_drift":$cpuDrift,"subqueries":$subQs,"subqueries_cpu":$subCpu,"steal_pct":$stealPct,"errors":$errs,"sf":"$sfDir"}"""
     // the driver stores a stdout TAIL of 2000 chars (measured across
     // BENCH_r01-r09) that also swallows sbt's ~80-char epilogue; the
     // full line (two 130+-entry maps + drift maps, ~10 KB) overflowed

@@ -15,6 +15,7 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     RelationalQueries.all ++ TimeSeriesQueries.all ++
       TextVectorQueries.all ++ SimilarityQueries.all ++
+      RecallReportQueries.all ++
       SemanticDedupQueries.all ++ MultimodalQueries.all ++ DomainQueries.all ++
       AdvancedQueries.all ++ SamplingQueries.all ++ WebQueries.all ++
       GopherQueries.all ++ PiiQueries.all ++ HtmlQueries.all ++
@@ -37,4 +38,15 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Bench-only sub-timing surfaces (NOT part of the correctness
+    * registry — the aggregate query stays the certified unit): Bench
+    * prices each solo and emits them under "subqueries" in bench.json,
+    * so a regression in an aggregate row (the recall report runs
+    * eleven ANN methods in one row) is attributable per method. Keys
+    * are "<query>.<part>". */
+  def benchSubqueries: Map[String, (SparkSession, String) => DataFrame] =
+    RecallReportQueries.benchMethods.map { case (m, fn) =>
+      s"q_sim_recall_report.$m" -> fn
+    }.toMap
 }

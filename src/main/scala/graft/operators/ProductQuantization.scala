@@ -194,6 +194,31 @@ object ProductQuantization {
         k, m, kSub, iters, candidateFrac)
     }
 
+  /** The memoized (c_id, sub, cell) codes relation of a corpus under
+    * its own trained codebooks — shared by the flat ADC scan and the
+    * IVF-PQ composition. */
+  private def codesOf(
+      corpus: DataFrame, cId: String, cVec: String,
+      m: Int, kSub: Int, iters: Int, subDim: Int): DataFrame = {
+    val cb = withCc(codebooks(corpus, cId, cVec, m, kSub, iters), subDim)
+    graft.core.CacheGovernor.sharedFrame(
+      keyOf(corpus, cId, cVec, m, kSub, iters, "codes"), corpus) {
+      assign(slices(corpus, cId, cVec, m, subDim), cb, subDim)
+        .select(col("_pid").as("c_id"), col("sub"), col("cell"))
+    }
+  }
+
+  /** The per-query LUT: one exact-integer subspace distance per
+    * (query, sub, codeword) — queries·m·kSub rows, always broadcast. */
+  private def lutOf(
+      queries: DataFrame, qId: String, qVec: String,
+      cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    slices(queries, qId, qVec, m, subDim)
+      .join(broadcast(cb), "sub")
+      .withColumn("_dd",
+        col("_sxx") + col("_cc") - lit(2L) * idot(subDim)(col("_sx"), col("qc")))
+      .select(col("_pid").as("q_id"), col("sub"), col("cell"), col("_dd"))
+
   private def adcCandidatesUncached(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
@@ -201,16 +226,8 @@ object ProductQuantization {
       candidateFrac: Double): DataFrame = {
     val subDim = subDimOf(corpus, cId, cVec, m)
     val cb = withCc(codebooks(corpus, cId, cVec, m, kSub, iters), subDim)
-    val codes = graft.core.CacheGovernor.sharedFrame(
-      keyOf(corpus, cId, cVec, m, kSub, iters, "codes"), corpus) {
-      assign(slices(corpus, cId, cVec, m, subDim), cb, subDim)
-        .select(col("_pid").as("c_id"), col("sub"), col("cell"))
-    }
-    val lut = slices(queries, qId, qVec, m, subDim)
-      .join(broadcast(cb), "sub")
-      .withColumn("_dd",
-        col("_sxx") + col("_cc") - lit(2L) * idot(subDim)(col("_sx"), col("qc")))
-      .select(col("_pid").as("q_id"), col("sub"), col("cell"), col("_dd"))
+    val codes = codesOf(corpus, cId, cVec, m, kSub, iters, subDim)
+    val lut = lutOf(queries, qId, qVec, cb, m, subDim)
     val n = graft.core.CacheGovernor.sharedScalar(
       keyOf(corpus, cId, cVec, "rows"))(
       Similarity.normalizedView(corpus, cId, cVec).count())
@@ -365,13 +382,27 @@ object ProductQuantization {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, m: Int = 8, kSub: Int = 16, iters: Int = 2,
-      candidateFrac: Double = 0.10): DataFrame = {
-    val cand = adcCandidates(queries, corpus, qId, qVec, cId, cVec,
-      k, m, kSub, iters, candidateFrac)
+      candidateFrac: Double = 0.10): DataFrame =
+    exactRerank(
+      adcCandidates(queries, corpus, qId, qVec, cId, cVec,
+        k, m, kSub, iters, candidateFrac),
+      queries, corpus, qId, qVec, cId, cVec, k)
+
+  /** Exact-cosine top-k over an already-pruned (q_id, c_id) candidate
+    * relation: the candidates' raw vectors are fetched by ids-only
+    * semi-join (the DISTINCT candidate id set restricts the corpus
+    * BEFORE any vector crosses an exchange — O(candidates) vector
+    * rows, never a corpus-sized vector shuffle), then ranked by
+    * full-precision cosine (ties by c_id). */
+  private def exactRerank(
+      cand: DataFrame, queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
     val q = Similarity.normalizedView(queries, qId, qVec)
       .select(col("_id").as("q_id"), col("_v").as("_qv"), col("_nrm").as("_qn"))
     val c = Similarity.normalizedView(corpus, cId, cVec)
       .select(col("_id").as("c_id"), col("_v").as("_cv"), col("_nrm").as("_cn"))
+      .join(cand.select("c_id").distinct(), Seq("c_id"), "left_semi")
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
     cand.join(q, "q_id").join(c, "c_id")
       .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
@@ -379,4 +410,89 @@ object ProductQuantization {
       .filter(col("rnk") <= k)
       .select("q_id", "c_id", "rnk", "cos")
   }
+
+  // ---- true IVF-PQ: coarse-cell prune + ADC + exact re-rank ------------
+
+  /** The IVF-PQ candidate set — the flat ADC scan composed with the
+    * exact-integer Lloyd coarse cells ([[Similarity.lloydModel]]):
+    * corpus codes carry their coarse cell, each query probes its
+    * `nProbe` nearest cells by the exact integer rule, and the ADC
+    * scan runs ONLY over the probed cells' codes — per-query ADC work
+    * is the probed share of the corpus, not the corpus (the one
+    * corpus-per-query plan the r16 verdict flagged). The kept set is
+    * the ADC top-⌈candidateFrac·n⌉ WITHIN the probed cells, so
+    * candidates ≤ min(candidateFrac·n, probed rows) per query, and the
+    * ranking window sorts probed-share·n rows instead of n.
+    * Deterministic end to end: coarse training, probes, PQ training,
+    * codes and ADC ranks are all exact integer arithmetic with id
+    * tie-breaks — the whole decision replays in ANSI SQL. */
+  def ivfpqCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 8, iters: Int = 2,
+      m: Int = 8, kSub: Int = 32,
+      candidateFrac: Double = 0.10): DataFrame =
+    graft.core.CacheGovernor.sharedFrame(
+      keyOf(corpus, cId, cVec, nCells, nProbe, iters, m, kSub,
+        candidateFrac, k,
+        queries.queryExecution.analyzed.semanticHash(), "ivfpqcand"), corpus) {
+      ivfpqCandidatesUncached(queries, corpus, qId, qVec, cId, cVec,
+        k, nCells, nProbe, iters, m, kSub, candidateFrac)
+    }
+
+  private def ivfpqCandidatesUncached(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int, nProbe: Int, iters: Int,
+      m: Int, kSub: Int, candidateFrac: Double): DataFrame = {
+    val subDim = subDimOf(corpus, cId, cVec, m)
+    val cb = withCc(codebooks(corpus, cId, cVec, m, kSub, iters), subDim)
+    val codes = codesOf(corpus, cId, cVec, m, kSub, iters, subDim)
+    // the coarse geometry: one (c_id, _cell) inverted file + the
+    // centroid table, trained by the same exact-integer Lloyd recipe
+    // the ivf_lloyd row certifies (memoized per corpus/params — the
+    // top-k and candidate-count consumers train once)
+    val (cellOf, cent) = graft.core.CacheGovernor.sharedPair(
+      keyOf(corpus, cId, cVec, nCells, iters, "ivfpqcells"), corpus) {
+      val (asg, c) = Similarity.lloydModel(corpus, cId, cVec, nCells, iters)
+      (asg.select(col("c_id"), col("_cell")), c)
+    }
+    val probes = Similarity.lloydProbeCells(queries, qId, qVec, cent, nProbe)
+      .select(col("q_id"), col("_cell"))
+    val lut = lutOf(queries, qId, qVec, cb, m, subDim)
+    val n = graft.core.CacheGovernor.sharedScalar(
+      keyOf(corpus, cId, cVec, "rows"))(
+      Similarity.normalizedView(corpus, cId, cVec).count())
+    val cLimit = math.max(k.toLong, math.ceil(candidateFrac * n).toLong)
+    val w = Window.partitionBy("q_id").orderBy(col("_adist"), col("c_id"))
+    // probed (query, doc) pairs FIRST — the prune — then the m-row code
+    // expansion and the broadcast LUT lookup, never the whole corpus
+    probes.join(cellOf, "_cell")
+      .select("q_id", "c_id")
+      .join(codes, "c_id")
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("_dd")).as("_adist"))
+      .withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= cLimit)
+      .select("q_id", "c_id")
+  }
+
+  /** True IVF-PQ top-k — coarse-cell prune → in-cell ADC → exact
+    * re-rank (the r16 verdict's item 1): probe `nProbe` of the
+    * `nCells` exact-integer Lloyd cells, ADC-rank only the probed
+    * cells' codes, keep the top `candidateFrac` and re-score those
+    * candidates with full-precision cosine. Identical output contract
+    * to [[adcTopK]]; the difference is the plan — ADC compute and the
+    * per-query ranking both shrink to the probed share. */
+  def ivfpqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 8, iters: Int = 2,
+      m: Int = 8, kSub: Int = 32,
+      candidateFrac: Double = 0.10): DataFrame =
+    exactRerank(
+      ivfpqCandidates(queries, corpus, qId, qVec, cId, cVec,
+        k, nCells, nProbe, iters, m, kSub, candidateFrac),
+      queries, corpus, qId, qVec, cId, cVec, k)
 }

@@ -940,6 +940,21 @@ object Similarity {
       .select("q_id", "_qv", "_qn", "_cell")
   }
 
+  /** Each query's `nProbe` nearest FINAL Lloyd cells under a persisted
+    * centroid table — `cent` is (_cell, _qc: array<long>) as returned
+    * by [[lloydModel]] — by the exact integer distance rule the
+    * training used. The coarse-probe half of IVF-PQ
+    * ([[ProductQuantization.ivfpqCandidates]] composes it with the PQ
+    * codes). Output: (q_id, _qv, _qn, _cell) — one row per probe. */
+  def lloydProbeCells(
+      queries: DataFrame, qId: String, qVec: String,
+      cent: DataFrame, nProbe: Int): DataFrame = {
+    val dim = viewDim(queries, qId, qVec)
+    val c = cent.select(col("_cell"), col("_qc"))
+      .withColumn("_cc", lloydDot(dim)(col("_qc"), col("_qc")))
+    lloydProbes(queries, qId, qVec, c, nProbe)
+  }
+
   /** The (q_id, c_id, vectors) candidate rows [[ivfTopKLloyd]] scores —
     * exposed for the recall/cost report, same contract as
     * [[ivfCandidatePairs]]. */

@@ -36,6 +36,21 @@ object ProfilePq {
       k = 5, m = 8, kSub = 32, iters = 2, candidateFrac = 0.0)
     val hitsOnly = adcOnly.join(exact, Seq("q_id", "c_id"), "left_semi").count()
     println(f"PQ m=8 kSub=32 ADC-ONLY recall@5=${hitsOnly.toDouble / nHits}%.3f")
+    // true IVF-PQ grid (r17): coarse-probe share vs recall at the
+    // report's m=8/kSub=32 PQ configuration, 16 Lloyd cells
+    val n = emb.count()
+    for (nProbe <- Seq(6, 8, 10, 12); frac <- Seq(0.10, 0.15)) {
+      val top = graft.operators.ProductQuantization.ivfpqTopK(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k, nCells = 16, nProbe = nProbe, iters = 2,
+        m = 8, kSub = 32, candidateFrac = frac)
+      val hits = top.join(exact, Seq("q_id", "c_id"), "left_semi").count()
+      val cand = graft.operators.ProductQuantization.ivfpqCandidates(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding",
+        k, nCells = 16, nProbe = nProbe, iters = 2,
+        m = 8, kSub = 32, candidateFrac = frac).count()
+      println(f"IVFPQ nProbe=$nProbe%d frac=$frac%.2f recall@5=${hits.toDouble / nHits}%.3f candidates=$cand%d (of ${100 * n}%d pairs)")
+    }
     spark.stop()
   }
 }

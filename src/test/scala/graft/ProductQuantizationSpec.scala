@@ -89,6 +89,46 @@ class ProductQuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq: probed-cell prune is real, candidates sub-linear, recall >= 0.8, deterministic") {
+    val n = emb.count()
+    // the coarse prune: per-query probed rows (the ADC scan's input) are
+    // STRICTLY fewer than the corpus — the flat ADC scanned all n
+    val (asg, cent) = Similarity.lloydModel(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2)
+    val cellSizes = asg.groupBy("_cell").count()
+    val probedPerQuery = Similarity.lloydProbeCells(
+      queries, "vec_id", "embedding", cent, nProbe = 8)
+      .join(cellSizes, "_cell")
+      .groupBy("q_id").agg(sum("count").as("probed"))
+    val maxProbed = probedPerQuery.agg(max("probed")).head.getLong(0)
+    assert(maxProbed < n, s"probed $maxProbed rows must be < corpus $n")
+    // candidate budget: every query keeps <= max(k, ceil(frac*n)) ids,
+    // and the fraction sits UNDER the probed share (the verdict's gate)
+    val cand = ProductQuantization.ivfpqCandidates(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5,
+      nCells = 16, nProbe = 8, iters = 2, m = 8, kSub = 32,
+      candidateFrac = 0.15)
+    val per = cand.groupBy("q_id").count()
+    val cLimit = math.max(5L, math.ceil(0.15 * n).toLong)
+    assert(per.agg(max("count")).head.getLong(0) <= cLimit)
+    assert(cLimit < maxProbed,
+      "candidate fraction must prune below the probed-cell share")
+    // recall floor at the report configuration + bit-identical re-run
+    val exact = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("q_id", "c_id")
+    def top() = ProductQuantization.ivfpqTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 8, iters = 2, m = 8, kSub = 32,
+      candidateFrac = 0.15)
+    val t1 = top()
+    val hits = t1.join(exact, Seq("q_id", "c_id"), "left_semi").count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.8, f"ivfpq recall@5 $recall%.3f below the report floor")
+    assert(t1.collect().map(_.toSeq).toSet == top().collect().map(_.toSeq).toSet,
+      "coarse probe + ADC + re-rank must be bit-identical across runs")
+  }
+
   test("report configuration: recall@5 ≥ 0.8 at 10% candidates, deterministic top-k") {
     val exact = Similarity.bruteForceTopK(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding", 5)
