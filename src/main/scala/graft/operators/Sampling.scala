@@ -229,6 +229,61 @@ object Sampling {
         lit(nShards.toLong)))
   }
 
+  /** Per-source sampling rates that hit a DECLARED target mix — the
+    * governance step that closes the corpus-datasheet loop (N106 →
+    * N14/N27 composition): given integer target weights per source
+    * (shares = w_s / Σw) and the corpus's measured per-source token
+    * counts, emit the largest downsampling plan whose realized token
+    * shares equal the targets EXACTLY while no source is upsampled.
+    *
+    * Exact integer arithmetic end to end (ANSI-SQL-replayable):
+    *   C        = min_s ⌊tokens_s / w_s⌋   (the binding source's budget)
+    *   planned_s = w_s · C                 (so shares are w_s/Σw exactly)
+    *   rate_micro_s = ⌊planned_s · 10⁶ / tokens_s⌋  (≤ 10⁶ by
+    *                 construction; the binding source sits at ~10⁶)
+    * Sources absent from `targets` are excluded (rate 0 — the mix IS
+    * the corpus recipe); a declared source missing from the corpus
+    * drops from the join and C still binds on the present ones.
+    * Driver-free: one groupBy(source) over the corpus, a broadcast of
+    * the |targets|-row weight table, one |sources|-row aggregate.
+    * Bound: planned_s·10⁶ must stay < 2⁶³ → tokens_s < 9.2·10¹² per
+    * source (a ~37 TB single source at 4 B/token) — past that, widen
+    * the micro-unit. */
+  def mixRates(df: DataFrame, source: Column, unit: Column,
+      targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "target mix weights must be positive")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate source in target mix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = targets.toDF("_src", "target_w")
+    val tok = df.groupBy(source.as("_src"))
+      .agg(sum(unit).cast("long").as("n_tokens"))
+    val j = tok.join(broadcast(w), "_src")
+    val c = j.agg(min(expr("n_tokens div target_w")).as("_c"))
+    j.crossJoin(broadcast(c))
+      .select(col("_src").as("source"), col("n_tokens"), col("target_w"),
+        (col("target_w") * col("_c")).as("planned_tokens"),
+        expr("(target_w * _c * 1000000) div n_tokens").as("rate_micro"))
+  }
+
+  /** Apply a [[mixRates]] plan: keep a row iff its hash bucket falls
+    * under its source's rate (quantized to the house 1/10000 bucket
+    * resolution — the same deterministic, engine-portable,
+    * partitioning-immune keep rule every sampler here uses). Rows of
+    * undeclared sources drop. */
+  def mixSample(df: DataFrame, key: Column, source: Column, unit: Column,
+      targets: Seq[(String, Long)]): DataFrame = {
+    val rates = mixRates(df, source, unit, targets)
+      .withColumn("_thresh",
+        expr(s"planned_tokens * ${Buckets}L div n_tokens"))
+      .select(col("source").as("_msrc"), col("_thresh"))
+    df.join(broadcast(rates), source === col("_msrc"))
+      .filter(hashBucket(key) < col("_thresh"))
+      .drop("_msrc", "_thresh")
+  }
+
   /** Per-shard (shard, n, balance_ratio) over a [[withShard]] column;
     * ratio = n·nShards/N as one deterministic double division. The
     * total comes from a window over the ALREADY-AGGREGATED nShards-row

@@ -338,5 +338,44 @@ object CurationPipelineQueries {
       .orderBy("source")
   }
 
-  def all: Seq[QuerySpec] = Seq(pipeline, streamingLedger, crawlCuration, datasheet)
+  /** Datasheet → mixing weights (r16 verdict item 8, the governance
+    * loop's closing step): a DECLARED target mix over six sources
+    * (30/20/20/15/10/5) plus the datasheet's per-source token counts
+    * yield the largest exact-share downsampling plan
+    * ([[graft.operators.Sampling.mixRates]]): C = min ⌊tokens/w⌋,
+    * planned = w·C (realized shares = w/Σw EXACTLY by construction),
+    * rate_micro = ⌊planned·10⁶/tokens⌋ — all integer arithmetic, so
+    * the whole plan hash-replays in SQL. Undeclared sources are
+    * excluded: the mix is the corpus recipe. Realized-share assertions
+    * on an applied sample live in SamplingSpec. */
+  private val reweight = QuerySpec(
+    "q_corpus_reweight",
+    """WITH tok AS (SELECT source,
+      |               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |             FROM documents GROUP BY source),
+      |w(source, target_w) AS (VALUES
+      |  ('src0', CAST(30 AS BIGINT)), ('src1', CAST(20 AS BIGINT)),
+      |  ('src2', CAST(20 AS BIGINT)), ('src3', CAST(15 AS BIGINT)),
+      |  ('src4', CAST(10 AS BIGINT)), ('src5', CAST(5 AS BIGINT))),
+      |j AS (SELECT tok.source, tok.n_tokens, w.target_w
+      |      FROM tok JOIN w ON w.source = tok.source),
+      |c AS (SELECT MIN(n_tokens // target_w) AS c FROM j)
+      |SELECT j.source, j.n_tokens, j.target_w,
+      |       CAST(j.target_w * c.c AS BIGINT) AS planned_tokens,
+      |       CAST((j.target_w * c.c * 1000000) // j.n_tokens AS BIGINT) AS rate_micro
+      |FROM j, c ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, TextAnalysis}
+    Sampling.mixRates(Tables.documents(s, d), col("source"),
+      size(TextAnalysis.wsTokens(col("text"))), ReweightTargets)
+      .orderBy("source")
+  }
+
+  /** The declared mix q_corpus_reweight certifies and SamplingSpec
+    * applies. */
+  private[graft] val ReweightTargets: Seq[(String, Long)] = Seq(
+    "src0" -> 30L, "src1" -> 20L, "src2" -> 20L,
+    "src3" -> 15L, "src4" -> 10L, "src5" -> 5L)
+
+  def all: Seq[QuerySpec] =
+    Seq(pipeline, streamingLedger, crawlCuration, datasheet, reweight)
 }

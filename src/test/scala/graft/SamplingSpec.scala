@@ -211,4 +211,57 @@ class SamplingSpec extends AnyFunSuite {
     // md5 sharding of distinct keys: no shard should be pathological
     assert(ratios.forall(r => r > 0.5 && r < 1.5), ratios.toSeq.toString)
   }
+
+  test("mixRates: exact target shares by construction, rates bounded, binder near 1") {
+    import graft.queries.CurationPipelineQueries.ReweightTargets
+    val rates = Sampling.mixRates(docs, col("source"),
+      size(graft.operators.TextAnalysis.wsTokens(col("text"))), ReweightTargets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rates.length === ReweightTargets.size)
+    // planned_s = w_s * C -> realized shares equal the declared mix
+    // EXACTLY: cross-multiplied proportionality, no tolerance
+    for (a <- rates; b <- rates)
+      assert(a._4 * b._3 === b._4 * a._3,
+        s"planned tokens not proportional to weights: $a vs $b")
+    // no source upsampled; the binding source's rate sits at ~1
+    assert(rates.forall(r => r._5 <= 1000000L && r._4 <= r._2))
+    val c = rates.map(r => r._2 / r._3).min
+    assert(rates.exists(r => r._5 >= 1000000L * c / (c + 1)),
+      s"no binding source near rate 1 in ${rates.mkString(",")}")
+  }
+
+  test("mixSample: realized token shares track the declared mix; undeclared sources drop") {
+    import spark.implicits._
+    // planted fixture: 4 sources, 1500/2500/4000/8000 docs of exactly
+    // 10 tokens each + one undeclared source -- big enough that the
+    // 1/10000-bucket sampler's realized share lands within a few
+    // percent of the target
+    val text = Seq.fill(10)("tok").mkString(" ")
+    val sizes = Seq("a" -> 1500, "b" -> 2500, "c" -> 4000, "d" -> 8000,
+      "zz_undeclared" -> 500)
+    val rows = sizes.flatMap { case (src, n) =>
+      (0 until n).map(i => (s"$src:$i", src, text))
+    }.toDF("doc_id", "source", "text")
+    val targets = Seq("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L)
+    val kept = Sampling.mixSample(rows, col("doc_id"), col("source"),
+      size(split(col("text"), " ")), targets)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("zz_undeclared"), "undeclared source must drop")
+    val total = kept.values.sum.toDouble
+    val wSum = targets.map(_._2).sum.toDouble
+    targets.foreach { case (src, w) =>
+      val realized = kept.getOrElse(src, 0L) / total
+      val want = w / wSum
+      assert(math.abs(realized - want) <= 0.03,
+        f"source $src realized $realized%.3f vs target $want%.3f")
+    }
+    // partitioning-immune, like every hash sampler here
+    val again = Sampling.mixSample(rows.repartition(13), col("doc_id"),
+      col("source"), size(split(col("text"), " ")), targets)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === kept)
+  }
 }
