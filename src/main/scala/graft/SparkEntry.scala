@@ -14,7 +14,7 @@ object SparkEntry {
   /** All registered query specs, by module. */
   def specs: Seq[QuerySpec] =
     RelationalQueries.all ++ TimeSeriesQueries.all ++
-      TextVectorQueries.all ++ SimilarityQueries.all ++
+      TextVectorQueries.all ++ VocabQueries.all ++ SimilarityQueries.all ++
       RecallReportQueries.all ++
       SemanticDedupQueries.all ++ MultimodalQueries.all ++ DomainQueries.all ++
       AdvancedQueries.all ++ SamplingQueries.all ++ WebQueries.all ++
