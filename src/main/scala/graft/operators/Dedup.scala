@@ -525,7 +525,10 @@ object Dedup {
       val r = spark.read.parquet(s"$path/meta")
         .select("num_hashes", "bands", "threshold").head()
       Some((r.getInt(0), r.getInt(1), r.getDouble(2)))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+      case _: java.io.FileNotFoundException => None // same missing-path state
+    }
 
   /** Fail fast when a reader's banding parameters disagree with the
     * values the stored relation was built with (silent recall loss

@@ -229,7 +229,14 @@ object StreamingOps {
     val applied =
       try spark.read.parquet(ledgerPath)
         .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch {
+        // a missing ledger is the expected first-batch state; Spark 4.1
+        // surfaces it as AnalysisException (path absent) or a raw
+        // FileNotFoundException (ResolveDataSource's sink-metadata probe
+        // racing the parent dir) - both mean "nothing applied yet"
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: java.io.FileNotFoundException => false
+      }
     if (!applied && !batch.isEmpty) {
       graft.operators.Dedup.appendToMinHashRelation(
         spark, path, batch, id, text, numHashes, bands, threshold)
@@ -261,7 +268,14 @@ object StreamingOps {
     val applied =
       try spark.read.parquet(ledgerPath)
         .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch {
+        // a missing ledger is the expected first-batch state; Spark 4.1
+        // surfaces it as AnalysisException (path absent) or a raw
+        // FileNotFoundException (ResolveDataSource's sink-metadata probe
+        // racing the parent dir) - both mean "nothing applied yet"
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: java.io.FileNotFoundException => false
+      }
     if (!applied && !batch.isEmpty) {
       graft.operators.SemanticDedup.appendToKeeperIndex(
         spark, path, batch, id, vec, eps)
@@ -292,7 +306,14 @@ object StreamingOps {
       val applied =
         try spark.read.parquet(ledgerPath)
           .filter(col("batch_id") === batchId).head(1).nonEmpty
-        catch { case _: org.apache.spark.sql.AnalysisException => false }
+        catch {
+        // a missing ledger is the expected first-batch state; Spark 4.1
+        // surfaces it as AnalysisException (path absent) or a raw
+        // FileNotFoundException (ResolveDataSource's sink-metadata probe
+        // racing the parent dir) - both mean "nothing applied yet"
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: java.io.FileNotFoundException => false
+      }
       if (!applied && !batch.isEmpty) {
         graft.operators.ProductQuantization.appendToPqIndex(
           spark, path, batch, id, vec)
@@ -353,7 +374,14 @@ object StreamingOps {
     val applied =
       try spark.read.parquet(ledgerPath)
         .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch {
+        // a missing ledger is the expected first-batch state; Spark 4.1
+        // surfaces it as AnalysisException (path absent) or a raw
+        // FileNotFoundException (ResolveDataSource's sink-metadata probe
+        // racing the parent dir) - both mean "nothing applied yet"
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: java.io.FileNotFoundException => false
+      }
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/bins")
       graft.operators.HistogramSketch
@@ -389,7 +417,14 @@ object StreamingOps {
     val applied =
       try spark.read.parquet(ledgerPath)
         .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch {
+        // a missing ledger is the expected first-batch state; Spark 4.1
+        // surfaces it as AnalysisException (path absent) or a raw
+        // FileNotFoundException (ResolveDataSource's sink-metadata probe
+        // racing the parent dir) - both mean "nothing applied yet"
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: java.io.FileNotFoundException => false
+      }
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/counters")
       graft.operators.CountMin
@@ -425,7 +460,14 @@ object StreamingOps {
     val applied =
       try spark.read.parquet(ledgerPath)
         .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch {
+        // a missing ledger is the expected first-batch state; Spark 4.1
+        // surfaces it as AnalysisException (path absent) or a raw
+        // FileNotFoundException (ResolveDataSource's sink-metadata probe
+        // racing the parent dir) - both mean "nothing applied yet"
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: java.io.FileNotFoundException => false
+      }
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/grams")
       graft.operators.SubstringDedup
@@ -470,7 +512,14 @@ object StreamingOps {
     val applied =
       try spark.read.parquet(ledgerPath)
         .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch {
+        // a missing ledger is the expected first-batch state; Spark 4.1
+        // surfaces it as AnalysisException (path absent) or a raw
+        // FileNotFoundException (ResolveDataSource's sink-metadata probe
+        // racing the parent dir) - both mean "nothing applied yet"
+        case _: org.apache.spark.sql.AnalysisException => false
+        case _: java.io.FileNotFoundException => false
+      }
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/docs")
       val unblocked =
