@@ -815,6 +815,22 @@ object Similarity {
     * executors. */
   private def lloydGeometry(
       corpus: DataFrame, cId: String, cVec: String,
+      nCells: Int, iters: Int): (DataFrame, DataFrame) =
+    // SHARED relation (CacheGovernor): the trained geometry is
+    // deterministic per (corpus, params), and one session consumes it
+    // from several places — the recall report alone needs it for the
+    // ivf_lloyd top-k, the ivf_lloyd candidate count AND the ivfpq
+    // composition (measured 5.7 s solo per training at sf0.1).
+    // Values are bit-identical to retraining, so oracles are unaffected.
+    graft.core.CacheGovernor.sharedPair(
+      Seq("lloydGeometry", System.identityHashCode(corpus.sparkSession),
+        corpus.queryExecution.analyzed.semanticHash(), cId, cVec,
+        nCells, iters).mkString(":"), corpus) {
+      lloydGeometryUncached(corpus, cId, cVec, nCells, iters)
+    }
+
+  private def lloydGeometryUncached(
+      corpus: DataFrame, cId: String, cVec: String,
       nCells: Int, iters: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
