@@ -416,6 +416,141 @@ object ProductQuantization {
       adcCandidatesFrom(spark, path, queries, qId, qVec, k, candidateFrac),
       queries, corpus, qId, qVec, cId, cVec, k)
 
+  // ---- IVF-PQ stored index: coarse cells IN the ledger -----------------
+
+  private val WhatIvfPq = "ivf-pq codes index"
+
+  /** Seed an IVF-PQ index: the FROZEN PQ codebooks plus the FROZEN
+    * exact-integer Lloyd coarse-cell table (`cells`: (_cell,
+    * _qc: array<long>)) and a codes ledger whose rows carry their
+    * coarse cell — (doc_id, coarse, sub, cell). Serving then probes
+    * nProbe cells and ADC-scans ONLY the probed rows: the stored-index
+    * form of [[ivfpqTopK]], turning the per-batch serving cost from
+    * O(n) codes to the probed share (on a cluster, write the codes
+    * ledger partitioned by `coarse` and the probe becomes partition
+    * pruning; here `coarse` is a data column and the probe is a
+    * row-group-prunable filter join — same row semantics).
+    * [[LedgerFiles]] discipline throughout: manifest LAST, staged
+    * atomic appends, canonical-path compaction guard. */
+  def writeIvfPqIndex(
+      corpus: DataFrame, id: String, vec: String, path: String,
+      nCells: Int = 16, iters: Int = 2,
+      m: Int = 8, kSub: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    fs.delete(new Path(root, LedgerFiles.ManifestName), false)
+    val cb = codebooks(corpus, id, vec, m, kSub, iters)
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    val (asg, cent) = Similarity.lloydModel(corpus, id, vec, nCells, iters)
+    cent.write.mode("overwrite").parquet(s"$path/cells")
+    fs.delete(new Path(root, "codes"), true)
+    encode(corpus, id, vec, cb, m)
+      .select(col(id).as("doc_id"), col("sub"), col("cell"))
+      .join(asg.select(col("c_id").as("doc_id"), col("_cell").as("coarse")),
+        "doc_id")
+      .select("doc_id", "coarse", "sub", "cell")
+      .write.mode("overwrite").parquet(s"$path/codes/b0")
+    LedgerFiles.publishManifest(fs, root, WhatIvfPq)
+  }
+
+  /** The committed (doc_id, coarse, sub, cell) ledger, manifest-gated. */
+  def ivfPqCodes(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, WhatIvfPq)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
+  }
+
+  private def storedCells(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, WhatIvfPq)
+    spark.read.parquet(s"$path/cells")
+  }
+
+  /** Delta-append a batch under the FROZEN codebooks AND cells: fresh
+    * ids encode and coarse-assign exactly as the seed did (exact
+    * integer rules on both), publish atomically, redelivery converges.
+    * O(batch): the stored side contributes only its doc_id column. */
+  def appendToIvfPqIndex(
+      spark: SparkSession, path: String,
+      batch: DataFrame, id: String, vec: String): Unit = {
+    val cb = storedCodebooks(spark, path)
+    val (m, subDim) = storedShape(cb)
+    val batchDim = Similarity.dimOf(
+      Similarity.normalizedView(batch, id, vec), "_v")
+    require(batchDim == m * subDim,
+      s"batch vector dim $batchDim does not match the stored index " +
+        s"shape m=$m x subDim=$subDim (= ${m * subDim})")
+    val fresh = batch.join(
+      ivfPqCodes(spark, path).select(col("doc_id").as(id)).distinct(),
+      Seq(id), "left_anti")
+    if (fresh.isEmpty) return
+    val coarse = Similarity.lloydAssignVectors(
+      fresh, id, vec, storedCells(spark, path))
+      .select(col("b_id").as("doc_id"), col("_cell").as("coarse"))
+    LedgerFiles.atomicAppend(spark, path, "codes",
+      encode(fresh, id, vec, cb, m)
+        .select(col(id).as("doc_id"), col("sub"), col("cell"))
+        .join(coarse, "doc_id")
+        .select("doc_id", "coarse", "sub", "cell"))
+  }
+
+  /** Compact an appended IVF-PQ index into a NEW versioned directory —
+    * the shared ledger-family discipline (verbatim row copy at a
+    * target rows-per-file; cells + codebooks single-file; dest
+    * manifest LAST; canonical-path self-compaction guard). */
+  def compactIvfPqIndex(
+      spark: SparkSession, path: String, dest: String,
+      targetRowsPerFile: Long = 8000000L): Unit = {
+    val (fs, _) = LedgerFiles.fsOf(spark, path)
+    require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
+      "compaction writes a NEW versioned directory; compacting a live " +
+        "index onto itself would corrupt readers mid-query")
+    val codes = ivfPqCodes(spark, path)
+    val n = codes.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    codes.coalesce(files).write.mode("overwrite").parquet(s"$dest/codes/b0")
+    spark.read.parquet(s"$path/codebooks").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/codebooks")
+    spark.read.parquet(s"$path/cells").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/cells")
+    LedgerFiles.publishManifest(fs, new Path(dest), WhatIvfPq)
+  }
+
+  /** Probed-share serving off the stored IVF-PQ index: each query's
+    * nProbe nearest FROZEN cells (exact integer rule), ADC over ONLY
+    * the probed rows of the codes ledger, keep the ADC
+    * top-⌈candidateFrac·n⌉, exact-cosine re-rank of those candidates'
+    * raw vectors (candidate-id semi-join — never a corpus-sized vector
+    * read). The stored-index twin of [[ivfpqTopK]]; output
+    * (q_id, c_id, rnk, cos). */
+  def searchIvfPqIndex(
+      spark: SparkSession, path: String,
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nProbe: Int = 8, candidateFrac: Double = 0.15): DataFrame = {
+    val cb0 = storedCodebooks(spark, path)
+    val (m, subDim) = storedShape(cb0)
+    val cb = withCc(cb0, subDim)
+    val lut = lutOf(queries, qId, qVec, cb, m, subDim)
+    val codes = ivfPqCodes(spark, path).withColumnRenamed("doc_id", "c_id")
+    val probes = Similarity.lloydProbeCells(
+      queries, qId, qVec, storedCells(spark, path), nProbe)
+      .select(col("q_id"), col("_cell").as("coarse"))
+    val n = graft.core.CacheGovernor.sharedScalar(
+      s"ivfpqIndexRows:${LedgerFiles.canonical(
+        LedgerFiles.fsOf(spark, path)._1, path)}")(codes.count()) / m
+    val cLimit = math.max(k.toLong, math.ceil(candidateFrac * n).toLong)
+    val w = Window.partitionBy("q_id").orderBy(col("_adist"), col("c_id"))
+    val cand = probes.join(codes, "coarse")
+      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("_dd")).as("_adist"))
+      .withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= cLimit)
+      .select("q_id", "c_id")
+    exactRerank(cand, queries, corpus, qId, qVec, cId, cVec, k)
+  }
+
   /** PQ-ADC compressed scan + exact re-rank top-k — the IVF-PQ report
     * row: rank the whole corpus by ADC over its m-byte codes, keep the
     * top `candidateFrac`, re-score ONLY those with full-precision

@@ -165,6 +165,58 @@ class ProductQuantizationSpec extends AnyFunSuite {
       "coarse probe + ADC + re-rank must be bit-identical across runs")
   }
 
+  test("ivfpq index: append ≡ rebuild, redelivery no-op, probed-share serving, compaction") {
+    val dirInc = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("ivfpqidxf").toString
+    def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+    ProductQuantization.writeIvfPqIndex(slice(0), "vec_id", "embedding",
+      dirInc, nCells = 16, iters = 2, m = 8, kSub = 32)
+    ProductQuantization.appendToIvfPqIndex(spark, dirInc, slice(1), "vec_id", "embedding")
+    val rows1 = ProductQuantization.ivfPqCodes(spark, dirInc).count()
+    ProductQuantization.appendToIvfPqIndex(spark, dirInc, slice(1), "vec_id", "embedding")
+    assert(ProductQuantization.ivfPqCodes(spark, dirInc).count() == rows1,
+      "redelivered batch must append nothing")
+    ProductQuantization.appendToIvfPqIndex(spark, dirInc, slice(2), "vec_id", "embedding")
+    // one-shot: same seed training, all non-seed rows in one append
+    ProductQuantization.writeIvfPqIndex(slice(0), "vec_id", "embedding",
+      dirFull, nCells = 16, iters = 2, m = 8, kSub = 32)
+    ProductQuantization.appendToIvfPqIndex(spark, dirFull,
+      emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), "vec_id", "embedding")
+    def serve(p: String) = ProductQuantization.searchIvfPqIndex(
+      spark, p, queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, nProbe = 10, candidateFrac = 0.15)
+      .collect().map(_.toSeq).toSet
+    assert(serve(dirInc) == serve(dirFull),
+      "serving must be identical however the codes arrived")
+    // probed-share prune is real: every stored row carries a coarse
+    // cell, and a query's ADC input is bounded by its probed cells
+    val byCell = ProductQuantization.ivfPqCodes(spark, dirInc)
+      .filter(col("sub") === 0).groupBy("coarse").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = emb.count()
+    assert(byCell.values.sum == n, "every doc coarse-assigned exactly once")
+    assert(byCell.size > 1, "coarse cells must partition the corpus")
+    // recall floor at the pinned (nProbe=10, frac=0.15) configuration
+    val exact = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", "vec_id", "embedding", 5).select("q_id", "c_id")
+    val hits = ProductQuantization.searchIvfPqIndex(
+      spark, dirInc, queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, nProbe = 10, candidateFrac = 0.15)
+      .join(exact, Seq("q_id", "c_id"), "left_semi").count()
+    assert(hits.toDouble / exact.count() >= 0.8)
+    // compaction: verbatim copy + canonical-path guard + manifest gate
+    val dirC = java.nio.file.Files.createTempDirectory("ivfpqidxc").toString + "/v2"
+    ProductQuantization.compactIvfPqIndex(spark, dirInc, dirC)
+    assert(serve(dirC) == serve(dirInc), "compacted index must serve identically")
+    intercept[IllegalArgumentException] {
+      ProductQuantization.compactIvfPqIndex(spark, dirInc, dirInc + "/")
+    }
+    new java.io.File(s"$dirInc/_manifest").delete()
+    intercept[IllegalStateException] {
+      ProductQuantization.ivfPqCodes(spark, dirInc).count()
+    }
+  }
+
   test("report configuration: recall@5 ≥ 0.8 at 10% candidates, deterministic top-k") {
     val exact = Similarity.bruteForceTopK(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding", 5)
