@@ -103,6 +103,12 @@ object HashIndex {
     require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
+    // wipe any previous dest state (manifest FIRST — readers go loud
+    // for the whole window) so a reused dest cannot serve stale b1+
+    // batches beside the fresh b0, mirroring the seed path
+    val destRoot = new Path(dest)
+    fs.delete(new Path(destRoot, LedgerFiles.ManifestName), false)
+    fs.delete(new Path(destRoot, "hashes"), true)
     val rows = storedHashes(spark, path)
     val n = rows.count()
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt

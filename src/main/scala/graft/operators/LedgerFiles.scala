@@ -55,6 +55,15 @@ private[operators] object LedgerFiles {
       throw new IllegalStateException(s"could not publish $dst")
   }
 
+  /** Monotone version of a ledger table — the max committed batch id
+    * plus one. Serve-time memo keys (e.g. a cached stored-row count)
+    * must include this, so a same-session append invalidates them:
+    * keying on the path alone would keep serving the pre-append count
+    * and silently shrink ceil(frac·n) candidate budgets. One FS
+    * listing, no data read. */
+  def version(fs: FileSystem, root: Path, table: String): Long =
+    nextBatchId(fs, root, table)
+
   /** Next free batch directory id under `root/<table>/` (single-writer
     * ledger discipline — appends are serialized by the caller). */
   def nextBatchId(fs: FileSystem, root: Path, table: String): Long =

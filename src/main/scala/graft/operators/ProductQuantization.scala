@@ -334,6 +334,13 @@ object ProductQuantization {
     require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
+    // wipe any previous dest state (manifest FIRST — readers go loud
+    // for the whole window) so a reused dest cannot serve stale b1+
+    // batches beside the fresh b0, mirroring the seed path
+    val destRoot = new Path(dest)
+    fs.delete(new Path(destRoot, LedgerFiles.ManifestName), false)
+    fs.delete(new Path(destRoot, "codes"), true)
+    fs.delete(new Path(destRoot, "codebooks"), true)
     val codes = pqCodes(spark, path)
     val n = codes.count()
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -350,11 +357,26 @@ object ProductQuantization {
     * distances rank ascending (ties by id). Output: (q_id, c_id, rnk,
     * adist). Append ≡ rebuild: codes encode identically under the
     * frozen codebooks whichever batch carried them. */
+  /** Serve-time twin of the append-path width gate: a query set at the
+    * wrong dimensionality would slice/zip_with mismatched arrays and
+    * return silently wrong (or null-poisoned) ADC distances. */
+  private def requireQueryDim(
+      queries: DataFrame, qId: String, qVec: String,
+      m: Int, subDim: Int): Unit = {
+    val queryDim = Similarity.dimOf(
+      Similarity.normalizedView(queries, qId, qVec), "_v")
+    require(queryDim == m * subDim,
+      s"query vector dim $queryDim does not match the stored index " +
+        s"shape m=$m x subDim=$subDim (= ${m * subDim}); project the " +
+        "queries to the index's dimensionality or rebuild the index")
+  }
+
   def adcTopKFrom(
       spark: SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String, k: Int): DataFrame = {
     val cb0 = storedCodebooks(spark, path)
     val (m, subDim) = storedShape(cb0)
+    requireQueryDim(queries, qId, qVec, m, subDim)
     val cb = withCc(cb0, subDim)
     val lut = slices(queries, qId, qVec, m, subDim)
       .join(broadcast(cb), "sub")
@@ -382,12 +404,18 @@ object ProductQuantization {
       k: Int, candidateFrac: Double = 0.10): DataFrame = {
     val cb0 = storedCodebooks(spark, path)
     val (m, subDim) = storedShape(cb0)
+    requireQueryDim(queries, qId, qVec, m, subDim)
     val cb = withCc(cb0, subDim)
     val lut = lutOf(queries, qId, qVec, cb, m, subDim)
     val codes = pqCodes(spark, path).withColumnRenamed("doc_id", "c_id")
+    // the memo key carries the ledger version so a same-session append
+    // (e.g. the streaming sink path) invalidates the cached count — a
+    // path-only key served the stale pre-append n and silently shrank
+    // ceil(frac·n) candidate budgets
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
     val n = graft.core.CacheGovernor.sharedScalar(
-      s"pqIndexRows:${LedgerFiles.canonical(
-        LedgerFiles.fsOf(spark, path)._1, path)}")(codes.count()) / m
+      s"pqIndexRows:${LedgerFiles.canonical(fs, path)}:" +
+        s"v${LedgerFiles.version(fs, root, "codes")}")(codes.count()) / m
     val cLimit = math.max(k.toLong, math.ceil(candidateFrac * n).toLong)
     val w = Window.partitionBy("q_id").orderBy(col("_adist"), col("c_id"))
     codes.join(broadcast(lut), Seq("sub", "cell"))
@@ -505,6 +533,13 @@ object ProductQuantization {
     require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
+    // wipe any previous dest state (manifest FIRST) so a reused dest
+    // cannot serve stale b1+ batches beside the fresh b0
+    val destRoot = new Path(dest)
+    fs.delete(new Path(destRoot, LedgerFiles.ManifestName), false)
+    fs.delete(new Path(destRoot, "codes"), true)
+    fs.delete(new Path(destRoot, "codebooks"), true)
+    fs.delete(new Path(destRoot, "cells"), true)
     val codes = ivfPqCodes(spark, path)
     val n = codes.count()
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -530,15 +565,18 @@ object ProductQuantization {
       k: Int, nProbe: Int = 8, candidateFrac: Double = 0.15): DataFrame = {
     val cb0 = storedCodebooks(spark, path)
     val (m, subDim) = storedShape(cb0)
+    requireQueryDim(queries, qId, qVec, m, subDim)
     val cb = withCc(cb0, subDim)
     val lut = lutOf(queries, qId, qVec, cb, m, subDim)
     val codes = ivfPqCodes(spark, path).withColumnRenamed("doc_id", "c_id")
     val probes = Similarity.lloydProbeCells(
       queries, qId, qVec, storedCells(spark, path), nProbe)
       .select(col("q_id"), col("_cell").as("coarse"))
+    // version-keyed like adcCandidatesFrom: appends invalidate the memo
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
     val n = graft.core.CacheGovernor.sharedScalar(
-      s"ivfpqIndexRows:${LedgerFiles.canonical(
-        LedgerFiles.fsOf(spark, path)._1, path)}")(codes.count()) / m
+      s"ivfpqIndexRows:${LedgerFiles.canonical(fs, path)}:" +
+        s"v${LedgerFiles.version(fs, root, "codes")}")(codes.count()) / m
     val cLimit = math.max(k.toLong, math.ceil(candidateFrac * n).toLong)
     val w = Window.partitionBy("q_id").orderBy(col("_adist"), col("c_id"))
     val cand = probes.join(codes, "coarse")

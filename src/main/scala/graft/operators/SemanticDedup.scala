@@ -274,6 +274,12 @@ object SemanticDedup {
     require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
+    // wipe any previous dest state (manifest FIRST) so a reused dest
+    // cannot serve stale rows/b1+ batches beside the fresh b0
+    val destRoot = new Path(dest)
+    fs.delete(new Path(destRoot, LedgerFiles.ManifestName), false)
+    fs.delete(new Path(destRoot, "rows"), true)
+    fs.delete(new Path(destRoot, "centroids"), true)
     val rows = ledger(spark, path)
     val n = rows.count()
     val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
