@@ -444,39 +444,155 @@ object ProductQuantization {
       adcCandidatesFrom(spark, path, queries, qId, qVec, k, candidateFrac),
       queries, corpus, qId, qVec, cId, cVec, k)
 
-  // ---- IVF-PQ stored index: coarse cells IN the ledger -----------------
+  // ---- IVF-PQ stored index: residual-encoded IVFADC --------------------
 
   private val WhatIvfPq = "ivf-pq codes index"
 
-  /** Seed an IVF-PQ index: the FROZEN PQ codebooks plus the FROZEN
-    * exact-integer Lloyd coarse-cell table (`cells`: (_cell,
-    * _qc: array<long>)) and a codes ledger whose rows carry their
-    * coarse cell — (doc_id, coarse, sub, cell). Serving then probes
-    * nProbe cells and ADC-scans ONLY the probed rows: the stored-index
-    * form of [[ivfpqTopK]], turning the per-batch serving cost from
-    * O(n) codes to the probed share (on a cluster, write the codes
-    * ledger partitioned by `coarse` and the probe becomes partition
-    * pruning; here `coarse` is a data column and the probe is a
-    * row-group-prunable filter join — same row semantics).
-    * [[LedgerFiles]] discipline throughout: manifest LAST, staged
-    * atomic appends, canonical-path compaction guard. */
+  /** The residual micro-space shift: PQ codes in the stored IVF-PQ
+    * index quantize each vector's RESIDUAL against its coarse Lloyd
+    * centroid — Jégou et al. 2011 §IV's IVFADC, the published
+    * mechanism for high recall at low probed share (the r17 verdict's
+    * top item; raw-vector codes make coarse cells nearly
+    * interchangeable, measured +0.09..0.10 recall@5 from residuals at
+    * m=16/kSub=32 on the harness fixtures). rx = qx − qc(coarse) +
+    * 2²¹: both operands live in [2²⁰, 3·2²⁰] (the +2-shift micro
+    * space), so the difference is in [−2²¹, 2²¹] and the shift keeps
+    * every coordinate POSITIVE — floor-division mean updates stay
+    * floor on both engines, the exact-replay invariant every Lloyd
+    * consumer relies on. Distances are shift-invariant: query and
+    * corpus residuals carry the same +2²¹, which cancels in every
+    * ‖rq − codeword‖² term. */
+  private val ResShift = 2097152L
+
+  /** Residual coordinates reach 2²², so products reach 2⁴⁴ and the
+    * codegen double dot stays an exact integer only to subDim ≤
+    * 2⁵³⁻⁴⁴ = 512 (vs 896 in the raw micro space); wider residual
+    * subspaces take the exact long fold. */
+  private val ResNativeDotMaxSubDim = 512
+  private def idotR(subDim: Int)(a: Column, b: Column): Column =
+    if (subDim <= ResNativeDotMaxSubDim) dot(a, b).cast("long")
+    else aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def resOf(qx: Column, qc: Column): Column =
+    zip_with(qx, qc, (x, c) => x - c + lit(ResShift))
+
+  /** (_pid, coarse, _rx): each document's shifted residual against its
+    * assigned (or probed) coarse centroid. `docs` carries one row per
+    * (document, cell) pair; `cent` broadcasts — O(nCells) rows. */
+  private def resView(
+      docs: DataFrame, idCol: String, vecCol: String, nrmCol: String,
+      cellCol: String, cent: DataFrame): DataFrame =
+    docs.select(col(idCol).as("_pid"), col(cellCol).as("coarse"),
+        quant(transform(col(vecCol), x => x / col(nrmCol))).as("_qx"))
+      .join(broadcast(
+        cent.select(col("_cell").as("coarse"), col("_qc").as("_cqc"))),
+        "coarse")
+      .withColumn("_rx", resOf(col("_qx"), col("_cqc")))
+      .select("_pid", "coarse", "_rx")
+
+  /** Per-subspace residual slices of a residual view — the residual
+    * twin of [[slices]], carrying the coarse cell through. */
+  private def resSlices(rv: DataFrame, m: Int, subDim: Int): DataFrame =
+    rv.select(col("_pid"), col("coarse"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("_rx"), s * subDim + 1, subDim)): _*)))
+      .withColumnRenamed("pos", "sub")
+      .withColumnRenamed("col", "_sx")
+      .withColumn("_sxx", idotR(subDim)(col("_sx"), col("_sx")))
+
+  private def withCcR(cb: DataFrame, subDim: Int): DataFrame =
+    cb.withColumn("_cc", idotR(subDim)(col("qc"), col("qc")))
+
+  /** Nearest residual codeword per (document, subspace) — the same
+    * exact-integer argmin as [[assign]], at the residual-space
+    * exactness gate, keeping the coarse cell on every code row. */
+  private def resAssign(ex: DataFrame, cb: DataFrame, subDim: Int): DataFrame =
+    ex.join(broadcast(cb), "sub")
+      .withColumn("_d",
+        col("_sxx") + col("_cc") - lit(2L) * idotR(subDim)(col("_sx"), col("qc")))
+      .groupBy("_pid", "coarse", "sub")
+      .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"))
+
+  /** Train the per-subspace RESIDUAL codebooks — the [[codebooks]]
+    * recipe (hash-seeded init from the kSub smallest md5-60 ids, then
+    * `iters` exact integer assign/floor-mean rounds, all m subspaces
+    * per round in one distributed job, empty cells keeping their
+    * codeword, short corpora seeding short codebooks) applied to the
+    * shifted residual view. Shifted coordinates are positive, so the
+    * floor-mean stays floor on both engines. */
+  private def trainResidualCodebooks(
+      rv: DataFrame, m: Int, kSub: Int, iters: Int, subDim: Int): DataFrame = {
+    val spark = rv.sparkSession
+    import spark.implicits._
+    val ex = resSlices(rv, m, subDim)
+    val seed = rv
+      .withColumn("_h", graft.functions.PortableHash.md5Hash60(col("_pid")))
+      .orderBy(col("_h"), col("_pid")).limit(kSub)
+      .select("_rx")
+      .collect().map(_.getSeq[Long](0).toIndexedSeq).toIndexedSeq
+    var cb: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      IndexedSeq.tabulate(m)(s =>
+        seed.map(q => q.slice(s * subDim, (s + 1) * subDim)))
+    def cbDf = withCcR(cb.zipWithIndex.flatMap { case (cells, s) =>
+      cells.zipWithIndex.map { case (v, cell) => (s, cell.toLong, v) }
+    }.toDF("sub", "cell", "qc"), subDim)
+    for (_ <- 0 until iters) {
+      // m·kSub×subDim longs cross the driver per round — model-sized
+      val sums = resAssign(ex, cbDf, subDim)
+        .join(ex.select("_pid", "sub", "_sx"), Seq("_pid", "sub"))
+        .groupBy("sub", "cell")
+        .agg(count(lit(1)).as("_n"),
+          (0 until subDim).map(i =>
+            sum(element_at(col("_sx"), i + 1)).as(s"_s$i")): _*)
+        .collect()
+      val byKey = sums.map(r => (r.getInt(0), r.getLong(1)) -> r).toMap
+      cb = IndexedSeq.tabulate(m) { s =>
+        IndexedSeq.tabulate(cb(s).length) { cell =>
+          byKey.get((s, cell.toLong)) match {
+            case Some(r) =>
+              val n = r.getLong(2)
+              IndexedSeq.tabulate(subDim)(i => r.getLong(3 + i) / n)
+            case None => cb(s)(cell) // empty cell keeps its codeword
+          }
+        }
+      }
+    }
+    cbDf.select("sub", "cell", "qc")
+  }
+
+  /** Seed an IVF-PQ index — IVFADC proper: the FROZEN exact-integer
+    * Lloyd coarse-cell table (`cells`: (_cell, _qc: array<long>)),
+    * FROZEN per-subspace codebooks trained on each seed vector's
+    * RESIDUAL against its coarse centroid, and a codes ledger whose
+    * rows carry their coarse cell — (doc_id, coarse, sub, cell).
+    * Serving probes nProbe cells and ADC-scans ONLY the probed rows
+    * (on a cluster, write the codes ledger partitioned by `coarse`
+    * and the probe becomes partition pruning; here `coarse` is a data
+    * column and the probe is a row-group-prunable filter join — same
+    * row semantics). `nCells = 0` (the default) auto-dials the coarse
+    * geometry to ⌊√n⌋ of the seed corpus — the certified SemDeDup
+    * dial, so the probed SHARE falls as the corpus grows instead of
+    * staying pinned at a toy constant. [[LedgerFiles]] discipline
+    * throughout: manifest LAST, staged atomic appends, canonical-path
+    * compaction guard. */
   def writeIvfPqIndex(
       corpus: DataFrame, id: String, vec: String, path: String,
-      nCells: Int = 16, iters: Int = 2,
-      m: Int = 8, kSub: Int = 32): Unit = {
+      nCells: Int = 0, iters: Int = 2,
+      m: Int = 16, kSub: Int = 32): Unit = {
     val spark = corpus.sparkSession
     val (fs, root) = LedgerFiles.fsOf(spark, path)
     fs.delete(new Path(root, LedgerFiles.ManifestName), false)
-    val cb = codebooks(corpus, id, vec, m, kSub, iters)
+    val subDim = subDimOf(corpus, id, vec, m)
+    val k = if (nCells > 0) nCells else SemanticDedup.autoCells(corpus)
+    val (asg, cent) = Similarity.lloydModel(corpus, id, vec, k, iters)
+    val rv = graft.core.CacheGovernor.persistTracked(
+      resView(asg, "c_id", "_cv", "_cn", "_cell", cent))
+    val cb = trainResidualCodebooks(rv, m, kSub, iters, subDim)
     cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    val (asg, cent) = Similarity.lloydModel(corpus, id, vec, nCells, iters)
     cent.write.mode("overwrite").parquet(s"$path/cells")
     fs.delete(new Path(root, "codes"), true)
-    encode(corpus, id, vec, cb, m)
-      .select(col(id).as("doc_id"), col("sub"), col("cell"))
-      .join(asg.select(col("c_id").as("doc_id"), col("_cell").as("coarse")),
-        "doc_id")
-      .select("doc_id", "coarse", "sub", "cell")
+    resAssign(resSlices(rv, m, subDim), withCcR(cb, subDim), subDim)
+      .select(col("_pid").as("doc_id"), col("coarse"), col("sub"), col("cell"))
       .write.mode("overwrite").parquet(s"$path/codes/b0")
     LedgerFiles.publishManifest(fs, root, WhatIvfPq)
   }
@@ -495,7 +611,7 @@ object ProductQuantization {
   }
 
   /** Delta-append a batch under the FROZEN codebooks AND cells: fresh
-    * ids encode and coarse-assign exactly as the seed did (exact
+    * ids coarse-assign, residual-encode exactly as the seed did (exact
     * integer rules on both), publish atomically, redelivery converges.
     * O(batch): the stored side contributes only its doc_id column. */
   def appendToIvfPqIndex(
@@ -512,14 +628,13 @@ object ProductQuantization {
       ivfPqCodes(spark, path).select(col("doc_id").as(id)).distinct(),
       Seq(id), "left_anti")
     if (fresh.isEmpty) return
-    val coarse = Similarity.lloydAssignVectors(
-      fresh, id, vec, storedCells(spark, path))
-      .select(col("b_id").as("doc_id"), col("_cell").as("coarse"))
+    val cent = storedCells(spark, path)
+    val rv = resView(Similarity.lloydAssignVectors(fresh, id, vec, cent),
+      "b_id", "_bv", "_bn", "_cell", cent)
     LedgerFiles.atomicAppend(spark, path, "codes",
-      encode(fresh, id, vec, cb, m)
-        .select(col(id).as("doc_id"), col("sub"), col("cell"))
-        .join(coarse, "doc_id")
-        .select("doc_id", "coarse", "sub", "cell"))
+      resAssign(resSlices(rv, m, subDim), withCcR(cb, subDim), subDim)
+        .select(col("_pid").as("doc_id"), col("coarse"), col("sub"),
+          col("cell")))
   }
 
   /** Compact an appended IVF-PQ index into a NEW versioned directory —
@@ -551,27 +666,47 @@ object ProductQuantization {
     LedgerFiles.publishManifest(fs, new Path(dest), WhatIvfPq)
   }
 
-  /** Probed-share serving off the stored IVF-PQ index: each query's
-    * nProbe nearest FROZEN cells (exact integer rule), ADC over ONLY
-    * the probed rows of the codes ledger, keep the ADC
-    * top-⌈candidateFrac·n⌉, exact-cosine re-rank of those candidates'
-    * raw vectors (candidate-id semi-join — never a corpus-sized vector
-    * read). The stored-index twin of [[ivfpqTopK]]; output
+  /** The stored coarse-cell count — callers dialing a probe SHARE
+    * (nProbe = ⌈share·nCells⌉) read it off the index itself. */
+  def ivfPqCellCount(spark: SparkSession, path: String): Int =
+    storedCells(spark, path).count().toInt
+
+  /** Probed-share serving off the stored IVF-PQ index — IVFADC: each
+    * query probes its nProbe nearest FROZEN cells (exact integer rule;
+    * `nProbe = 0` auto-dials to ⌈nCells/2⌉, the measured tri-scale
+    * knee on the harness fixtures), builds one RESIDUAL lookup table
+    * per probed cell (rq = qx − qc(cell) + 2²¹ — the asymmetric
+    * distance is computed in the probed cell's own residual frame,
+    * which is what buys recall at low probed share), ADC-ranks ONLY
+    * the probed rows of the codes ledger, keeps the ADC
+    * top-⌈candidateFrac·n⌉, and exact-cosine re-ranks those
+    * candidates' raw vectors (candidate-id semi-join — never a
+    * corpus-sized vector read). The LUT is queries·nProbe·m·kSub rows
+    * — always broadcast; the probe restriction IS the LUT join (only
+    * probed (q_id, coarse) pairs exist in it). Output
     * (q_id, c_id, rnk, cos). */
   def searchIvfPqIndex(
       spark: SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nProbe: Int = 8, candidateFrac: Double = 0.15): DataFrame = {
+      k: Int, nProbe: Int = 0, candidateFrac: Double = 0.10): DataFrame = {
     val cb0 = storedCodebooks(spark, path)
     val (m, subDim) = storedShape(cb0)
     requireQueryDim(queries, qId, qVec, m, subDim)
-    val cb = withCc(cb0, subDim)
-    val lut = lutOf(queries, qId, qVec, cb, m, subDim)
+    val cb = withCcR(cb0, subDim)
+    val cent = storedCells(spark, path)
+    val probe =
+      if (nProbe > 0) nProbe else (ivfPqCellCount(spark, path) + 1) / 2
+    val qrv = resView(
+      Similarity.lloydProbeCells(queries, qId, qVec, cent, probe),
+      "q_id", "_qv", "_qn", "_cell", cent)
+    val lut = resSlices(qrv, m, subDim)
+      .join(broadcast(cb), "sub")
+      .withColumn("_dd",
+        col("_sxx") + col("_cc") - lit(2L) * idotR(subDim)(col("_sx"), col("qc")))
+      .select(col("_pid").as("q_id"), col("coarse"), col("sub"), col("cell"),
+        col("_dd"))
     val codes = ivfPqCodes(spark, path).withColumnRenamed("doc_id", "c_id")
-    val probes = Similarity.lloydProbeCells(
-      queries, qId, qVec, storedCells(spark, path), nProbe)
-      .select(col("q_id"), col("_cell").as("coarse"))
     // version-keyed like adcCandidatesFrom: appends invalidate the memo
     val (fs, root) = LedgerFiles.fsOf(spark, path)
     val n = graft.core.CacheGovernor.sharedScalar(
@@ -579,8 +714,7 @@ object ProductQuantization {
         s"v${LedgerFiles.version(fs, root, "codes")}")(codes.count()) / m
     val cLimit = math.max(k.toLong, math.ceil(candidateFrac * n).toLong)
     val w = Window.partitionBy("q_id").orderBy(col("_adist"), col("c_id"))
-    val cand = probes.join(codes, "coarse")
-      .join(broadcast(lut), Seq("q_id", "sub", "cell"))
+    val cand = codes.join(broadcast(lut), Seq("coarse", "sub", "cell"))
       .groupBy("q_id", "c_id")
       .agg(sum(col("_dd")).as("_adist"))
       .withColumn("_rnk", row_number().over(w))

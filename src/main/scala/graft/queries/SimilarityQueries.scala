@@ -685,67 +685,43 @@ object SimilarityQueries {
     topk.crossJoin(broadcast(band)).orderBy("q_id", "rnk")
   }
 
-  /** The COMPOSED IVF-PQ stored index under the driver's hash gate —
-    * the r17 capstone that retires the decade table's one linear
-    * serving row: the %3=0 slice trains BOTH frozen geometries (PQ
-    * codebooks AND the 16 exact-integer Lloyd coarse cells) and seeds
-    * a codes ledger whose rows carry their coarse cell; slices 1 and 2
-    * delta-append (encode + coarse-assign under the frozen rules,
-    * atomic staged publish), slice 1 redelivers (no-op), and serving
-    * probes each query's 10 nearest cells, ADC-scans ONLY the probed
-    * rows (62.5% share here; sub-linear by the probe dial), keeps the
-    * ADC top-15% and exact-reranks those candidates' raw vectors
-    * (candidate-bounded semi-join). The oracle replays the WHOLE
-    * decision from scratch — both trainings, every batch's codes and
-    * coarse assignment, probes, restricted ADC, candidate cut, rerank —
-    * plus the exact-brute recall band ≥ 0.8 (measured 0.832/0.848/0.860
-    * at sf0.001/0.01/0.1; deterministic, so the band is exact). */
+  /** The stored IVF-PQ index as IVFADC PROPER (r18, the r17 verdict's
+    * top item): PQ codes quantize each vector's RESIDUAL against its
+    * coarse Lloyd centroid (Jegou et al. 2011 SIV) and the coarse
+    * geometry auto-dials to floor(sqrt(n_seed)) cells — the certified
+    * SemDeDup dial, derived from COUNT(*) in the oracle too, so the
+    * dial sits inside the hash gate and the probed SHARE falls as the
+    * corpus grows. The %3=0 slice trains BOTH frozen geometries
+    * (coarse cells AND residual codebooks, m=16 x kSub=32 — 80-bit
+    * codes, 51x compression); slices 1 and 2 delta-append (coarse-
+    * assign + residual-encode under the frozen rules, atomic staged
+    * publish), slice 1 redelivers (no-op), and serving probes each
+    * query's ceil(k/2) nearest cells (50% cell share, down from r17's
+    * 62.5%), builds one residual LUT per probed cell, ADC-ranks ONLY
+    * the probed rows, keeps the ADC top-10% (down from 15%) and
+    * exact-reranks those candidates' raw vectors. The oracle replays
+    * the WHOLE decision from scratch — both trainings, every batch's
+    * coarse assignment + residual codes, probes, per-probe LUTs,
+    * restricted ADC, candidate cut, rerank — plus the exact-brute
+    * recall band >= 0.8 (measured 0.838/0.828/0.850 at
+    * sf0.001/0.01/0.1 vs raw codes' 0.738/0.744 at the same knobs;
+    * deterministic, so the band is exact). The isotropic-fixture
+    * probe CEILING at 50% share is ~0.85 (tools/probe_ceiling.py) —
+    * residual ADC serves within 0.02 of it. */
   private val simIvfPqIndex = QuerySpec(
     "q_sim_ivfpq_index",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |cq0 AS (SELECT vec_id AS c_id,
       |          list_transform(v, x -> CAST(floor((x / sqrt(list_dot_product(v, v)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
       |        FROM e WHERE vec_id % 3 = 0),
-      |seed AS (SELECT cell, qx FROM (
-      |  SELECT CAST(ROW_NUMBER() OVER (
-      |    ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell, qx
-      |  FROM cq0) z WHERE cell < 32),
-      |ex0 AS (SELECT c_id, s.sub, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS sx
-      |        FROM cq0 CROSS JOIN generate_series(0, 7) s(sub)),
-      |exx0 AS (SELECT c_id, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM ex0),
-      |cb0 AS (SELECT s.sub, cell, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS qc
-      |        FROM seed CROSS JOIN generate_series(0, 7) s(sub)),
-      |a1 AS (SELECT c_id, sub, cell FROM (
-      |  SELECT e0.c_id, e0.sub, cb.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
-      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
-      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
-      |  FROM exx0 e0 JOIN cb0 cb ON cb.sub = e0.sub) z WHERE rn = 1),
-      |m1 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
-      |       FROM a1 a JOIN exx0 e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
-      |       CROSS JOIN generate_series(1, 8) d(d) GROUP BY a.sub, a.cell, d.d),
-      |u1 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM m1 GROUP BY sub, cell),
-      |cb1 AS (SELECT c0.sub, c0.cell, COALESCE(u.qc, c0.qc) AS qc
-      |        FROM cb0 c0 LEFT JOIN u1 u ON u.sub = c0.sub AND u.cell = c0.cell),
-      |a2 AS (SELECT c_id, sub, cell FROM (
-      |  SELECT e0.c_id, e0.sub, cb.cell,
-      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
-      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
-      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
-      |  FROM exx0 e0 JOIN cb1 cb ON cb.sub = e0.sub) z WHERE rn = 1),
-      |m2 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
-      |       FROM a2 a JOIN exx0 e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
-      |       CROSS JOIN generate_series(1, 8) d(d) GROUP BY a.sub, a.cell, d.d),
-      |u2 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM m2 GROUP BY sub, cell),
-      |cb2 AS (SELECT c1.sub, c1.cell, COALESCE(u.qc, c1.qc) AS qc
-      |        FROM cb1 c1 LEFT JOIN u2 u ON u.sub = c1.sub AND u.cell = c1.cell),
+      |nc AS (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k FROM cq0),
       |cqq0 AS (SELECT c_id, qx, list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cq0),
       |lcent0 AS (SELECT CAST(ROW_NUMBER() OVER (
       |             ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell,
       |             qx AS qc
       |           FROM (SELECT c_id, qx FROM cq0
       |                 ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
-      |                 LIMIT 16)),
+      |                 LIMIT (SELECT k FROM nc))),
       |lasg1 AS (SELECT c_id, cell, qx FROM (
       |  SELECT t.c_id, ct.cell, t.qx,
       |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
@@ -768,52 +744,103 @@ object SimilarityQueries {
       |lu2 AS (SELECT cell, list(s ORDER BY d) AS qc FROM lm2 GROUP BY cell),
       |lcent2 AS (SELECT c1.cell, COALESCE(u.qc, c1.qc) AS qc
       |           FROM lcent1 c1 LEFT JOIN lu2 u ON u.cell = c1.cell),
+      |-- seed-corpus residuals under the FINAL coarse centroids (the write
+      |-- path trains PQ on these): rx = qx - qc(assigned cell) + 2^21
+      |rs AS (SELECT t.c_id,
+      |         list_transform(range(64), i -> t.qx[i+1] - ct.qc[i+1] + 2097152) AS rx
+      |       FROM (SELECT c_id, cell, qx FROM (
+      |               SELECT q.c_id, ct.cell, q.qx,
+      |                      ROW_NUMBER() OVER (PARTITION BY q.c_id ORDER BY
+      |                        q.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
+      |                          - 2 * list_dot_product(q.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
+      |               FROM cqq0 q CROSS JOIN lcent2 ct) z WHERE rn = 1) t
+      |       JOIN lcent2 ct ON ct.cell = t.cell),
+      |seed AS (SELECT cell, rx FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |    ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell, rx
+      |  FROM rs) z WHERE cell < 32),
+      |ex0 AS (SELECT c_id, s.sub, list_slice(rx, s.sub*4 + 1, s.sub*4 + 4) AS sx
+      |        FROM rs CROSS JOIN generate_series(0, 15) s(sub)),
+      |exx0 AS (SELECT c_id, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM ex0),
+      |cb0 AS (SELECT s.sub, cell, list_slice(rx, s.sub*4 + 1, s.sub*4 + 4) AS qc
+      |        FROM seed CROSS JOIN generate_series(0, 15) s(sub)),
+      |a1 AS (SELECT c_id, sub, cell FROM (
+      |  SELECT e0.c_id, e0.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
+      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM exx0 e0 JOIN cb0 cb ON cb.sub = e0.sub) z WHERE rn = 1),
+      |m1 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
+      |       FROM a1 a JOIN exx0 e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
+      |       CROSS JOIN generate_series(1, 4) d(d) GROUP BY a.sub, a.cell, d.d),
+      |u1 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM m1 GROUP BY sub, cell),
+      |cb1 AS (SELECT c0.sub, c0.cell, COALESCE(u.qc, c0.qc) AS qc
+      |        FROM cb0 c0 LEFT JOIN u1 u ON u.sub = c0.sub AND u.cell = c0.cell),
+      |a2 AS (SELECT c_id, sub, cell FROM (
+      |  SELECT e0.c_id, e0.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
+      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM exx0 e0 JOIN cb1 cb ON cb.sub = e0.sub) z WHERE rn = 1),
+      |m2 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
+      |       FROM a2 a JOIN exx0 e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
+      |       CROSS JOIN generate_series(1, 4) d(d) GROUP BY a.sub, a.cell, d.d),
+      |u2 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM m2 GROUP BY sub, cell),
+      |cb2 AS (SELECT c1.sub, c1.cell, COALESCE(u.qc, c1.qc) AS qc
+      |        FROM cb1 c1 LEFT JOIN u2 u ON u.sub = c1.sub AND u.cell = c1.cell),
+      |-- ALL docs: coarse-assign under frozen lcent2, residual-encode under cb2
       |cqa AS (SELECT vec_id AS c_id,
       |          list_transform(v, x -> CAST(floor((x / sqrt(list_dot_product(v, v)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
       |        FROM e),
       |cqaq AS (SELECT c_id, qx, list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qq FROM cqa),
-      |lasgf AS (SELECT c_id, coarse FROM (
-      |  SELECT t.c_id, ct.cell AS coarse,
+      |lasgf AS (SELECT c_id, coarse, qx FROM (
+      |  SELECT t.c_id, ct.cell AS coarse, t.qx,
       |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
       |           t.qq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
       |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS rn
       |  FROM cqaq t CROSS JOIN lcent2 ct) z WHERE rn = 1),
-      |exa AS (SELECT c_id, s.sub, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS sx
-      |        FROM cqa CROSS JOIN generate_series(0, 7) s(sub)),
-      |exxa AS (SELECT c_id, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM exa),
-      |codes AS (SELECT c_id, sub, cell FROM (
-      |  SELECT ea.c_id, ea.sub, cb.cell,
+      |ra AS (SELECT a.c_id, a.coarse,
+      |         list_transform(range(64), i -> a.qx[i+1] - ct.qc[i+1] + 2097152) AS rx
+      |       FROM lasgf a JOIN lcent2 ct ON ct.cell = a.coarse),
+      |exa AS (SELECT c_id, coarse, s.sub, list_slice(rx, s.sub*4 + 1, s.sub*4 + 4) AS sx
+      |        FROM ra CROSS JOIN generate_series(0, 15) s(sub)),
+      |exxa AS (SELECT c_id, coarse, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM exa),
+      |codes AS (SELECT c_id, coarse, sub, cell FROM (
+      |  SELECT ea.c_id, ea.coarse, ea.sub, cb.cell,
       |         ROW_NUMBER() OVER (PARTITION BY ea.c_id, ea.sub ORDER BY
       |           ea.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
       |             - 2 * list_dot_product(ea.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
       |  FROM exxa ea JOIN cb2 cb ON cb.sub = ea.sub) z WHERE rn = 1),
+      |-- queries: probe ceil(k/2) nearest frozen cells, residual LUT PER PROBE
       |qn AS (SELECT vec_id AS q_id,
       |         list_transform(v, x -> CAST(floor((x / sqrt(list_dot_product(v, v)) + 2.0) * 1048576.0) AS BIGINT)) AS qx
       |       FROM e WHERE vec_id < 100),
       |qnn AS (SELECT q_id, qx, list_dot_product(qx::DOUBLE[], qx::DOUBLE[]) AS qqv FROM qn),
-      |probes AS (SELECT q_id, coarse FROM (
-      |  SELECT t.q_id, ct.cell AS coarse,
+      |probes AS (SELECT q_id, coarse, qx FROM (
+      |  SELECT t.q_id, ct.cell AS coarse, t.qx,
       |         ROW_NUMBER() OVER (PARTITION BY t.q_id ORDER BY
       |           t.qqv + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
       |             - 2 * list_dot_product(t.qx::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS pr
-      |  FROM qnn t CROSS JOIN lcent2 ct) z WHERE pr <= 10),
-      |qe AS (SELECT q_id, s.sub, list_slice(qx, s.sub*8 + 1, s.sub*8 + 8) AS sx
-      |       FROM qn CROSS JOIN generate_series(0, 7) s(sub)),
-      |qex AS (SELECT q_id, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM qe),
-      |lut AS (SELECT t.q_id, cb.sub, cb.cell,
+      |  FROM qnn t CROSS JOIN lcent2 ct) z WHERE pr <= (SELECT (k + 1) // 2 FROM nc)),
+      |qr AS (SELECT p.q_id, p.coarse,
+      |         list_transform(range(64), i -> p.qx[i+1] - ct.qc[i+1] + 2097152) AS rx
+      |       FROM probes p JOIN lcent2 ct ON ct.cell = p.coarse),
+      |qe AS (SELECT q_id, coarse, s.sub, list_slice(rx, s.sub*4 + 1, s.sub*4 + 4) AS sx
+      |       FROM qr CROSS JOIN generate_series(0, 15) s(sub)),
+      |qex AS (SELECT q_id, coarse, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM qe),
+      |lut AS (SELECT t.q_id, t.coarse, cb.sub, cb.cell,
       |          t.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
       |            - 2 * list_dot_product(t.sx::DOUBLE[], cb.qc::DOUBLE[]) AS dd
       |        FROM qex t JOIN cb2 cb ON cb.sub = t.sub),
       |adc AS (SELECT l.q_id, cd.c_id, CAST(SUM(l.dd) AS BIGINT) AS adist
-      |        FROM probes p JOIN lasgf a ON a.coarse = p.coarse
-      |        JOIN codes cd ON cd.c_id = a.c_id
-      |        JOIN lut l ON l.q_id = p.q_id AND l.sub = cd.sub AND l.cell = cd.cell
+      |        FROM codes cd
+      |        JOIN lut l ON l.coarse = cd.coarse AND l.sub = cd.sub AND l.cell = cd.cell
       |        GROUP BY l.q_id, cd.c_id),
       |adccand AS (SELECT q_id, c_id FROM (
       |  SELECT q_id, c_id,
       |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
       |  FROM adc) t
-      |  WHERE rnk <= greatest(5, CAST(ceil(0.15 * (SELECT COUNT(*) FROM e)) AS BIGINT))),
+      |  WHERE rnk <= greatest(5, CAST(ceil(0.10 * (SELECT COUNT(*) FROM e)) AS BIGINT))),
       |topk AS (SELECT q_id, c_id, rnk, cos FROM (
       |  SELECT r.q_id, r.c_id,
       |         list_dot_product(eq.v, ec.v)
@@ -838,10 +865,10 @@ object SimilarityQueries {
     import graft.operators.ProductQuantization
     val emb = Tables.embeddings(s, d)
     def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
-    val root = graft.core.CacheGovernor.durableDir(s"ivfpq_index:$d") { dir =>
+    val root = graft.core.CacheGovernor.durableDir(s"ivfadc_index:$d") { dir =>
       val path = s"$dir/v1"
       ProductQuantization.writeIvfPqIndex(slice(0), "vec_id", "embedding",
-        path, nCells = 16, iters = 2, m = 8, kSub = 32)
+        path, nCells = 0, iters = 2, m = 16, kSub = 32)
       ProductQuantization.appendToIvfPqIndex(s, path, slice(1), "vec_id", "embedding")
       ProductQuantization.appendToIvfPqIndex(s, path, slice(2), "vec_id", "embedding")
       // redelivered batch — the ledger must append nothing
@@ -852,7 +879,7 @@ object SimilarityQueries {
     val queries = emb.filter(col("vec_id") < 100)
     val topk = ProductQuantization.searchIvfPqIndex(s, s"$root/v2",
       queries, "vec_id", "embedding",
-      emb, "vec_id", "embedding", k = 5, nProbe = 10, candidateFrac = 0.15)
+      emb, "vec_id", "embedding", k = 5, nProbe = 0, candidateFrac = 0.10)
     val exact = Similarity.bruteForceTopK(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding", 5)
       .select("q_id", "c_id")

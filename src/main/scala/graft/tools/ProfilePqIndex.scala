@@ -35,23 +35,25 @@ object ProfilePqIndex {
       val hits = top.join(exact, Seq("q_id", "c_id"), "left_semi").count()
       println(f"PQINDEX-RERANK frac=$frac%.2f recall@5=${hits.toDouble / nHits}%.3f")
     }
-    // the composed IVF-PQ stored index (r17): coarse cells trained on
-    // the seed slice, probed-share serving — nProbe × frac grid
+    // the residual-encoded IVFADC stored index (r18): auto-dialed
+    // ⌊√n_seed⌋ coarse cells, probed-share serving — share × frac grid
     val dir2 = java.nio.file.Files.createTempDirectory("ivfpqidxprof").toString
     graft.operators.ProductQuantization.writeIvfPqIndex(
       slice(0), "vec_id", "embedding", dir2,
-      nCells = 16, iters = 2, m = 8, kSub = 32)
+      nCells = 0, iters = 2, m = 16, kSub = 32)
     graft.operators.ProductQuantization.appendToIvfPqIndex(
       spark, dir2, slice(1), "vec_id", "embedding")
     graft.operators.ProductQuantization.appendToIvfPqIndex(
       spark, dir2, slice(2), "vec_id", "embedding")
-    for (nProbe <- Seq(8, 10, 12); frac <- Seq(0.15, 0.20)) {
+    val nCells = graft.operators.ProductQuantization.ivfPqCellCount(spark, dir2)
+    for (share <- Seq(0.375, 0.5, 0.625); frac <- Seq(0.10, 0.15)) {
+      val nProbe = math.max(1, math.ceil(nCells * share).toInt)
       val top = graft.operators.ProductQuantization.searchIvfPqIndex(
         spark, dir2, queries, "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5,
         nProbe = nProbe, candidateFrac = frac)
       val hits = top.join(exact, Seq("q_id", "c_id"), "left_semi").count()
-      println(f"IVFPQINDEX nProbe=$nProbe%d frac=$frac%.2f recall@5=${hits.toDouble / nHits}%.3f")
+      println(f"IVFADC nCells=$nCells%d nProbe=$nProbe%d share=${nProbe.toDouble / nCells}%.3f frac=$frac%.2f recall@5=${hits.toDouble / nHits}%.3f")
     }
     spark.stop()
   }

@@ -165,12 +165,16 @@ class ProductQuantizationSpec extends AnyFunSuite {
       "coarse probe + ADC + re-rank must be bit-identical across runs")
   }
 
-  test("ivfpq index: append ≡ rebuild, redelivery no-op, probed-share serving, compaction") {
+  test("ivfadc index: append ≡ rebuild, redelivery no-op, residual probed-share serving, compaction") {
     val dirInc = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
     val dirFull = java.nio.file.Files.createTempDirectory("ivfpqidxf").toString
     def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+    // auto-dialed coarse geometry: nCells = ⌊√n_seed⌋, residual codes
     ProductQuantization.writeIvfPqIndex(slice(0), "vec_id", "embedding",
-      dirInc, nCells = 16, iters = 2, m = 8, kSub = 32)
+      dirInc, nCells = 0, iters = 2, m = 16, kSub = 32)
+    val wantCells = math.max(1, math.sqrt(slice(0).count().toDouble).toInt)
+    assert(ProductQuantization.ivfPqCellCount(spark, dirInc) == wantCells,
+      "coarse geometry must auto-dial to ⌊√n⌋ of the seed corpus")
     ProductQuantization.appendToIvfPqIndex(spark, dirInc, slice(1), "vec_id", "embedding")
     val rows1 = ProductQuantization.ivfPqCodes(spark, dirInc).count()
     ProductQuantization.appendToIvfPqIndex(spark, dirInc, slice(1), "vec_id", "embedding")
@@ -179,12 +183,12 @@ class ProductQuantizationSpec extends AnyFunSuite {
     ProductQuantization.appendToIvfPqIndex(spark, dirInc, slice(2), "vec_id", "embedding")
     // one-shot: same seed training, all non-seed rows in one append
     ProductQuantization.writeIvfPqIndex(slice(0), "vec_id", "embedding",
-      dirFull, nCells = 16, iters = 2, m = 8, kSub = 32)
+      dirFull, nCells = 0, iters = 2, m = 16, kSub = 32)
     ProductQuantization.appendToIvfPqIndex(spark, dirFull,
       emb.filter(pmod(col("vec_id"), lit(3)) =!= 0), "vec_id", "embedding")
     def serve(p: String) = ProductQuantization.searchIvfPqIndex(
       spark, p, queries, "vec_id", "embedding",
-      emb, "vec_id", "embedding", k = 5, nProbe = 10, candidateFrac = 0.15)
+      emb, "vec_id", "embedding", k = 5, nProbe = 0, candidateFrac = 0.10)
       .collect().map(_.toSeq).toSet
     assert(serve(dirInc) == serve(dirFull),
       "serving must be identical however the codes arrived")
@@ -196,18 +200,32 @@ class ProductQuantizationSpec extends AnyFunSuite {
     val n = emb.count()
     assert(byCell.values.sum == n, "every doc coarse-assigned exactly once")
     assert(byCell.size > 1, "coarse cells must partition the corpus")
-    // recall floor at the pinned (nProbe=10, frac=0.15) configuration
+    // recall floor at the auto-dialed (nProbe=⌈k/2⌉, frac=0.10) point —
+    // residual encoding's measured tri-scale worst is 0.828
     val exact = Similarity.bruteForceTopK(queries, emb,
       "vec_id", "embedding", "vec_id", "embedding", 5).select("q_id", "c_id")
     val hits = ProductQuantization.searchIvfPqIndex(
       spark, dirInc, queries, "vec_id", "embedding",
-      emb, "vec_id", "embedding", k = 5, nProbe = 10, candidateFrac = 0.15)
+      emb, "vec_id", "embedding", k = 5, nProbe = 0, candidateFrac = 0.10)
       .join(exact, Seq("q_id", "c_id"), "left_semi").count()
     assert(hits.toDouble / exact.count() >= 0.8)
+    // serve-time width gate: wrong-dim queries fail loudly, never
+    // return silently wrong ADC distances
+    intercept[IllegalArgumentException] {
+      ProductQuantization.searchIvfPqIndex(spark, dirInc,
+        queries.select(col("vec_id"), expr("slice(embedding, 1, 32)").as("embedding")),
+        "vec_id", "embedding", emb, "vec_id", "embedding", k = 5)
+    }
     // compaction: verbatim copy + canonical-path guard + manifest gate
     val dirC = java.nio.file.Files.createTempDirectory("ivfpqidxc").toString + "/v2"
     ProductQuantization.compactIvfPqIndex(spark, dirInc, dirC)
     assert(serve(dirC) == serve(dirInc), "compacted index must serve identically")
+    // a DIRTY dest (previously an appended index) must not leak its
+    // stale batches under the fresh manifest
+    ProductQuantization.compactIvfPqIndex(spark, dirFull, dirC)
+    assert(ProductQuantization.ivfPqCodes(spark, dirC).count()
+      == ProductQuantization.ivfPqCodes(spark, dirFull).count(),
+      "re-compaction onto a reused dest must wipe the old tree first")
     intercept[IllegalArgumentException] {
       ProductQuantization.compactIvfPqIndex(spark, dirInc, dirInc + "/")
     }
@@ -215,6 +233,22 @@ class ProductQuantizationSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       ProductQuantization.ivfPqCodes(spark, dirInc).count()
     }
+  }
+
+  test("stored-count memo: a same-session append widens the candidate budget") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidxmemo").toString
+    def slice(i: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === i)
+    ProductQuantization.writePqIndex(slice(0), "vec_id", "embedding", dir,
+      m = 8, kSub = 32, iters = 2)
+    val n0 = slice(0).count()
+    def perQuery(): Long = ProductQuantization.adcCandidatesFrom(
+      spark, dir, queries, "vec_id", "embedding", k = 5, candidateFrac = 0.10)
+      .groupBy("q_id").count().select("count").distinct().head.getLong(0)
+    assert(perQuery() == math.max(5L, math.ceil(0.10 * n0).toLong))
+    ProductQuantization.appendToPqIndex(spark, dir, slice(1), "vec_id", "embedding")
+    val n1 = n0 + slice(1).count()
+    assert(perQuery() == math.max(5L, math.ceil(0.10 * n1).toLong),
+      "the serve-time count memo must see the appended rows (version-keyed)")
   }
 
   test("report configuration: recall@5 ≥ 0.8 at 10% candidates, deterministic top-k") {
