@@ -783,14 +783,20 @@ object ProductQuantization {
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nCells: Int = 16, nProbe: Int = 8, iters: Int = 2,
       m: Int = 8, kSub: Int = 32,
-      candidateFrac: Double = 0.10): DataFrame =
+      candidateFrac: Double = 0.10): DataFrame = {
+    // nCells = 0 → the ⌊√n⌋ auto-dial; nProbe = 0 → ⌈nCells/2⌉ (the
+    // measured 50%-share knee). Resolve BEFORE the memo key so dialed
+    // and explicit calls at the same geometry share one relation.
+    val cells = Similarity.cellsFor(corpus, nCells)
+    val probe = if (nProbe > 0) nProbe else (cells + 1) / 2
     graft.core.CacheGovernor.sharedFrame(
-      keyOf(corpus, cId, cVec, nCells, nProbe, iters, m, kSub,
+      keyOf(corpus, cId, cVec, cells, probe, iters, m, kSub,
         candidateFrac, k,
         queries.queryExecution.analyzed.semanticHash(), "ivfpqcand"), corpus) {
       ivfpqCandidatesUncached(queries, corpus, qId, qVec, cId, cVec,
-        k, nCells, nProbe, iters, m, kSub, candidateFrac)
+        k, cells, probe, iters, m, kSub, candidateFrac)
     }
+  }
 
   private def ivfpqCandidatesUncached(
       queries: DataFrame, corpus: DataFrame,

