@@ -563,22 +563,28 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
-  /** The PQ codes index's delta-append SERVING path under the driver's
-    * hash gate (the q_st_ivf_ledger discipline at the N109 tier):
-    * the %3=0 embeddings slice trains the FROZEN codebooks and seeds
-    * the codes ledger, slices 1 and 2 delta-append (encode under the
-    * stored codebooks; atomic staged publish), slice 1 REDELIVERS
-    * (id anti-join no-op), and the index serves the r17 RERANK read
-    * path: ADC top-15% off the stored 5-byte codes, then ONE
-    * candidate-bounded fetch of raw vectors (ids semi-join — corpus
-    * vectors never shuffle; the plan gate lives in
-    * ProductQuantizationSpec) for exact cosine top-5. The whole
-    * decision — training, codes, ADC candidate cut, re-rank — must
-    * hash-match the oracle's from-scratch replay, and the recall band
-    * ≥ 0.8 is certified in-band on BOTH engines (measured
-    * 0.850/0.860/0.938 at sf0.001/0.01/0.1 — deterministic, so the
-    * band is exact; the codes-only point stays priced in the recall
-    * report's pq_adc row). */
+  /** The FLAT-FRONTIER measurement row (re-scoped r18, verdict item 4):
+    * this row deliberately serves the stored PQ codes ledger WITHOUT a
+    * coarse prune — every query ADC-scans ALL n stored codes — so it
+    * prices the memory-extreme end of the recall/cost frontier (codes
+    * are 5 bytes/vector; scanning all of them costs less than one
+    * probed-cell read of raw vectors) and certifies the delta-append
+    * ledger laws (q_st_ivf_ledger discipline at the N109 tier: %3=0
+    * slice trains the FROZEN codebooks and seeds, slices 1/2
+    * delta-append, slice 1 redelivers as a no-op, compaction is a
+    * verbatim copy). It is LINEAR BY CONSTRUCTION in the decade table —
+    * the production serving path is q_sim_ivfpq_index's coarse-pruned
+    * residual IVFADC (measured 1.5× CPU at 10× rows at a fixed probe
+    * count on clustered fixtures, BASELINE.md round 18). Read path:
+    * ADC top-15% off the stored codes, then ONE candidate-bounded
+    * fetch of raw vectors (ids semi-join — corpus vectors never
+    * shuffle; plan gate in ProductQuantizationSpec) for exact cosine
+    * top-5. The whole decision — training, codes, ADC candidate cut,
+    * re-rank — must hash-match the oracle's from-scratch replay, and
+    * the recall band ≥ 0.8 is certified in-band on BOTH engines
+    * (measured 0.850/0.860/0.938 at sf0.001/0.01/0.1 — deterministic,
+    * so the band is exact; the codes-only point stays priced in the
+    * recall report's pq_adc row). */
   private val simPqIndex = QuerySpec(
     "q_sim_pq_index",
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

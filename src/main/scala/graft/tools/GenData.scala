@@ -72,8 +72,8 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val Array(outDir, sfStr) = args.take(2)
     val mode = args.lift(2).getOrElse("real")
-    require(mode == "real" || mode == "fixture30",
-      s"mode must be 'real' or 'fixture30', got $mode")
+    require(mode == "real" || mode == "fixture30" || mode == "clustered",
+      s"mode must be 'real', 'fixture30' or 'clustered', got $mode")
     val sf = sfStr.toDouble
     require(sf > 0, s"sf must be positive, got $sf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -163,16 +163,37 @@ object GenData {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     // embeddings -----------------------------------------------------
+    // mode "clustered" (r18): a mixture of 100 hash-derived Gaussians
+    // with Zipf-skewed sizes instead of one isotropic cloud. Isotropic
+    // vectors CAP every IVF-family recall at the probed share
+    // (ARCHITECTURE.md; measured in tools/probe_ceiling.py), which
+    // makes the synthetic frontier look worse than production — real
+    // document embeddings cluster heavily. Cluster of a vector is
+    // floor(100·u²) (share of cluster c ≈ (√(c+1)−√c)/10: the hottest
+    // cell holds ~10%, the tail ~0.5% — a 20× hot/empty-cell stress),
+    // center coordinates are unit gaussians of the cluster id, members
+    // are center + 0.25·noise (within-cluster cosine ≈ 0.9, cross ≈ 0).
+    // Same hash-counter construction: shuffle-free, byte-stable.
     val nVecs = n(20000)
+    def gauss(tag1: String, tag2: String, key: Column, j: Column): Column = {
+      val u1 = (pmod(xxhash64(lit(tag1), key, j), lit(1L << 40))
+        .cast("double") + lit(1.0)) / lit((1L << 40).toDouble)
+      val u2 = pmod(xxhash64(lit(tag2), key, j), lit(1L << 40))
+        .cast("double") / lit((1L << 40).toDouble)
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    }
+    val rawCol =
+      if (mode == "clustered") {
+        val uc = u(col("vec_id"), "cluster")
+        val cl = floor(uc * uc * lit(100.0)).cast("long")
+        transform(sequence(lit(0), lit(63)), j =>
+          gauss("c1", "c2", cl, j) / lit(8.0) +
+            gauss("g1", "g2", col("vec_id"), j) * lit(0.25) / lit(8.0))
+      } else
+        transform(sequence(lit(0), lit(63)), j =>
+          gauss("g1", "g2", col("vec_id"), j))
     spark.range(nVecs).select(col("id").as("vec_id"))
-      .withColumn("_raw", transform(sequence(lit(0), lit(63)), j => {
-        // Box–Muller: two independent uniform streams per (vec, dim)
-        val u1 = (pmod(xxhash64(lit("g1"), col("vec_id"), j), lit(1L << 40))
-          .cast("double") + lit(1.0)) / lit((1L << 40).toDouble)
-        val u2 = pmod(xxhash64(lit("g2"), col("vec_id"), j), lit(1L << 40))
-          .cast("double") / lit((1L << 40).toDouble)
-        sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
-      }))
+      .withColumn("_raw", rawCol)
       .withColumn("_norm", sqrt(aggregate(col("_raw"), lit(0.0),
         (acc, x) => acc + x * x)))
       .withColumn("embedding",

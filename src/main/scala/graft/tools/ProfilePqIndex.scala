@@ -46,7 +46,15 @@ object ProfilePqIndex {
     graft.operators.ProductQuantization.appendToIvfPqIndex(
       spark, dir2, slice(2), "vec_id", "embedding")
     val nCells = graft.operators.ProductQuantization.ivfPqCellCount(spark, dir2)
-    for (share <- Seq(0.375, 0.5, 0.625); frac <- Seq(0.10, 0.15)) {
+    // hot/empty coarse-cell stress: the codes-per-cell distribution
+    // (clustered corpora skew ~20×; serving must survive the hot cell)
+    val sizes = graft.operators.ProductQuantization.ivfPqCodes(spark, dir2)
+      .filter(col("sub") === 0).groupBy("coarse").count()
+      .select("count").collect().map(_.getLong(0)).sorted
+    if (sizes.nonEmpty)
+      println(s"IVFADC-CELLS nCells=$nCells nonEmpty=${sizes.length} " +
+        s"min=${sizes.head} p50=${sizes(sizes.length / 2)} max=${sizes.last}")
+    for (share <- Seq(0.125, 0.25, 0.375, 0.5, 0.625); frac <- Seq(0.05, 0.10, 0.15)) {
       val nProbe = math.max(1, math.ceil(nCells * share).toInt)
       val top = graft.operators.ProductQuantization.searchIvfPqIndex(
         spark, dir2, queries, "vec_id", "embedding",
