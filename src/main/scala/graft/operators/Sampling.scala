@@ -268,6 +268,67 @@ object Sampling {
         expr("(target_w * _c * 1000000) div n_tokens").as("rate_micro"))
   }
 
+  /** [[mixRates]] with UPSAMPLING — the epoch-mixing plan a real LLM
+    * data recipe needs (r17 verdict item 6: high-quality sources run
+    * multiple epochs; the downsample-only plan clamps rate ≤ 1 by
+    * construction). The budget consumes the binding source exactly
+    * once and raises everything else to the declared shares:
+    *   C        = max_s ⌊tokens_s / w_s⌋  (vs [[mixRates]]' min — the
+    *              LEAST total plan that needs no source more than its
+    *              weight demands)
+    *   planned_s = w_s · C                (shares = w_s/Σw exactly)
+    *   epochs_s  = ⌊planned_s / tokens_s⌋ (full deterministic passes)
+    *   rate_micro_s = ⌊(planned_s − epochs_s·tokens_s) · 10⁶ /
+    *                  tokens_s⌋           (the fractional residual)
+    * so realized_s = epochs_s·tokens_s + residual_s ≈ planned_s. Pure
+    * integer arithmetic end to end — the whole plan (epoch counts
+    * included) hash-replays in ANSI SQL. Same cost shape as
+    * [[mixRates]]: one groupBy(source), broadcast weight table,
+    * one |sources|-row aggregate. Bound: planned_s·10⁶ < 2⁶³ →
+    * tokens_s·(w_max/w_min)·10⁶ < 2⁶³; widen the micro-unit past a
+    * ~10¹² token plan. */
+  def mixRatesEpochs(df: DataFrame, source: Column, unit: Column,
+      targets: Seq[(String, Long)]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "target mix weights must be positive")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate source in target mix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = targets.toDF("_src", "target_w")
+    val tok = df.groupBy(source.as("_src"))
+      .agg(sum(unit).cast("long").as("n_tokens"))
+    val j = tok.join(broadcast(w), "_src")
+    val c = j.agg(max(expr("n_tokens div target_w")).as("_c"))
+    j.crossJoin(broadcast(c))
+      .select(col("_src").as("source"), col("n_tokens"), col("target_w"),
+        (col("target_w") * col("_c")).as("planned_tokens"),
+        expr("(target_w * _c) div n_tokens").as("epochs"),
+        expr("((target_w * _c - ((target_w * _c) div n_tokens) * n_tokens)" +
+          " * 1000000) div n_tokens").as("rate_micro"))
+  }
+
+  /** Apply a [[mixRatesEpochs]] plan: every row of a source yields
+    * `epochs` full deterministic copies (tagged 0..epochs−1 in an
+    * `epoch` column — downstream shuffles/shards see distinct keys per
+    * pass) plus one residual copy (tagged `epochs`) kept iff the row's
+    * hash bucket falls under the fractional rate — the same portable,
+    * partitioning-immune keep rule every sampler here uses. Pure
+    * projection + broadcast + generator: no shuffle; output size is
+    * the plan's realized token budget by construction. */
+  def mixSampleEpochs(df: DataFrame, key: Column, source: Column,
+      unit: Column, targets: Seq[(String, Long)]): DataFrame = {
+    val plan = mixRatesEpochs(df, source, unit, targets)
+      .withColumn("_thresh", expr(s"rate_micro * ${Buckets}L div 1000000"))
+      .select(col("source").as("_msrc"), col("epochs").as("_epochs"),
+        col("_thresh"))
+    df.join(broadcast(plan), source === col("_msrc"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("_epochs"))))
+      .filter(col("epoch") < col("_epochs") ||
+        hashBucket(key) < col("_thresh"))
+      .drop("_msrc", "_epochs", "_thresh")
+  }
+
   /** Apply a [[mixRates]] plan: keep a row iff its hash bucket falls
     * under its source's rate (quantized to the house 1/10000 bucket
     * resolution — the same deterministic, engine-portable,

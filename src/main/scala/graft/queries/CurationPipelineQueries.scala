@@ -370,6 +370,44 @@ object CurationPipelineQueries {
       .orderBy("source")
   }
 
+  /** Datasheet → EPOCH mixing weights (r18, N113 — the r17 verdict's
+    * item 6): real LLM recipes UPSAMPLE high-quality sources past one
+    * pass, which [[graft.operators.Sampling.mixRates]] clamps away
+    * (rate ≤ 1 by construction). [[Sampling.mixRatesEpochs]] instead
+    * binds on C = max ⌊tokens/w⌋ — the binding source runs EXACTLY one
+    * full pass and every other declared source rises to the exact
+    * shares via epochs = ⌊planned/tokens⌋ deterministic full passes
+    * plus an integer-remainder fractional rate. With the 30/20/20/15/
+    * 10/5 declared mix the src0 plan runs ≥ 2 epochs at every SF
+    * (weight span 6× over near-uniform sources). All integer
+    * arithmetic — epoch counts, planned tokens and residual rates
+    * replay bit-for-bit in SQL; applied-sample laws (exact full
+    * passes, residual tracking, partition immunity) live in
+    * SamplingSpec. */
+  private val reweightEpochs = QuerySpec(
+    "q_corpus_reweight_epochs",
+    """WITH tok AS (SELECT source,
+      |               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |             FROM documents GROUP BY source),
+      |w(source, target_w) AS (VALUES
+      |  ('src0', CAST(30 AS BIGINT)), ('src1', CAST(20 AS BIGINT)),
+      |  ('src2', CAST(20 AS BIGINT)), ('src3', CAST(15 AS BIGINT)),
+      |  ('src4', CAST(10 AS BIGINT)), ('src5', CAST(5 AS BIGINT))),
+      |j AS (SELECT tok.source, tok.n_tokens, w.target_w
+      |      FROM tok JOIN w ON w.source = tok.source),
+      |c AS (SELECT MAX(n_tokens // target_w) AS c FROM j)
+      |SELECT j.source, j.n_tokens, j.target_w,
+      |       CAST(j.target_w * c.c AS BIGINT) AS planned_tokens,
+      |       CAST((j.target_w * c.c) // j.n_tokens AS BIGINT) AS epochs,
+      |       CAST(((j.target_w * c.c - ((j.target_w * c.c) // j.n_tokens) * j.n_tokens)
+      |             * 1000000) // j.n_tokens AS BIGINT) AS rate_micro
+      |FROM j, c ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, TextAnalysis}
+    Sampling.mixRatesEpochs(Tables.documents(s, d), col("source"),
+      size(TextAnalysis.wsTokens(col("text"))), ReweightTargets)
+      .orderBy("source")
+  }
+
   /** The declared mix q_corpus_reweight certifies and SamplingSpec
     * applies. */
   private[graft] val ReweightTargets: Seq[(String, Long)] = Seq(
@@ -377,5 +415,6 @@ object CurationPipelineQueries {
     "src3" -> 15L, "src4" -> 10L, "src5" -> 5L)
 
   def all: Seq[QuerySpec] =
-    Seq(pipeline, streamingLedger, crawlCuration, datasheet, reweight)
+    Seq(pipeline, streamingLedger, crawlCuration, datasheet, reweight,
+      reweightEpochs)
 }

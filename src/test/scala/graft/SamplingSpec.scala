@@ -264,4 +264,70 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === kept)
   }
+
+  test("mixRatesEpochs: exact shares, binding source one epoch, upsampled sources epochs >= 2") {
+    import graft.queries.CurationPipelineQueries.ReweightTargets
+    val plan = Sampling.mixRatesEpochs(docs, col("source"),
+      size(graft.operators.TextAnalysis.wsTokens(col("text"))), ReweightTargets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(plan.length === ReweightTargets.size)
+    // planned proportional to weights EXACTLY (cross-multiplied)
+    for (a <- plan; b <- plan)
+      assert(a._4 * b._3 === b._4 * a._3,
+        s"planned tokens not proportional to weights: $a vs $b")
+    // realized = epochs·tokens + residual reproduces planned: the
+    // residual rate is the exact remainder over tokens
+    plan.foreach { case (_, tok, _, planned, epochs, rate) =>
+      assert(epochs === planned / tok)
+      assert(rate === (planned - epochs * tok) * 1000000L / tok)
+    }
+    // the max-bound C: every source gets at least ~one full pass
+    // (planned = w·⌊tokens_max/w_max⌋ ≥ tokens − w, so the realized
+    // ratio in micro-units sits within w/tokens of 10⁶), the binding
+    // source sits AT one pass, and with weights spanning 30/5 at least
+    // one source upsamples to epochs >= 2
+    plan.foreach { case (src, tok, w, _, epochs, rate) =>
+      assert(epochs * 1000000L + rate >= 1000000L - (w * 1000000L) / tok - 1,
+        s"source $src below one pass: epochs=$epochs rate=$rate")
+    }
+    assert(plan.exists(p => p._5 * 1000000L + p._6 <= 1000000L),
+      s"no binding source at ~one pass in ${plan.mkString(",")}")
+    assert(plan.exists(_._5 >= 2L),
+      s"no upsampled source at epochs >= 2 in ${plan.mkString(",")}")
+  }
+
+  test("mixSampleEpochs: full passes exact, residual tracks its rate, partitioning-immune") {
+    import spark.implicits._
+    val text = Seq.fill(10)("tok").mkString(" ")
+    val sizes = Seq("a" -> 1000, "b" -> 4000, "c" -> 3000,
+      "zz_undeclared" -> 300)
+    val rows = sizes.flatMap { case (src, n) =>
+      (0 until n).map(i => (s"$src:$i", src, text))
+    }.toDF("doc_id", "source", "text")
+    // equal weights over 10k/40k/30k tokens: C = 40k -> 'a' runs 4
+    // exact epochs (no residual), 'b' binds at one pass, 'c' runs one
+    // pass plus a 1/3 residual
+    val targets = Seq("a" -> 1L, "b" -> 1L, "c" -> 1L)
+    val kept = Sampling.mixSampleEpochs(rows, col("doc_id"), col("source"),
+      size(split(col("text"), " ")), targets)
+    assert(kept.filter(col("source") === "zz_undeclared").isEmpty,
+      "undeclared source must drop")
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("b") === 4000L, "binding source: exactly one full pass")
+    assert(bySrc("a") === 4000L, "integral upsampling is exact: 4 x 1000")
+    assert(math.abs(bySrc("c") - 4000L) <= 120L,
+      s"one pass + 1/3 residual must land near 4000, got ${bySrc("c")}")
+    // full epochs are EXACT deterministic copies, distinct per epoch tag
+    val aFull = kept.filter(col("source") === "a" && col("epoch") < 4)
+    assert(aFull.count() === 4000L)
+    assert(aFull.select("doc_id", "epoch").distinct().count() === 4000L)
+    // partitioning-immune
+    val again = Sampling.mixSampleEpochs(rows.repartition(13),
+      col("doc_id"), col("source"), size(split(col("text"), " ")), targets)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === bySrc)
+  }
 }
