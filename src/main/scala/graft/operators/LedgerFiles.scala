@@ -72,6 +72,26 @@ private[operators] object LedgerFiles {
         s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
       .foldLeft(-1L)(math.max) + 1
 
+  /** [[atomicAppend]] at a CALLER-CHOSEN batch id — the idempotence
+    * primitive for micro-batch folds whose effect is deterministic per
+    * (prior state, batch): if `<table>/b<batchId>` is already
+    * committed, the call is a no-op (a redelivered batch recomputes
+    * the identical rows, sees the commit, and skips), so redelivery
+    * converges without a separate applied-batches ledger. */
+  def atomicAppendAt(
+      spark: SparkSession, path: String, table: String,
+      rows: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val dst = new Path(root, s"$table/b$batchId")
+    if (fs.exists(dst)) return
+    fs.delete(new Path(root, ".staging"), true)
+    val tmp = new Path(root, ".staging/append")
+    rows.write.mode("overwrite").parquet(tmp.toString)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"could not commit append to $dst")
+  }
+
   /** Write `build`'s rows to `.staging/` and commit them into
     * `root/<table>/b<next>` with one rename. */
   def atomicAppend(

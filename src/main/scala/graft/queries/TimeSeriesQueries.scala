@@ -440,6 +440,43 @@ object TimeSeriesQueries {
       .orderBy("site_id")
   }
 
+  /** N53 under the hash gate (r18, the r17 verdict's item 7): the
+    * streaming outage-window tracker's LEDGERED form. Alarm intervals
+    * slice into three micro-batches by event-time terciles of the
+    * January span, fold through
+    * [[graft.operators.Intervals.outageLedgerBatch]] (per-site open
+    * windows in `state/`, watermark = max(start) − 24 h, windows the
+    * watermark passed append-FINAL exactly once — batch-id-keyed
+    * atomic renames make redelivery a no-op, and batch 2 redelivers),
+    * and the read (final ledger ∪ open state) must hash-match the
+    * oracle's one-shot islands merge over the whole history — the
+    * fold-then-merge ≡ merge-all-at-once law, counts included. The
+    * `finalized` flag replays as w_end < final watermark. */
+  private val stOutageLedger = QuerySpec(
+    "q_st_outage_ledger",
+    s"""$ivSql,
+       |wmf AS (SELECT MAX(start_ms) - 86400000 AS wm FROM iv)
+       |SELECT m.site_id, m.w_start, m.w_end, m.n_merged,
+       |       m.w_end < wmf.wm AS finalized
+       |FROM m, wmf ORDER BY site_id, w_start""".stripMargin) { (s, d) =>
+    import graft.operators.Intervals
+    val t0 = 1704067200000L // 2024-01-01 UTC; slices at +10 and +20 days
+    val t1 = t0 + 10L * 86400000L
+    val t2 = t0 + 20L * 86400000L
+    val iv = outageIntervals(s, d)
+    val root = graft.core.CacheGovernor.durableDir(s"outage_ledger:$d") { dir =>
+      val path = s"$dir/v1"
+      val fold = Intervals.outageLedgerBatch(path, latenessMs = 86400000L)
+      fold(iv.filter(col("start_ms") < t1), 1L)
+      fold(iv.filter(col("start_ms") >= t1 && col("start_ms") < t2), 2L)
+      // redelivered micro-batch — the committed final/b2 makes it a no-op
+      fold(iv.filter(col("start_ms") >= t1 && col("start_ms") < t2), 2L)
+      fold(iv.filter(col("start_ms") >= t2), 3L)
+    }
+    Intervals.outageLedgerWindows(s, s"$root/v1")
+      .orderBy("site_id", "w_start")
+  }
+
   /** A11: weekly cohort retention matrix over events (operators.
     * Cohorts) — cohort = first-seen week, retention vs week-0 size. */
   private val a11 = QuerySpec(
@@ -877,5 +914,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      a11, a13, a14, stHistLedger, a16, a17, a18, a19, a20, a21, x4)
+      stOutageLedger, a11, a13, a14, stHistLedger, a16, a17, a18, a19, a20, a21, x4)
 }

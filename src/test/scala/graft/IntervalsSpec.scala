@@ -70,6 +70,50 @@ class IntervalsSpec extends AnyFunSuite {
     assert(n === 1, s"expected a single hash exchange, plan:\n$plan")
   }
 
+  test("outage ledger: fold ≡ batch merge, redelivery no-op, crash between commits converges") {
+    val alarms = Seq(
+      (1L, 0L, 50L), (1L, 40L, 90L), (1L, 200L, 250L), (1L, 400L, 460L),
+      (2L, 10L, 20L), (2L, 15L, 120L), (2L, 300L, 310L), (1L, 480L, 500L))
+      .toDF("site_id", "start_ms", "end_ms")
+    def sl(lo: Long, hi: Long) =
+      alarms.filter(col("start_ms") >= lo && col("start_ms") < hi)
+    val dir = java.nio.file.Files.createTempDirectory("outledg").toString
+    val fold = Intervals.outageLedgerBatch(dir, latenessMs = 100L)
+    fold(sl(0L, 150L), 1L)
+    fold(sl(150L, 350L), 2L)
+    fold(sl(150L, 350L), 2L) // redelivery: committed final/b2 → no-op
+    fold(sl(350L, 999L), 3L)
+    def windows(p: String) = Intervals.outageLedgerWindows(spark, p)
+      .select("site_id", "w_start", "w_end", "n_merged", "finalized")
+      .collect().map(_.toSeq).toSet
+    val got = windows(dir)
+    // read ≡ one-shot batch merge over the whole history, counts included
+    val want = Intervals.mergeIntervals(
+      alarms.select(col("site_id"), col("start_ms").as("s"), col("end_ms").as("e")),
+      Seq("site_id"), "s", "e")
+      .select("site_id", "w_start", "w_end", "n_merged").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.map(s => (s(0), s(1), s(2), s(3))) === want)
+    // watermark after batch 3 = 480 - 100 = 380: site 1's [400,460]
+    // and [480,500] (disjoint islands) both stay open, everything
+    // earlier is final
+    assert(got.exists(s => s(1) === 400L && s(4) === false))
+    assert(got.count(_(4) == false) === 2)
+    // crash window: final committed, state of the NEXT attempt skipped —
+    // simulate the other order too: wipe final/b3 (state/b3 survives)
+    // and redeliver; the fold recomputes from state/b2 and re-commits
+    // the identical final rows
+    val fs = new java.io.File(s"$dir/final/b3")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      f.delete()
+    }
+    rmTree(fs)
+    fold(sl(350L, 999L), 3L)
+    assert(windows(dir) === got,
+      "a crash between the state and final commits must converge on redelivery")
+  }
+
   test("downtimeStats sums coalesced spans and reports availability") {
     val m = Intervals.mergeIntervals(
       iv(("a", 0L, 50L), ("a", 100L, 130L), ("b", 0L, 10L)), Seq("key"), "s", "e")
