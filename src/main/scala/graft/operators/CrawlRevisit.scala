@@ -46,21 +46,26 @@ object CrawlRevisit {
 
   /** Seed a ledger with the first snapshot. */
   def writeLedger(snapshot: DataFrame, url: Column, content: Column,
-      snapId: Long, path: String): Unit =
-    visitEvents(snapshot, url, content, snapId)
-      .write.mode("overwrite").parquet(s"$path/visits")
+      snapId: Long, path: String): Unit = {
+    val (fs, root) = LedgerFiles.fsOf(snapshot.sparkSession, path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "visits"), true)
+    LedgerFiles.atomicAppendAt(snapshot.sparkSession, path, "visits",
+      visitEvents(snapshot, url, content, snapId), snapId)
+  }
 
   /** Delta-append one snapshot (O(batch); idempotent under redelivery
-    * because the read-side fold collapses duplicate (url, snap)
-    * events). */
+    * both ways: the write is a staged atomic rename keyed by the snap
+    * id — a redelivered snapshot's commit already exists and the call
+    * no-ops — and the read-side fold collapses duplicate (url, snap)
+    * events regardless). */
   def appendSnapshot(snapshot: DataFrame, url: Column, content: Column,
       snapId: Long, path: String): Unit =
-    visitEvents(snapshot, url, content, snapId)
-      .write.mode("append").parquet(s"$path/visits")
+    LedgerFiles.atomicAppendAt(snapshot.sparkSession, path, "visits",
+      visitEvents(snapshot, url, content, snapId), snapId)
 
-  /** The raw event log. */
+  /** The raw event log — every committed batch. */
   def readVisits(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/visits")
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/visits")
 
   /** Fold the event log into per-URL state: first/last snapshot seen,
     * distinct-visit count, the latest content hash, and the number of

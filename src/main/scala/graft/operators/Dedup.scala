@@ -476,6 +476,19 @@ object Dedup {
 
   // ---- materialized minhash relation ---------------------------------
 
+  private val WhatMinHash = "minhash dedup relation"
+
+  /** Manifest-gated recursive read of one of the relation's ledger
+    * tables (members/reps/verified/meta) — every batch directory. */
+  private def minhashSub(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      table: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, WhatMinHash)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/$table")
+  }
+
+
   /** Materialize the minhash collapse→band→verify relation to storage —
     * the 100 TB pattern for a pipeline that wants BOTH the pair listing
     * and the cluster closure (and tomorrow's incremental batches): pay
@@ -491,12 +504,20 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.9): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    // LedgerFiles discipline (r18 WAL audit): invalidate readers for
+    // the whole re-seed window, wipe any previous ledger trees, write
+    // every table as its b0 batch, publish the manifest LAST
+    fs.delete(new org.apache.hadoop.fs.Path(root, LedgerFiles.ManifestName), false)
+    Seq("members", "verified", "reps", "meta").foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, t), true))
     val (tagged, verified) = collapseVerify(prepTokenDocs(df, id, text),
       minHashCandidates(numHashes, bands, threshold), threshold,
       candidatesDistinct = true)
     tagged.select(col("_fp"), col("_id"))
-      .write.mode("overwrite").parquet(s"$path/members")
-    verified.write.mode("overwrite").parquet(s"$path/verified")
+      .write.mode("overwrite").parquet(s"$path/members/b0")
+    verified.write.mode("overwrite").parquet(s"$path/verified/b0")
     // reps with PRECOMPUTED band hashes: incremental batches
     // ([[minHashPairsAgainst]]) band-join straight against these — the
     // corpus text is never re-tokenized, its signatures never recomputed
@@ -505,15 +526,16 @@ object Dedup {
         graft.plans.TextHashNative.minHashSig(col("_set"), numHashes))
       .select(col("_fp"), col("_set"),
         bandHashesOfSig(col("_sig"), numHashes, bands).as("_bhs"))
-      .write.mode("overwrite").parquet(s"$path/reps")
+      .write.mode("overwrite").parquet(s"$path/reps/b0")
     // persist the parameters WITH the relation: a reader supplying
     // mismatched numHashes/bands would band-join against misaligned
     // _bhs arrays and silently lose recall instead of erroring —
     // requireRelationMeta turns that into an immediate failure
-    df.sparkSession.range(1)
+    spark.range(1)
       .select(lit(numHashes).as("num_hashes"), lit(bands).as("bands"),
         lit(threshold).as("threshold"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$path/meta/b0")
+    LedgerFiles.publishManifest(fs, root, WhatMinHash)
   }
 
   /** Read back the (numHashes, bands, threshold) a relation was written
@@ -522,7 +544,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[(Int, Int, Double)] =
     try {
-      val r = spark.read.parquet(s"$path/meta")
+      val r = minhashSub(spark, path, "meta")
         .select("num_hashes", "bands", "threshold").head()
       Some((r.getInt(0), r.getInt(1), r.getDouble(2)))
     } catch {
@@ -592,7 +614,7 @@ object Dedup {
       assumeNewDocs: Boolean = true): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireRelationMeta(spark, path, numHashes, bands, threshold)
-    val storedReps = spark.read.parquet(s"$path/reps")
+    val storedReps = minhashSub(spark, path, "reps")
     val taggedNew = graft.core.CacheGovernor.persistTracked(
       prepTokenDocs(newDocs, id, text).withColumn("_fp", xxhash64(col("_set"))))
     // truly-new fingerprints only: a batch doc whose set is already
@@ -644,8 +666,12 @@ object Dedup {
     val newNewVerified = verify(
       minHashCandidates(numHashes, bands, threshold)(repsNew),
       repsNewIndexed, repsNewIndexed)
-    crossVerified.unionByName(newNewVerified)
-      .write.mode("append").parquet(s"$path/verified")
+    // staged atomic batch commits (r18 WAL audit): a crashed append
+    // leaves nothing visible; ordering puts `reps` LAST because the
+    // freshness anti-join gates on it — a crash mid-append redelivers
+    // into the same delta
+    LedgerFiles.atomicAppend(spark, path, "verified",
+      crossVerified.unionByName(newNewVerified))
     val membersDelta =
       if (assumeNewDocs) taggedNew.select(col("_fp"), col("_id"))
       else {
@@ -654,7 +680,7 @@ object Dedup {
         // set keeps the stored-member read a streaming scan — no
         // shuffle of the member map, and the WRITE is still the delta.
         val batchFps = taggedNew.select("_fp").distinct()
-        val storedRelevant = spark.read.parquet(s"$path/members")
+        val storedRelevant = minhashSub(spark, path, "members")
           .join(broadcast(batchFps), Seq("_fp"), "left_semi")
         val delta = graft.core.CacheGovernor.persistTracked(
           taggedNew.select(col("_fp"), col("_id"))
@@ -662,8 +688,8 @@ object Dedup {
         delta.count() // materialize before appending to the path it reads
         delta
       }
-    membersDelta.write.mode("append").parquet(s"$path/members")
-    repsNewIndexed.write.mode("append").parquet(s"$path/reps")
+    LedgerFiles.atomicAppend(spark, path, "members", membersDelta)
+    LedgerFiles.atomicAppend(spark, path, "reps", repsNewIndexed)
   }
 
   /** Compact an appended minhash relation into a fresh layout at
@@ -680,19 +706,27 @@ object Dedup {
   def compactMinHashRelation(
       spark: org.apache.spark.sql.SparkSession, path: String, dest: String,
       targetRowsPerFile: Long = 4000000L): Unit = {
-    require(path != dest,
+    val (fs, _) = LedgerFiles.fsOf(spark, path)
+    require(LedgerFiles.canonical(fs, path) != LedgerFiles.canonical(fs, dest),
       "compaction writes a NEW versioned directory; compacting a live " +
         "index onto itself would corrupt readers mid-query")
+    // wipe any previous dest state (manifest FIRST) so a reused dest
+    // cannot serve stale b1+ batches beside the fresh b0
+    val destRoot = new org.apache.hadoop.fs.Path(dest)
+    fs.delete(new org.apache.hadoop.fs.Path(destRoot, LedgerFiles.ManifestName), false)
     def copy(sub: String): Unit = {
-      val df = spark.read.parquet(s"$path/$sub")
+      fs.delete(new org.apache.hadoop.fs.Path(destRoot, sub), true)
+      val df = minhashSub(spark, path, sub)
       val rows = df.count()
       val files = math.max(1L,
         (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-      df.coalesce(files).write.mode("overwrite").parquet(s"$dest/$sub")
+      df.coalesce(files).write.mode("overwrite").parquet(s"$dest/$sub/b0")
     }
     copy("members"); copy("reps"); copy("verified")
-    spark.read.parquet(s"$path/meta").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dest/meta")
+    fs.delete(new org.apache.hadoop.fs.Path(destRoot, "meta"), true)
+    minhashSub(spark, path, "meta").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dest/meta/b0")
+    LedgerFiles.publishManifest(fs, destRoot, WhatMinHash)
   }
 
   /** Incremental near-dup dedup of a NEW batch against a
@@ -719,8 +753,8 @@ object Dedup {
       threshold: Double = 0.9): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     requireRelationMeta(spark, path, numHashes, bands, threshold)
-    val storedReps = spark.read.parquet(s"$path/reps")
-    val storedMembers = spark.read.parquet(s"$path/members")
+    val storedReps = minhashSub(spark, path, "reps")
+    val storedMembers = minhashSub(spark, path, "members")
     val taggedNew = graft.core.CacheGovernor.persistTracked(
       prepTokenDocs(newDocs, id, text).withColumn("_fp", xxhash64(col("_set"))))
     val repsNew = graft.core.CacheGovernor.persistTracked(
@@ -757,14 +791,14 @@ object Dedup {
   /** [[minHashPairs]] derived from a [[writeMinHashRelation]] table. */
   def minHashPairsFrom(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    expandPairs(spark.read.parquet(s"$path/members"),
-      spark.read.parquet(s"$path/verified"))
+    expandPairs(minhashSub(spark, path, "members"),
+      minhashSub(spark, path, "verified"))
 
   /** [[minHashClusters]] derived from a [[writeMinHashRelation]] table. */
   def minHashClustersFrom(
       spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    clustersFrom(spark.read.parquet(s"$path/members"),
-      spark.read.parquet(s"$path/verified"))
+    clustersFrom(minhashSub(spark, path, "members"),
+      minhashSub(spark, path, "verified"))
 
   /** [[minHashSignature]] over an already-hashed token set. */
   def minHashHashedSignature(hashedTokens: Column, numHashes: Int): Column = {

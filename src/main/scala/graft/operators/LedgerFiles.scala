@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   *    identically;
   *  - readers list only committed `b<k>` directories (hidden `.`/`_`
   *    paths are filtered by Spark's file index anyway). */
-private[operators] object LedgerFiles {
+private[graft] object LedgerFiles {
 
   val ManifestName = "_manifest"
 
@@ -65,9 +65,11 @@ private[operators] object LedgerFiles {
     nextBatchId(fs, root, table)
 
   /** Next free batch directory id under `root/<table>/` (single-writer
-    * ledger discipline — appends are serialized by the caller). */
+    * ledger discipline — appends are serialized by the caller); 0 for
+    * a not-yet-created table. */
   def nextBatchId(fs: FileSystem, root: Path, table: String): Long =
-    fs.listStatus(new Path(root, table)).map(_.getPath.getName)
+    (try fs.listStatus(new Path(root, table)).map(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => Array.empty[String] })
       .collect { case s if s.length > 1 && s.head == 'b' &&
         s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
       .foldLeft(-1L)(math.max) + 1
@@ -90,20 +92,67 @@ private[operators] object LedgerFiles {
     fs.mkdirs(dst.getParent)
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"could not commit append to $dst")
+    refreshTable(spark, root, table)
   }
 
+  /** Invalidate Spark's session FileStatusCache (and any cached plans)
+    * for a table we just committed into BY RENAME: `df.write` into a
+    * path refreshes it implicitly, but a raw FileSystem rename does
+    * not — without this, the session keeps serving the PRE-commit file
+    * listing and a later read inside the same session silently misses
+    * the new batch (bit the r18 WAL refactor's redelivery anti-join:
+    * the stale listing made a redelivered batch look entirely fresh). */
+  private def refreshTable(spark: SparkSession, root: Path, table: String): Unit =
+    spark.catalog.refreshByPath(new Path(root, table).toString)
+
   /** Write `build`'s rows to `.staging/` and commit them into
-    * `root/<table>/b<next>` with one rename. */
+    * `root/<table>/b<next>` with one rename. `partitionCols` lays the
+    * batch out Hive-partitioned INSIDE its b<k> directory (readers
+    * union per-batch partition-discovered reads, so directory pruning
+    * on the partition column survives the ledger layout). */
   def atomicAppend(
       spark: SparkSession, path: String, table: String,
-      rows: org.apache.spark.sql.DataFrame): Unit = {
+      rows: org.apache.spark.sql.DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
     val (fs, root) = fsOf(spark, path)
     // clear any crashed-append leftovers (never visible to readers)
     fs.delete(new Path(root, ".staging"), true)
     val tmp = new Path(root, ".staging/append")
-    rows.write.mode("overwrite").parquet(tmp.toString)
+    val w = rows.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     val dst = new Path(root, s"$table/b${nextBatchId(fs, root, table)}")
+    fs.mkdirs(dst.getParent)
     if (!fs.rename(tmp, dst))
       throw new IllegalStateException(s"could not commit append to $dst")
+    refreshTable(spark, root, table)
+  }
+
+  /** Committed batch directories of `root/<table>/`, ascending. */
+  def batchDirs(fs: FileSystem, root: Path, table: String): Seq[String] =
+    try fs.listStatus(new Path(root, table)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.length > 1 && n.head == 'b' && n.drop(1).forall(_.isDigit)
+      }
+      .sortBy(_.getName.drop(1).toLong).map(_.toString)
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  /** Micro-batch redelivery marker, directory-existence based: the
+    * fold calls [[markBatchApplied]] LAST, and a redelivered batch
+    * sees the committed marker and skips. Staging + one rename — a
+    * crash mid-mark leaves nothing, so retry re-runs the (idempotent)
+    * batch effect and re-marks. Replaces the old flat
+    * `mode("append")` marker row, whose crash window was a TORN
+    * parquet file that broke every later read of the ledger. */
+  def batchApplied(spark: SparkSession, path: String, batchId: Long): Boolean = {
+    val (fs, root) = fsOf(spark, path)
+    fs.exists(new Path(root, s"_batches/b$batchId"))
+  }
+
+  def markBatchApplied(spark: SparkSession, path: String, batchId: Long): Unit = {
+    import spark.implicits._
+    atomicAppendAt(spark, path, "_batches",
+      Seq(batchId).toDF("batch_id"), batchId)
   }
 }

@@ -447,15 +447,40 @@ object Similarity {
 
   // ---- materialized IVF index ----------------------------------------
 
+  private val WhatIvf = "ivf inverted-file index"
+
+  /** Manifest-gated read of the cell-partitioned inverted file: each
+    * committed `assigned/b<k>` batch is read WITH partition discovery
+    * (its own `_cell=` directories — pruning on `_cell` survives per
+    * union branch) and the batches union. O(batches) listings; one
+    * after compaction. */
+  private[graft] def ivfAssigned(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, WhatIvf)
+    LedgerFiles.batchDirs(fs, root, "assigned")
+      .map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
+  }
+
+  private def ivfCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, WhatIvf)
+    spark.read.parquet(s"$path/centroids")
+  }
+
+
   /** Materialize a trained IVF index to storage — the production ANN
     * shape: the index (KMeans cells + the corpus inverted file) is
     * built ONCE per corpus version, then arbitrary query batches search
     * it without touching the training or assignment cost again. At
     * 100 TB the inverted file IS the data layout: `assigned` is written
     * partitioned by cell, so each probe reads only its cells' files —
-    * partition pruning does the cell selection. Layout:
-    * `<path>/centroids` (nCells rows), `<path>/assigned` (one row per
-    * corpus vector, partitioned by `_cell`). */
+    * partition pruning does the cell selection. Layout ([[LedgerFiles]]
+    * discipline since r18): `<path>/centroids` (nCells rows),
+    * `<path>/assigned/b<k>` (one row per corpus vector, each batch
+    * partitioned by `_cell` inside its directory), manifest LAST. */
   def writeIvfIndex(
       corpus: DataFrame, cId: String, cVec: String, path: String,
       nCells: Int = 16, maxIter: Int = 10): Unit = {
@@ -472,9 +497,13 @@ object Similarity {
         val a = v.toArray.toIndexedSeq
         (i.toLong, a, math.sqrt(a.map(x => x * x).sum))
     }.toDF("_cell", "_cellv", "_celln")
+    val (fs, root) = LedgerFiles.fsOf(corpus.sparkSession, path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, LedgerFiles.ManifestName), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "assigned"), true)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(feats.drop("_fv"), centroids)
-      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned/b0")
+    LedgerFiles.publishManifest(fs, root, WhatIvf)
   }
 
   /** [[writeIvfIndex]] with the HASH-SEEDED cell geometry of
@@ -490,9 +519,13 @@ object Similarity {
       nCells: Int = 16): Unit = {
     val c = viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
     val centroids = hashSeededCentroids(c, cellsFor(corpus, nCells))
+    val (fs, root) = LedgerFiles.fsOf(corpus.sparkSession, path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, LedgerFiles.ManifestName), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "assigned"), true)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(c, centroids)
-      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned")
+      .write.mode("overwrite").partitionBy("_cell").parquet(s"$path/assigned/b0")
+    LedgerFiles.publishManifest(fs, root, WhatIvf)
   }
 
   /** Delta-only APPEND into a [[writeIvfIndex]] table: assign the new
@@ -511,12 +544,15 @@ object Similarity {
   def appendToIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, bId: String, bVec: String): Unit = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val existing = spark.read.parquet(s"$path/assigned").select(col("c_id"))
+    val centroids = ivfCentroids(spark, path)
+    val existing = ivfAssigned(spark, path).select(col("c_id"))
     val b = viewAs(normalizedView(batch, bId, bVec), "c_id", "_cv", "_cn")
     val novel = b.join(existing, Seq("c_id"), "left_anti")
-    ivfAssign(novel, centroids)
-      .write.mode("append").partitionBy("_cell").parquet(s"$path/assigned")
+    if (novel.isEmpty) return
+    // staged + one rename (r18 WAL audit): a crashed append leaves
+    // nothing visible; the batch keeps its _cell= layout inside b<k>
+    LedgerFiles.atomicAppend(spark, path, "assigned",
+      ivfAssign(novel, centroids), partitionCols = Seq("_cell"))
   }
 
   /** Approximate top-k against a [[writeIvfIndex]] table. Identical
@@ -526,9 +562,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qId: String, qVec: String,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-    val assigned = spark.read.parquet(s"$path/assigned")
-    ivfProbe(queries, qId, qVec, assigned, centroids, k, nProbe)
+    ivfProbe(queries, qId, qVec, ivfAssigned(spark, path),
+      ivfCentroids(spark, path), k, nProbe)
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup detection) —

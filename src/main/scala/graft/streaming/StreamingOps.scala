@@ -225,23 +225,15 @@ object StreamingOps {
       numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.9):
       (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val ledgerPath = s"$path/_batches"
+    // directory-existence marker via LedgerFiles (staged + renamed):
+    // the old flat mode("append") marker could tear mid-crash and
+    // break every later ledger read
     val applied =
-      try spark.read.parquet(ledgerPath)
-        .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch {
-        // a missing ledger is the expected first-batch state; Spark 4.1
-        // surfaces it as AnalysisException (path absent) or a raw
-        // FileNotFoundException (ResolveDataSource's sink-metadata probe
-        // racing the parent dir) - both mean "nothing applied yet"
-        case _: org.apache.spark.sql.AnalysisException => false
-        case _: java.io.FileNotFoundException => false
-      }
+      graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
     if (!applied && !batch.isEmpty) {
       graft.operators.Dedup.appendToMinHashRelation(
         spark, path, batch, id, text, numHashes, bands, threshold)
-      spark.range(1).select(lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(ledgerPath)
+      graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
     }
   }
 
@@ -264,23 +256,15 @@ object StreamingOps {
       path: String, id: String, vec: String,
       eps: Double = 0.4): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val ledgerPath = s"$path/_batches"
+    // directory-existence marker via LedgerFiles (staged + renamed):
+    // the old flat mode("append") marker could tear mid-crash and
+    // break every later ledger read
     val applied =
-      try spark.read.parquet(ledgerPath)
-        .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch {
-        // a missing ledger is the expected first-batch state; Spark 4.1
-        // surfaces it as AnalysisException (path absent) or a raw
-        // FileNotFoundException (ResolveDataSource's sink-metadata probe
-        // racing the parent dir) - both mean "nothing applied yet"
-        case _: org.apache.spark.sql.AnalysisException => false
-        case _: java.io.FileNotFoundException => false
-      }
+      graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
     if (!applied && !batch.isEmpty) {
       graft.operators.SemanticDedup.appendToKeeperIndex(
         spark, path, batch, id, vec, eps)
-      spark.range(1).select(lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(ledgerPath)
+      graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
     }
   }
 
@@ -302,23 +286,15 @@ object StreamingOps {
       path: String, id: String, vec: String): (DataFrame, Long) => Unit = {
     (batch, batchId) =>
       val spark = batch.sparkSession
-      val ledgerPath = s"$path/_batches"
+      // directory-existence marker via LedgerFiles (staged + renamed):
+      // the old flat mode("append") marker could tear mid-crash and
+      // break every later ledger read
       val applied =
-        try spark.read.parquet(ledgerPath)
-          .filter(col("batch_id") === batchId).head(1).nonEmpty
-        catch {
-        // a missing ledger is the expected first-batch state; Spark 4.1
-        // surfaces it as AnalysisException (path absent) or a raw
-        // FileNotFoundException (ResolveDataSource's sink-metadata probe
-        // racing the parent dir) - both mean "nothing applied yet"
-        case _: org.apache.spark.sql.AnalysisException => false
-        case _: java.io.FileNotFoundException => false
-      }
+        graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
       if (!applied && !batch.isEmpty) {
         graft.operators.ProductQuantization.appendToPqIndex(
           spark, path, batch, id, vec)
-        spark.range(1).select(lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(ledgerPath)
+        graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
       }
   }
 
@@ -370,25 +346,17 @@ object StreamingOps {
       lo: Double, hi: Double, bins: Int,
       keys: Seq[String] = Nil): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val ledgerPath = s"$path/_batches"
+    // directory-existence marker via LedgerFiles (staged + renamed):
+    // the old flat mode("append") marker could tear mid-crash and
+    // break every later ledger read
     val applied =
-      try spark.read.parquet(ledgerPath)
-        .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch {
-        // a missing ledger is the expected first-batch state; Spark 4.1
-        // surfaces it as AnalysisException (path absent) or a raw
-        // FileNotFoundException (ResolveDataSource's sink-metadata probe
-        // racing the parent dir) - both mean "nothing applied yet"
-        case _: org.apache.spark.sql.AnalysisException => false
-        case _: java.io.FileNotFoundException => false
-      }
+      graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/bins")
       graft.operators.HistogramSketch
         .build(batch, col(value), lo, hi, bins, keys)
         .write.mode("overwrite").parquet(s"$path/bins/batch_id=$batchId")
-      spark.range(1).select(lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(ledgerPath)
+      graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
     }
   }
 
@@ -413,25 +381,17 @@ object StreamingOps {
       path: String, key: String, depth: Int, width: Int):
       (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val ledgerPath = s"$path/_batches"
+    // directory-existence marker via LedgerFiles (staged + renamed):
+    // the old flat mode("append") marker could tear mid-crash and
+    // break every later ledger read
     val applied =
-      try spark.read.parquet(ledgerPath)
-        .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch {
-        // a missing ledger is the expected first-batch state; Spark 4.1
-        // surfaces it as AnalysisException (path absent) or a raw
-        // FileNotFoundException (ResolveDataSource's sink-metadata probe
-        // racing the parent dir) - both mean "nothing applied yet"
-        case _: org.apache.spark.sql.AnalysisException => false
-        case _: java.io.FileNotFoundException => false
-      }
+      graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/counters")
       graft.operators.CountMin
         .build(batch, col(key), depth, width)
         .write.mode("overwrite").parquet(s"$path/counters/batch_id=$batchId")
-      spark.range(1).select(lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(ledgerPath)
+      graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
     }
   }
 
@@ -456,26 +416,18 @@ object StreamingOps {
       path: String, id: String, text: String, minTokens: Int):
       (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val ledgerPath = s"$path/_batches"
+    // directory-existence marker via LedgerFiles (staged + renamed):
+    // the old flat mode("append") marker could tear mid-crash and
+    // break every later ledger read
     val applied =
-      try spark.read.parquet(ledgerPath)
-        .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch {
-        // a missing ledger is the expected first-batch state; Spark 4.1
-        // surfaces it as AnalysisException (path absent) or a raw
-        // FileNotFoundException (ResolveDataSource's sink-metadata probe
-        // racing the parent dir) - both mean "nothing applied yet"
-        case _: org.apache.spark.sql.AnalysisException => false
-        case _: java.io.FileNotFoundException => false
-      }
+      graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/grams")
       graft.operators.SubstringDedup
         .gramCounts(batch, col(id),
           graft.operators.TextAnalysis.wsTokens(col(text)), minTokens)
         .write.mode("overwrite").parquet(s"$path/grams/batch_id=$batchId")
-      spark.range(1).select(lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(ledgerPath)
+      graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
     }
   }
 
@@ -508,18 +460,11 @@ object StreamingOps {
       path: String, id: String, text: String, host: String,
       blockedHosts: Seq[String]): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
-    val ledgerPath = s"$path/_batches"
+    // directory-existence marker via LedgerFiles (staged + renamed):
+    // the old flat mode("append") marker could tear mid-crash and
+    // break every later ledger read
     val applied =
-      try spark.read.parquet(ledgerPath)
-        .filter(col("batch_id") === batchId).head(1).nonEmpty
-      catch {
-        // a missing ledger is the expected first-batch state; Spark 4.1
-        // surfaces it as AnalysisException (path absent) or a raw
-        // FileNotFoundException (ResolveDataSource's sink-metadata probe
-        // racing the parent dir) - both mean "nothing applied yet"
-        case _: org.apache.spark.sql.AnalysisException => false
-        case _: java.io.FileNotFoundException => false
-      }
+      graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
     if (!applied && !batch.isEmpty) {
       requireBatchDirLayout(spark, s"$path/docs")
       val unblocked =
@@ -533,8 +478,7 @@ object StreamingOps {
           md5(col(id).cast("string")).as("priority"),
           graft.operators.PiiRedact.redact(col(text)).as("red_text"))
         .write.mode("overwrite").parquet(s"$path/docs/batch_id=$batchId")
-      spark.range(1).select(lit(batchId).as("batch_id"))
-        .write.mode("append").parquet(ledgerPath)
+      graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
     }
   }
 
@@ -557,6 +501,19 @@ object StreamingOps {
     * answers every future [[readCuration]] identically while holding
     * ≤ quota·hosts rows. The ledger carries over (redelivered
     * pre-compaction batches stay no-ops). */
+  /** Carry a compacted relation's applied-batch markers to `dest`, so
+    * a redelivered pre-compaction batch id stays a no-op against the
+    * compacted relation (markers are b<k> directories since r18). */
+  private def carryLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, dest: String): Unit = {
+    val (fs, root) = graft.operators.LedgerFiles.fsOf(spark, path)
+    graft.operators.LedgerFiles.batchDirs(fs, root, "_batches").foreach { d =>
+      val id = new org.apache.hadoop.fs.Path(d).getName.drop(1).toLong
+      graft.operators.LedgerFiles.markBatchApplied(spark, dest, id)
+    }
+  }
+
   def compactCuration(
       spark: org.apache.spark.sql.SparkSession, path: String, dest: String,
       id: String, quota: Int): Unit = {
@@ -567,8 +524,7 @@ object StreamingOps {
     // column collision)
     readCuration(spark, path, id, quota).drop("keep_rank", "batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dest/docs/batch_id=0")
-    spark.read.parquet(s"$path/_batches").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dest/_batches")
+    carryLedger(spark, path, dest)
   }
 
   /** Compact an appended sketch relation into a fresh versioned
@@ -584,8 +540,7 @@ object StreamingOps {
     require(path != dest, "compaction writes a NEW versioned directory")
     readCountMin(spark, path).drop("batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/counters/batch_id=0")
-    spark.read.parquet(s"$path/_batches").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dest/_batches")
+    carryLedger(spark, path, dest)
   }
 
   /** [[compactCountMin]] for a [[histogramAppendBatch]] relation. */
@@ -595,8 +550,7 @@ object StreamingOps {
     require(path != dest, "compaction writes a NEW versioned directory")
     readHistogram(spark, path, keys).drop("batch_id").coalesce(1)
       .write.mode("overwrite").parquet(s"$dest/bins/batch_id=0")
-    spark.read.parquet(s"$path/_batches").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dest/_batches")
+    carryLedger(spark, path, dest)
   }
 
   // ---- ST6: stateful threshold alerting -------------------------------

@@ -216,20 +216,24 @@ class DedupSpec extends AnyFunSuite {
       assert(clustersOf(pathIncr) === clustersOf(pathFull))
       // ...and the same collapsed rep relation (fingerprint -> band
       // hashes), i.e. future appends against either index behave alike
-      def repsOf(p: String) = spark.read.parquet(s"$p/reps")
+      def repsOf(p: String) = spark.read.option("recursiveFileLookup", "true").parquet(s"$p/reps")
         .select(col("_fp"), col("_bhs")).as[(Long, Seq[Long])].collect().toSet
       assert(repsOf(pathIncr) === repsOf(pathFull))
       // no duplicated rep rows across the appends
-      val repCount = spark.read.parquet(s"$pathIncr/reps").count()
-      assert(repCount === spark.read.parquet(s"$pathIncr/reps")
-        .select("_fp").distinct().count())
+      val reps = repsOf(pathIncr)
+      assert(reps.size === reps.map(_._1).size)
       // compaction into a fresh versioned dir: far fewer files, same
       // pairs, same meta — and the compacted index serves appends-vs
       // queries exactly like the original
       val pathCompact = java.nio.file.Files
         .createTempDirectory("graft-minhash-compact").toString + "/v2"
-      def nFiles(p: String, sub: String) = new java.io.File(s"$p/$sub")
-        .listFiles().count(_.getName.endsWith(".parquet"))
+      // b<k> ledger layout since r18: count parquet files recursively
+      def nFiles(p: String, sub: String): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(s"$p/$sub"))
+      }
       Dedup.compactMinHashRelation(spark, pathIncr, pathCompact)
       assert(nFiles(pathCompact, "members") < nFiles(pathIncr, "members"),
         "compaction must shrink the member file count after 3 writes")
@@ -263,8 +267,8 @@ class DedupSpec extends AnyFunSuite {
         docs.filter(col("doc_id") >= 200), "doc_id", "text",
         assumeNewDocs = false)
       Dedup.writeMinHashRelation(docs, "doc_id", "text", pathFull)
-      assert(spark.read.parquet(s"$path/members").count()
-        === spark.read.parquet(s"$pathFull/members").count(),
+      assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/members").count()
+        === spark.read.option("recursiveFileLookup", "true").parquet(s"$pathFull/members").count(),
         "overlapping idempotent append must not duplicate member rows")
       def pairsOf(p: String) = Dedup.minHashPairsFrom(spark, p)
         .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet

@@ -175,7 +175,7 @@ class SimilarityScaleSpec extends AnyFunSuite {
       assert(cpuBuild <= 240.0, s"index build burned $cpuBuild s CPU at $ivfRows rows")
       // the inverted file IS the layout: partitioned by cell so each
       // probe reads only its cells' files
-      val cellDirs = new java.io.File(s"$path/assigned")
+      val cellDirs = new java.io.File(s"$path/assigned/b0")
         .listFiles().filter(_.getName.startsWith("_cell=")).map(_.getName)
       assert(cellDirs.length === 32, s"expected 32 cell partitions, got ${cellDirs.length}")
       val (found, cpuQ) = cpuTimed {

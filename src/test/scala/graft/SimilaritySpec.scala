@@ -320,10 +320,10 @@ class SimilaritySpec extends AnyFunSuite {
       // seed the index on A, then fold B in against A's stored centroids
       Similarity.writeIvfIndex(partA, "vec_id", "embedding", path,
         nCells = 8, maxIter = 10)
-      val before = spark.read.parquet(s"$path/assigned")
+      val before = Similarity.ivfAssigned(spark, path)
         .select("c_id").collect().map(_.getLong(0)).toSet
       Similarity.appendToIvfIndex(spark, path, partB, "vec_id", "embedding")
-      def assignedSet() = spark.read.parquet(s"$path/assigned")
+      def assignedSet() = Similarity.ivfAssigned(spark, path)
         // the partition column round-trips as int via directory inference
         .select(col("c_id"), col("_cell").cast("long")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -313,9 +313,9 @@ class StreamingSpec extends AnyFunSuite {
         assert(streamed === pairsOf(pathFull))
         // at-least-once redelivery: re-applying an already-ledgered
         // batch must not touch the index
-        val membersBefore = spark.read.parquet(s"$path/members").count()
+        val membersBefore = spark.read.option("recursiveFileLookup", "true").parquet(s"$path/members").count()
         appendFn(docs.filter(col("doc_id") >= 250).select("doc_id", "text"), 1L)
-        assert(spark.read.parquet(s"$path/members").count() === membersBefore,
+        assert(spark.read.option("recursiveFileLookup", "true").parquet(s"$path/members").count() === membersBefore,
           "redelivered batchId must be a no-op")
       } finally {
         new scala.reflect.io.Directory(new java.io.File(pathFull)).deleteRecursively()
