@@ -186,6 +186,158 @@ object Anomaly {
     *
     * Scale shape: one hash exchange on the key; the three windows (key
     * stats, prefix sum, running min) share its partitioning and sort. */
+  // ---- streaming CUSUM ledger (N70 under the hash gate, r18) ---------
+
+  private val WhatCusum = "cusum monitor ledger"
+  private val CusumDec = DecimalType(18, 4)
+
+  /** Seed a CUSUM monitoring ledger: the FROZEN per-key in-control
+    * target μ (the textbook streaming-CUSUM setup — μ comes from
+    * historical batch profiling, not the unknowable future mean),
+    * computed with the exact-decimal rule the batch operator uses
+    * (4-dp rounded mean), published under the [[LedgerFiles]] manifest
+    * discipline. */
+  def writeCusumProfile(
+      profile: DataFrame, keys: Seq[String], value: String,
+      path: String): Unit = {
+    val spark = profile.sparkSession
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, LedgerFiles.ManifestName), false)
+    Seq("mu", "state", "buf", "wm", "final").foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, t), true))
+    val xd = col(value).cast(CusumDec)
+    profile.groupBy(keys.map(col): _*)
+      .agg(round(sum(xd).cast("double") / count(lit(1)), 4)
+        .cast(CusumDec).as("_mu"))
+      .write.mode("overwrite").parquet(s"$path/mu/b0")
+    LedgerFiles.publishManifest(fs, root, WhatCusum)
+  }
+
+  /** The last batch id whose `final/` table committed (final is the
+    * fold's LAST write — its commit marks the batch complete, so the
+    * state/buf/wm siblings of that id are guaranteed present). */
+  private def cusumPrior(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      beforeBatch: Long): Option[Long] = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    (LedgerFiles.batchDirs(fs, root, "final")
+      .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toLong)
+      .filter(_ < beforeBatch)) match {
+      case Seq() => None
+      case ids => Some(ids.max)
+    }
+  }
+
+  /** Ingestion-time fold for streaming CUSUM (the ledgered form of the
+    * transformWithState processor — N70 under the hash gate): CUSUM is
+    * ORDER-SENSITIVE (each statistic folds the previous one), so a
+    * reading is scored exactly once, when no earlier reading can still
+    * arrive: the event-time watermark (max ts − latenessMs) finalizes
+    * buffered readings IN (ts, id) ORDER against the carried per-key
+    * (running sum p, running min m) state, emits their points
+    * append-FINAL, and buffers the rest. All four writes are
+    * batch-id-keyed atomic renames with `final` LAST (the
+    * batch-complete marker); the fold reads the state of the last
+    * COMPLETE batch before its own id, so redelivered and half-crashed
+    * batches recompute identical rows and converge — the
+    * [[Intervals.outageLedgerBatch]] contract. Decimal arithmetic
+    * matches [[withCusum]] exactly, so the whole history replays in
+    * ANSI SQL: fold-then-finalize ≡ the one-shot windowed computation
+    * restricted to ts < final watermark.
+    *
+    * @return the function to pass to `stream.writeStream.foreachBatch`
+    *         (batch columns: keys ++ (idCol, tsCol: timestamp-like
+    *         long ms, value)) */
+  def cusumLedgerBatch(
+      path: String, keys: Seq[String], tsCol: String, idCol: String,
+      value: String, latenessMs: Long,
+      slack: Double, threshold: Double): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val (fs, root) = LedgerFiles.fsOf(spark, path)
+      LedgerFiles.requireManifest(fs, root, path, WhatCusum)
+      val done =
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"final/b$batchId"))
+      if (!done && !batch.isEmpty) {
+        val kcols = keys.map(col)
+        val prior = cusumPrior(spark, path, batchId)
+        val incoming = batch.select(
+          kcols ++ Seq(col(idCol).cast("long").as("_eid"),
+            col(tsCol).cast("long").as("_ts"),
+            col(value).cast("double").as("_x")): _*)
+        val (buf0, state0, wm0) = prior match {
+          case Some(j) => (
+            spark.read.parquet(s"$path/buf/b$j"),
+            spark.read.parquet(s"$path/state/b$j"),
+            spark.read.parquet(s"$path/wm/b$j").head.getLong(0))
+          case None => (
+            incoming.limit(0),
+            incoming.select(kcols: _*).limit(0)
+              .withColumn("_p", lit(null).cast(CusumDec))
+              .withColumn("_m", lit(null).cast(CusumDec)),
+            Long.MinValue)
+        }
+        val maxTs = incoming.agg(max(col("_ts"))).head.getLong(0)
+        val wm = math.max(wm0, maxTs - latenessMs)
+        val all = graft.core.CacheGovernor.persistTracked(
+          buf0.unionByName(incoming))
+        val fin = all.filter(col("_ts") < wm)
+        val mu = {
+          LedgerFiles.requireManifest(fs, root, path, WhatCusum)
+          spark.read.parquet(s"$path/mu/b0")
+        }
+        // per-key carried fold, expressed as windows over the
+        // finalized slice: p_i = p0 + Σ(x−μ−k), m_i = min(m0, min p_j)
+        val wRun = Window.partitionBy(kcols: _*)
+          .orderBy(col("_ts"), col("_eid"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val scored = graft.core.CacheGovernor.persistTracked(fin
+          .join(broadcast(mu), keys)
+          .join(state0, keys, "left")
+          .withColumn("_d",
+            col("_x").cast(CusumDec) - col("_mu") - lit(slack).cast(CusumDec))
+          .withColumn("_pp",
+            coalesce(col("_p"), lit(0).cast(CusumDec)) + sum(col("_d")).over(wRun))
+          .withColumn("_mm",
+            least(coalesce(col("_m"), col("_pp")), min(col("_pp")).over(wRun)))
+          .withColumn("_s", col("_pp") - least(col("_mm"), lit(0).cast(CusumDec))))
+        val points = scored.select(
+          kcols ++ Seq(col("_eid"), col("_ts"), col("_x"),
+            round(col("_s").cast("double"), 4).as("cusum"),
+            (col("_s") > lit(threshold).cast(CusumDec)).as("alert")): _*)
+        // carried state: last (p, m) per key from this round's fold,
+        // unioned with untouched keys' prior state
+        val wLast = Window.partitionBy(kcols: _*)
+          .orderBy(col("_ts").desc, col("_eid").desc)
+        val foldedState = scored
+          .withColumn("_rn", row_number().over(wLast))
+          .filter(col("_rn") === 1)
+          .select(kcols ++ Seq(col("_pp").as("_p"), col("_mm").as("_m")): _*)
+        val carried = state0.join(foldedState.select(kcols: _*),
+            keys, "left_anti")
+          .unionByName(foldedState)
+        import spark.implicits._
+        // commit order: buf, state, wm, final LAST (the done marker)
+        LedgerFiles.atomicAppendAt(spark, path, "buf",
+          all.filter(col("_ts") >= wm), batchId)
+        LedgerFiles.atomicAppendAt(spark, path, "state", carried, batchId)
+        LedgerFiles.atomicAppendAt(spark, path, "wm",
+          Seq(wm).toDF("wm"), batchId)
+        LedgerFiles.atomicAppendAt(spark, path, "final", points, batchId)
+      }
+  }
+
+  /** Every finalized CUSUM point the monitor ever emitted — the
+    * append-only union of the `final/` batches, ≡ the one-shot
+    * [[withCusum]]-style computation (under the frozen profile μ)
+    * restricted to readings the final watermark passed. */
+  def cusumLedgerPoints(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, WhatCusum)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/final")
+  }
+
   def withCusum(
       df: DataFrame,
       keys: Seq[String],

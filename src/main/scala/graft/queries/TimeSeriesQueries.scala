@@ -477,6 +477,62 @@ object TimeSeriesQueries {
       .orderBy("site_id", "w_start")
   }
 
+  /** N70 under the hash gate (r18): the streaming CUSUM detector's
+    * LEDGERED form. The first event-time tercile of January PROFILES
+    * the per-type in-control target μ (frozen, exact-decimal — the
+    * textbook streaming-CUSUM setup); terciles 2 and 3 fold through
+    * [[graft.operators.Anomaly.cusumLedgerBatch]] (watermark = max ts
+    * − 24 h finalizes buffered readings IN (ts, id) ORDER against the
+    * carried per-type (running sum, running min) state, emitting each
+    * point append-exactly-once; batch 1 redelivers as a committed-
+    * marker no-op), and the read of every finalized point must
+    * hash-match the oracle's ONE-SHOT windowed CUSUM over the whole
+    * monitored history restricted to ts < final watermark — the
+    * fold ≡ one-shot law for an order-sensitive statistic. */
+  private val stCusumLedger = QuerySpec(
+    "q_st_cusum_ledger",
+    """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+      |mu AS (SELECT event_type,
+      |         CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS DECIMAL(18,4)) AS mu
+      |       FROM e WHERE ts_ms < 1704931200000 GROUP BY event_type),
+      |mon AS (SELECT * FROM e WHERE ts_ms >= 1704931200000),
+      |wmf AS (SELECT MAX(ts_ms) - 86400000 AS wm FROM mon),
+      |p AS (SELECT m.event_id, m.event_type, m.ts_ms, m.value,
+      |        SUM(CAST(m.value AS DECIMAL(18,4)) - mu.mu - CAST(0.5 AS DECIMAL(18,4))) OVER w AS pp
+      |      FROM mon m JOIN mu ON mu.event_type = m.event_type
+      |      WINDOW w AS (PARTITION BY m.event_type ORDER BY m.ts_ms, m.event_id ROWS UNBOUNDED PRECEDING)),
+      |m2 AS (SELECT *, MIN(pp) OVER w AS mm FROM p
+      |       WINDOW w AS (PARTITION BY event_type ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING))
+      |SELECT event_id, event_type, ts_ms, value,
+      |       ROUND(CAST(pp - LEAST(mm, 0) AS DOUBLE), 4) AS cusum,
+      |       (pp - LEAST(mm, 0)) > CAST(25.0 AS DECIMAL(18,4)) AS alert
+      |FROM m2, wmf WHERE ts_ms < wmf.wm ORDER BY event_id""".stripMargin) { (s, d) =>
+    import graft.operators.Anomaly
+    val t0 = 1704067200000L
+    val t1 = t0 + 10L * 86400000L
+    val t2 = t0 + 20L * 86400000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val root = graft.core.CacheGovernor.durableDir(s"cusum_ledger:$d") { dir =>
+      val path = s"$dir/v1"
+      Anomaly.writeCusumProfile(ev.filter(col("ts_ms") < t1),
+        Seq("event_type"), "value", path)
+      val fold = Anomaly.cusumLedgerBatch(path, Seq("event_type"),
+        "ts_ms", "event_id", "value", latenessMs = 86400000L,
+        slack = 0.5, threshold = 25.0)
+      fold(ev.filter(col("ts_ms") >= t1 && col("ts_ms") < t2), 1L)
+      fold(ev.filter(col("ts_ms") >= t2), 2L)
+      // redelivered micro-batch — the committed final/b1 makes it a no-op
+      fold(ev.filter(col("ts_ms") >= t1 && col("ts_ms") < t2), 1L)
+    }
+    Anomaly.cusumLedgerPoints(s, s"$root/v1")
+      .select(col("_eid").as("event_id"), col("event_type"),
+        col("_ts").as("ts_ms"), col("_x").as("value"),
+        col("cusum"), col("alert"))
+      .orderBy("event_id")
+  }
+
   /** A11: weekly cohort retention matrix over events (operators.
     * Cohorts) — cohort = first-seen week, retention vs week-0 size. */
   private val a11 = QuerySpec(
@@ -914,5 +970,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      stOutageLedger, a11, a13, a14, stHistLedger, a16, a17, a18, a19, a20, a21, x4)
+      stOutageLedger, stCusumLedger, a11, a13, a14, stHistLedger, a16, a17, a18, a19, a20, a21, x4)
 }

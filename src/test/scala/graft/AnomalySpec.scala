@@ -162,4 +162,47 @@ class AnomalySpec extends AnyFunSuite {
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("windowspecdefinition(t"), "window must be keyed, not global")
   }
+
+  test("cusum ledger: fold ≡ one-shot, redelivery no-op, crash between commits converges") {
+    // profile fixes μ = 10 for key 1 (values 8..12 avg 10); monitor two
+    // batches with a known drift
+    val profile = Seq((1L, 8.0), (1L, 12.0), (1L, 10.0))
+      .zipWithIndex.map { case ((k, v), i) => (k, i.toLong, i.toLong * 10L, v) }
+      .toDF("key", "eid", "ts_ms", "v")
+    val mon = Seq.tabulate(12)(i =>
+      (1L, 100L + i, 1000L + i * 100L, 12.0 + i))
+      .toDF("key", "eid", "ts_ms", "v")
+    def sl(lo: Long, hi: Long) =
+      mon.filter(col("ts_ms") >= lo && col("ts_ms") < hi)
+    val dir = java.nio.file.Files.createTempDirectory("cusumledg").toString
+    Anomaly.writeCusumProfile(profile, Seq("key"), "v", dir)
+    val fold = Anomaly.cusumLedgerBatch(dir, Seq("key"), "ts_ms", "eid",
+      "v", latenessMs = 250L, slack = 0.5, threshold = 25.0)
+    fold(sl(0L, 1500L), 1L)
+    fold(sl(0L, 1500L), 1L) // redelivery — committed final/b1 → no-op
+    fold(sl(1500L, 9999L), 2L)
+    def points(): Set[Seq[Any]] = Anomaly.cusumLedgerPoints(spark, dir)
+      .select("key", "_eid", "cusum", "alert").collect().map(_.toSeq).toSet
+    val got = points()
+    // one-shot replay: wm_final = 2100 − 250 = 1850 → eids 100..108
+    // finalized; running p over x − 10 − 0.5 = 1.5, 2.5, ...
+    var p = 0.0; var m = Double.MaxValue
+    val want = (0 until 9).map { i =>
+      p += (12.0 + i) - 10.0 - 0.5
+      m = math.min(m, p)
+      val s = p - math.min(m, 0.0)
+      Seq[Any](1L, 100L + i, s, s > 25.0)
+    }.toSet
+    assert(got === want)
+    // crash window: wipe final/b2 (siblings survive) and redeliver —
+    // the fold recomputes from the last COMPLETE batch (b1) and
+    // re-commits identical rows
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree); f.delete()
+    }
+    rmTree(new java.io.File(s"$dir/final/b2"))
+    fold(sl(1500L, 9999L), 2L)
+    assert(points() === got,
+      "a crash between the sibling and final commits must converge")
+  }
 }
