@@ -533,6 +533,53 @@ object TimeSeriesQueries {
       .orderBy("event_id")
   }
 
+  /** ST6 under the hash gate (r18): the stateful breach/recover
+    * alerting state machine's LEDGERED form — the last spec-only
+    * state-store row moved under the oracle. Events slice into three
+    * event-time terciles, fold through
+    * [[graft.streaming.StreamingOps.alertLedgerBatch]] (threshold
+    * frozen with the relation; per-type in-breach boolean carried
+    * across batches; the watermark finalizes readings in (ts, id)
+    * order and emits each crossing exactly once; batch 2 redelivers
+    * as a committed-marker no-op), and the read of every alert must
+    * hash-match the oracle's one-shot LAG-crossing computation over
+    * the whole history restricted to ts < final watermark. */
+  private val stAlertLedger = QuerySpec(
+    "q_st_alert_ledger",
+    """WITH e AS (SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+      |wmf AS (SELECT MAX(ts_ms) - 86400000 AS wm FROM e),
+      |b AS (SELECT *, value >= 8.0 AS br,
+      |        COALESCE(LAG(value >= 8.0) OVER (
+      |          PARTITION BY event_type ORDER BY ts_ms, event_id), FALSE) AS prev
+      |      FROM e)
+      |SELECT event_id, event_type, ts_ms, value,
+      |       CASE WHEN br THEN 'BREACH' ELSE 'RECOVER' END AS kind
+      |FROM b, wmf WHERE br <> prev AND ts_ms < wmf.wm
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import graft.streaming.StreamingOps
+    val t0 = 1704067200000L
+    val t1 = t0 + 10L * 86400000L
+    val t2 = t0 + 20L * 86400000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val root = graft.core.CacheGovernor.durableDir(s"alert_ledger:$d") { dir =>
+      val path = s"$dir/v1"
+      StreamingOps.writeAlertLedger(s, path, threshold = 8.0)
+      val fold = StreamingOps.alertLedgerBatch(path, Seq("event_type"),
+        "ts_ms", "event_id", "value", latenessMs = 86400000L)
+      fold(ev.filter(col("ts_ms") < t1), 1L)
+      fold(ev.filter(col("ts_ms") >= t1 && col("ts_ms") < t2), 2L)
+      // redelivered micro-batch — the committed final/b2 makes it a no-op
+      fold(ev.filter(col("ts_ms") >= t1 && col("ts_ms") < t2), 2L)
+      fold(ev.filter(col("ts_ms") >= t2), 3L)
+    }
+    StreamingOps.alertLedgerAlerts(s, s"$root/v1")
+      .select(col("_eid").as("event_id"), col("event_type"),
+        col("_ts").as("ts_ms"), col("_x").as("value"), col("kind"))
+      .orderBy("event_id")
+  }
+
   /** A11: weekly cohort retention matrix over events (operators.
     * Cohorts) — cohort = first-seen week, retention vs week-0 size. */
   private val a11 = QuerySpec(
@@ -970,5 +1017,5 @@ object TimeSeriesQueries {
 
   val all: Seq[QuerySpec] =
     Seq(w1, w2, w3, w5, w6, w7, w8, w9, w10, w11, a2, a3, j5, w4, st4, auc, iv1, iv2,
-      stOutageLedger, stCusumLedger, a11, a13, a14, stHistLedger, a16, a17, a18, a19, a20, a21, x4)
+      stOutageLedger, stCusumLedger, stAlertLedger, a11, a13, a14, stHistLedger, a16, a17, a18, a19, a20, a21, x4)
 }

@@ -553,6 +553,123 @@ object StreamingOps {
     carryLedger(spark, path, dest)
   }
 
+  // ---- ST6 ledgered: threshold alerting under the hash gate (r18) -----
+
+  private val WhatAlert = "threshold alert ledger"
+
+  /** Seed a threshold-alert ledger: persist the THRESHOLD with the
+    * relation (a later fold at a different threshold would silently
+    * mix state machines — the minhash-meta fail-fast discipline) and
+    * publish the manifest. */
+  def writeAlertLedger(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double): Unit = {
+    import graft.operators.LedgerFiles
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(root, LedgerFiles.ManifestName), false)
+    Seq("meta", "state", "buf", "wm", "final").foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, t), true))
+    spark.range(1).select(lit(threshold).as("threshold"))
+      .write.mode("overwrite").parquet(s"$path/meta/b0")
+    LedgerFiles.publishManifest(fs, root, WhatAlert)
+  }
+
+  /** Ingestion-time fold for ST6 threshold alerting — N70's ledger
+    * discipline applied to the breach/recover state machine (the LAST
+    * spec-only state-store row moved under the oracle): the state is
+    * one boolean per key (in breach after the last FINALIZED reading),
+    * transitions are order-sensitive, so a reading alerts exactly
+    * once, when no earlier reading can still arrive — the watermark
+    * (max ts − latenessMs) finalizes buffered readings in (ts, id)
+    * order, emits BREACH on upward and RECOVER on downward crossings
+    * append-exactly-once, and buffers the rest. Batch-id-keyed atomic
+    * renames with `final` LAST as the batch-complete marker; prior
+    * state reads the last COMPLETE batch — redelivered and
+    * half-crashed batches recompute identical rows and converge
+    * ([[graft.operators.Anomaly.cusumLedgerBatch]]'s contract).
+    * A finalized reading's predecessor is also finalized (earlier
+    * event time), so fold-then-finalize ≡ the one-shot LAG-crossing
+    * computation restricted to ts < final watermark — which is
+    * exactly what the DuckDB oracle replays. */
+  def alertLedgerBatch(
+      path: String, keys: Seq[String], tsCol: String, idCol: String,
+      value: String, latenessMs: Long): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      import graft.operators.LedgerFiles
+      val spark = batch.sparkSession
+      val (fs, root) = LedgerFiles.fsOf(spark, path)
+      LedgerFiles.requireManifest(fs, root, path, WhatAlert)
+      val done =
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"final/b$batchId"))
+      if (!done && !batch.isEmpty) {
+        val threshold =
+          spark.read.parquet(s"$path/meta/b0").head.getDouble(0)
+        val kcols = keys.map(col)
+        val prior = (LedgerFiles.batchDirs(fs, root, "final")
+          .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toLong)
+          .filter(_ < batchId)) match {
+          case Seq() => None
+          case ids => Some(ids.max)
+        }
+        val incoming = batch.select(
+          kcols ++ Seq(col(idCol).cast("long").as("_eid"),
+            col(tsCol).cast("long").as("_ts"),
+            col(value).cast("double").as("_x")): _*)
+        val (buf0, state0, wm0) = prior match {
+          case Some(j) => (
+            spark.read.parquet(s"$path/buf/b$j"),
+            spark.read.parquet(s"$path/state/b$j"),
+            spark.read.parquet(s"$path/wm/b$j").head.getLong(0))
+          case None => (
+            incoming.limit(0),
+            incoming.select(kcols: _*).limit(0)
+              .withColumn("_br", lit(null).cast("boolean")),
+            Long.MinValue)
+        }
+        val maxTs = incoming.agg(max(col("_ts"))).head.getLong(0)
+        val wm = math.max(wm0, maxTs - latenessMs)
+        val all = graft.core.CacheGovernor.persistTracked(
+          buf0.unionByName(incoming))
+        val wRun = org.apache.spark.sql.expressions.Window.partitionBy(kcols: _*)
+          .orderBy(col("_ts"), col("_eid"))
+        val scored = graft.core.CacheGovernor.persistTracked(all
+          .filter(col("_ts") < wm)
+          .join(state0, keys, "left")
+          .withColumn("_now", col("_x") >= lit(threshold))
+          .withColumn("_prev", coalesce(
+            lag(col("_now"), 1).over(wRun), col("_br"), lit(false))))
+        val alerts = scored
+          .filter(col("_now") =!= col("_prev"))
+          .select(kcols ++ Seq(col("_eid"), col("_ts"), col("_x"),
+            when(col("_now"), lit("BREACH")).otherwise(lit("RECOVER"))
+              .as("kind")): _*)
+        val wLast = org.apache.spark.sql.expressions.Window.partitionBy(kcols: _*)
+          .orderBy(col("_ts").desc, col("_eid").desc)
+        val folded = scored
+          .withColumn("_rn", row_number().over(wLast))
+          .filter(col("_rn") === 1)
+          .select(kcols :+ col("_now").as("_br"): _*)
+        val carried = state0.join(folded.select(kcols: _*), keys, "left_anti")
+          .unionByName(folded)
+        import spark.implicits._
+        LedgerFiles.atomicAppendAt(spark, path, "buf",
+          all.filter(col("_ts") >= wm), batchId)
+        LedgerFiles.atomicAppendAt(spark, path, "state", carried, batchId)
+        LedgerFiles.atomicAppendAt(spark, path, "wm",
+          Seq(wm).toDF("wm"), batchId)
+        LedgerFiles.atomicAppendAt(spark, path, "final", alerts, batchId)
+      }
+  }
+
+  /** Every finalized breach/recover alert the monitor ever emitted. */
+  def alertLedgerAlerts(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import graft.operators.LedgerFiles
+    val (fs, root) = LedgerFiles.fsOf(spark, path)
+    LedgerFiles.requireManifest(fs, root, path, WhatAlert)
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/final")
+  }
+
   // ---- ST6: stateful threshold alerting -------------------------------
 
   final case class Reading(user_id: Long, ts: java.sql.Timestamp, value: Double)
