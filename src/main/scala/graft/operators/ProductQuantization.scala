@@ -836,6 +836,84 @@ object ProductQuantization {
       .select("q_id", "c_id")
   }
 
+  // ---- in-session residual IVFADC (the recall report's best method) ---
+
+  /** In-session RESIDUAL IVFADC candidates — the recall-report twin of
+    * the stored index's serving path ([[searchIvfPqIndex]]): train the
+    * ⌊√n⌋ coarse geometry and the residual codebooks on the session
+    * corpus, probe ⌈k/2⌉ cells, ADC over ONLY the probed codes with
+    * one residual LUT per probed cell, keep the ADC
+    * top-⌈candidateFrac·n⌉. Every stage is shared per (session,
+    * corpus, params) — the top-k and candidate-count report legs train
+    * once, and the Lloyd geometry is the same shared relation the
+    * ivf_lloyd and raw-ivfpq methods consume. */
+  def ivfadcCandidates(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 0, nProbe: Int = 0, iters: Int = 2,
+      m: Int = 16, kSub: Int = 32,
+      candidateFrac: Double = 0.10): DataFrame = {
+    val cells = Similarity.cellsFor(corpus, nCells)
+    val probe = if (nProbe > 0) nProbe else (cells + 1) / 2
+    graft.core.CacheGovernor.sharedFrame(
+      keyOf(corpus, cId, cVec, cells, probe, iters, m, kSub,
+        candidateFrac, k,
+        queries.queryExecution.analyzed.semanticHash(), "ivfadccand"), corpus) {
+      val subDim = subDimOf(corpus, cId, cVec, m)
+      val (asg, cent) = Similarity.lloydModel(corpus, cId, cVec, cells, iters)
+      val rv = graft.core.CacheGovernor.sharedFrame(
+        keyOf(corpus, cId, cVec, cells, iters, "ivfadcrv"), corpus) {
+        resView(asg, "c_id", "_cv", "_cn", "_cell", cent)
+      }
+      val cb = graft.core.CacheGovernor.sharedFrame(
+        keyOf(corpus, cId, cVec, cells, iters, m, kSub, "ivfadccb"), corpus) {
+        trainResidualCodebooks(rv, m, kSub, iters, subDim)
+      }
+      val codes = graft.core.CacheGovernor.sharedFrame(
+        keyOf(corpus, cId, cVec, cells, iters, m, kSub, "ivfadccodes"),
+        corpus) {
+        resAssign(resSlices(rv, m, subDim), withCcR(cb, subDim), subDim)
+          .select(col("_pid").as("c_id"), col("coarse"), col("sub"),
+            col("cell"))
+      }
+      val qrv = resView(
+        Similarity.lloydProbeCells(queries, qId, qVec, cent, probe),
+        "q_id", "_qv", "_qn", "_cell", cent)
+      val lut = resSlices(qrv, m, subDim)
+        .join(broadcast(withCcR(cb, subDim)), "sub")
+        .withColumn("_dd",
+          col("_sxx") + col("_cc") - lit(2L) * idotR(subDim)(col("_sx"), col("qc")))
+        .select(col("_pid").as("q_id"), col("coarse"), col("sub"),
+          col("cell"), col("_dd"))
+      val n = graft.core.CacheGovernor.sharedScalar(
+        keyOf(corpus, cId, cVec, "rows"))(
+        Similarity.normalizedView(corpus, cId, cVec).count())
+      val cLimit = math.max(k.toLong, math.ceil(candidateFrac * n).toLong)
+      val w = Window.partitionBy("q_id").orderBy(col("_adist"), col("c_id"))
+      codes.join(broadcast(lut), Seq("coarse", "sub", "cell"))
+        .groupBy("q_id", "c_id")
+        .agg(sum(col("_dd")).as("_adist"))
+        .withColumn("_rnk", row_number().over(w))
+        .filter(col("_rnk") <= cLimit)
+        .select("q_id", "c_id")
+    }
+  }
+
+  /** In-session residual IVFADC top-k — [[ivfadcCandidates]] + exact
+    * re-rank; same output contract as [[ivfpqTopK]], strictly better
+    * measured recall at a LOWER candidate budget (the recall report's
+    * ivfadc_rerank row vs its raw-coded ivfpq_adc_rerank row). */
+  def ivfadcTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 0, nProbe: Int = 0, iters: Int = 2,
+      m: Int = 16, kSub: Int = 32,
+      candidateFrac: Double = 0.10): DataFrame =
+    exactRerank(
+      ivfadcCandidates(queries, corpus, qId, qVec, cId, cVec,
+        k, nCells, nProbe, iters, m, kSub, candidateFrac),
+      queries, corpus, qId, qVec, cId, cVec, k)
+
   /** True IVF-PQ top-k — coarse-cell prune → in-cell ADC → exact
     * re-rank (the r16 verdict's item 1): probe `nProbe` of the
     * `nCells` exact-integer Lloyd cells, ADC-rank only the probed

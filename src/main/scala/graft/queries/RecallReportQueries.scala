@@ -124,6 +124,20 @@ object RecallReportQueries {
       m = 8, kSub = 32, candidateFrac = 0.15)
   }
 
+  // r18: residual IVFADC — the stored index's serving semantics as an
+  // in-session report method: ⌊√n⌋ auto-dialed cells, ⌈k/2⌉ probes
+  // (50% share), m=16/kSub=32 RESIDUAL codes, 10% rerank budget.
+  // Measured recall@5 0.862/0.856/0.888 — strictly dominates the
+  // raw-coded ivfpq row (0.822-0.876 at a 15% budget): the frontier's
+  // best sub-linear point.
+  private def ivfadcMethodTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    ProductQuantization.ivfadcTopK(queriesOf(emb), emb,
+      "vec_id", "embedding", "vec_id", "embedding", K,
+      nCells = 0, nProbe = 0, iters = 2,
+      m = 16, kSub = 32, candidateFrac = 0.10)
+  }
+
   /** Per-method top-k surfaces for bench sub-timing
     * (SparkEntry.benchSubqueries): each frame is the EXACT search the
     * report row scores, priced solo so a bench regression in the
@@ -139,7 +153,8 @@ object RecallReportQueries {
     "jl16_sq8_rerank" -> (jlSq8RerankMethodTopK _),
     "pq_adc" -> (pqAdcMethodTopK _),
     "pq_adc_rerank" -> (pqAdcRerankMethodTopK _),
-    "ivfpq_adc_rerank" -> (ivfpqMethodTopK _))
+    "ivfpq_adc_rerank" -> (ivfpqMethodTopK _),
+    "ivfadc_rerank" -> (ivfadcMethodTopK _))
 
   /** ANN recall/cost report — the measured tradeoff table behind the
     * 100 TB similarity story: one row per search method (brute / LSH /
@@ -409,6 +424,74 @@ object RecallReportQueries {
       |         ROW_NUMBER() OVER (PARTITION BY r.q_id
       |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, r.c_id) AS rnk
       |  FROM ipcand r JOIN q ON q.q_id = r.q_id JOIN c ON c.c_id = r.c_id) t
+      |  WHERE rnk <= 5),
+      |rres AS (SELECT a.c_id, a.cell AS coarse,
+      |           list_transform(range(64), i -> q.qx[i+1] - ct.qc[i+1] + 2097152) AS rx
+      |         FROM lvasgf a JOIN lvq q ON q.c_id = a.c_id
+      |         JOIN lvcent2 ct ON ct.cell = a.cell),
+      |rseed AS (SELECT cell, rx FROM (
+      |  SELECT CAST(ROW_NUMBER() OVER (
+      |    ORDER BY ('0x' || substr(md5(c_id::VARCHAR), 1, 15))::BIGINT, c_id) - 1 AS BIGINT) AS cell, rx
+      |  FROM rres) z WHERE cell < 32),
+      |rex AS (SELECT c_id, coarse, s.sub, list_slice(rx, s.sub*4 + 1, s.sub*4 + 4) AS sx
+      |        FROM rres CROSS JOIN generate_series(0, 15) s(sub)),
+      |rexx AS (SELECT c_id, coarse, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM rex),
+      |rcb0 AS (SELECT s.sub, cell, list_slice(rx, s.sub*4 + 1, s.sub*4 + 4) AS qc
+      |         FROM rseed CROSS JOIN generate_series(0, 15) s(sub)),
+      |ra1 AS (SELECT c_id, sub, cell FROM (
+      |  SELECT e0.c_id, e0.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
+      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM rexx e0 JOIN rcb0 cb ON cb.sub = e0.sub) z WHERE rn = 1),
+      |rm1 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
+      |        FROM ra1 a JOIN rexx e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
+      |        CROSS JOIN generate_series(1, 4) d(d) GROUP BY a.sub, a.cell, d.d),
+      |ru1 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM rm1 GROUP BY sub, cell),
+      |rcb1 AS (SELECT c0.sub, c0.cell, COALESCE(u.qc, c0.qc) AS qc
+      |         FROM rcb0 c0 LEFT JOIN ru1 u ON u.sub = c0.sub AND u.cell = c0.cell),
+      |ra2 AS (SELECT c_id, sub, cell FROM (
+      |  SELECT e0.c_id, e0.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY e0.c_id, e0.sub ORDER BY
+      |           e0.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(e0.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM rexx e0 JOIN rcb1 cb ON cb.sub = e0.sub) z WHERE rn = 1),
+      |rm2 AS (SELECT a.sub, a.cell, d.d, CAST(SUM(e0.sx[d.d]) // COUNT(*) AS BIGINT) AS vv
+      |        FROM ra2 a JOIN rexx e0 ON e0.c_id = a.c_id AND e0.sub = a.sub
+      |        CROSS JOIN generate_series(1, 4) d(d) GROUP BY a.sub, a.cell, d.d),
+      |ru2 AS (SELECT sub, cell, list(vv ORDER BY d) AS qc FROM rm2 GROUP BY sub, cell),
+      |rcb2 AS (SELECT c1.sub, c1.cell, COALESCE(u.qc, c1.qc) AS qc
+      |         FROM rcb1 c1 LEFT JOIN ru2 u ON u.sub = c1.sub AND u.cell = c1.cell),
+      |rcodes AS (SELECT c_id, coarse, sub, cell FROM (
+      |  SELECT ea.c_id, ea.coarse, ea.sub, cb.cell,
+      |         ROW_NUMBER() OVER (PARTITION BY ea.c_id, ea.sub ORDER BY
+      |           ea.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(ea.sx::DOUBLE[], cb.qc::DOUBLE[]), cb.cell) AS rn
+      |  FROM rexx ea JOIN rcb2 cb ON cb.sub = ea.sub) z WHERE rn = 1),
+      |rqres AS (SELECT p.q_id, p.cell AS coarse,
+      |            list_transform(range(64), i -> qn.qxq[i+1] - ct.qc[i+1] + 2097152) AS rx
+      |          FROM ipprobes p JOIN lvqn qn ON qn.q_id = p.q_id
+      |          JOIN lvcent2 ct ON ct.cell = p.cell),
+      |rqe AS (SELECT q_id, coarse, s.sub, list_slice(rx, s.sub*4 + 1, s.sub*4 + 4) AS sx
+      |        FROM rqres CROSS JOIN generate_series(0, 15) s(sub)),
+      |rqx AS (SELECT q_id, coarse, sub, sx, list_dot_product(sx::DOUBLE[], sx::DOUBLE[]) AS sxx FROM rqe),
+      |rlut AS (SELECT t.q_id, t.coarse, cb.sub, cb.cell,
+      |           t.sxx + list_dot_product(cb.qc::DOUBLE[], cb.qc::DOUBLE[])
+      |             - 2 * list_dot_product(t.sx::DOUBLE[], cb.qc::DOUBLE[]) AS dd
+      |         FROM rqx t JOIN rcb2 cb ON cb.sub = t.sub),
+      |radc AS (SELECT l.q_id, cd.c_id, CAST(SUM(l.dd) AS BIGINT) AS adist
+      |         FROM rcodes cd
+      |         JOIN rlut l ON l.coarse = cd.coarse AND l.sub = cd.sub AND l.cell = cd.cell
+      |         GROUP BY l.q_id, cd.c_id),
+      |rcand AS (SELECT q_id, c_id FROM (
+      |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
+      |  FROM radc) t
+      |  WHERE rnk <= greatest(5, CAST(ceil(0.10 * (SELECT n_corpus FROM nc)) AS BIGINT))),
+      |rtop AS (SELECT q_id, c_id FROM (
+      |  SELECT r.q_id, r.c_id,
+      |         ROW_NUMBER() OVER (PARTITION BY r.q_id
+      |           ORDER BY list_dot_product(q.qv, c.cv) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC, r.c_id) AS rnk
+      |  FROM rcand r JOIN q ON q.q_id = r.q_id JOIN c ON c.c_id = r.c_id) t
       |  WHERE rnk <= 5)
       |SELECT * FROM (
       |SELECT 'brute' AS method, CAST(5 AS BIGINT) AS k, nq.n_queries,
@@ -424,6 +507,12 @@ object RecallReportQueries {
       |UNION ALL
       |SELECT 'ivf_trained', CAST(5 AS BIGINT), nq.n_queries,
       |       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), TRUE FROM nq
+      |UNION ALL
+      |SELECT 'ivfadc_rerank', CAST(5 AS BIGINT), nq.n_queries,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM rcand),
+      |       CAST((SELECT COUNT(*) FROM rtop t JOIN exact e ON t.q_id = e.q_id AND t.c_id = e.c_id) AS DOUBLE)
+      |         / CAST(nq.n_queries * 5 AS DOUBLE),
+      |       TRUE FROM nq
       |UNION ALL
       |SELECT 'ivfpq_adc_rerank', CAST(5 AS BIGINT), nq.n_queries,
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ipcand),
@@ -577,9 +666,19 @@ object RecallReportQueries {
         .agg(count(lit(1)).cast("long").as("candidates")),
       0.8)
 
+    // r18: the residual IVFADC method (band 0.8; measured worst 0.856)
+    val ivfadc = methodRow("ivfadc_rerank",
+      ivfadcMethodTopK(s, d),
+      ProductQuantization.ivfadcCandidates(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k,
+        nCells = 0, nProbe = 0, iters = 2,
+        m = 16, kSub = 32, candidateFrac = 0.10)
+        .agg(count(lit(1)).cast("long").as("candidates")),
+      0.8)
+
     brute.unionAll(ivf).unionAll(lloyd).unionAll(trained).unionAll(jlSq8)
       .unionAll(rerank).unionAll(lsh).unionAll(pqOnly).unionAll(pq)
-      .unionAll(ivfpq).unionAll(sq8)
+      .unionAll(ivfpq).unionAll(ivfadc).unionAll(sq8)
       .orderBy("method")
   }
   val all: Seq[QuerySpec] = Seq(simRecallReport)
