@@ -408,6 +408,54 @@ object CurationPipelineQueries {
       .orderBy("source")
   }
 
+  /** The APPLIED epoch mix under the hash gate (r18, N113's second
+    * half): q_corpus_reweight_epochs certifies the PLAN; this row
+    * certifies the realized sample — per (source, epoch) doc and token
+    * tallies of [[graft.operators.Sampling.mixSampleEpochs]] over the
+    * documents corpus. Full epochs are exact deterministic copies; the
+    * residual epoch keeps a row iff its portable md5 bucket falls
+    * under ⌊rate_micro·10⁴/10⁶⌋ — the house keep rule, replayed
+    * verbatim in SQL, so realized counts hash-match exactly (no
+    * tolerance band needed: the sampler is deterministic, not
+    * random). */
+  private val reweightApplied = QuerySpec(
+    "q_corpus_reweight_applied",
+    """WITH tok AS (SELECT doc_id, source,
+      |               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |             FROM documents),
+      |agg AS (SELECT source, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      |        FROM tok GROUP BY source),
+      |w(source, target_w) AS (VALUES
+      |  ('src0', CAST(30 AS BIGINT)), ('src1', CAST(20 AS BIGINT)),
+      |  ('src2', CAST(20 AS BIGINT)), ('src3', CAST(15 AS BIGINT)),
+      |  ('src4', CAST(10 AS BIGINT)), ('src5', CAST(5 AS BIGINT))),
+      |j AS (SELECT agg.source, agg.n_tokens, w.target_w
+      |      FROM agg JOIN w ON w.source = agg.source),
+      |c AS (SELECT MAX(n_tokens // target_w) AS c FROM j),
+      |plan AS (SELECT j.source,
+      |           (j.target_w * c.c) // j.n_tokens AS epochs,
+      |           ((j.target_w * c.c - ((j.target_w * c.c) // j.n_tokens) * j.n_tokens)
+      |            * 1000000) // j.n_tokens AS rate_micro
+      |         FROM j, c),
+      |kept AS (SELECT t.source, e.e AS epoch, t.doc_id, t.ntok
+      |         FROM tok t JOIN plan p ON p.source = t.source
+      |         CROSS JOIN generate_series(0, 64) e(e)
+      |         WHERE e.e < p.epochs
+      |            OR (e.e = p.epochs AND
+      |                (CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000)
+      |                  < (p.rate_micro * 10000) // 1000000))
+      |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+      |       COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      |FROM kept GROUP BY source, epoch ORDER BY source, epoch""".stripMargin) { (s, d) =>
+    import graft.operators.{Sampling, TextAnalysis}
+    Sampling.mixSampleEpochs(Tables.documents(s, d), col("doc_id"),
+      col("source"), size(TextAnalysis.wsTokens(col("text"))), ReweightTargets)
+      .groupBy(col("source"), col("epoch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalysis.wsTokens(col("text")))).cast("long").as("n_tokens"))
+      .orderBy("source", "epoch")
+  }
+
   /** The declared mix q_corpus_reweight certifies and SamplingSpec
     * applies. */
   private[graft] val ReweightTargets: Seq[(String, Long)] = Seq(
@@ -416,5 +464,5 @@ object CurationPipelineQueries {
 
   def all: Seq[QuerySpec] =
     Seq(pipeline, streamingLedger, crawlCuration, datasheet, reweight,
-      reweightEpochs)
+      reweightEpochs, reweightApplied)
 }
