@@ -602,10 +602,15 @@ object Dedup {
     * (the streaming ledger in
     * [[graft.streaming.StreamingOps.indexAppendBatch]] enforces exactly
     * that) and keeps the append strictly O(batch). Passing false makes
-    * the whole append idempotent: batch members anti-join against the
-    * stored members OF THE BATCH'S FINGERPRINTS — the batch fp set
-    * broadcasts, so the stored member map is read once (narrow scan,
-    * no shuffle) and the write stays delta-only. */
+    * the whole append CRASH-idempotent: batch members anti-join against
+    * the stored members OF THE BATCH'S FINGERPRINTS, and the verified
+    * pair delta anti-joins against the stored pairs touching them — the
+    * batch fp set broadcasts, so both stored reads are narrow scans
+    * (no shuffle) and the write stays delta-only. This closes the
+    * redelivery window a plain applied-batch marker leaves open: a
+    * crash after the verified (or members) commit but before the reps
+    * commit redelivers into empty deltas instead of duplicates (r19
+    * advisor fix — the streaming fold passes false for exactly this). */
   def appendToMinHashRelation(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, id: String, text: String,
@@ -670,8 +675,34 @@ object Dedup {
     // leaves nothing visible; ordering puts `reps` LAST because the
     // freshness anti-join gates on it — a crash mid-append redelivers
     // into the same delta
-    LedgerFiles.atomicAppend(spark, path, "verified",
-      crossVerified.unionByName(newNewVerified))
+    val verifiedAll = crossVerified.unionByName(newNewVerified)
+    val verifiedDelta =
+      if (assumeNewDocs) verifiedAll
+      else {
+        // crash-idempotent path (r19 advisor fix): a batch that crashed
+        // AFTER the verified commit but BEFORE the reps commit redelivers
+        // with its fingerprints still absent from `reps`, recomputes the
+        // identical pair delta, and a blind append would duplicate it.
+        // Every delta pair carries at least one batch fingerprint on one
+        // side, so two broadcast-semi-restricted reads of the stored
+        // pairs (narrow scans — the stored relation never shuffles)
+        // cover every possible duplicate; the anti-join empties the
+        // re-append and redelivery converges.
+        val batchFps = repsNew.select("_fp")
+        val storedV = minhashSub(spark, path, "verified")
+        val relevant = storedV
+          .join(broadcast(batchFps.withColumnRenamed("_fp", "_fpa")),
+            Seq("_fpa"), "left_semi")
+          .unionByName(storedV
+            .join(broadcast(batchFps.withColumnRenamed("_fp", "_fpb")),
+              Seq("_fpb"), "left_semi"))
+          .select("_fpa", "_fpb")
+        val delta = graft.core.CacheGovernor.persistTracked(
+          verifiedAll.join(relevant, Seq("_fpa", "_fpb"), "left_anti"))
+        delta.count() // materialize before appending to the path it reads
+        delta
+      }
+    LedgerFiles.atomicAppend(spark, path, "verified", verifiedDelta)
     val membersDelta =
       if (assumeNewDocs) taggedNew.select(col("_fp"), col("_id"))
       else {

@@ -92,9 +92,16 @@ object Intervals {
 
   // ---- streaming outage-window ledger (N53 under the hash gate) -------
 
-  /** Latest committed open-window state STRICTLY BEFORE `beforeBatch`:
-    * (open windows, watermark). Reading "before" rather than "latest"
-    * makes a half-crashed batch's recompute deterministic — it always
+  /** Latest COMPLETE open-window state STRICTLY BEFORE `beforeBatch`:
+    * (open windows, watermark). Complete = the batch's `final/b<k>`
+    * sibling committed — `final` is the fold's LAST write, so gating on
+    * it (the cusumPrior pattern, r19 advisor fix) means a crash window
+    * between the state and final commits can never be READ: without
+    * the gate, a read in that window transiently dropped every window
+    * the half-crashed batch finalized (filtered out of its state,
+    * not yet in `final`), breaking read ≡ merge-all-at-once until
+    * redelivery. Reading "before" rather than "latest" makes a
+    * half-crashed batch's own recompute deterministic — it always
     * folds from the predecessor state, whether or not its own state
     * commit survived. */
   private def outageState(
@@ -104,13 +111,9 @@ object Intervals {
       col("id").as("site_id"), col("id").as("w_start"),
       col("id").as("w_end"), col("id").as("n_merged"))
     val (fs, root) = LedgerFiles.fsOf(spark, path)
-    val ids =
-      try fs.listStatus(new org.apache.hadoop.fs.Path(root, "state"))
-        .map(_.getPath.getName)
-        .collect { case s if s.length > 1 && s.head == 'b' &&
-          s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
-        .filter(_ < beforeBatch)
-      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+    val ids = LedgerFiles.batchDirs(fs, root, "final")
+      .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toLong)
+      .filter(_ < beforeBatch)
     if (ids.isEmpty) (empty, Long.MinValue)
     else {
       val st = spark.read.parquet(s"$path/state/b${ids.max}")

@@ -147,12 +147,52 @@ private[graft] object LedgerFiles {
     * parquet file that broke every later read of the ledger. */
   def batchApplied(spark: SparkSession, path: String, batchId: Long): Boolean = {
     val (fs, root) = fsOf(spark, path)
+    requireDirMarkers(fs, root, path)
     fs.exists(new Path(root, s"_batches/b$batchId"))
   }
 
   def markBatchApplied(spark: SparkSession, path: String, batchId: Long): Unit = {
     import spark.implicits._
+    val (fs, root) = fsOf(spark, path)
+    requireDirMarkers(fs, root, path)
     atomicAppendAt(spark, path, "_batches",
       Seq(batchId).toDF("batch_id"), batchId)
+  }
+
+  /** Fail LOUDLY on a pre-r18 `_batches` layout (flat parquet marker
+    * rows directly under the directory, written by the removed
+    * `mode("append")` pattern): the directory-existence reads above
+    * see such a ledger as EMPTY, so a pre-existing streaming relation
+    * would silently re-apply every redelivered batch — duplicated
+    * appended state with nothing in the logs (r19 advisor fix). The
+    * one-time migration is mechanical (one marker directory per
+    * recorded id), so go loud instead of guessing. */
+  private def requireDirMarkers(fs: FileSystem, root: Path, path: String): Unit = {
+    val dir = new Path(root, "_batches")
+    val flat =
+      try fs.listStatus(dir).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+    if (flat.nonEmpty)
+      throw new IllegalStateException(
+        s"'$path/_batches' holds legacy FLAT applied-batch marker files " +
+          s"(${flat.take(3).mkString(", ")}…) from the removed " +
+          "mode(\"append\") pattern; directory-existence reads would " +
+          "treat this ledger as empty and re-apply every redelivered " +
+          "batch. Migrate once: for each batch_id in the legacy rows, " +
+          "create the b<id> marker (LedgerFiles.markBatchApplied), then " +
+          "delete the flat files.")
+  }
+
+  /** Applied-batch ids of `path`'s `_batches` ledger (directory
+    * markers), legacy-layout-gated — compaction's ledger carry-over
+    * reads through this so an old-format relation fails loudly
+    * instead of silently dropping every marker. */
+  def appliedBatchIds(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    requireDirMarkers(fs, root, path)
+    batchDirs(fs, root, "_batches")
+      .map(p => new Path(p).getName.drop(1).toLong)
   }
 }

@@ -304,13 +304,15 @@ object ProductQuantization {
     val (m, subDim) = storedShape(cb)
     // fail loudly on a width mismatch (the manifest-gate discipline): a
     // batch whose dim merely divides by m would otherwise encode against
-    // mismatched-length codewords and commit meaningless codes
-    val batchDim = Similarity.dimOf(
-      Similarity.normalizedView(batch, id, vec), "_v")
-    require(batchDim == m * subDim,
-      s"batch vector dim $batchDim does not match the stored index " +
-        s"shape m=$m x subDim=$subDim (= ${m * subDim}); re-encode the " +
-        "batch at the index's dimensionality or rebuild the index")
+    // mismatched-length codewords and commit meaningless codes; an
+    // all-empty batch skips the gate (it appends nothing — r19 fix)
+    Similarity.dimOpt(
+      Similarity.normalizedView(batch, id, vec), "_v").foreach { batchDim =>
+      require(batchDim == m * subDim,
+        s"batch vector dim $batchDim does not match the stored index " +
+          s"shape m=$m x subDim=$subDim (= ${m * subDim}); re-encode the " +
+          "batch at the index's dimensionality or rebuild the index")
+    }
     val fresh = batch.join(
       pqCodes(spark, path).select(col("doc_id").as(id)).distinct(),
       Seq(id), "left_anti")
@@ -359,17 +361,21 @@ object ProductQuantization {
     * frozen codebooks whichever batch carried them. */
   /** Serve-time twin of the append-path width gate: a query set at the
     * wrong dimensionality would slice/zip_with mismatched arrays and
-    * return silently wrong (or null-poisoned) ADC distances. */
+    * return silently wrong (or null-poisoned) ADC distances. A query
+    * set with NO non-empty vectors skips the gate (it can only produce
+    * an empty result — comparing the placeholder dim against the
+    * stored shape threw a spurious mismatch; r19 advisor fix). */
   private def requireQueryDim(
       queries: DataFrame, qId: String, qVec: String,
-      m: Int, subDim: Int): Unit = {
-    val queryDim = Similarity.dimOf(
+      m: Int, subDim: Int): Unit =
+    Similarity.dimOpt(
       Similarity.normalizedView(queries, qId, qVec), "_v")
-    require(queryDim == m * subDim,
-      s"query vector dim $queryDim does not match the stored index " +
-        s"shape m=$m x subDim=$subDim (= ${m * subDim}); project the " +
-        "queries to the index's dimensionality or rebuild the index")
-  }
+      .foreach { queryDim =>
+        require(queryDim == m * subDim,
+          s"query vector dim $queryDim does not match the stored index " +
+            s"shape m=$m x subDim=$subDim (= ${m * subDim}); project the " +
+            "queries to the index's dimensionality or rebuild the index")
+      }
 
   def adcTopKFrom(
       spark: SparkSession, path: String,
@@ -619,11 +625,12 @@ object ProductQuantization {
       batch: DataFrame, id: String, vec: String): Unit = {
     val cb = storedCodebooks(spark, path)
     val (m, subDim) = storedShape(cb)
-    val batchDim = Similarity.dimOf(
-      Similarity.normalizedView(batch, id, vec), "_v")
-    require(batchDim == m * subDim,
-      s"batch vector dim $batchDim does not match the stored index " +
-        s"shape m=$m x subDim=$subDim (= ${m * subDim})")
+    Similarity.dimOpt(
+      Similarity.normalizedView(batch, id, vec), "_v").foreach { batchDim =>
+      require(batchDim == m * subDim,
+        s"batch vector dim $batchDim does not match the stored index " +
+          s"shape m=$m x subDim=$subDim (= ${m * subDim})")
+    }
     val fresh = batch.join(
       ivfPqCodes(spark, path).select(col("doc_id").as(id)).distinct(),
       Seq(id), "left_anti")

@@ -286,7 +286,12 @@ object Sampling {
     * [[mixRates]]: one groupBy(source), broadcast weight table,
     * one |sources|-row aggregate. Bound: planned_s·10⁶ < 2⁶³ →
     * tokens_s·(w_max/w_min)·10⁶ < 2⁶³; widen the micro-unit past a
-    * ~10¹² token plan. */
+    * ~10¹² token plan. Epoch ceiling: [[mixSampleEpochs]] (and its
+    * certifying oracle, which unrolls `generate_series(0, 64)`) only
+    * replay plans whose max epochs ≤ [[MaxEpochs]] = 64 — a near-empty
+    * source with nontrivial weight can demand more, and both engines
+    * must FAIL rather than silently diverge, so the sampler asserts
+    * the ceiling per row (see there). */
   def mixRatesEpochs(df: DataFrame, source: Column, unit: Column,
       targets: Seq[(String, Long)]): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
@@ -315,15 +320,35 @@ object Sampling {
     * hash bucket falls under the fractional rate — the same portable,
     * partitioning-immune keep rule every sampler here uses. Pure
     * projection + broadcast + generator: no shuffle; output size is
-    * the plan's realized token budget by construction. */
+    * the plan's realized token budget by construction.
+    *
+    * Epoch ceiling (r19 advisor fix): the generator raises (both in
+    * local eval and codegen — `assert_true` inside the sequence bound,
+    * so it cannot be pruned) when any source's plan exceeds
+    * [[MaxEpochs]] = 64 full passes. The certifying oracle unrolls
+    * exactly `generate_series(0, 64)`, so past the ceiling the engines
+    * would silently diverge (and the row count could blow up) — a
+    * near-empty source with nontrivial weight must fail loudly and be
+    * re-planned with a smaller weight instead. */
+  val MaxEpochs = 64L
   def mixSampleEpochs(df: DataFrame, key: Column, source: Column,
       unit: Column, targets: Seq[(String, Long)]): DataFrame = {
     val plan = mixRatesEpochs(df, source, unit, targets)
       .withColumn("_thresh", expr(s"rate_micro * ${Buckets}L div 1000000"))
       .select(col("source").as("_msrc"), col("epochs").as("_epochs"),
         col("_thresh"))
+    // assert_true yields NULL when the bound holds; coalesce folds it
+    // to a 0 contribution, keeping the check INSIDE the consumed
+    // expression so Catalyst cannot prune it
+    val epochsChecked = col("_epochs") + coalesce(
+      assert_true(col("_epochs") <= lit(MaxEpochs),
+        concat(lit("mixSampleEpochs: a source's plan demands "),
+          col("_epochs"),
+          lit(s" epochs, past the oracle-replayable ceiling of " +
+            s"$MaxEpochs — lower that source's target weight"))).cast("long"),
+      lit(0L))
     df.join(broadcast(plan), source === col("_msrc"))
-      .withColumn("epoch", explode(sequence(lit(0L), col("_epochs"))))
+      .withColumn("epoch", explode(sequence(lit(0L), epochsChecked)))
       .filter(col("epoch") < col("_epochs") ||
         hashBucket(key) < col("_thresh"))
       .drop("_msrc", "_epochs", "_thresh")

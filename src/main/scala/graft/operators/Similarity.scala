@@ -182,9 +182,17 @@ object Similarity {
     * drop rather than error (documented, matches the HOF-form
     * semantics). */
   private[graft] def dimOf(df: DataFrame, vec: String): Int =
+    dimOpt(df, vec).getOrElse(1)
+
+  /** [[dimOf]] distinguishing "no non-empty vectors at all" (None)
+    * from a real dimensionality — width gates must SKIP on an empty
+    * batch (it contributes nothing downstream) instead of comparing
+    * the getOrElse(1) placeholder against the stored shape and
+    * throwing a spurious mismatch (r19 advisor fix). */
+  private[graft] def dimOpt(df: DataFrame, vec: String): Option[Int] =
     df.select(size(col(vec)).as("_d"))
       .filter(col("_d").isNotNull && col("_d") > 0) // skip null AND empty vectors
-      .head(1).headOption.map(_.getInt(0)).getOrElse(1)
+      .head(1).headOption.map(_.getInt(0))
 
   /** Plane count for [[lshTopK]], derived from corpus size exactly as
     * [[blocksFor]] sizes the exact-pair grid: enough planes that the

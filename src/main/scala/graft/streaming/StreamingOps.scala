@@ -231,8 +231,14 @@ object StreamingOps {
     val applied =
       graft.operators.LedgerFiles.batchApplied(spark, path, batchId)
     if (!applied && !batch.isEmpty) {
+      // assumeNewDocs = false: the _batches marker only covers ROUTINE
+      // redelivery; a crash between the verified/members commits and
+      // the reps commit (or this marker) redelivers the batch, and only
+      // the anti-joined crash-idempotent path converges it without
+      // duplicating verified/members rows (r19 advisor fix)
       graft.operators.Dedup.appendToMinHashRelation(
-        spark, path, batch, id, text, numHashes, bands, threshold)
+        spark, path, batch, id, text, numHashes, bands, threshold,
+        assumeNewDocs = false)
       graft.operators.LedgerFiles.markBatchApplied(spark, path, batchId)
     }
   }
@@ -503,16 +509,15 @@ object StreamingOps {
     * pre-compaction batches stay no-ops). */
   /** Carry a compacted relation's applied-batch markers to `dest`, so
     * a redelivered pre-compaction batch id stays a no-op against the
-    * compacted relation (markers are b<k> directories since r18). */
+    * compacted relation (markers are b<k> directories since r18; a
+    * legacy flat-marker relation fails loudly in appliedBatchIds
+    * instead of silently dropping every marker — r19 advisor fix). */
   private def carryLedger(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, dest: String): Unit = {
-    val (fs, root) = graft.operators.LedgerFiles.fsOf(spark, path)
-    graft.operators.LedgerFiles.batchDirs(fs, root, "_batches").foreach { d =>
-      val id = new org.apache.hadoop.fs.Path(d).getName.drop(1).toLong
+      path: String, dest: String): Unit =
+    graft.operators.LedgerFiles.appliedBatchIds(spark, path).foreach { id =>
       graft.operators.LedgerFiles.markBatchApplied(spark, dest, id)
     }
-  }
 
   def compactCuration(
       spark: org.apache.spark.sql.SparkSession, path: String, dest: String,

@@ -280,6 +280,51 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("crash redelivery: verified/members committed, reps lost → idempotent re-append converges") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-minhash-crash").toString
+    try {
+      val wave1 = docs.filter(col("doc_id") < 250)
+      val wave2 = docs.filter(col("doc_id") >= 250)
+      Dedup.writeMinHashRelation(wave1, "doc_id", "text", path)
+      Dedup.appendToMinHashRelation(spark, path, wave2, "doc_id", "text",
+        assumeNewDocs = false)
+      def counts() = Seq("verified", "members", "reps").map(t =>
+        t -> spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$path/$t").count()).toMap
+      val after = counts()
+      // simulate the r19 advisor's crash window: the batch committed
+      // verified and members but died before the reps commit — its
+      // fingerprints are still absent from reps, so a redelivered batch
+      // recomputes the same delta. Wipe the reps append (b1), refresh
+      // the session's file listing, redeliver.
+      def rmTree(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rmTree)
+        f.delete()
+      }
+      rmTree(new java.io.File(s"$path/reps/b1"))
+      spark.catalog.refreshByPath(s"$path/reps")
+      Dedup.appendToMinHashRelation(spark, path, wave2, "doc_id", "text",
+        assumeNewDocs = false)
+      assert(counts() === after,
+        "redelivery after a partial commit must not duplicate any sub-table")
+      // and the pair listing still equals a clean rebuild
+      val pathFull = java.nio.file.Files
+        .createTempDirectory("graft-minhash-crash-full").toString
+      Dedup.writeMinHashRelation(docs, "doc_id", "text", pathFull)
+      def pairsOf(p: String) = Dedup.minHashPairsFrom(spark, p)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(pairsOf(path) === pairsOf(pathFull),
+        "converged index must list each pair exactly once")
+      new scala.reflect.io.Directory(
+        new java.io.File(pathFull)).deleteRecursively()
+    } finally {
+      new scala.reflect.io.Directory(
+        new java.io.File(path)).deleteRecursively()
+    }
+  }
+
   test("stored minhash index rejects mismatched banding parameters") {
     import spark.implicits._
     val path = java.nio.file.Files

@@ -114,6 +114,29 @@ class IntervalsSpec extends AnyFunSuite {
       "a crash between the state and final commits must converge on redelivery")
   }
 
+  test("outage read gates on final-LAST: a half-crashed state commit is never read") {
+    val alarms = Seq(
+      (1L, 0L, 50L), (1L, 40L, 90L), (1L, 200L, 250L), (2L, 10L, 20L))
+      .toDF("site_id", "start_ms", "end_ms")
+    val dir = java.nio.file.Files.createTempDirectory("outcrash").toString
+    val fold = Intervals.outageLedgerBatch(dir, latenessMs = 100L)
+    fold(alarms.filter(col("start_ms") < 150L), 1L)
+    fold(alarms.filter(col("start_ms") >= 150L), 2L)
+    def windows() = Intervals.outageLedgerWindows(spark, dir)
+      .select("site_id", "w_start", "w_end", "n_merged", "finalized")
+      .collect().map(_.toSeq).toSet
+    val before = windows()
+    // simulate batch 3 crashing BETWEEN its state and final commits:
+    // state/b3 exists (with a different view — all prior opens dropped
+    // as if finalized), final/b3 does not. The read must keep serving
+    // the batch-2-complete view, not transiently drop those windows.
+    graft.operators.LedgerFiles.atomicAppendAt(spark, dir, "state",
+      Seq((-1L, 0L, 0L, 0L, 999999L))
+        .toDF("site_id", "w_start", "w_end", "n_merged", "wm"), 3L)
+    assert(windows() === before,
+      "a state/b<k> without its final/b<k> sibling must be invisible to reads")
+  }
+
   test("downtimeStats sums coalesced spans and reports availability") {
     val m = Intervals.mergeIntervals(
       iv(("a", 0L, 50L), ("a", 100L, 130L), ("b", 0L, 10L)), Seq("key"), "s", "e")

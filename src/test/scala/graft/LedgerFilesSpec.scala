@@ -60,6 +60,28 @@ class LedgerFilesSpec extends AnyFunSuite {
     LedgerFiles.markBatchApplied(spark, dir, 3L)
     assert(LedgerFiles.batchApplied(spark, dir, 3L))
     assert(!LedgerFiles.batchApplied(spark, dir, 4L))
+    assert(LedgerFiles.appliedBatchIds(spark, dir) === Seq(3L))
+  }
+
+  test("legacy flat _batches markers fail loudly instead of reading as empty") {
+    val dir = tmp()
+    // the removed mode("append") pattern left parquet marker FILES
+    // directly under _batches; directory-existence reads would see an
+    // empty ledger and re-apply every redelivered batch
+    val legacy = new java.io.File(s"$dir/_batches")
+    legacy.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_batches/part-0000.parquet"), "x")
+    val ex = intercept[IllegalStateException] {
+      LedgerFiles.batchApplied(spark, dir, 0L)
+    }
+    assert(ex.getMessage.contains("legacy"))
+    intercept[IllegalStateException] {
+      LedgerFiles.markBatchApplied(spark, dir, 0L)
+    }
+    intercept[IllegalStateException] {
+      LedgerFiles.appliedBatchIds(spark, dir)
+    }
   }
 
   test("manifest: absent until published, readers fail loudly, publish is last") {

@@ -125,6 +125,25 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"index rerank recall@5 $recall%.3f below the band")
   }
 
+  test("stored-index serving on an empty query batch returns empty, not a dim mismatch") {
+    // r19 advisor fix: Similarity.dimOf falls back to 1 on an empty (or
+    // all-null-vector) set, and the serve-time width gate used to compare
+    // that placeholder against the stored shape and throw
+    val dir = java.nio.file.Files.createTempDirectory("pqidxe").toString
+    ProductQuantization.writePqIndex(
+      emb.filter(col("vec_id") < 150), "vec_id", "embedding", dir,
+      m = 8, kSub = 32, iters = 2)
+    val none = emb.filter(col("vec_id") < 0)
+    assert(ProductQuantization.adcTopKFrom(spark, dir,
+      none, "vec_id", "embedding", k = 5).isEmpty)
+    assert(ProductQuantization.adcCandidatesFrom(spark, dir,
+      none, "vec_id", "embedding", k = 5).isEmpty)
+    // an all-empty APPEND batch skips the width gate too (appends nothing)
+    ProductQuantization.appendToPqIndex(spark, dir,
+      none, "vec_id", "embedding")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("ivfpq: probed-cell prune is real, candidates sub-linear, recall >= 0.8, deterministic") {
     val n = emb.count()
     // the coarse prune: per-query probed rows (the ADC scan's input) are

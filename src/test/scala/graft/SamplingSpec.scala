@@ -330,4 +330,22 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again === bySrc)
   }
+
+  test("mixSampleEpochs fails loudly past the 64-epoch oracle ceiling") {
+    import spark.implicits._
+    // a near-empty source with the same weight as a big one demands
+    // C/tokens = 10000 epochs — past the generate_series(0, 64) bound
+    // the certifying oracle unrolls, so both engines must FAIL rather
+    // than silently diverge (r19 advisor fix)
+    val rows = ((0 until 1000).map(i => (s"big:$i", "big", 10L)) :+
+      (("tiny:0", "tiny", 1L))).toDF("doc_id", "source", "n_tok")
+    val ex = intercept[Exception] {
+      Sampling.mixSampleEpochs(rows, col("doc_id"), col("source"),
+        col("n_tok"), Seq("big" -> 1L, "tiny" -> 1L)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("ceiling")),
+      s"expected the epoch-ceiling error, got: ${messages(ex)}")
+  }
 }
