@@ -141,9 +141,18 @@ object ProductQuantization {
         // m·kSub×subDim longs cross the driver per round — the same
         // model-sized collect an MLlib fit makes (kSub·dim ≤ a few MB
         // even at kSub = 256, dim = 8192); keyed Map lookup keeps the
-        // per-cell update O(1), not a linear scan per cell
-        val sums = assign(ex, cbDf, subDim)
-          .join(ex.select("_pid", "sub", "_sx"), Seq("_pid", "sub"))
+        // per-cell update O(1), not a linear scan per cell.
+        // The slice vector rides THROUGH the argmin aggregation
+        // (first(_sx) — constant within its (_pid, sub) group, every
+        // joined codeword row carries the same slice) instead of
+        // re-joining the assignment back onto `ex`: one exchange per
+        // round, not exchange + join + a second evaluation of `ex`.
+        val sums = ex.join(broadcast(cbDf), "sub")
+          .withColumn("_d",
+            col("_sxx") + col("_cc") - lit(2L) * idot(subDim)(col("_sx"), col("qc")))
+          .groupBy("_pid", "sub")
+          .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"),
+            first(col("_sx")).as("_sx"))
           .groupBy("sub", "cell")
           .agg(count(lit(1)).as("_n"),
             (0 until subDim).map(i =>
@@ -543,9 +552,15 @@ object ProductQuantization {
       cells.zipWithIndex.map { case (v, cell) => (s, cell.toLong, v) }
     }.toDF("sub", "cell", "qc"), subDim)
     for (_ <- 0 until iters) {
-      // m·kSub×subDim longs cross the driver per round — model-sized
-      val sums = resAssign(ex, cbDf, subDim)
-        .join(ex.select("_pid", "sub", "_sx"), Seq("_pid", "sub"))
+      // m·kSub×subDim longs cross the driver per round — model-sized.
+      // Same one-exchange round body as [[codebooks]]: the slice rides
+      // through the argmin aggregation instead of a join back onto `ex`.
+      val sums = ex.join(broadcast(cbDf), "sub")
+        .withColumn("_d",
+          col("_sxx") + col("_cc") - lit(2L) * idotR(subDim)(col("_sx"), col("qc")))
+        .groupBy("_pid", "sub")
+        .agg(min_by(col("cell"), struct(col("_d"), col("cell"))).as("cell"),
+          first(col("_sx")).as("_sx"))
         .groupBy("sub", "cell")
         .agg(count(lit(1)).as("_n"),
           (0 until subDim).map(i =>
