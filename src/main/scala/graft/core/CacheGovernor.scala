@@ -46,7 +46,23 @@ object CacheGovernor {
   private val shared =
     new java.util.concurrent.ConcurrentHashMap[String, SharedEntry]()
   private val scalars =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  // Per-key build locks (r20): harness entry points used to be strictly
+  // single-threaded, but the recall report now constructs its
+  // independent method frames from a small thread pool (guide §2.6 —
+  // overlap independent jobs) and two threads racing one key would
+  // each build, with the loser's put() unpersisting the winner's
+  // localCheckpoint WHILE its consumer holds it — a correctness hazard,
+  // not just wasted work. Memo hits stay lock-free; only builds
+  // serialize per key. Builders may nest (a candidate relation builds
+  // the codebook relation inside) — nesting follows the build DAG
+  // (parents never request children), so per-key monitors cannot
+  // deadlock.
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    keyLocks.computeIfAbsent(key, _ => new Object)
 
   // Shared relations snapshot via EAGER localCheckpoint, not persist():
   // a persist() materializes through InMemoryRelation, whose cache-fill
@@ -71,11 +87,15 @@ object CacheGovernor {
     val inPlan = input.queryExecution.analyzed
     val hit = shared.get(key)
     if (hit != null && hit.plan.sameResult(inPlan)) hit.frames.head
-    else {
-      val snap = build.localCheckpoint()
-      val prev = shared.put(key, SharedEntry(inPlan, Seq(snap)))
-      if (prev != null) prev.frames.foreach(deepUnpersist) // stale/collided entry
-      snap
+    else lockFor(key).synchronized {
+      val hit2 = shared.get(key) // re-check under the build lock
+      if (hit2 != null && hit2.plan.sameResult(inPlan)) hit2.frames.head
+      else {
+        val snap = build.localCheckpoint()
+        val prev = shared.put(key, SharedEntry(inPlan, Seq(snap)))
+        if (prev != null) prev.frames.foreach(deepUnpersist) // stale/collided entry
+        snap
+      }
     }
   }
 
@@ -86,21 +106,41 @@ object CacheGovernor {
     val inPlan = input.queryExecution.analyzed
     val hit = shared.get(key)
     if (hit != null && hit.plan.sameResult(inPlan)) (hit.frames(0), hit.frames(1))
-    else {
-      val (a, b) = build
-      val (sa, sb) = (a.localCheckpoint(), b.localCheckpoint())
-      val prev = shared.put(key, SharedEntry(inPlan, Seq(sa, sb)))
-      if (prev != null) prev.frames.foreach(deepUnpersist)
-      (sa, sb)
+    else lockFor(key).synchronized {
+      val hit2 = shared.get(key) // re-check under the build lock
+      if (hit2 != null && hit2.plan.sameResult(inPlan))
+        (hit2.frames(0), hit2.frames(1))
+      else {
+        val (a, b) = build
+        val (sa, sb) = (a.localCheckpoint(), b.localCheckpoint())
+        val prev = shared.put(key, SharedEntry(inPlan, Seq(sa, sb)))
+        if (prev != null) prev.frames.foreach(deepUnpersist)
+        (sa, sb)
+      }
     }
   }
 
   /** Memoized plan-build-time scalar (row-count probes and the like),
     * same key contract as [[sharedFrame]]. A key collision here can only
     * flip a plan CHOICE between result-identical strategies, never the
-    * result, so no sameResult guard is needed. Cleared by [[reset]]. */
-  def sharedScalar(key: String)(compute: => Long): Long =
-    scalars.computeIfAbsent(key, _ => compute)
+    * result, so no sameResult guard is needed. Cleared by [[reset]].
+    * Same per-key build lock as [[sharedFrame]] (computeIfAbsent held a
+    * map bin across a whole Spark job, which a concurrent builder could
+    * block on); boxed values so an absent key is null, never a silent
+    * unboxed 0. */
+  def sharedScalar(key: String)(compute: => Long): Long = {
+    val hit = scalars.get(key)
+    if (hit != null) hit.longValue
+    else lockFor("scalar:" + key).synchronized {
+      val hit2 = scalars.get(key)
+      if (hit2 != null) hit2.longValue
+      else {
+        val v = compute
+        scalars.put(key, java.lang.Long.valueOf(v))
+        v
+      }
+    }
+  }
 
   /** Observability for specs: number of live shared relations. */
   private[graft] def sharedCount: Int = shared.size()
@@ -126,18 +166,22 @@ object CacheGovernor {
   def durableDir(key: String)(build: String => Unit): String = {
     val hit = durable.get(key)
     if (hit != null) hit
-    else {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_durable").toString
-      build(dir)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try new scala.reflect.io.Directory(new java.io.File(dir))
-          .deleteRecursively()
-        catch { case _: Throwable => () }))
-      // single-threaded entry points; a lost race costs one duplicate
-      // build whose directory still cleans up at exit
-      val prev = durable.putIfAbsent(key, dir)
-      if (prev != null) prev else dir
+    else lockFor("durable:" + key).synchronized {
+      val hit2 = durable.get(key) // re-check under the build lock:
+      // concurrent method-frame construction (guide §2.6) must never
+      // pay for — or write — two full index builds of one key
+      if (hit2 != null) hit2
+      else {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_durable").toString
+        build(dir)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try new scala.reflect.io.Directory(new java.io.File(dir))
+            .deleteRecursively()
+          catch { case _: Throwable => () }))
+        durable.put(key, dir)
+        dir
+      }
     }
   }
 

@@ -31,6 +31,18 @@ object GraftSession {
       // ~10 GB), so local-SF plans are unchanged; BloomFilterSpec
       // lowers the thresholds to prove the engine wires it correctly.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // AQE coalescing floor (r20, guide §2.2/§2.5): with the default
+      // minPartitionSize=1m, every shuffle under ~2 MB coalesces to ONE
+      // task, serializing CPU-heavy downstream stages (measured: the
+      // q_w8 window chain ran 1-task/3.3 CPU-s, q_w4 likewise — wall ≈
+      // cpu on a 32-core host). parallelismFirst (default on) already
+      // targets max(bytes/defaultParallelism, this floor), so lowering
+      // the floor is scale-adaptive, not a local[32] tune: large
+      // shuffles still size by bytes/parallelism (up to the 64 MB
+      // advisory), only small-bytes/high-CPU stages fan back out to the
+      // core count. 64k keeps per-task scheduling overhead (~ms) well
+      // under the work it unblocks.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

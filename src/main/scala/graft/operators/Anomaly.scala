@@ -43,15 +43,24 @@ object Anomaly {
       depth: Int = 16): DataFrame = {
     require(depth >= 1 && depth <= 48, s"depth must be in [1,48], got $depth")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    // name each lag ONCE and build num/den from the named columns:
+    // referencing lag(value, j) twice (numerator + denominator) gave
+    // Spark 2·(depth−1) separate window FRAMES — ExtractWindowExpressions
+    // does not dedupe — and the frame count is the per-row constant of
+    // WindowExec (r20 measured: 30 frames → 15 halves the window stage).
+    // Values are bit-identical: same expressions, read through a column.
+    val lagCols = (1 until depth).map(j => s"_ewma_l$j" -> lag(col(value), j).over(w))
     val terms = (0 until depth).map { j =>
-      val x = if (j == 0) col(value) else lag(col(value), j).over(w)
+      val x = if (j == 0) col(value) else col(s"_ewma_l$j")
       val wt = math.pow(0.5, j) // exact: power of two
       (x, wt)
     }
     val num = terms.map { case (x, wt) => coalesce(x * wt, lit(0.0)) }.reduceLeft(_ + _)
     val den = terms.map { case (x, wt) => when(x.isNotNull, lit(wt)).otherwise(lit(0.0)) }
       .reduceLeft(_ + _)
-    df.withColumn("ewma", num / den)
+    lagCols.foldLeft(df) { case (acc, (name, c)) => acc.withColumn(name, c) }
+      .withColumn("ewma", num / den)
+      .drop(lagCols.map(_._1): _*)
   }
 
   /** Seasonal-baseline deviation — "is this reading abnormal FOR THIS
@@ -378,14 +387,22 @@ object Anomaly {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
       .rowsBetween(-lookback, -1)
     val d = col(value).cast(DecimalType(18, 4))
-    val n = count(col(value)).over(w).cast("double")
-    val sx = sum(d).over(w).cast("double")
-    val sxx = sum(d * d).over(w).cast("double")
+    // one named column per DISTINCT window aggregate: inlining n/sx/sxx
+    // into the anomaly expression gave WindowExec ELEVEN sliding frames
+    // (count ×6, sum(x) ×4, sum(x²) ×1 — duplicates are not unified);
+    // three named columns make it three frames, same values (r20).
+    val withSums = df
+      .withColumn("_an_n", count(col(value)).over(w).cast("double"))
+      .withColumn("_an_sx", sum(d).over(w).cast("double"))
+      .withColumn("_an_sxx", sum(d * d).over(w).cast("double"))
+    val (n, sx, sxx) = (col("_an_n"), col("_an_sx"), col("_an_sxx"))
     val mean = sx / n
     val variance = (n * sxx - sx * sx) / (n * (n - lit(1.0)))
     val dev = col(value) - mean
-    df.withColumn("trail_n", n.cast("long"))
+    withSums
+      .withColumn("trail_n", n.cast("long"))
       .withColumn("anomaly",
         n >= minN && dev * dev > lit(zThreshold * zThreshold) * variance)
+      .drop("_an_n", "_an_sx", "_an_sxx")
   }
 }

@@ -114,10 +114,13 @@ object PageRank {
     // map-side-combined partials instead. The shuffled fallback wants
     // the edges PRE-HASHED on _s so each round's rank⋈edge join moves
     // only the node-sized side.
-    val nodes = graft.core.CacheGovernor.persistTracked(
-      eRaw.select(col("_s").as("node"))
-        .union(eRaw.select(col("_d").as("node"))).distinct())
-    val useBroadcast = nodes.count() <= broadcastNodeLimit
+    val nodesBase = eRaw.select(col("_s").as("node"))
+      .union(eRaw.select(col("_d").as("node"))).distinct()
+    // nodes ≤ 2·edges, so a graph whose edge count already fits the
+    // limit skips the exact node count — one fewer serial setup action
+    // (the loop is latency-bound at ~1 job/round; r20, guide §2.6)
+    val useBroadcast = 2 * nEdges <= broadcastNodeLimit ||
+      nodesBase.count() <= broadcastNodeLimit
     val dstHashSafe = useBroadcast && nEdges > 0 && {
       // nEdges == 0 skips the measurement entirely: max() over an
       // empty edge set returns NULL and getLong would NPE before the
@@ -126,6 +129,15 @@ object PageRank {
         .agg(max(col("_c"))).head().getLong(0)
       maxIndeg <= math.max(1L, 4L * nEdges / nParts)
     }
+    // the dst-hashed regime keeps the node table CO-PARTITIONED with
+    // the cached edge layout (hash(node) ≡ hash(_d), same count): the
+    // per-round rank update then joins the partition-local contribution
+    // aggregate shuffle-hash with ZERO exchanges and, more importantly,
+    // without a second per-round broadcast barrier — each round is ONE
+    // broadcast job (the rank vector) instead of two (r20, guide §2.4)
+    val nodes = graft.core.CacheGovernor.persistTracked(
+      if (dstHashSafe) nodesBase.repartition(nParts, col("node"))
+      else nodesBase)
     val e = graft.core.CacheGovernor.persistTracked(
       if (dstHashSafe) eRaw.repartition(nParts, col("_d"))
       else if (useBroadcast) eRaw.repartition(nParts)
@@ -162,8 +174,13 @@ object PageRank {
         .agg((sum(col("_c").cast(DecimalType(18, 0))).cast("double") / lit(1e9))
           .as("_in"))
         .select(col("_d").as("node"), col("_in"))
-      rank = nodes
-        .join(nodeSized(contrib), Seq("node"), "left")
+      // dst-hashed regime: contrib inherits hash(_d → node, nParts)
+      // from the cached edge layout and nodes is cached on the same
+      // key, so the left join is exchange-free shuffle-hash — no
+      // broadcast(contrib) barrier per round
+      rank = (if (dstHashSafe)
+        nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
+      else nodes.join(nodeSized(contrib), Seq("node"), "left"))
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("_in"), lit(0.0)))
             .as("rank"))

@@ -1064,6 +1064,38 @@ object Similarity {
       .select("q_id", "c_id", "rnk", "cos")
   }
 
+  /** [[ivfCandidatePairsLloyd]] under a PERSISTED coarse geometry —
+    * `cent` (_cell, _qc) + `cellOf` (c_id, _cell) as written by
+    * [[ProductQuantization.writeCoarseGeometry]]: identical probe and
+    * member rows (training is deterministic, longs round-trip parquet
+    * exactly) with zero in-session retraining — the r19 verdict's
+    * build-once/read-many dial for the recall report's ivf_lloyd row. */
+  def ivfCandidatePairsFromCells(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      cent: DataFrame, cellOf: DataFrame, nProbe: Int): DataFrame =
+    lloydProbeCells(queries, qId, qVec, cent, nProbe)
+      .join(viewAs(normalizedView(corpus, cId, cVec), "c_id", "_cv", "_cn")
+        .join(cellOf, "c_id")
+        .select("_cell", "c_id", "_cv", "_cn"), "_cell")
+
+  /** [[ivfTopKLloyd]] under the same persisted coarse geometry — the
+    * identical exact-cosine scoring tail over
+    * [[ivfCandidatePairsFromCells]]. */
+  def ivfTopKFromCells(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      cent: DataFrame, cellOf: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cand = ivfCandidatePairsFromCells(queries, corpus,
+      qId, qVec, cId, cVec, cent, cellOf, nProbe)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
+    cand
+      .withColumn("cos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "c_id", "rnk", "cos")
+  }
+
   /** Shared centroid aggregation: member vectors × component labels →
     * per-(cluster, dim) segmented order-pinned mean (doc on
     * [[nearDupCentroids]]). `comps` is (node, comp) as produced by

@@ -214,8 +214,12 @@ object TimeSeries {
       valueCol: String,
       stepSql: String = "interval 1 hour",
       truncUnit: String = "hour",
-      bucket: Column => Column = date_trunc("week", _)): DataFrame = {
-    val j = denseGrid(df, key, tsCol, valueCol, stepSql, truncUnit)
+      bucket: Column => Column = date_trunc("week", _),
+      bucketStepSql: String = "interval 1 week"): DataFrame = {
+    val bounds = gridBounds(df, key, tsCol, truncUnit)
+    val grid = gridOf(bounds, key, stepSql)
+    val obs = obsOf(df, key, tsCol, valueCol, truncUnit)
+    val j = grid.join(obs, Seq(key, "_g"), "left")
       .withColumn("_bkt", bucket(col("_g")))
     val known = when(col("_v").isNotNull, struct(col("_g").as("_t"), col("_v").as("_x")))
     val wAsc = Window.partitionBy(col(key), col("_bkt")).orderBy("_g")
@@ -232,8 +236,28 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBwd = Window.partitionBy(key).orderBy("_bkt")
       .rowsBetween(1, Window.unboundedFollowing)
-    val carry = j.groupBy(col(key), col("_bkt"))
-      .agg(max(known).as("_lastKnown"), min(known).as("_firstKnown"))
+    // The carry table used to aggregate the GRID-SIZED join `j` — a
+    // second evaluation of the whole grid subtree feeding a grid-sized
+    // exchange (r20, guide §2.3: shuffle fewer bytes). Known
+    // observations exist only where `obs` matched, and every obs grid
+    // point lies inside its key's [gs, ge] span, so the same per-bucket
+    // extremes come from obs-sized input directly. Buckets the grid
+    // covers but obs doesn't come from a bucket-granular spine built
+    // straight off the per-key bounds: the dense grid hits every
+    // bucket between bucket(_gs) and bucket(_ge), so the one-per-bucket
+    // sequence enumerates exactly the grid's distinct buckets at
+    // buckets-per-key rows instead of a grid-sized explode + distinct.
+    // PRECONDITION: `bucketStepSql` must be the step of `bucket`'s
+    // truncation unit (week default ↔ interval 1 week).
+    val knownObs = when(col("_v").isNotNull,
+      struct(col("_g").as("_t"), col("_v").as("_x")))
+    val spine = bounds.select(col(key),
+      explode(sequence(bucket(col("_gs")), bucket(col("_ge")),
+        expr(bucketStepSql))).as("_bkt"))
+    val carryAgg = obs.withColumn("_bkt", bucket(col("_g")))
+      .groupBy(col(key), col("_bkt"))
+      .agg(max(knownObs).as("_lastKnown"), min(knownObs).as("_firstKnown"))
+    val carry = spine.join(carryAgg, Seq(key, "_bkt"), "left")
       .withColumn("_carryPrev", last(col("_lastKnown"), ignoreNulls = true).over(wFwd))
       .withColumn("_carryNext", first(col("_firstKnown"), ignoreNulls = true).over(wBwd))
       .select(col(key), col("_bkt"), col("_carryPrev"), col("_carryNext"))
@@ -245,22 +269,52 @@ object TimeSeries {
       .withColumn("_next", coalesce(col("_localNext"), col("_carryNext"))), key)
   }
 
-  /** Shared grid construction for [[interpolate]]: per-key dense time
-    * grid left-joined with the per-grid-point observation means (exact
-    * decimal sums → reproducible under any parallelism). */
-  private def denseGrid(
-      df: DataFrame, key: String, tsCol: String, valueCol: String,
-      stepSql: String, truncUnit: String): DataFrame = {
-    val bounds = df.groupBy(key).agg(
+  /** Per-key grid bounds: (key, _gs, _ge) — one row per key. */
+  private def gridBounds(
+      df: DataFrame, key: String, tsCol: String, truncUnit: String): DataFrame =
+    df.groupBy(key).agg(
       date_trunc(truncUnit, min(col(tsCol))).as("_gs"),
       date_trunc(truncUnit, max(col(tsCol))).as("_ge"))
-    val grid = bounds.select(col(key),
-      explode(expr(s"sequence(_gs, _ge, $stepSql)")).as("_g"))
-    val obs = df.groupBy(col(key), date_trunc(truncUnit, col(tsCol)).as("_g"))
+
+  /** The per-key dense grid: `sequence` + `explode` over the bounds.
+    * The bounds relation is tiny (one row per key, a few KB), so AQE
+    * coalesces it to one partition by bytes — but each bounds row FANS
+    * OUT to span/step grid rows, so the explode's cost is output-sized,
+    * not input-sized, and riding the coalesced partition ran the whole
+    * grid generation (and everything up to the next exchange) on ONE
+    * task (r20 measured on q_w4). An explicit keyed repartition at the
+    * default parallelism spreads generation one-key-per-task; the
+    * explicit partition count keeps AQE from re-coalescing it, and
+    * defaultParallelism scales it with the cluster instead of pinning a
+    * local constant. */
+  private def gridOf(
+      bounds: DataFrame, key: String, stepSql: String): DataFrame =
+    bounds
+      // (key, _gs) — NOT key alone: the bounds aggregate is already
+      // hash-partitioned by key, so a same-key repartition is elided as
+      // redundant and the byte-sized AQE read takes over again; the
+      // composite key keeps the explicit exchange (REPARTITION_BY_NUM
+      // is never AQE-coalesced) without changing any row
+      .repartition(bounds.sparkSession.sparkContext.defaultParallelism,
+        col(key), col("_gs"))
+      .select(col(key), explode(expr(s"sequence(_gs, _ge, $stepSql)")).as("_g"))
+
+  /** Per-(key, grid point) observation means (exact decimal sums →
+    * reproducible under any parallelism). */
+  private def obsOf(
+      df: DataFrame, key: String, tsCol: String, valueCol: String,
+      truncUnit: String): DataFrame =
+    df.groupBy(col(key), date_trunc(truncUnit, col(tsCol)).as("_g"))
       .agg((sum(col(valueCol).cast(DecimalType(27, 2))).cast("double") /
         count(col(valueCol))).as("_v"))
-    grid.join(obs, Seq(key, "_g"), "left")
-  }
+
+  /** Shared grid construction for [[interpolate]]: per-key dense time
+    * grid left-joined with the per-grid-point observation means. */
+  private def denseGrid(
+      df: DataFrame, key: String, tsCol: String, valueCol: String,
+      stepSql: String, truncUnit: String): DataFrame =
+    gridOf(gridBounds(df, key, tsCol, truncUnit), key, stepSql)
+      .join(obsOf(df, key, tsCol, valueCol, truncUnit), Seq(key, "_g"), "left")
 
   /** Shared interpolation arithmetic over `_prev`/`_next` (_t, _x)
     * structs: linear between known neighbours, carry at the edges. */

@@ -19,6 +19,28 @@ object RecallReportQueries {
   private def queriesOf(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") < 100)
 
+  /** Build-once / read-many stored geometries for the report's
+    * retraining-heavy methods (r19 verdict item 1, the
+    * q_sim_ivfadc_serve pattern): ONE durable build per (JVM, dataset)
+    * trains the residual IVFADC index, the flat raw-coded PQ index and
+    * the coarse Lloyd geometry — every later execution serves off the
+    * stored artifacts. Training is deterministic exact-integer
+    * arithmetic and the stored tables are all longs, so serving reads
+    * back bit-identical geometry: the report's rows (and its oracle
+    * replay, which retrains in SQL) are unchanged. The three builders
+    * share one Lloyd training via the session memo, so the build costs
+    * what one cold report execution used to pay for training. */
+  private def idxRoot(s: SparkSession, d: String): String =
+    graft.core.CacheGovernor.durableDir(s"recall_report_idx:$d") { dir =>
+      val emb = Tables.embeddings(s, d)
+      ProductQuantization.writeIvfPqIndex(emb, "vec_id", "embedding",
+        s"$dir/ivfadc", nCells = 0, iters = 2, m = 16, kSub = 32)
+      ProductQuantization.writePqIndex(emb, "vec_id", "embedding",
+        s"$dir/pq", m = 8, kSub = 32, iters = 2)
+      ProductQuantization.writeCoarseGeometry(emb, "vec_id", "embedding",
+        s"$dir/coarse", nCells = 0, iters = 2)
+    }
+
   // ---- per-method top-k builders ------------------------------------
   // ONE definition per method, consumed by the report row below AND
   // exposed through [[benchMethods]] so the bench can price each method
@@ -51,9 +73,12 @@ object RecallReportQueries {
 
   private def ivfLloydMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    Similarity.ivfTopKLloyd(queriesOf(emb), emb,
-      "vec_id", "embedding", "vec_id", "embedding", K,
-      nCells = 0, nProbe = 4, iters = 2)
+    val root = idxRoot(s, d)
+    Similarity.ivfTopKFromCells(queriesOf(emb), emb,
+      "vec_id", "embedding", "vec_id", "embedding",
+      ProductQuantization.coarseCells(s, s"$root/coarse"),
+      ProductQuantization.coarseCellOf(s, s"$root/coarse"),
+      K, nProbe = 4)
   }
 
   private def sq8MethodTopK(s: SparkSession, d: String): DataFrame = {
@@ -97,16 +122,15 @@ object RecallReportQueries {
   // top-5 with NO rerank — the memory-extreme end of the frontier
   private def pqAdcMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    ProductQuantization.adcCandidates(queriesOf(emb), emb,
-      "vec_id", "embedding", "vec_id", "embedding", K,
-      m = 8, kSub = 32, iters = 2, candidateFrac = 0.0)
+    ProductQuantization.adcCandidatesFrom(s, s"${idxRoot(s, d)}/pq",
+      queriesOf(emb), "vec_id", "embedding", K, candidateFrac = 0.0)
   }
 
   private def pqAdcRerankMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    ProductQuantization.adcTopK(queriesOf(emb), emb,
-      "vec_id", "embedding", "vec_id", "embedding", K,
-      m = 8, kSub = 32, iters = 2, candidateFrac = 0.10)
+    ProductQuantization.adcRerankTopKFrom(s, s"${idxRoot(s, d)}/pq",
+      queriesOf(emb), "vec_id", "embedding",
+      emb, "vec_id", "embedding", K, candidateFrac = 0.10)
   }
 
   // r17 TRUE IVF-PQ, r18 auto-dialed: ⌊√n⌋ exact-integer Lloyd cells
@@ -118,10 +142,11 @@ object RecallReportQueries {
   // shrinks as cells multiply with √n.
   private def ivfpqMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    ProductQuantization.ivfpqTopK(queriesOf(emb), emb,
-      "vec_id", "embedding", "vec_id", "embedding", K,
-      nCells = 0, nProbe = 0, iters = 2,
-      m = 8, kSub = 32, candidateFrac = 0.15)
+    val root = idxRoot(s, d)
+    ProductQuantization.ivfpqTopKFrom(s, s"$root/pq", s"$root/coarse",
+      queriesOf(emb), "vec_id", "embedding",
+      emb, "vec_id", "embedding", K,
+      nProbe = 0, candidateFrac = 0.15)
   }
 
   // r18: residual IVFADC — the stored index's serving semantics as an
@@ -132,10 +157,10 @@ object RecallReportQueries {
   // best sub-linear point.
   private def ivfadcMethodTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    ProductQuantization.ivfadcTopK(queriesOf(emb), emb,
-      "vec_id", "embedding", "vec_id", "embedding", K,
-      nCells = 0, nProbe = 0, iters = 2,
-      m = 16, kSub = 32, candidateFrac = 0.10)
+    ProductQuantization.searchIvfPqIndex(s, s"${idxRoot(s, d)}/ivfadc",
+      queriesOf(emb), "vec_id", "embedding",
+      emb, "vec_id", "embedding", K,
+      nProbe = 0, candidateFrac = 0.10)
   }
 
   /** Per-method top-k surfaces for bench sub-timing
@@ -589,97 +614,130 @@ object RecallReportQueries {
           (col("recall") >= lit(bound)).as("recall_in_band"))
     }
 
-    val brute = methodRow("brute", exactPairs, allPairs, 1.0)
-    val lsh = methodRow("lsh",
-      lshMethodTopK(s, d),
-      Similarity.lshCandidatePairs(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding")
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.3)
-    val ivf = methodRow("ivf",
-      ivfMethodTopK(s, d),
-      Similarity.ivfCandidatePairs(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", nCells = 0, nProbe = 4)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.3)
-    val sq8 = methodRow("sq8", sq8MethodTopK(s, d), allPairs, 0.9)
-    val jlSq8 = methodRow("jl16_sq8", jlSq8MethodTopK(s, d), allPairs, 0.12)
-    // r15: compressed-scan + exact re-rank — the row that moved the
-    // frontier past the probed-fraction ceiling: recall@5 ≥ 0.8 at a
-    // 30% exact-rerank candidate fraction (measured 0.818/0.804/0.870
-    // at sf0.001/0.01/0.1; deterministic, so the bound is exact, not
-    // statistical)
-    val rerank = methodRow("jl16_sq8_rerank",
-      jlSq8RerankMethodTopK(s, d),
-      Similarity.rerankCandidates(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.8)
-    // r15: trained IVF with EXACT-REPLAY integer-Lloyd geometry — the
-    // trained row with real recall/candidate numbers (the MLlib row
-    // below stays in-band-only)
-    val lloyd = methodRow("ivf_lloyd",
-      ivfLloydMethodTopK(s, d),
-      Similarity.ivfCandidatePairsLloyd(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding",
-        nCells = 0, nProbe = 4, iters = 2)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.3)
-    // trained IVF: no SQL replay (iterative ML) — NULL recall/candidates,
-    // in-band boolean via the tie-robust cosine-threshold hit rule
-    // (shared contract with q_sim_ivf_trained, gate 0.5)
-    val kth = exactPairs.groupBy("q_id").agg(min(col("cos")).as("_kth"))
-    val trained = ivfTrainedMethodTopK(s, d)
-      .join(kth, "q_id")
-      .agg(sum(when(col("cos") >= col("_kth") - 1e-9, 1).otherwise(0))
-        .cast("double").as("_hits"))
-      .crossJoin(nq)
-      .select(lit("ivf_trained").as("method"), lit(k.toLong).as("k"), col("n_queries"),
-        lit(null).cast("long").as("candidates"), lit(null).cast("double").as("recall"),
-        (col("_hits") / (col("n_queries") * lit(k)).cast("double") >= 0.5)
-          .as("recall_in_band"))
+    // guide §2.6 (overlap independent jobs): the twelve method rows are
+    // independent until the final union, but each one's CONSTRUCTION
+    // runs eager Spark jobs (shared-relation localCheckpoints, count
+    // probes, the MLlib fit, the serving-candidate snapshots) — built
+    // serially they formed a chain of tiny jobs that left a 32-core
+    // host ~97% idle (r20 measured: serving-only report 16.5 s wall at
+    // 17.9 executor-CPU s). A small pool overlaps them; CacheGovernor's
+    // per-key build locks keep racing constructions single-build. The
+    // durable geometry is forced FIRST so the fan-out never duplicates
+    // the index build. Row ORDER in the final union is unchanged.
+    idxRoot(s, d)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def bg(f: => org.apache.spark.sql.DataFrame) = scala.concurrent.Future(f)
+    val rows =
+      try scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+        bg { methodRow("brute", exactPairs, allPairs, 1.0) },
+        bg {
+          methodRow("ivf",
+            ivfMethodTopK(s, d),
+            Similarity.ivfCandidatePairs(queries, emb,
+              "vec_id", "embedding", "vec_id", "embedding",
+              nCells = 0, nProbe = 4)
+              .agg(count(lit(1)).cast("long").as("candidates")),
+            0.3)
+        },
+        // r15: trained IVF with EXACT-REPLAY integer-Lloyd geometry —
+        // the trained row with real recall/candidate numbers (the MLlib
+        // row below stays in-band-only)
+        bg {
+          methodRow("ivf_lloyd",
+            ivfLloydMethodTopK(s, d),
+            Similarity.ivfCandidatePairsFromCells(queries, emb,
+              "vec_id", "embedding", "vec_id", "embedding",
+              ProductQuantization.coarseCells(s, s"${idxRoot(s, d)}/coarse"),
+              ProductQuantization.coarseCellOf(s, s"${idxRoot(s, d)}/coarse"),
+              nProbe = 4)
+              .agg(count(lit(1)).cast("long").as("candidates")),
+            0.3)
+        },
+        // trained IVF: no SQL replay (iterative ML) — NULL
+        // recall/candidates, in-band boolean via the tie-robust
+        // cosine-threshold hit rule (shared contract with
+        // q_sim_ivf_trained, gate 0.5)
+        bg {
+          val kth = exactPairs.groupBy("q_id").agg(min(col("cos")).as("_kth"))
+          ivfTrainedMethodTopK(s, d)
+            .join(kth, "q_id")
+            .agg(sum(when(col("cos") >= col("_kth") - 1e-9, 1).otherwise(0))
+              .cast("double").as("_hits"))
+            .crossJoin(nq)
+            .select(lit("ivf_trained").as("method"), lit(k.toLong).as("k"),
+              col("n_queries"),
+              lit(null).cast("long").as("candidates"),
+              lit(null).cast("double").as("recall"),
+              (col("_hits") / (col("n_queries") * lit(k)).cast("double") >= 0.5)
+                .as("recall_in_band"))
+        },
+        bg { methodRow("jl16_sq8", jlSq8MethodTopK(s, d), allPairs, 0.12) },
+        // r15: compressed-scan + exact re-rank — the row that moved the
+        // frontier past the probed-fraction ceiling: recall@5 ≥ 0.8 at
+        // a 30% exact-rerank candidate fraction (measured
+        // 0.818/0.804/0.870 at sf0.001/0.01/0.1; deterministic, so the
+        // bound is exact, not statistical)
+        bg {
+          methodRow("jl16_sq8_rerank",
+            jlSq8RerankMethodTopK(s, d),
+            Similarity.rerankCandidates(queries, emb,
+              "vec_id", "embedding", "vec_id", "embedding", k)
+              .agg(count(lit(1)).cast("long").as("candidates")),
+            0.8)
+        },
+        bg {
+          methodRow("lsh",
+            lshMethodTopK(s, d),
+            Similarity.lshCandidatePairs(queries, emb,
+              "vec_id", "embedding", "vec_id", "embedding")
+              .agg(count(lit(1)).cast("long").as("candidates")),
+            0.3)
+        },
+        // r16: flat PQ-ADC (m=8 subspaces × 32 codewords trained by the
+        // same exact-integer Lloyd recipe per subspace) — the ~100×
+        // memory form. pq_adc is the codes-only serving point (recall@5
+        // 0.408/0.422/0.298, band 0.2); pq_adc_rerank re-ranks the ADC
+        // top 10% exactly (0.848/0.826/0.908, band 0.8).
+        bg { methodRow("pq_adc", pqAdcMethodTopK(s, d), allPairs, 0.2) },
+        bg {
+          methodRow("pq_adc_rerank",
+            pqAdcRerankMethodTopK(s, d),
+            ProductQuantization.adcCandidatesFrom(s, s"${idxRoot(s, d)}/pq",
+              queries, "vec_id", "embedding", k, candidateFrac = 0.10)
+              .agg(count(lit(1)).cast("long").as("candidates")),
+            0.8)
+        },
+        // r17: TRUE IVF-PQ (coarse prune → in-cell ADC → exact
+        // re-rank): the candidate fraction sits UNDER the probed-cell
+        // share and the ADC scan never touches the whole corpus.
+        bg {
+          methodRow("ivfpq_adc_rerank",
+            ivfpqMethodTopK(s, d),
+            ProductQuantization.ivfpqCandidatesFrom(s,
+              s"${idxRoot(s, d)}/pq", s"${idxRoot(s, d)}/coarse",
+              queries, "vec_id", "embedding", k,
+              nProbe = 0, candidateFrac = 0.15)
+              .agg(count(lit(1)).cast("long").as("candidates")),
+            0.8)
+        },
+        // r18: the residual IVFADC method (band 0.8; worst 0.856)
+        bg {
+          methodRow("ivfadc_rerank",
+            ivfadcMethodTopK(s, d),
+            ProductQuantization.searchIvfPqCandidates(s,
+              s"${idxRoot(s, d)}/ivfadc",
+              queries, "vec_id", "embedding", k,
+              nProbe = 0, candidateFrac = 0.10)
+              .agg(count(lit(1)).cast("long").as("candidates")),
+            0.8)
+        },
+        bg { methodRow("sq8", sq8MethodTopK(s, d), allPairs, 0.9) })),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
 
-    // r16: flat PQ-ADC (m=8 subspaces × 32 codewords trained by the
-    // same exact-integer Lloyd recipe per subspace) — the ~100× memory
-    // form. pq_adc is the codes-only serving point (recall@5
-    // 0.408/0.422/0.298, band 0.2); pq_adc_rerank re-ranks the ADC top
-    // 10% exactly (0.848/0.826/0.908, band 0.8). Both deterministic.
-    val pqOnly = methodRow("pq_adc", pqAdcMethodTopK(s, d), allPairs, 0.2)
-    val pq = methodRow("pq_adc_rerank",
-      pqAdcRerankMethodTopK(s, d),
-      ProductQuantization.adcCandidates(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k,
-        m = 8, kSub = 32, iters = 2, candidateFrac = 0.10)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.8)
-    // r17: TRUE IVF-PQ (coarse prune → in-cell ADC → exact re-rank):
-    // recall@5 0.830/0.832/0.826 at a 50% probed share and 15%
-    // candidate fraction — the candidate fraction sits UNDER the
-    // probed-cell share (the r16 verdict's gate) and the ADC scan no
-    // longer touches the whole corpus per query.
-    val ivfpq = methodRow("ivfpq_adc_rerank",
-      ivfpqMethodTopK(s, d),
-      ProductQuantization.ivfpqCandidates(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k,
-        nCells = 0, nProbe = 0, iters = 2,
-        m = 8, kSub = 32, candidateFrac = 0.15)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.8)
-
-    // r18: the residual IVFADC method (band 0.8; measured worst 0.856)
-    val ivfadc = methodRow("ivfadc_rerank",
-      ivfadcMethodTopK(s, d),
-      ProductQuantization.ivfadcCandidates(queries, emb,
-        "vec_id", "embedding", "vec_id", "embedding", k,
-        nCells = 0, nProbe = 0, iters = 2,
-        m = 16, kSub = 32, candidateFrac = 0.10)
-        .agg(count(lit(1)).cast("long").as("candidates")),
-      0.8)
-
-    brute.unionAll(ivf).unionAll(lloyd).unionAll(trained).unionAll(jlSq8)
-      .unionAll(rerank).unionAll(lsh).unionAll(pqOnly).unionAll(pq)
-      .unionAll(ivfpq).unionAll(ivfadc).unionAll(sq8)
-      .orderBy("method")
+    rows.reduce(_.unionAll(_)).orderBy("method")
   }
   val all: Seq[QuerySpec] = Seq(simRecallReport)
 }
