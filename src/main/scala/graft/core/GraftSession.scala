@@ -40,9 +40,12 @@ object GraftSession {
       // the floor is scale-adaptive, not a local[32] tune: large
       // shuffles still size by bytes/parallelism (up to the 64 MB
       // advisory), only small-bytes/high-CPU stages fan back out to the
-      // core count. 64k keeps per-task scheduling overhead (~ms) well
-      // under the work it unblocks.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // core count. Value chosen by a measured sweep (r20): 64k fanned
+      // EVERY tiny shuffle to 32 tasks and multiplied per-task constants
+      // across the registry (q_text_tfidf 1.0 → 5.7 CPU-s, q_u4 1.0 →
+      // 6.0); 1m serialized the window chains (q_w8 2.7 s). 256k keeps
+      // the CPU-heavy stages parallel at near-baseline total CPU.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

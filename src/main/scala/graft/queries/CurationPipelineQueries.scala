@@ -73,7 +73,12 @@ object CurationPipelineQueries {
        |       CAST(SUM(out_chars) AS BIGINT) AS out_chars
        |FROM p GROUP BY domain ORDER BY domain""".stripMargin) { (s, d) =>
     import s.implicits._
-    val docs = Tables.documents(s, d)
+    // the whole chain is per-row projections over a corpus that scans
+    // as ONE parquet split locally — without a spread the HTML parse +
+    // C4 + PSL + gopher + PII chain runs as a single 5-CPU-s task
+    // (r20 measured; the spread is a no-op once the corpus scans as
+    // many splits — Dedup.spreadIfNarrow doc)
+    val docs = graft.operators.Dedup.spreadIfNarrow(Tables.documents(s, d))
     // stage 0: HTML→text extraction + C4 page filter on the planted
     // markup — only pages passing the C4 page rules enter the chain
     val extracted = docs
@@ -104,9 +109,17 @@ object CurationPipelineQueries {
     // stage 3: per-host quota (salted exact top-k by md5 priority)
     val underQuota = WebCuration
       .domainQuota(licensed, col("host"), col("doc_id"), quota)
-    // stage 4: Gopher repetition filter on the ORIGINAL text
+    // stage 4: Gopher repetition filter on the ORIGINAL text. The
+    // verdict is per-row, so it is computed over the QUOTA SURVIVORS
+    // only — scoring the full corpus and joining was both wasted work
+    // and, worse, column pruning sank that branch's gopherStats below
+    // the spread exchange into the single-split scan task (r20
+    // measured: a serial 4.7-CPU-s stage); restricted to underQuota
+    // the projection sits above the quota windows' exchange and
+    // parallelizes. Verdicts are identical per doc either way.
     val kept = underQuota
-      .join(GopherRepetition.report(docs, "doc_id", "text")
+      .join(GopherRepetition.report(
+          underQuota.select("doc_id", "text"), "doc_id", "text")
         .filter(col("gopher_keep") === 1).select("doc_id"), "doc_id")
     // stage 5: PII scrub of the shipped text
     val scrubbed = kept

@@ -1089,15 +1089,31 @@ object SimilarityQueries {
     // 8k-row generated table prices the hashing once per execution
     // instead of once per consumer (measured 15.3 s → ~5 s executor CPU
     // on the sf0.1 bench row)
+    // r20 (guide §2.4/§4): the 64 cluster-center coordinates are a
+    // function of (vec_id % 64, j) alone, so they are built ONCE as a
+    // 64-row broadcast table (4096 md5 evaluations) instead of being
+    // re-hashed per corpus row — half of the old 128-md5-per-row price;
+    // and the id spine is spread across the cores BEFORE the md5-heavy
+    // projection (the single-split embeddings scan otherwise generated
+    // the whole corpus in one task). Values are unchanged: the center
+    // expression is the same deterministic md5 arithmetic per (c, j),
+    // now evaluated per cluster instead of per row.
+    val centers = broadcast(s.range(64).select(col("id").as("_c"),
+      transform(sequence(lit(0), lit(63)), j =>
+        (md5Hash60(concat(lit("gc:"), col("id").cast("string"),
+          lit(":"), j.cast("string"))) % 41L - 20L) * 2L).as("_cv")))
     val gen = graft.core.CacheGovernor.persistTracked(
       emb.select(col("vec_id").as("_base"))
         .crossJoin(s.range(4).select(col("id").as("_r")))
         .select((col("_base") * 4 + col("_r")).as("vec_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("_c", pmod(col("vec_id"), lit(64L)))
+        .join(centers, "_c")
         .withColumn("embedding", transform(sequence(lit(0), lit(63)), j =>
-          ((md5Hash60(concat(lit("gc:"), pmod(col("vec_id"), lit(64L)).cast("string"),
-              lit(":"), j.cast("string"))) % 41L - 20L) * 2L +
+          (element_at(col("_cv"), (j + 1).cast("int")) +
             (md5Hash60(concat(lit("gj:"), col("vec_id").cast("string"),
-              lit(":"), j.cast("string"))) % 11L - 5L)).cast("double"))))
+              lit(":"), j.cast("string"))) % 11L - 5L)).cast("double")))
+        .select("vec_id", "embedding")))
     val root = graft.core.CacheGovernor.durableDir(s"ivfadc_serve:$d") { dir =>
       ProductQuantization.writeIvfPqIndex(gen, "vec_id", "embedding",
         s"$dir/v1", nCells = 0, iters = 2, m = 16, kSub = 32)
